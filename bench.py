@@ -1,0 +1,74 @@
+"""Benchmark harness (driver-run per round -> BENCH_r{N}.json).
+
+Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+A warm-up query amortizes JVM/session startup (BASELINE.md: at sf0.1
+Spark fixed overhead dominates; the reference is an in-process library).
+Each query is executed to completion via a count-style action that
+forces the full plan but does not materialize results to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from delta_rs_spark.session import get_spark
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # Warm-up: run the identical plans once at the smallest SF so JVM JIT,
+    # whole-stage codegen compilation, and Arrow/Python bridges are hot
+    # before measurement (the reference is an in-process library with no
+    # such fixed cost — BASELINE.md).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name, fn in qs.items():
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        # force full execution without driver materialization
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Design notes (scale): these configs are the local-mode analogue of what a
+1000-executor cluster deployment would set — AQE on (runtime re-planning,
+skew-join splitting, partition coalescing), shuffle partitions sized to the
+parallelism actually available, Arrow enabled for the Python boundary.
+On a real cluster `spark.sql.shuffle.partitions` should be ~2-3x total
+cores and `maxPartitionBytes` sized so a task's input fits in memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "delta_rs_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    One long-lived session amortizes JVM startup across queries (the
+    reference is an in-process library; Spark's equivalent is session
+    reuse — see BASELINE.md).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(4, cpus)
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # files.maxPartitionBytes default 128m is right for the 100 TB target;
+        # local test data is small so open-cost keeps task counts sane.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
