@@ -9,6 +9,34 @@ implemented here and Parquet data files are read/written by Spark).
 """
 
 from delta_rs_spark.session import get_spark
+from delta_rs_spark.table import DeltaTable
+from delta_rs_spark.writer import write_deltalake
+from delta_rs_spark.query import QueryBuilder
+from delta_rs_spark.operators.convert import convert_to_deltalake
+from delta_rs_spark.log.commit import (
+    CommitFailedError,
+    ConcurrentAppendError,
+    ConcurrentDeleteDeleteError,
+    ConcurrentDeleteReadError,
+    ConcurrentTransactionError,
+    DeltaError,
+    MetadataChangedError,
+    ProtocolChangedError,
+)
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    "DeltaTable",
+    "write_deltalake",
+    "QueryBuilder",
+    "convert_to_deltalake",
+    "DeltaError",
+    "CommitFailedError",
+    "ConcurrentAppendError",
+    "ConcurrentDeleteReadError",
+    "ConcurrentDeleteDeleteError",
+    "ConcurrentTransactionError",
+    "MetadataChangedError",
+    "ProtocolChangedError",
+]
 __version__ = "0.1.0"

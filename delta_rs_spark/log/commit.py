@@ -1,0 +1,158 @@
+"""Optimistic-concurrency commit protocol.
+
+Mirrors the reference's transaction machinery
+(reference: crates/core/src/kernel/transaction/mod.rs:591 CommitBuilder,
+logstore/mod.rs:832-841 rename_if_not_exists,
+kernel/transaction/conflict_checker.rs:27-90 conflict classes):
+
+1. serialize actions to ``<version+1>.json.tmp``;
+2. atomically publish via ``os.link`` (create-if-absent on every POSIX
+   filesystem — the local analogue of the reference's
+   ``rename_if_not_exists``; S3-style stores would need a conditional-put
+   LogStore, same as the reference's crates/aws);
+3. on collision, replay the winning commits against this transaction's
+   read set and isolation level; retry up to ``max_retries`` (15) or
+   raise the matching concurrency error.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from delta_rs_spark.log.actions import (
+    Action,
+    Add,
+    CommitInfo,
+    Metadata,
+    Protocol,
+    Remove,
+    Txn,
+    action_to_line,
+    now_ms,
+)
+from delta_rs_spark.log import snapshot as snap_mod
+
+MAX_RETRIES = 15
+CHECKPOINT_INTERVAL_DEFAULT = 100
+
+
+class DeltaError(Exception):
+    pass
+
+
+class CommitFailedError(DeltaError):
+    pass
+
+
+class ConcurrentAppendError(CommitFailedError):
+    """A concurrent commit added files this transaction may have read."""
+
+
+class ConcurrentDeleteReadError(CommitFailedError):
+    """A concurrent commit removed a file this transaction read."""
+
+
+class ConcurrentDeleteDeleteError(CommitFailedError):
+    """A concurrent commit removed a file this transaction also removes."""
+
+
+class MetadataChangedError(CommitFailedError):
+    pass
+
+
+class ProtocolChangedError(CommitFailedError):
+    pass
+
+
+class ConcurrentTransactionError(CommitFailedError):
+    """A concurrent commit advanced the same txn appId watermark."""
+
+
+@dataclass
+class TransactionInfo:
+    """What this transaction read — drives conflict detection."""
+
+    read_files: set[str] = field(default_factory=set)
+    read_whole_table: bool = False
+    blind_append: bool = True  # no reads at all (pure append)
+    app_ids: set[str] = field(default_factory=set)
+    isolation_level: str = "WriteSerializable"
+
+
+def _check_conflicts(winning: list[Action], txn: TransactionInfo, our_removes: set[str]) -> None:
+    for a in winning:
+        if isinstance(a, Metadata):
+            raise MetadataChangedError("concurrent metadata update")
+        if isinstance(a, Protocol):
+            raise ProtocolChangedError("concurrent protocol update")
+        if isinstance(a, Txn) and a.app_id in txn.app_ids:
+            raise ConcurrentTransactionError(f"concurrent transaction for appId {a.app_id}")
+        if isinstance(a, Remove):
+            if a.path in our_removes:
+                raise ConcurrentDeleteDeleteError(f"file removed twice: {a.path}")
+            if txn.read_whole_table or a.path in txn.read_files:
+                raise ConcurrentDeleteReadError(f"removed file was read: {a.path}")
+        if isinstance(a, Add) and a.data_change:
+            if txn.blind_append:
+                continue  # appends never conflict with blind appends
+            if txn.isolation_level == "Serializable" or txn.read_whole_table:
+                raise ConcurrentAppendError(f"concurrent append: {a.path}")
+            # WriteSerializable with a bounded read set: an added file
+            # cannot be in our read set (it did not exist), so allow.
+
+
+def commit(
+    table_path: str,
+    actions: list[Action],
+    operation: CommitInfo,
+    read_version: int,
+    txn_info: TransactionInfo | None = None,
+    max_retries: int = MAX_RETRIES,
+) -> int:
+    """Write actions as the next commit; returns the committed version."""
+    txn_info = txn_info or TransactionInfo(blind_append=False, read_whole_table=True)
+    our_removes = {a.path for a in actions if isinstance(a, Remove)}
+    os.makedirs(snap_mod.log_dir(table_path), exist_ok=True)
+    attempt_version = read_version + 1
+
+    for attempt in range(max_retries + 1):
+        operation.timestamp = now_ms()
+        operation.read_version = read_version if read_version >= 0 else None
+        lines = [action_to_line(operation)] + [action_to_line(a) for a in actions]
+        target = snap_mod.commit_file(table_path, attempt_version)
+        tmp = target + f".{os.getpid()}.{attempt}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)  # atomic put-if-absent
+            os.unlink(tmp)
+            _maybe_checkpoint(table_path, attempt_version)
+            return attempt_version
+        except FileExistsError:
+            os.unlink(tmp)
+            # replay winning commit(s), check conflicts, then retry on top
+            latest = snap_mod.latest_version(table_path)
+            assert latest is not None
+            for v in range(attempt_version, latest + 1):
+                winning = snap_mod.read_commit_actions(table_path, v)
+                _check_conflicts(winning, txn_info, our_removes)
+            attempt_version = latest + 1
+    raise CommitFailedError(f"exceeded {max_retries} commit retries at {table_path}")
+
+
+def _maybe_checkpoint(table_path: str, version: int) -> None:
+    """Post-commit hook: parquet checkpoint every delta.checkpointInterval
+    commits (reference: protocol/checkpoints.rs + transaction post-commit)."""
+    try:
+        snapshot = snap_mod.load_snapshot(table_path, version)
+        interval = int(
+            snapshot.configuration.get("delta.checkpointInterval", CHECKPOINT_INTERVAL_DEFAULT)
+        )
+        if interval > 0 and version > 0 and version % interval == 0:
+            snap_mod.write_checkpoint(table_path, snapshot)
+    except Exception:
+        # checkpointing is an optimization; never fail the commit for it
+        pass

@@ -1,0 +1,341 @@
+"""Snapshot = materialized table state at a version, via log replay.
+
+Mirrors the reference's snapshot machinery
+(reference: crates/core/src/kernel/snapshot/mod.rs:1-16 — EagerSnapshot):
+start from the newest parquet checkpoint at-or-before the requested
+version, then apply newer JSON commits in order. Replay rules: last
+Metadata/Protocol win; Add is keyed by path; Remove tombstones an Add
+(kept for VACUUM); latest Txn per appId wins.
+
+The log is always tiny relative to data (one JSON line per file per
+commit), so driver-side replay is the right call even at 100 TB — the
+same choice every Delta implementation makes; checkpoints bound replay
+cost to O(files) regardless of commit count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from delta_rs_spark.log.actions import (
+    Action,
+    Add,
+    AddCDCFile,
+    CommitInfo,
+    Metadata,
+    Protocol,
+    Remove,
+    Txn,
+    parse_action,
+)
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+
+def log_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_delta_log")
+
+
+def commit_file(table_path: str, version: int) -> str:
+    return os.path.join(log_dir(table_path), f"{version:020d}.json")
+
+
+def checkpoint_file(table_path: str, version: int) -> str:
+    return os.path.join(log_dir(table_path), f"{version:020d}.checkpoint.parquet")
+
+
+def is_delta_table(table_path: str) -> bool:
+    d = log_dir(table_path)
+    if not os.path.isdir(d):
+        return False
+    return any(_COMMIT_RE.match(f) or _CHECKPOINT_RE.match(f) for f in os.listdir(d))
+
+
+def list_log(table_path: str) -> tuple[list[int], list[int]]:
+    """Return (sorted commit versions, sorted checkpoint versions)."""
+    d = log_dir(table_path)
+    commits: list[int] = []
+    checkpoints: list[int] = []
+    if not os.path.isdir(d):
+        return commits, checkpoints
+    for f in os.listdir(d):
+        m = _COMMIT_RE.match(f)
+        if m:
+            commits.append(int(m.group(1)))
+            continue
+        m = _CHECKPOINT_RE.match(f)
+        if m:
+            checkpoints.append(int(m.group(1)))
+    return sorted(commits), sorted(checkpoints)
+
+
+def latest_version(table_path: str) -> int | None:
+    commits, checkpoints = list_log(table_path)
+    candidates = commits + checkpoints
+    return max(candidates) if candidates else None
+
+
+def read_commit_actions(table_path: str, version: int) -> list[Action]:
+    path = commit_file(table_path, version)
+    actions: list[Action] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                a = parse_action(line)
+                if a is not None:
+                    actions.append(a)
+    return actions
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint parquet (protocol-shaped: one action per row, one struct
+# column per action kind; partitionValues as map<string,string>, stats as
+# the protocol's JSON string).
+# ---------------------------------------------------------------------------
+
+_CP_SCHEMA = pa.schema(
+    [
+        pa.field(
+            "add",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
+                    pa.field("size", pa.int64()),
+                    pa.field("modificationTime", pa.int64()),
+                    pa.field("dataChange", pa.bool_()),
+                    pa.field("stats", pa.string()),
+                ]
+            ),
+        ),
+        pa.field(
+            "remove",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("deletionTimestamp", pa.int64()),
+                    pa.field("dataChange", pa.bool_()),
+                ]
+            ),
+        ),
+        pa.field("metaData", pa.struct([pa.field("json", pa.string())])),
+        pa.field("protocol", pa.struct([pa.field("json", pa.string())])),
+        pa.field(
+            "txn",
+            pa.struct(
+                [
+                    pa.field("appId", pa.string()),
+                    pa.field("version", pa.int64()),
+                    pa.field("lastUpdated", pa.int64()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
+    """Write a parquet checkpoint of the snapshot state + _last_checkpoint.
+
+    (reference: crates/core/src/protocol/checkpoints.rs:26-45)
+    """
+    rows: list[dict[str, Any]] = []
+    if snapshot.protocol:
+        rows.append({"protocol": {"json": json.dumps(snapshot.protocol.to_json()["protocol"])}})
+    if snapshot.metadata:
+        rows.append({"metaData": {"json": json.dumps(snapshot.metadata.to_json()["metaData"])}})
+    for app_id, txn in snapshot.txns.items():
+        rows.append({"txn": {"appId": app_id, "version": txn.version, "lastUpdated": txn.last_updated}})
+    for rm in snapshot.tombstones:
+        rows.append(
+            {
+                "remove": {
+                    "path": rm.path,
+                    "deletionTimestamp": rm.deletion_timestamp,
+                    "dataChange": rm.data_change,
+                }
+            }
+        )
+    for add in snapshot.files.values():
+        rows.append(
+            {
+                "add": {
+                    "path": add.path,
+                    "partitionValues": list((add.partition_values or {}).items()),
+                    "size": add.size,
+                    "modificationTime": add.modification_time,
+                    "dataChange": False,
+                    "stats": add.stats,
+                }
+            }
+        )
+    table = pa.Table.from_pylist(rows, schema=_CP_SCHEMA)
+    path = checkpoint_file(table_path, snapshot.version)
+    pq.write_table(table, path)
+    with open(os.path.join(log_dir(table_path), "_last_checkpoint"), "w") as f:
+        json.dump({"version": snapshot.version, "size": len(rows)}, f)
+    return path
+
+
+def read_checkpoint(table_path: str, version: int) -> list[Action]:
+    table = pq.read_table(checkpoint_file(table_path, version))
+    actions: list[Action] = []
+    for row in table.to_pylist():
+        if row.get("protocol") and row["protocol"].get("json"):
+            actions.append(Protocol.from_json(json.loads(row["protocol"]["json"])))
+        elif row.get("metaData") and row["metaData"].get("json"):
+            actions.append(Metadata.from_json(json.loads(row["metaData"]["json"])))
+        elif row.get("txn") and row["txn"].get("appId") is not None:
+            t = row["txn"]
+            actions.append(Txn(t["appId"], t["version"], t.get("lastUpdated") or 0))
+        elif row.get("remove") and row["remove"].get("path"):
+            r = row["remove"]
+            actions.append(
+                Remove(r["path"], r.get("deletionTimestamp") or 0, r.get("dataChange", True))
+            )
+        elif row.get("add") and row["add"].get("path"):
+            a = row["add"]
+            actions.append(
+                Add(
+                    path=a["path"],
+                    size=a.get("size") or 0,
+                    modification_time=a.get("modificationTime") or 0,
+                    data_change=False,
+                    partition_values=dict(a.get("partitionValues") or []),
+                    stats=a.get("stats"),
+                )
+            )
+    return actions
+
+
+# ---------------------------------------------------------------------------
+# Snapshot
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Snapshot:
+    table_path: str
+    version: int = -1
+    protocol: Protocol | None = None
+    metadata: Metadata | None = None
+    files: dict[str, Add] = field(default_factory=dict)
+    tombstones: list[Remove] = field(default_factory=list)
+    txns: dict[str, Txn] = field(default_factory=dict)
+    cdc_files: dict[int, list[AddCDCFile]] = field(default_factory=dict)
+    commit_infos: dict[int, CommitInfo] = field(default_factory=dict)
+    commit_timestamps: dict[int, int] = field(default_factory=dict)  # ms
+
+    def apply(self, action: Action, version: int) -> None:
+        if isinstance(action, Protocol):
+            self.protocol = action
+        elif isinstance(action, Metadata):
+            self.metadata = action
+        elif isinstance(action, Add):
+            self.files[action.path] = action
+        elif isinstance(action, Remove):
+            self.files.pop(action.path, None)
+            self.tombstones.append(action)
+        elif isinstance(action, Txn):
+            self.txns[action.app_id] = action
+        elif isinstance(action, AddCDCFile):
+            self.cdc_files.setdefault(version, []).append(action)
+        elif isinstance(action, CommitInfo):
+            self.commit_infos[version] = action
+
+    @property
+    def schema_string(self) -> str:
+        if self.metadata is None:
+            raise ValueError(f"no metadata in log at {self.table_path}")
+        return self.metadata.schema_string
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return self.metadata.partition_columns if self.metadata else []
+
+    @property
+    def configuration(self) -> dict[str, str]:
+        return self.metadata.configuration if self.metadata else {}
+
+    def num_records(self) -> int | None:
+        """Metadata-only row count when every file carries stats
+        (reference: python/deltalake/table.py:584-605)."""
+        total = 0
+        for add in self.files.values():
+            n = add.num_records()
+            if n is None:
+                return None
+            total += n
+        return total
+
+
+def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
+    commits, checkpoints = list_log(table_path)
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
+    max_v = max(commits + checkpoints)
+    target = max_v if version is None else version
+    if version is not None and version > max_v:
+        raise ValueError(f"version {version} > latest {max_v}")
+
+    snap = Snapshot(table_path=table_path)
+    start = 0
+    usable_cp = [v for v in checkpoints if v <= target]
+    if usable_cp:
+        cp_v = max(usable_cp)
+        for a in read_checkpoint(table_path, cp_v):
+            snap.apply(a, cp_v)
+        snap.version = cp_v
+        start = cp_v + 1
+    for v in range(start, target + 1):
+        if v not in commits and usable_cp and v <= max(usable_cp):
+            continue  # compacted away below a checkpoint
+        try:
+            actions = read_commit_actions(table_path, v)
+        except FileNotFoundError:
+            if v in checkpoints:
+                continue
+            raise
+        for a in actions:
+            snap.apply(a, v)
+        snap.version = v
+        ci = snap.commit_infos.get(v)
+        ts = ci.timestamp if ci else None
+        if not ts:
+            ts = int(os.path.getmtime(commit_file(table_path, v)) * 1000)
+        snap.commit_timestamps[v] = ts
+    if snap.version < target:
+        snap.version = target
+    return snap
+
+
+def version_at_timestamp(table_path: str, ts_ms: int) -> int:
+    """Latest version whose commit timestamp <= ts_ms
+    (reference: table/mod.rs:375 load_with_datetime)."""
+    commits, _ = list_log(table_path)
+    best = None
+    for v in commits:
+        try:
+            actions = read_commit_actions(table_path, v)
+            cts = next(
+                (a.timestamp for a in actions if isinstance(a, CommitInfo) and a.timestamp),
+                None,
+            )
+        except FileNotFoundError:
+            cts = None
+        if cts is None:
+            cts = int(os.path.getmtime(commit_file(table_path, v)) * 1000)
+        if cts <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(f"no version at or before timestamp {ts_ms}")
+    return best

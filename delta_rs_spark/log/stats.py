@@ -1,0 +1,93 @@
+"""Per-file statistics from parquet footers.
+
+Mirrors the reference's write-time stats collection
+(reference: crates/core/src/writer/stats.rs:82-543): numRecords,
+per-column min/max/nullCount for the first ``delta.dataSkippingNumIndexedCols``
+(default 32) leaf columns — read from parquet row-group metadata only
+(no data pages touched), so cost is O(footer) not O(file).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import json
+import math
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
+import pyarrow.parquet as pq
+
+DEFAULT_NUM_INDEXED_COLS = 32
+
+
+def _scalar(v: Any) -> Any:
+    """JSON-encode a parquet statistics scalar the way Delta stats do."""
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return base64.b64encode(v).decode("ascii")
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    return v
+
+
+def collect_file_stats(
+    file_path: str, num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS
+) -> dict[str, Any]:
+    """Aggregate row-group statistics of one parquet file into Delta stats."""
+    md = pq.ParquetFile(file_path).metadata
+    ncols = min(md.num_columns, num_indexed_cols)
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    have_stats = [True] * ncols
+    for rg in range(md.num_row_groups):
+        for ci in range(ncols):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (top-level cols only)
+                have_stats[ci] = False
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                have_stats[ci] = False
+                continue
+            mn, mx = st.min, st.max
+            if name not in mins or (mn is not None and mins[name] is not None and mn < mins[name]):
+                mins[name] = mn
+            if name not in maxs or (mx is not None and maxs[name] is not None and mx > maxs[name]):
+                maxs[name] = mx
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    for ci in range(ncols):
+        if not have_stats[ci]:
+            name = md.row_group(0).column(ci).path_in_schema if md.num_row_groups else None
+            if name:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+    return {
+        "numRecords": md.num_rows,
+        "minValues": {k: _scalar(v) for k, v in mins.items() if v is not None},
+        "maxValues": {k: _scalar(v) for k, v in maxs.items() if v is not None},
+        "nullCount": nulls,
+    }
+
+
+def collect_stats_parallel(
+    paths: list[str], num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS
+) -> list[dict[str, Any]]:
+    if not paths:
+        return []
+    workers = min(16, max(1, len(paths)), os.cpu_count() or 4)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(lambda p: collect_file_stats(p, num_indexed_cols), paths))
+
+
+def stats_json(stats: dict[str, Any]) -> str:
+    return json.dumps(stats, separators=(",", ":"), default=str)

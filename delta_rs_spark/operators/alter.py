@@ -1,0 +1,166 @@
+"""ALTER surface — constraints, add columns, table properties, metadata.
+
+(reference: crates/core/src/operations/constraints.rs,
+drop_constraints.rs, add_column.rs, set_tbl_properties.rs,
+update_table_metadata.rs, update_field_metadata.rs; python surface
+python/deltalake/table.py:1859-2184 TableAlterer)
+
+Constraints are stored as ``delta.constraints.<name>`` table properties
+(the Delta protocol convention); ADD CONSTRAINT validates existing rows
+with one Spark scan before committing, and the writer enforces them on
+every subsequent write.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import CommitInfo, Metadata
+from delta_rs_spark.log.commit import DeltaError, TransactionInfo
+
+CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def table_constraints(configuration: dict[str, str]) -> dict[str, str]:
+    return {
+        k.removeprefix(CONSTRAINT_PREFIX): v
+        for k, v in configuration.items()
+        if k.startswith(CONSTRAINT_PREFIX)
+    }
+
+
+class TableAlterer:
+    def __init__(self, dt: Any):
+        self.dt = dt
+
+    def _commit_metadata(self, meta: Metadata, operation: str, params: dict) -> None:
+        snapshot = snap_mod.load_snapshot(self.dt.table_uri)
+        op = CommitInfo(operation, params)
+        commit_mod.commit(
+            self.dt.table_uri,
+            [meta],
+            op,
+            snapshot.version,
+            TransactionInfo(blind_append=False, read_whole_table=True),
+        )
+        self.dt.refresh()
+
+    def _meta_copy(self) -> Metadata:
+        m = self.dt.metadata()
+        return Metadata(
+            schema_string=m.schema_string,
+            partition_columns=list(m.partition_columns),
+            configuration=dict(m.configuration),
+            id=m.id,
+            name=m.name,
+            description=m.description,
+            created_time=m.created_time,
+        )
+
+    def add_constraint(self, constraints: dict[str, str]) -> None:
+        """ADD CONSTRAINT name CHECK (expr); validates existing rows first
+        (reference: operations/constraints.rs)."""
+        meta = self._meta_copy()
+        existing = table_constraints(meta.configuration)
+        for name, expr in constraints.items():
+            if name in existing:
+                raise DeltaError(f"constraint {name!r} already exists")
+            violations = (
+                self.dt.to_df().filter(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1).count()
+            )
+            if violations:
+                raise DeltaError(
+                    f"cannot add constraint {name!r}: existing rows violate {expr!r}"
+                )
+            meta.configuration[CONSTRAINT_PREFIX + name] = expr
+        self._commit_metadata(
+            meta, "ADD CONSTRAINT", {"constraints": constraints}
+        )
+
+    def drop_constraint(self, name: str, raise_if_not_exists: bool = True) -> None:
+        meta = self._meta_copy()
+        key = CONSTRAINT_PREFIX + name
+        if key not in meta.configuration:
+            if raise_if_not_exists:
+                raise DeltaError(f"constraint {name!r} does not exist")
+            return
+        del meta.configuration[key]
+        self._commit_metadata(meta, "DROP CONSTRAINT", {"name": name})
+
+    def add_columns(self, fields: list[T.StructField]) -> None:
+        """ALTER TABLE ADD COLUMNS — new nullable columns appended
+        (reference: operations/add_column.rs)."""
+        meta = self._meta_copy()
+        schema = T.StructType.fromJson(json.loads(meta.schema_string))
+        names = {f.name for f in schema.fields}
+        for f in fields:
+            if f.name in names:
+                raise DeltaError(f"column {f.name!r} already exists")
+            schema = schema.add(T.StructField(f.name, f.dataType, True, f.metadata))
+        meta.schema_string = schema.json()
+        self._commit_metadata(
+            meta, "ADD COLUMNS", {"columns": [f.name for f in fields]}
+        )
+
+    def set_table_properties(self, properties: dict[str, str], raise_if_not_exists: bool = True) -> None:
+        meta = self._meta_copy()
+        meta.configuration.update(properties)
+        self._commit_metadata(meta, "SET TBLPROPERTIES", {"properties": properties})
+
+    def set_table_name(self, name: str) -> None:
+        meta = self._meta_copy()
+        meta.name = name
+        self._commit_metadata(meta, "SET TABLE METADATA", {"name": name})
+
+    def set_table_description(self, description: str) -> None:
+        meta = self._meta_copy()
+        meta.description = description
+        self._commit_metadata(meta, "SET TABLE METADATA", {"description": description})
+
+    def set_column_metadata(self, column: str, metadata: dict[str, str]) -> None:
+        """Per-column metadata, e.g. comments
+        (reference: update_field_metadata.rs)."""
+        meta = self._meta_copy()
+        schema = T.StructType.fromJson(json.loads(meta.schema_string))
+        fields = []
+        found = False
+        for f in schema.fields:
+            if f.name == column:
+                merged = dict(f.metadata or {})
+                merged.update(metadata)
+                fields.append(T.StructField(f.name, f.dataType, f.nullable, merged))
+                found = True
+            else:
+                fields.append(f)
+        if not found:
+            raise DeltaError(f"no such column: {column}")
+        meta.schema_string = T.StructType(fields).json()
+        self._commit_metadata(meta, "UPDATE FIELD METADATA", {"column": column})
+
+    def add_feature(self, features: list[str]) -> None:
+        """Enable table features (reference: operations/add_feature.rs)."""
+        snapshot = snap_mod.load_snapshot(self.dt.table_uri)
+        proto = snapshot.protocol
+        from delta_rs_spark.log.actions import Protocol
+
+        new = Protocol(
+            min_reader_version=max(proto.min_reader_version, 3),
+            min_writer_version=max(proto.min_writer_version, 7),
+            reader_features=sorted(set(proto.reader_features or []) | set(features)),
+            writer_features=sorted(set(proto.writer_features or []) | set(features)),
+        )
+        op = CommitInfo("ADD FEATURE", {"features": features})
+        commit_mod.commit(
+            self.dt.table_uri,
+            [new],
+            op,
+            snapshot.version,
+            TransactionInfo(blind_append=False, read_whole_table=True),
+        )
+        self.dt.refresh()

@@ -1,0 +1,134 @@
+"""load_cdf — Change Data Feed between versions/timestamps.
+
+(reference: crates/core/src/operations/load_cdf.rs — CDC file reads +
+synthesized insert/delete rows from Add/Remove commits :46-70, union
+plan :22-30; python surface python/deltalake/table.py:448-484)
+
+Per commit in range:
+* commits carrying AddCDCFile actions -> read those files (they already
+  contain ``_change_type``);
+* otherwise dataChange Adds -> synthesize ``insert`` rows from the added
+  files, and dataChange Removes -> synthesize ``delete`` rows by reading
+  the removed files (valid until VACUUM).
+
+Adds the reference's change columns: ``_change_type``,
+``_commit_version``, ``_commit_timestamp``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import Add, AddCDCFile, Remove
+from delta_rs_spark.log.commit import DeltaError
+from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL
+
+
+def _ts_to_version(table_path: str, ts: str, default: int) -> int:
+    try:
+        parsed = dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    except ValueError as e:
+        raise DeltaError(f"bad timestamp {ts!r}") from e
+    return snap_mod.version_at_timestamp(table_path, int(parsed.timestamp() * 1000))
+
+
+def load_cdf(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+    starting_timestamp: str | None = None,
+    ending_timestamp: str | None = None,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+    allow_out_of_range: bool = False,
+) -> DataFrame:
+    from delta_rs_spark.table import read_snapshot_df
+
+    latest = snap_mod.latest_version(table_path)
+    if latest is None:
+        raise DeltaError(f"not a Delta table: {table_path}")
+    if starting_timestamp:
+        starting_version = _ts_to_version(table_path, starting_timestamp, 0)
+    if ending_timestamp:
+        ending_version = _ts_to_version(table_path, ending_timestamp, latest)
+    if ending_version is None:
+        ending_version = latest
+    if starting_version > latest and not allow_out_of_range:
+        raise DeltaError(f"starting_version {starting_version} > latest {latest}")
+    ending_version = min(ending_version, latest)
+
+    parts: list[DataFrame] = []
+    for v in range(starting_version, ending_version + 1):
+        try:
+            actions = snap_mod.read_commit_actions(table_path, v)
+        except FileNotFoundError:
+            continue
+        snapshot = snap_mod.load_snapshot(table_path, v)
+        schema = T.StructType.fromJson(json.loads(snapshot.schema_string))
+        ts_ms = snapshot.commit_timestamps.get(v) or int(
+            os.path.getmtime(snap_mod.commit_file(table_path, v)) * 1000
+        )
+        ts_col = F.timestamp_millis(F.lit(ts_ms))
+
+        cdc = [a for a in actions if isinstance(a, AddCDCFile)]
+        adds = [a for a in actions if isinstance(a, Add) and a.data_change]
+        removes = [a for a in actions if isinstance(a, Remove) and a.data_change]
+
+        if cdc:
+            cdc_schema = T.StructType(
+                list(schema.fields) + [T.StructField(CHANGE_TYPE_COL, T.StringType(), True)]
+            )
+            paths = [os.path.join(table_path, c.path) for c in cdc]
+            df = spark.read.schema(cdc_schema).parquet(*paths)
+        else:
+            pieces = []
+            if adds:
+                ins = read_snapshot_df(spark, snapshot, table_path, files=adds)
+                pieces.append(ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
+            if removes:
+                prev = snap_mod.load_snapshot(table_path, v - 1) if v > 0 else None
+                if prev is not None:
+                    rm_adds = [prev.files[r.path] for r in removes if r.path in prev.files]
+                    if rm_adds:
+                        deleted = read_snapshot_df(spark, prev, table_path, files=rm_adds)
+                        pieces.append(deleted.withColumn(CHANGE_TYPE_COL, F.lit("delete")))
+            if not pieces:
+                continue
+            df = pieces[0]
+            for p in pieces[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+
+        df = df.withColumn("_commit_version", F.lit(v).cast("long")).withColumn(
+            "_commit_timestamp", ts_col
+        )
+        parts.append(df)
+
+    if not parts:
+        snapshot = snap_mod.load_snapshot(table_path)
+        schema = T.StructType.fromJson(json.loads(snapshot.schema_string))
+        empty_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField(CHANGE_TYPE_COL, T.StringType(), True),
+                T.StructField("_commit_version", T.LongType(), True),
+                T.StructField("_commit_timestamp", T.TimestampType(), True),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    if predicate:
+        out = out.filter(F.expr(predicate))
+    if columns:
+        out = out.select(*columns)
+    return out

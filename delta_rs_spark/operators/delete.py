@@ -1,0 +1,135 @@
+"""DELETE — three-tier predicate delete.
+
+Mirrors the reference's tiers (reference:
+crates/core/src/operations/delete.rs): no predicate -> metadata-only
+remove-all (:439-455); exactly-evaluable partition-only predicate ->
+metadata-only file removal (:472-535); otherwise scan candidate files
+(stats pruning), locate the files that actually contain matches via the
+``_metadata.file_path`` hidden column, and rewrite only those keeping
+``NOT (predicate IS TRUE)`` rows (:583-596) — null-safe exactly like the
+reference. CDF rows are emitted when enabled (:598-617).
+
+Scale: phase 1 collects only distinct matched *file paths* to the driver
+(O(files), never O(rows)); phase 2 reads and rewrites only touched files
+with Spark's parallel writer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import Add, CommitInfo, Remove, now_ms
+from delta_rs_spark.log.commit import TransactionInfo
+from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
+from delta_rs_spark.operators.util import match_touched_files
+from delta_rs_spark.plans.skipping import partition_only_predicate, prune_files
+
+
+def plan_predicate_removal(
+    spark: SparkSession,
+    snapshot: snap_mod.Snapshot,
+    table_path: str,
+    predicate: str,
+) -> tuple[list[Remove], list[Add], int]:
+    """Shared by DELETE and replaceWhere: compute (removes, rewrite adds,
+    deleted row count) for removing all rows matching predicate."""
+    from delta_rs_spark.table import read_snapshot_df
+    from delta_rs_spark.writer import write_files
+
+    part_cols = snapshot.partition_columns
+    adds = list(snapshot.files.values())
+    ts = now_ms()
+
+    # tier 2: exact partition-only predicate -> metadata-only removal
+    if partition_only_predicate(predicate, part_cols):
+        matched = prune_files(adds, predicate, part_cols)
+        removes = [
+            Remove(a.path, ts, True, a.partition_values, a.size) for a in matched
+        ]
+        n_deleted = sum(a.num_records() or 0 for a in matched)
+        return removes, [], n_deleted
+
+    # tier 3: candidate scan -> touched files -> rewrite
+    candidates = prune_files(adds, predicate, part_cols)
+    if not candidates:
+        return [], [], 0
+    cand_df = read_snapshot_df(spark, snapshot, table_path, files=candidates)
+    touched_rows = (
+        cand_df.filter(F.expr(predicate))
+        .select(F.col("_metadata.file_path").alias("fp"))
+        .groupBy("fp")
+        .count()
+        .collect()
+    )
+    touched = match_touched_files(touched_rows, table_path, candidates)
+    n_deleted = int(sum(touched.values()))
+    if not touched:
+        return [], [], 0
+    touched_adds = [a for a in candidates if a.path in touched]
+
+    touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
+    keep_df = touched_df.filter(~F.expr(predicate).eqNullSafe(F.lit(True)))
+    new_adds = write_files(keep_df, table_path, part_cols)
+
+    if cdf_enabled(snapshot):
+        deleted_df = touched_df.filter(F.expr(predicate)).withColumn(
+            CHANGE_TYPE_COL, F.lit("delete")
+        )
+        cdc_actions = write_change_data(deleted_df, table_path)
+        new_adds = new_adds + cdc_actions  # type: ignore[operator]
+
+    removes = [
+        Remove(a.path, ts, True, a.partition_values, a.size) for a in touched_adds
+    ]
+    return removes, new_adds, n_deleted
+
+
+def delete(spark: SparkSession, table_path: str, predicate: str | None) -> dict[str, Any]:
+    snapshot = snap_mod.load_snapshot(table_path)
+    ts = now_ms()
+
+    if not predicate:
+        # tier 1: metadata-only remove-all (reference: delete.rs:439-455)
+        adds = list(snapshot.files.values())
+        removes = [Remove(a.path, ts, True, a.partition_values, a.size) for a in adds]
+        n_deleted = snapshot.num_records()
+        metrics = {
+            "num_removed_files": len(removes),
+            "num_added_files": 0,
+            "num_deleted_rows": n_deleted,
+            "num_copied_rows": 0,
+        }
+        op = CommitInfo("DELETE", {"predicate": predicate or ""}, operation_metrics=metrics)
+        commit_mod.commit(
+            table_path,
+            removes,
+            op,
+            snapshot.version,
+            TransactionInfo(blind_append=False, read_whole_table=True),
+        )
+        return metrics
+
+    removes, new_adds, n_deleted = plan_predicate_removal(
+        spark, snapshot, table_path, predicate
+    )
+    n_copied = sum(a.num_records() or 0 for a in new_adds if isinstance(a, Add))
+    metrics = {
+        "num_removed_files": len(removes),
+        "num_added_files": sum(1 for a in new_adds if isinstance(a, Add)),
+        "num_deleted_rows": n_deleted,
+        "num_copied_rows": n_copied,
+    }
+    op = CommitInfo("DELETE", {"predicate": predicate}, operation_metrics=metrics)
+    txn = TransactionInfo(
+        blind_append=False,
+        read_files={r.path for r in removes},
+        read_whole_table=False,
+    )
+    commit_mod.commit(table_path, list(new_adds) + list(removes), op, snapshot.version, txn)
+    return metrics

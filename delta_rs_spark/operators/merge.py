@@ -1,0 +1,392 @@
+"""MERGE INTO — clause builder + two-job execution.
+
+Mirrors the reference's merge operation (reference:
+crates/core/src/operations/merge/mod.rs — full outer join :1022, ordered
+WHEN clauses compiled to a CASE action column :1214-1216,1287-1402;
+python surface python/deltalake/table.py:1403-1851) with delta-spark's
+two-job physical shape, which is the scalable strategy on Spark:
+
+* job A (insert path): source LEFT ANTI join target-candidates on the
+  join predicate -> ordered not-matched clause predicates -> insert rows.
+* job B (rewrite path): target rows from *rewrite files only* LEFT OUTER
+  join source -> ordered CASE over matched / not-matched-by-source
+  clauses -> copy/update/delete per row.
+
+Rewrite files are chosen like the reference's early filter + MergeBarrier
+(merge/filter.rs, merge/barrier.rs): source min/max over equi-join keys
+prune target files by stats/partitions; files with zero matched rows are
+never rewritten. When not-matched-by-source clauses exist every file is
+a rewrite file (those clauses touch unmatched target rows anywhere).
+
+Duplicate-match validation (merge/validation.rs): if any target row
+matches more than one source row while matched update/delete clauses
+exist, the merge errors out.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import Add, CommitInfo, Remove, now_ms
+from delta_rs_spark.log.commit import DeltaError, TransactionInfo
+from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
+from delta_rs_spark.operators.util import match_touched_files
+from delta_rs_spark.plans.skipping import prune_files
+
+_ACTION = "__delta_rs_action"
+_TMARK = "__delta_rs_t"
+_SMARK = "__delta_rs_s"
+_TID = "__delta_rs_tid"
+
+COPY, DELETE = -1, -2
+
+
+class MergeError(DeltaError):
+    pass
+
+
+@dataclass
+class _Clause:
+    kind: str  # update | delete | insert
+    predicate: str | None
+    updates: dict[str, str] | None  # None => *_all
+
+
+@dataclass
+class TableMerger:
+    """Fluent MERGE builder (reference: python/deltalake/table.py:1403+)."""
+
+    dt: Any
+    source: Any
+    predicate: str
+    source_alias: str | None = None
+    target_alias: str | None = None
+    matched: list[_Clause] = field(default_factory=list)
+    not_matched: list[_Clause] = field(default_factory=list)
+    not_matched_by_source: list[_Clause] = field(default_factory=list)
+
+    # -- clause builders --------------------------------------------------
+    def when_matched_update(self, updates: dict[str, str], predicate: str | None = None):
+        self.matched.append(_Clause("update", predicate, dict(updates)))
+        return self
+
+    def when_matched_update_all(self, predicate: str | None = None, except_cols: list[str] | None = None):
+        self.matched.append(_Clause("update", predicate, None))
+        self._matched_except = except_cols or []
+        return self
+
+    def when_matched_delete(self, predicate: str | None = None):
+        self.matched.append(_Clause("delete", predicate, {}))
+        return self
+
+    def when_not_matched_insert(self, updates: dict[str, str], predicate: str | None = None):
+        self.not_matched.append(_Clause("insert", predicate, dict(updates)))
+        return self
+
+    def when_not_matched_insert_all(self, predicate: str | None = None, except_cols: list[str] | None = None):
+        self.not_matched.append(_Clause("insert", predicate, None))
+        self._insert_except = except_cols or []
+        return self
+
+    def when_not_matched_by_source_update(self, updates: dict[str, str], predicate: str | None = None):
+        self.not_matched_by_source.append(_Clause("update", predicate, dict(updates)))
+        return self
+
+    def when_not_matched_by_source_delete(self, predicate: str | None = None):
+        self.not_matched_by_source.append(_Clause("delete", predicate, {}))
+        return self
+
+    # -- execution --------------------------------------------------------
+    def _aliases(self) -> tuple[str, str]:
+        return self.target_alias or "target", self.source_alias or "source"
+
+    def _auto_updates(self, clause: _Clause, cols: list[str], src_cols: set[str], except_cols: list[str]) -> dict[str, str]:
+        """Expand *_all into explicit per-column assignments."""
+        _t, s = self._aliases()
+        out = {}
+        for c in cols:
+            if c in except_cols:
+                continue
+            if c in src_cols:
+                out[c] = f"{s}.`{c}`"
+        return out
+
+    def _strip_target_only_predicate(self, source_df: DataFrame) -> str | None:
+        """Early-filter construction (reference: merge/filter.rs
+        try_construct_early_filter): for equi-join conjuncts
+        ``target.col = source.col`` aggregate source min/max and emit a
+        BETWEEN pruning predicate on the target column."""
+        t, s = self._aliases()
+        pairs = []
+        for m in re.finditer(
+            rf"(?:{re.escape(t)}\.`?(\w+)`?\s*=\s*{re.escape(s)}\.`?(\w+)`?)"
+            rf"|(?:{re.escape(s)}\.`?(\w+)`?\s*=\s*{re.escape(t)}\.`?(\w+)`?)",
+            self.predicate,
+        ):
+            if m.group(1):
+                pairs.append((m.group(1), m.group(2)))
+            else:
+                pairs.append((m.group(4), m.group(3)))
+        if not pairs:
+            return None
+        aggs = []
+        for i, (_tc, sc) in enumerate(pairs):
+            aggs.append(F.min(sc).alias(f"mn{i}"))
+            aggs.append(F.max(sc).alias(f"mx{i}"))
+        row = source_df.agg(*aggs).collect()[0]
+        conj = []
+        for i, (tc, _sc) in enumerate(pairs):
+            mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+            if mn is None or mx is None:
+                continue
+            if isinstance(mn, str):
+                mn, mx = "'" + mn.replace("'", "''") + "'", "'" + str(mx).replace("'", "''") + "'"
+            conj.append(f"{tc} >= {mn} AND {tc} <= {mx}")
+        return " AND ".join(conj) if conj else None
+
+    def execute(self) -> dict[str, Any]:
+        from delta_rs_spark.table import read_snapshot_df
+        from delta_rs_spark.writer import _to_spark_df, write_files
+
+        spark = self.dt.spark
+        table_path = self.dt.table_uri
+        snapshot = snap_mod.load_snapshot(table_path)
+        part_cols = snapshot.partition_columns
+        schema = self.dt.schema()
+        cols = [f.name for f in schema.fields]
+        t, s = self._aliases()
+
+        source_df = _to_spark_df(self.source, spark)
+        src_cols = set(source_df.columns)
+        source_df = source_df.persist()
+        num_source_rows = source_df.count()
+
+        # expand *_all clauses
+        for cl in self.matched:
+            if cl.kind == "update" and cl.updates is None:
+                cl.updates = self._auto_updates(cl, cols, src_cols, getattr(self, "_matched_except", []))
+        for cl in self.not_matched:
+            if cl.updates is None:
+                cl.updates = self._auto_updates(cl, cols, src_cols, getattr(self, "_insert_except", []))
+
+        all_adds = list(snapshot.files.values())
+        early = self._strip_target_only_predicate(source_df)
+        candidates = prune_files(all_adds, early, part_cols) if early else all_adds
+
+        # ---- choose rewrite files ---------------------------------------
+        if self.not_matched_by_source:
+            rewrite_adds = all_adds
+        elif self.matched:
+            cand_df = read_snapshot_df(spark, snapshot, table_path, files=candidates)
+            # bind the hidden file-path column BEFORE aliasing (qualified
+            # references to _metadata do not resolve through an alias)
+            cand_fp = cand_df.withColumn("__delta_rs_fp", F.col("_metadata.file_path"))
+            touched_rows = (
+                cand_fp.alias(t)
+                .join(source_df.alias(s), F.expr(self.predicate), "inner")
+                .select(F.col("__delta_rs_fp").alias("fp"))
+                .groupBy("fp")
+                .count()
+                .collect()
+            )
+            touched = match_touched_files(touched_rows, table_path, candidates)
+            rewrite_adds = [a for a in candidates if a.path in touched]
+        else:
+            rewrite_adds = []
+
+        # ---- job B: rewrite path ----------------------------------------
+        out_parts: list[DataFrame] = []
+        metrics_rows: dict[int, int] = {}
+        n_updated = n_deleted = n_copied = n_nmbs_updated = 0
+        acted = None
+        if rewrite_adds:
+            t_df = (
+                read_snapshot_df(spark, snapshot, table_path, files=rewrite_adds)
+                .withColumn(_TMARK, F.lit(1))
+                .withColumn(_TID, F.monotonically_increasing_id())
+            )
+            s_df = source_df.withColumn(_SMARK, F.lit(1))
+            joined = t_df.alias(t).join(s_df.alias(s), F.expr(self.predicate), "left_outer")
+
+            if self.matched:
+                dup = (
+                    joined.filter(F.col(_SMARK).isNotNull())
+                    .groupBy(_TID)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise MergeError(
+                        "a target row matched multiple source rows with "
+                        "matched update/delete clauses present"
+                    )
+
+            matched_cond = F.col(_SMARK).isNotNull()
+            action = None
+            branches: list[tuple[Column, int]] = []
+            code = 0
+            coded_clauses: list[tuple[int, _Clause]] = []
+            for cl in self.matched:
+                cond = matched_cond
+                if cl.predicate:
+                    cond = cond & F.expr(cl.predicate)
+                branches.append((cond, DELETE if cl.kind == "delete" else code))
+                coded_clauses.append((code, cl))
+                code += 1
+            for cl in self.not_matched_by_source:
+                cond = ~matched_cond
+                if cl.predicate:
+                    cond = cond & F.expr(cl.predicate)
+                branches.append((cond, DELETE if cl.kind == "delete" else code))
+                coded_clauses.append((code, cl))
+                code += 1
+
+            action = F.lit(COPY)
+            for cond, c in reversed(branches):
+                action = F.when(cond, F.lit(c)).otherwise(action)
+            acted = joined.withColumn(_ACTION, action).persist()
+
+            counts = {r[_ACTION]: r["count"] for r in acted.groupBy(_ACTION).count().collect()}
+            n_deleted = sum(
+                v for k, v in counts.items() if k == DELETE
+            )
+            upd_codes = {c for c, cl in coded_clauses if cl.kind == "update"}
+            matched_upd_codes = {c for c, cl in coded_clauses[: len(self.matched)] if cl.kind == "update"}
+            n_updated = sum(v for k, v in counts.items() if k in matched_upd_codes)
+            n_nmbs_updated = sum(v for k, v in counts.items() if k in upd_codes - matched_upd_codes)
+            n_copied = counts.get(COPY, 0)
+
+            proj = []
+            for c in cols:
+                col_expr = F.col(f"{t}.`{c}`")
+                for code_i, cl in reversed(coded_clauses):
+                    if cl.kind == "update":
+                        upd = cl.updates or {}
+                        if c in upd:
+                            col_expr = F.when(
+                                F.col(_ACTION) == code_i, F.expr(upd[c])
+                            ).otherwise(col_expr)
+                proj.append(col_expr.cast(schema[c].dataType).alias(c))
+            rewritten = acted.filter(F.col(_ACTION) != DELETE).select(*proj)
+            out_parts.append(rewritten)
+
+            if cdf_enabled(snapshot):
+                t_proj = [F.col(f"{t}.`{c}`").alias(c) for c in cols]
+                deleted_cdf = acted.filter(F.col(_ACTION) == DELETE).select(*t_proj).withColumn(
+                    CHANGE_TYPE_COL, F.lit("delete")
+                )
+                upd_filter = F.col(_ACTION).isin(*upd_codes) if upd_codes else F.lit(False)
+                pre = acted.filter(upd_filter).select(*t_proj).withColumn(
+                    CHANGE_TYPE_COL, F.lit("update_preimage")
+                )
+                post = acted.filter(upd_filter).select(*proj).withColumn(
+                    CHANGE_TYPE_COL, F.lit("update_postimage")
+                )
+                self._cdf_parts = [deleted_cdf, pre, post]
+            else:
+                self._cdf_parts = []
+        else:
+            self._cdf_parts = []
+
+        # ---- job A: insert path -----------------------------------------
+        n_inserted = 0
+        insert_df = None
+        if self.not_matched:
+            cand_df = read_snapshot_df(spark, snapshot, table_path, files=candidates)
+            unmatched_src = source_df.alias(s).join(
+                cand_df.alias(t), F.expr(self.predicate), "left_anti"
+            )
+            remaining = unmatched_src
+            pieces = []
+            for cl in self.not_matched:
+                sel = remaining
+                if cl.predicate:
+                    sel = remaining.filter(F.expr(cl.predicate))
+                    remaining = remaining.filter(~F.expr(cl.predicate).eqNullSafe(F.lit(True)))
+                else:
+                    remaining = remaining.limit(0)
+                upd = cl.updates or {}
+                proj = [
+                    (F.expr(upd[c]) if c in upd else F.lit(None)).cast(schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+                pieces.append(sel.select(*proj))
+            insert_df = pieces[0]
+            for p_df in pieces[1:]:
+                insert_df = insert_df.unionByName(p_df)
+            insert_df = insert_df.persist()
+            n_inserted = insert_df.count()
+            out_parts.append(insert_df)
+            if cdf_enabled(snapshot):
+                self._cdf_parts.append(insert_df.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
+
+        # ---- write + commit ---------------------------------------------
+        actions: list = []
+        new_adds: list[Add] = []
+        if out_parts:
+            result = out_parts[0]
+            for p_df in out_parts[1:]:
+                result = result.unionByName(p_df)
+            new_adds = write_files(result, table_path, part_cols)
+            actions.extend(new_adds)
+        if self._cdf_parts:
+            cdf_all = self._cdf_parts[0]
+            for p_df in self._cdf_parts[1:]:
+                cdf_all = cdf_all.unionByName(p_df)
+            actions.extend(write_change_data(cdf_all, table_path))
+
+        ts = now_ms()
+        removes = [
+            Remove(a.path, ts, True, a.partition_values, a.size) for a in rewrite_adds
+        ]
+        actions.extend(removes)
+
+        metrics = {
+            "num_source_rows": num_source_rows,
+            "num_target_rows_inserted": int(n_inserted),
+            "num_target_rows_updated": int(n_updated),
+            "num_target_rows_deleted": int(n_deleted),
+            "num_target_rows_copied": int(n_copied),
+            "num_target_rows_updated_by_source_miss": int(n_nmbs_updated),
+            "num_target_files_added": len(new_adds),
+            "num_target_files_removed": len(removes),
+            "num_output_rows": int(sum(a.num_records() or 0 for a in new_adds)),
+        }
+        op = CommitInfo(
+            "MERGE",
+            {
+                "predicate": self.predicate,
+                "matchedPredicates": [
+                    {"actionType": c.kind, **({"predicate": c.predicate} if c.predicate else {})}
+                    for c in self.matched
+                ],
+                "notMatchedPredicates": [
+                    {"actionType": c.kind, **({"predicate": c.predicate} if c.predicate else {})}
+                    for c in self.not_matched
+                ],
+                "notMatchedBySourcePredicates": [
+                    {"actionType": c.kind, **({"predicate": c.predicate} if c.predicate else {})}
+                    for c in self.not_matched_by_source
+                ],
+            },
+            operation_metrics=metrics,
+        )
+        txn = TransactionInfo(blind_append=False, read_files={r.path for r in removes})
+        commit_mod.commit(table_path, actions, op, snapshot.version, txn)
+
+        source_df.unpersist()
+        if acted is not None:
+            acted.unpersist()
+        if insert_df is not None:
+            insert_df.unpersist()
+        self.dt.refresh()
+        return metrics

@@ -1,0 +1,216 @@
+"""OPTIMIZE — bin-packing compaction and Z-order clustering.
+
+Compaction mirrors the reference (reference:
+crates/core/src/operations/optimize.rs — plan_compaction_bins_in_stable_order
+:1134): files smaller than target_size are compacted, per partition, into
+~target-size outputs. On Spark the whole compaction is ONE distributed
+job: read every undersized file, write back with ``partitionBy`` +
+``maxRecordsPerFile`` so rolling recreates target-size files per
+partition — no per-bin driver loop, scales to any partition count.
+
+Z-order mirrors the reference's ``zorder_key`` UDF
+(optimize.rs:1511-1650): each clustering column is bucketed to 8 bits
+(numerics/dates linearly between min and max via ``width_bucket`` —
+min/max come from file stats, no extra scan; other types hash-bucketed),
+the bits are interleaved into a Morton key with a vectorized Pandas UDF,
+and files are rewritten range-partitioned + sorted by that key so
+min/max file stats become selective on all clustered columns.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import CommitInfo, Remove, now_ms
+from delta_rs_spark.log.commit import DeltaError, TransactionInfo
+
+DEFAULT_TARGET_SIZE = 256 * 1024 * 1024  # reference default delta.targetFileSize-ish
+
+
+class TableOptimizer:
+    """(reference: python/deltalake/table.py:2191-2358)"""
+
+    def __init__(self, dt: Any):
+        self.dt = dt
+
+    def compact(
+        self,
+        partition_filters: list | None = None,
+        target_size: int | None = None,
+        min_commit_interval: int | None = None,
+    ) -> dict[str, Any]:
+        from delta_rs_spark.table import _dnf_to_sql, read_snapshot_df
+        from delta_rs_spark.plans.skipping import prune_files
+        from delta_rs_spark.writer import write_files
+
+        spark = self.dt.spark
+        table_path = self.dt.table_uri
+        snapshot = snap_mod.load_snapshot(table_path)
+        part_cols = snapshot.partition_columns
+        target = target_size or int(
+            snapshot.configuration.get("delta.targetFileSize", DEFAULT_TARGET_SIZE)
+        )
+
+        adds = list(snapshot.files.values())
+        pred = _dnf_to_sql(partition_filters)
+        if pred:
+            adds = prune_files(adds, pred, part_cols)
+        small = [a for a in adds if a.size < target]
+        # group by partition: a partition with a single small file needs no work
+        by_part: dict[tuple, list] = {}
+        for a in small:
+            by_part.setdefault(tuple(sorted((a.partition_values or {}).items())), []).append(a)
+        to_compact = [a for group in by_part.values() if len(group) > 1 for a in group]
+
+        metrics = {
+            "numFilesAdded": 0,
+            "numFilesRemoved": 0,
+            "totalConsideredFiles": len(adds),
+            "totalFilesSkipped": len(adds) - len(to_compact),
+            "partitionsOptimized": sum(1 for g in by_part.values() if len(g) > 1),
+        }
+        if not to_compact:
+            return metrics
+
+        total_bytes = sum(a.size for a in to_compact)
+        total_rows = sum(a.num_records() or 0 for a in to_compact)
+        rows_per_file = (
+            max(1, int(total_rows * target / total_bytes)) if total_bytes and total_rows else None
+        )
+        df = read_snapshot_df(spark, snapshot, table_path, files=to_compact)
+        new_adds = write_files(df, table_path, part_cols, max_records_per_file=rows_per_file)
+        for a in new_adds:
+            a.data_change = False
+        ts = now_ms()
+        removes = [
+            Remove(a.path, ts, False, a.partition_values, a.size) for a in to_compact
+        ]
+        metrics["numFilesAdded"] = len(new_adds)
+        metrics["numFilesRemoved"] = len(removes)
+        op = CommitInfo(
+            "OPTIMIZE",
+            {"targetSize": target, **({"predicate": pred} if pred else {})},
+            operation_metrics=metrics,
+        )
+        txn = TransactionInfo(blind_append=False, read_files={r.path for r in removes})
+        commit_mod.commit(table_path, list(new_adds) + removes, op, snapshot.version, txn)
+        self.dt.refresh()
+        return metrics
+
+    def z_order(
+        self,
+        columns: list[str],
+        partition_filters: list | None = None,
+        target_size: int | None = None,
+    ) -> dict[str, Any]:
+        from delta_rs_spark.table import _dnf_to_sql, read_snapshot_df
+        from delta_rs_spark.plans.skipping import prune_files
+        from delta_rs_spark.writer import write_files
+
+        if not columns:
+            raise DeltaError("z_order requires at least one column")
+        spark = self.dt.spark
+        table_path = self.dt.table_uri
+        snapshot = snap_mod.load_snapshot(table_path)
+        part_cols = snapshot.partition_columns
+        for c in columns:
+            if c in part_cols:
+                raise DeltaError(f"cannot z-order by partition column {c}")
+
+        adds = list(snapshot.files.values())
+        pred = _dnf_to_sql(partition_filters)
+        if pred:
+            adds = prune_files(adds, pred, part_cols)
+        if not adds:
+            return {"numFilesAdded": 0, "numFilesRemoved": 0}
+
+        df = read_snapshot_df(spark, snapshot, table_path, files=adds)
+        schema = df.schema
+        bits = 8
+        bucket_cols = []
+        for c in columns:
+            dtype = schema[c].dataType
+            if isinstance(
+                dtype,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+                 T.DoubleType, T.DateType, T.TimestampType, T.TimestampNTZType, T.DecimalType),
+            ):
+                # bounds from file stats (free); fall back to an agg scan
+                lo, hi = _column_bounds(adds, c)
+                if lo is None or hi is None:
+                    row = df.agg(
+                        F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))
+                    ).collect()[0]
+                    lo, hi = row[0], row[1]
+                if lo is None or hi is None or lo == hi:
+                    bucket_cols.append(F.lit(0))
+                else:
+                    bucket_cols.append(
+                        (
+                            F.width_bucket(F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(2**bits - 1))
+                            - 1
+                        ).cast("long")
+                    )
+            else:
+                bucket_cols.append((F.abs(F.xxhash64(F.col(c))) % (2**bits)).cast("long"))
+
+        n = len(columns)
+
+        @F.pandas_udf(T.LongType())
+        def morton(*cols: pd.Series) -> pd.Series:
+            import numpy as np
+
+            arrs = [c.fillna(0).to_numpy(dtype="int64") for c in cols]
+            out = np.zeros_like(arrs[0])
+            for b in range(bits):
+                for i, a in enumerate(arrs):
+                    out |= ((a >> b) & 1) << (b * n + i)
+            return pd.Series(out)
+
+        keyed = df.withColumn("__zkey", morton(*bucket_cols))
+        total_bytes = sum(a.size for a in adds)
+        target = target_size or int(
+            snapshot.configuration.get("delta.targetFileSize", DEFAULT_TARGET_SIZE)
+        )
+        n_out = max(1, -(-total_bytes // target))
+        sort_keys = ([*part_cols, "__zkey"]) if part_cols else ["__zkey"]
+        rewritten = (
+            keyed.repartitionByRange(int(n_out), *[F.col(k) for k in sort_keys])
+            .sortWithinPartitions(*sort_keys)
+            .drop("__zkey")
+        )
+        new_adds = write_files(rewritten, table_path, part_cols)
+        for a in new_adds:
+            a.data_change = False
+        ts = now_ms()
+        removes = [Remove(a.path, ts, False, a.partition_values, a.size) for a in adds]
+        metrics = {"numFilesAdded": len(new_adds), "numFilesRemoved": len(removes)}
+        op = CommitInfo(
+            "OPTIMIZE",
+            {"zOrderBy": columns, **({"predicate": pred} if pred else {})},
+            operation_metrics=metrics,
+        )
+        txn = TransactionInfo(blind_append=False, read_files={r.path for r in removes})
+        commit_mod.commit(table_path, list(new_adds) + removes, op, snapshot.version, txn)
+        self.dt.refresh()
+        return metrics
+
+
+def _column_bounds(adds: list, col: str) -> tuple[float | None, float | None]:
+    lo = hi = None
+    for a in adds:
+        st = a.stats_dict() or {}
+        mn = (st.get("minValues") or {}).get(col)
+        mx = (st.get("maxValues") or {}).get(col)
+        if not isinstance(mn, (int, float)) or not isinstance(mx, (int, float)):
+            return None, None
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return lo, hi

@@ -1,0 +1,78 @@
+"""RESTORE — reset the table to a prior version/timestamp.
+
+(reference: crates/core/src/operations/restore.rs:162 execute; flags
+:137-143; python/deltalake/table.py:896-934)
+
+Re-adds files that were live at the target version and removes files
+added since; metadata (schema/config) is restored too. Files must still
+exist on disk unless ``ignore_missing_files=True`` (pre-vacuum).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from typing import Any
+
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import Add, CommitInfo, Remove, now_ms
+from delta_rs_spark.log.commit import DeltaError, TransactionInfo
+
+
+def restore(
+    table_path: str,
+    target: int | str | dt.datetime,
+    ignore_missing_files: bool = False,
+) -> dict[str, Any]:
+    current = snap_mod.load_snapshot(table_path)
+    if isinstance(target, str):
+        target = dt.datetime.fromisoformat(target.replace("Z", "+00:00"))
+    if isinstance(target, dt.datetime):
+        version = snap_mod.version_at_timestamp(table_path, int(target.timestamp() * 1000))
+    else:
+        version = int(target)
+    if version >= current.version:
+        raise DeltaError(
+            f"restore target {version} is not older than current {current.version}"
+        )
+    old = snap_mod.load_snapshot(table_path, version)
+
+    missing = [
+        a.path
+        for a in old.files.values()
+        if not os.path.exists(os.path.join(table_path, a.path))
+    ]
+    if missing and not ignore_missing_files:
+        raise DeltaError(f"{len(missing)} files of version {version} are missing (vacuumed?)")
+
+    ts = now_ms()
+    actions: list = []
+    restored = 0
+    for path, add in old.files.items():
+        if path not in current.files and path not in missing:
+            add.data_change = True
+            actions.append(add)
+            restored += 1
+    removed = 0
+    for path, add in current.files.items():
+        if path not in old.files:
+            actions.append(Remove(path, ts, True, add.partition_values, add.size))
+            removed += 1
+    if old.metadata and current.metadata and old.metadata.schema_string != current.metadata.schema_string:
+        actions.append(old.metadata)
+
+    metrics = {
+        "numRestoredFiles": restored,
+        "numRemovedFiles": removed,
+        "numMissingFiles": len(missing),
+    }
+    op = CommitInfo("RESTORE", {"version": version}, operation_metrics=metrics)
+    commit_mod.commit(
+        table_path,
+        actions,
+        op,
+        current.version,
+        TransactionInfo(blind_append=False, read_whole_table=True),
+    )
+    return metrics

@@ -1,0 +1,127 @@
+"""UPDATE — SET col = expr [WHERE predicate].
+
+Mirrors the reference (reference: crates/core/src/operations/update.rs
+:326,357-358): find files containing matching rows, rewrite them with
+each updated column CASE-guarded (``CASE WHEN pred THEN expr ELSE col``)
+so non-matching rows in touched files are copied through unchanged.
+CDF emits update_preimage/update_postimage pairs
+(reference: operations/cdc.rs).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import CommitInfo, Remove, now_ms
+from delta_rs_spark.log.commit import DeltaError, TransactionInfo
+from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
+from delta_rs_spark.operators.util import match_touched_files
+from delta_rs_spark.plans.skipping import prune_files
+
+
+def update(
+    spark: SparkSession,
+    table_path: str,
+    updates: dict[str, str],
+    predicate: str | None = None,
+) -> dict[str, Any]:
+    from delta_rs_spark.table import read_snapshot_df
+    from delta_rs_spark.writer import write_files
+
+    if not updates:
+        raise DeltaError("update requires at least one column assignment")
+    snapshot = snap_mod.load_snapshot(table_path)
+    part_cols = snapshot.partition_columns
+    for col in updates:
+        if col in part_cols:
+            raise DeltaError(f"cannot update partition column {col!r}")
+
+    adds = list(snapshot.files.values())
+    candidates = prune_files(adds, predicate, part_cols) if predicate else adds
+    ts = now_ms()
+    cond = F.expr(predicate) if predicate else F.lit(True)
+
+    metrics: dict[str, Any] = {
+        "num_added_files": 0,
+        "num_removed_files": 0,
+        "num_updated_rows": 0,
+        "num_copied_rows": 0,
+    }
+    if not candidates:
+        op = CommitInfo("UPDATE", {"predicate": predicate or ""}, operation_metrics=metrics)
+        commit_mod.commit(
+            table_path, [], op, snapshot.version, TransactionInfo(blind_append=False)
+        )
+        return metrics
+
+    cand_df = read_snapshot_df(spark, snapshot, table_path, files=candidates)
+    touched_rows = (
+        cand_df.filter(cond)
+        .select(F.col("_metadata.file_path").alias("fp"))
+        .groupBy("fp")
+        .count()
+        .collect()
+    )
+    touched = match_touched_files(touched_rows, table_path, candidates)
+    n_updated = int(sum(touched.values()))
+    touched_adds = [a for a in candidates if a.path in touched]
+    if not touched_adds:
+        op = CommitInfo("UPDATE", {"predicate": predicate or ""}, operation_metrics=metrics)
+        commit_mod.commit(
+            table_path, [], op, snapshot.version, TransactionInfo(blind_append=False)
+        )
+        return metrics
+
+    touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
+    schema_cols = [f.name for f in touched_df.schema.fields]
+    # CASE-guard every updated column (reference: update.rs:357-358)
+    updated_df = touched_df.select(
+        *[
+            F.when(cond, F.expr(updates[c])).otherwise(F.col(c)).cast(touched_df.schema[c].dataType).alias(c)
+            if c in updates
+            else F.col(c)
+            for c in schema_cols
+        ]
+    )
+    new_adds = write_files(updated_df, table_path, part_cols)
+    n_total = sum(a.num_records() or 0 for a in touched_adds)
+
+    actions: list = list(new_adds)
+    if cdf_enabled(snapshot):
+        pre = touched_df.filter(cond).withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+        post = (
+            touched_df.filter(cond)
+            .select(
+                *[
+                    F.expr(updates[c]).cast(touched_df.schema[c].dataType).alias(c)
+                    if c in updates
+                    else F.col(c)
+                    for c in schema_cols
+                ]
+            )
+            .withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+        )
+        actions.extend(write_change_data(pre.unionByName(post), table_path))
+
+    removes = [Remove(a.path, ts, True, a.partition_values, a.size) for a in touched_adds]
+    actions.extend(removes)
+    metrics.update(
+        {
+            "num_added_files": len(new_adds),
+            "num_removed_files": len(removes),
+            "num_updated_rows": n_updated,
+            "num_copied_rows": int(n_total - n_updated),
+        }
+    )
+    op = CommitInfo(
+        "UPDATE", {"predicate": predicate or ""}, operation_metrics=metrics
+    )
+    txn = TransactionInfo(blind_append=False, read_files={r.path for r in removes})
+    commit_mod.commit(table_path, actions, op, snapshot.version, txn)
+    return metrics

@@ -1,0 +1,143 @@
+"""VACUUM — delete unreferenced data files past retention.
+
+(reference: crates/core/src/operations/vacuum.rs — plan :226, execute
+:478, stale-file logic :632; python/deltalake/table.py:607-684)
+
+Candidates = on-disk data files that are NOT in the active snapshot and
+are tombstoned (or orphaned, with ``full=True``) with deletion/modification
+time older than the retention window. Retention default comes from
+``delta.deletedFileRetentionDuration`` (1 week), and shortening it below
+default requires ``enforce_retention_duration=False`` — same guard the
+reference and delta-spark apply.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import CommitInfo
+from delta_rs_spark.log.commit import DeltaError, TransactionInfo
+from delta_rs_spark.log import commit as commit_mod
+
+DEFAULT_RETENTION_HOURS = 24 * 7
+_INTERVAL_RE = re.compile(r"interval\s+(\d+)\s+(hour|day|week)s?", re.IGNORECASE)
+
+
+def _configured_retention_hours(config: dict[str, str]) -> int:
+    raw = config.get("delta.deletedFileRetentionDuration")
+    if not raw:
+        return DEFAULT_RETENTION_HOURS
+    m = _INTERVAL_RE.match(raw.strip())
+    if not m:
+        return DEFAULT_RETENTION_HOURS
+    n, unit = int(m.group(1)), m.group(2).lower()
+    return n * {"hour": 1, "day": 24, "week": 24 * 7}[unit]
+
+
+def _walk_data_files(table_path: str) -> list[str]:
+    out = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [
+            d for d in dirs if d not in ("_delta_log",) and not d.startswith("_staging")
+        ]
+        for fn in files:
+            if fn.startswith((".", "_")):
+                continue
+            rel = os.path.relpath(os.path.join(root, fn), table_path).replace(os.sep, "/")
+            if rel.startswith(("_delta_log/",)):
+                continue
+            out.append(rel)
+    return out
+
+
+def vacuum(
+    table_path: str,
+    retention_hours: int | None = None,
+    dry_run: bool = True,
+    enforce_retention_duration: bool = True,
+    full: bool = False,
+) -> list[str]:
+    snapshot = snap_mod.load_snapshot(table_path)
+    configured = _configured_retention_hours(snapshot.configuration)
+    if retention_hours is None:
+        retention_hours = configured
+    if retention_hours < 0:
+        raise DeltaError("retention_hours must be >= 0")
+    if enforce_retention_duration and retention_hours < configured:
+        raise DeltaError(
+            f"retention ({retention_hours}h) below configured minimum "
+            f"({configured}h); pass enforce_retention_duration=False to override"
+        )
+    cutoff_ms = (time.time() - retention_hours * 3600) * 1000
+
+    active = set(snapshot.files.keys())
+    tombstoned = {r.path: r.deletion_timestamp for r in snapshot.tombstones}
+    candidates: list[str] = []
+    for rel in _walk_data_files(table_path):
+        if rel in active:
+            continue
+        if rel.startswith("_change_data/"):
+            continue  # owned by CDF; cleaned by metadata retention
+        if rel in tombstoned:
+            if tombstoned[rel] <= cutoff_ms:
+                candidates.append(rel)
+        elif full:
+            # orphan not referenced by any log entry (VACUUM FULL)
+            mtime_ms = os.path.getmtime(os.path.join(table_path, rel)) * 1000
+            if mtime_ms <= cutoff_ms:
+                candidates.append(rel)
+
+    if dry_run:
+        return sorted(candidates)
+
+    start = CommitInfo(
+        "VACUUM START",
+        {"retentionCheckEnabled": enforce_retention_duration},
+        operation_metrics={"numFilesToDelete": len(candidates)},
+    )
+    v = commit_mod.commit(
+        table_path, [], start, snapshot.version, TransactionInfo(blind_append=True)
+    )
+    deleted = 0
+    for rel in candidates:
+        try:
+            os.unlink(os.path.join(table_path, rel))
+            deleted += 1
+        except FileNotFoundError:
+            pass
+    end = CommitInfo(
+        "VACUUM END", {"status": "COMPLETED"}, operation_metrics={"numDeletedFiles": deleted}
+    )
+    commit_mod.commit(table_path, [], end, v, TransactionInfo(blind_append=True))
+    return sorted(candidates)
+
+
+def cleanup_metadata(table_path: str, retention_hours: int | None = None) -> int:
+    """Delete expired commit JSONs below the last checkpoint
+    (reference: delta.logRetentionDuration, 30d default)."""
+    snapshot = snap_mod.load_snapshot(table_path)
+    raw = snapshot.configuration.get("delta.logRetentionDuration", "interval 30 days")
+    if retention_hours is None:
+        m = _INTERVAL_RE.match(raw.strip())
+        retention_hours = (
+            int(m.group(1)) * {"hour": 1, "day": 24, "week": 168}[m.group(2).lower()]
+            if m
+            else 720
+        )
+    cutoff = time.time() - retention_hours * 3600
+    commits, checkpoints = snap_mod.list_log(table_path)
+    if not checkpoints:
+        return 0
+    last_cp = max(checkpoints)
+    n = 0
+    for v in commits:
+        if v >= last_cp:
+            continue
+        p = snap_mod.commit_file(table_path, v)
+        if os.path.getmtime(p) <= cutoff:
+            os.unlink(p)
+            n += 1
+    return n

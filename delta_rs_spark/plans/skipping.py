@@ -1,0 +1,254 @@
+"""Stats-based file skipping + partition pruning over Add actions.
+
+Mirrors the reference's pushdown negotiation
+(reference: crates/core/src/delta_datafusion/table_provider/next/scan/plan.rs:484-664
+— partition-only conjuncts are Exact, stats-servable conjuncts are
+Inexact, everything else Unsupported) with a conservative Python
+evaluator: a predicate is split into top-level AND conjuncts; each
+conjunct we can parse as ``col <op> literal`` / ``col IN (...)`` /
+``col BETWEEN a AND b`` prunes files via partition values (exact) or
+min/max stats (interval overlap); unparseable conjuncts keep all files
+(correctness never depends on skipping — Spark re-applies the full
+predicate at scan time).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from typing import Any
+
+from delta_rs_spark.log.actions import Add
+
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+_LIT_RE = (
+    r"(?:DATE\s*'[^']*'|TIMESTAMP\s*'[^']*'|'[^']*'|-?\d+\.?\d*(?:[eE]-?\d+)?|true|false)"
+)
+_CMP_RE = re.compile(
+    rf"^\s*([\w.]+)\s*(==|=|!=|<>|<=|>=|<|>)\s*({_LIT_RE})\s*$", re.IGNORECASE
+)
+_CMP_REV_RE = re.compile(
+    rf"^\s*({_LIT_RE})\s*(==|=|!=|<>|<=|>=|<|>)\s*([\w.]+)\s*$", re.IGNORECASE
+)
+_IN_RE = re.compile(rf"^\s*([\w.]+)\s+IN\s*\(\s*({_LIT_RE}(?:\s*,\s*{_LIT_RE})*)\s*\)\s*$", re.IGNORECASE)
+_BETWEEN_RE = re.compile(
+    rf"^\s*([\w.]+)\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})\s*$", re.IGNORECASE
+)
+_NULL_RE = re.compile(r"^\s*([\w.]+)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE)
+
+_REV_OP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def _parse_literal(tok: str) -> Any:
+    t = tok.strip()
+    up = t.upper()
+    if up.startswith("DATE"):
+        return dt.date.fromisoformat(t[t.index("'") + 1 : t.rindex("'")])
+    if up.startswith("TIMESTAMP"):
+        return dt.datetime.fromisoformat(t[t.index("'") + 1 : t.rindex("'")])
+    if t.startswith("'"):
+        return t[1:-1]
+    if up in ("TRUE", "FALSE"):
+        return up == "TRUE"
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)
+    return float(t)
+
+
+def split_conjuncts(predicate: str) -> list[str]:
+    """Split on top-level AND (outside parens and quotes)."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    cur = ""
+    i = 0
+    s = predicate
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            cur += c
+            if c == "'":
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            cur += c
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and s[i : i + 3].upper() == "AND"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 3 >= len(s) or not (s[i + 3].isalnum() or s[i + 3] == "_"))
+        ):
+            parts.append(cur)
+            cur = ""
+            i += 3
+            continue
+        cur += c
+        i += 1
+    parts.append(cur)
+    # strip one redundant outer paren pair per conjunct
+    out = []
+    for p in parts:
+        p = p.strip()
+        while p.startswith("(") and p.endswith(")") and _balanced(p[1:-1]):
+            p = p[1:-1].strip()
+        if p:
+            out.append(p)
+    return out
+
+
+def _balanced(s: str) -> bool:
+    depth = 0
+    in_str = False
+    for c in s:
+        if in_str:
+            if c == "'":
+                in_str = False
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0 and not in_str
+
+
+def _coerce(raw: str | None, like: Any) -> Any:
+    """Cast a partition-value / stats string to the literal's type."""
+    if raw is None or raw == _NULL_PARTITION:
+        return None
+    if isinstance(like, bool):
+        return str(raw).lower() == "true"
+    if isinstance(like, int):
+        try:
+            return int(raw)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(like, float):
+        try:
+            return float(raw)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(like, dt.datetime):
+        if isinstance(raw, dt.datetime):
+            return raw
+        try:
+            return dt.datetime.fromisoformat(str(raw).replace("Z", "+00:00")).replace(tzinfo=None)
+        except ValueError:
+            return None
+    if isinstance(like, dt.date):
+        if isinstance(raw, dt.date):
+            return raw
+        try:
+            return dt.date.fromisoformat(str(raw)[:10])
+        except ValueError:
+            return None
+    return str(raw)
+
+
+def _cmp_keep(op: str, lo: Any, hi: Any, lit: Any) -> bool:
+    """Can any value in [lo, hi] satisfy `value op lit`? None bound = unknown."""
+    try:
+        if op in ("=", "=="):
+            return (lo is None or lo <= lit) and (hi is None or hi >= lit)
+        if op in ("!=", "<>"):
+            return not (lo is not None and hi is not None and lo == hi == lit)
+        if op == "<":
+            return lo is None or lo < lit
+        if op == "<=":
+            return lo is None or lo <= lit
+        if op == ">":
+            return hi is None or hi > lit
+        if op == ">=":
+            return hi is None or hi >= lit
+    except TypeError:
+        return True
+    return True
+
+
+class _Conjunct:
+    def __init__(self, col: str, op: str, lits: list[Any]):
+        self.col = col
+        self.op = op  # cmp ops, 'in', 'between'
+        self.lits = lits
+
+    def keep(self, add: Add, partition_columns: list[str]) -> bool:
+        if self.col in partition_columns:
+            raw = add.partition_values.get(self.col)
+            v = _coerce(raw, self.lits[0])
+            if v is None:
+                return False  # null partition never matches these ops
+            lo = hi = v
+        else:
+            st = add.stats_dict()
+            if not st:
+                return True
+            lo = _coerce(st.get("minValues", {}).get(self.col), self.lits[0])
+            hi = _coerce(st.get("maxValues", {}).get(self.col), self.lits[0])
+            if lo is None and hi is None:
+                return True
+        if self.op == "in":
+            return any(_cmp_keep("=", lo, hi, lit) for lit in self.lits)
+        if self.op == "between":
+            return _cmp_keep(">=", lo, hi, self.lits[0]) and _cmp_keep("<=", lo, hi, self.lits[1])
+        return _cmp_keep(self.op, lo, hi, self.lits[0])
+
+
+def parse_conjuncts(predicate: str) -> list[_Conjunct]:
+    out: list[_Conjunct] = []
+    for part in split_conjuncts(predicate):
+        m = _CMP_RE.match(part)
+        if m:
+            out.append(_Conjunct(m.group(1), m.group(2), [_parse_literal(m.group(3))]))
+            continue
+        m = _CMP_REV_RE.match(part)
+        if m:
+            op = _REV_OP.get(m.group(2), m.group(2))
+            out.append(_Conjunct(m.group(3), op, [_parse_literal(m.group(1))]))
+            continue
+        m = _IN_RE.match(part)
+        if m:
+            lits = [_parse_literal(x) for x in re.findall(_LIT_RE, m.group(2))]
+            out.append(_Conjunct(m.group(1), "in", lits))
+            continue
+        m = _BETWEEN_RE.match(part)
+        if m:
+            out.append(
+                _Conjunct(m.group(1), "between", [_parse_literal(m.group(2)), _parse_literal(m.group(3))])
+            )
+            continue
+        # unparseable conjunct -> no pruning from it (Unsupported tier)
+    return out
+
+
+def prune_files(
+    adds: list[Add], predicate: str | None, partition_columns: list[str]
+) -> list[Add]:
+    """Files that may contain rows matching the predicate."""
+    if not predicate:
+        return list(adds)
+    conjuncts = parse_conjuncts(predicate)
+    if not conjuncts:
+        return list(adds)
+    return [a for a in adds if all(c.keep(a, partition_columns) for c in conjuncts)]
+
+
+def partition_only_predicate(predicate: str, partition_columns: list[str]) -> bool:
+    """True if every conjunct parses and references only partition columns —
+    the reference's metadata-only fast path test (delete.rs:472-535)."""
+    parts = split_conjuncts(predicate)
+    conjuncts = parse_conjuncts(predicate)
+    if len(parts) != len(conjuncts):
+        return False
+    return all(c.col in partition_columns for c in conjuncts)

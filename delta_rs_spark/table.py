@@ -1,0 +1,427 @@
+"""DeltaTable — versioned table handle (reference: python/deltalake/table.py:157).
+
+Scan path: snapshot file list -> partition pruning + stats skipping
+(plans/skipping.py) -> one ``spark.read.parquet`` over the surviving
+files with the table schema and ``basePath`` so Hive-layout partition
+values are injected as typed columns. Everything downstream (residual
+filters, projection, row-group pruning) is Catalyst's job — the same
+split the reference makes between its TableProvider and DataFusion
+(crates/core/src/delta_datafusion/table_provider/next/mod.rs:711-814).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Protocol
+from delta_rs_spark.log.commit import DeltaError
+from delta_rs_spark.log.snapshot import Snapshot, load_snapshot
+from delta_rs_spark.plans.skipping import prune_files
+
+PartitionFilter = tuple[str, str, Any]  # DNF tuples like the reference (table.py:74-78)
+
+
+def _dnf_to_sql(filters: list[PartitionFilter] | list[list[PartitionFilter]] | None) -> str | None:
+    """Convert reference-style DNF partition-filter tuples to a SQL predicate."""
+    if not filters:
+        return None
+    if filters and isinstance(filters[0], tuple):
+        filters = [filters]  # single conjunction
+
+    def lit(v: Any) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    def one(f: PartitionFilter) -> str:
+        col, op, val = f
+        if op == "in":
+            return f"{col} IN ({', '.join(lit(v) for v in val)})"
+        if op == "not in":
+            return f"{col} NOT IN ({', '.join(lit(v) for v in val)})"
+        return f"{col} {op} {lit(val)}"
+
+    disjuncts = [" AND ".join(one(f) for f in conj) for conj in filters]
+    return " OR ".join(f"({d})" for d in disjuncts) if len(disjuncts) > 1 else disjuncts[0]
+
+
+def read_snapshot_df(
+    spark: SparkSession,
+    snapshot: Snapshot,
+    table_path: str,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+    files: list[Add] | None = None,
+) -> DataFrame:
+    """Build the scan DataFrame for a snapshot (with file skipping)."""
+    schema = T.StructType.fromJson(json.loads(snapshot.schema_string))
+    adds = files if files is not None else list(snapshot.files.values())
+    if predicate:
+        adds = prune_files(adds, predicate, snapshot.partition_columns)
+    if not adds:
+        df = spark.createDataFrame([], schema)
+    else:
+        paths = [os.path.join(table_path, a.path) for a in adds]
+        reader = spark.read.schema(schema)
+        if snapshot.partition_columns:
+            reader = reader.option("basePath", table_path)
+        df = reader.parquet(*paths)
+    if predicate:
+        df = df.filter(F.expr(predicate))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+class DeltaTable:
+    """Versioned Delta table handle over a local/posix path."""
+
+    def __init__(
+        self,
+        table_uri: str,
+        version: int | None = None,
+        spark: SparkSession | None = None,
+    ):
+        self.table_uri = str(table_uri).removeprefix("file://")
+        self._spark = spark
+        self._snapshot = load_snapshot(self.table_uri, version)
+
+    # -- session ----------------------------------------------------------
+    @property
+    def spark(self) -> SparkSession:
+        s = self._spark or SparkSession.getActiveSession()
+        if s is None:
+            from delta_rs_spark.session import get_spark
+
+            s = get_spark()
+        return s
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def is_deltatable(cls, table_uri: str) -> bool:
+        return snap_mod.is_delta_table(str(table_uri).removeprefix("file://"))
+
+    @classmethod
+    def create(
+        cls,
+        table_uri: str,
+        schema: T.StructType,
+        mode: str = "error",
+        partition_by: list[str] | str | None = None,
+        name: str | None = None,
+        description: str | None = None,
+        configuration: dict[str, str] | None = None,
+        spark: SparkSession | None = None,
+    ) -> "DeltaTable":
+        """CREATE [OR REPLACE] TABLE (reference: operations/create.rs;
+        python/deltalake/table.py:221-330)."""
+        from delta_rs_spark.log import commit as commit_mod
+        from delta_rs_spark.log.actions import Remove, now_ms
+        from delta_rs_spark.log.commit import TransactionInfo
+
+        path = str(table_uri).removeprefix("file://")
+        if isinstance(partition_by, str):
+            partition_by = [partition_by]
+        exists = snap_mod.is_delta_table(path)
+        if exists and mode == "error":
+            raise DeltaError(f"table exists: {path}")
+        if exists and mode == "ignore":
+            return cls(path, spark=spark)
+        read_version = -1
+        actions: list = []
+        if exists:  # replace
+            prev = load_snapshot(path)
+            read_version = prev.version
+            ts = now_ms()
+            actions.extend(
+                Remove(a.path, ts, True, a.partition_values, a.size)
+                for a in prev.files.values()
+            )
+        os.makedirs(path, exist_ok=True)
+        actions.insert(0, Protocol())
+        actions.insert(
+            1,
+            Metadata(
+                schema_string=schema.json(),
+                partition_columns=partition_by or [],
+                configuration=configuration or {},
+                name=name,
+                description=description,
+            ),
+        )
+        op = CommitInfo(
+            operation="CREATE OR REPLACE TABLE" if exists else "CREATE TABLE",
+            operation_parameters={"mode": mode, "partitionBy": partition_by or []},
+        )
+        commit_mod.commit(
+            path, actions, op, read_version, TransactionInfo(blind_append=False, read_whole_table=True)
+        )
+        return cls(path, spark=spark)
+
+    # -- metadata ---------------------------------------------------------
+    def version(self) -> int:
+        return self._snapshot.version
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self._snapshot.schema_string))
+
+    def metadata(self) -> Metadata:
+        return self._snapshot.metadata
+
+    def protocol(self) -> Protocol:
+        return self._snapshot.protocol
+
+    def partition_columns(self) -> list[str]:
+        return self._snapshot.partition_columns
+
+    def files(self, partition_filters: list[PartitionFilter] | None = None) -> list[str]:
+        pred = _dnf_to_sql(partition_filters)
+        adds = list(self._snapshot.files.values())
+        if pred:
+            adds = prune_files(adds, pred, self._snapshot.partition_columns)
+        return [a.path for a in adds]
+
+    def file_uris(self, partition_filters: list[PartitionFilter] | None = None) -> list[str]:
+        return [os.path.join(self.table_uri, p) for p in self.files(partition_filters)]
+
+    def partitions(
+        self, partition_filters: list[PartitionFilter] | None = None
+    ) -> list[dict[str, str | None]]:
+        seen: list[dict[str, str | None]] = []
+        pred = _dnf_to_sql(partition_filters)
+        adds = list(self._snapshot.files.values())
+        if pred:
+            adds = prune_files(adds, pred, self._snapshot.partition_columns)
+        for a in adds:
+            if a.partition_values not in seen:
+                seen.append(dict(a.partition_values))
+        return seen
+
+    def history(self, limit: int | None = None) -> list[dict[str, Any]]:
+        """Commit infos, newest first (reference: table/mod.rs:266)."""
+        out: list[dict[str, Any]] = []
+        commits, _ = snap_mod.list_log(self.table_uri)
+        for v in sorted(commits, reverse=True):
+            if limit is not None and len(out) >= limit:
+                break
+            try:
+                actions = snap_mod.read_commit_actions(self.table_uri, v)
+            except FileNotFoundError:
+                continue
+            ci = next((a for a in actions if isinstance(a, CommitInfo)), None)
+            if ci is None:
+                out.append({"version": v})
+                continue
+            out.append(
+                {
+                    "version": v,
+                    "timestamp": ci.timestamp,
+                    "operation": ci.operation,
+                    "operationParameters": ci.operation_parameters,
+                    "operationMetrics": ci.operation_metrics,
+                    "readVersion": ci.read_version,
+                    "engineInfo": ci.engine_info,
+                }
+            )
+        return out
+
+    def get_add_actions(self, flatten: bool = False):
+        """Per-file add actions with stats as a pyarrow table
+        (reference: python/deltalake/table.py:1175-1220)."""
+        import pyarrow as pa
+
+        rows = []
+        for a in self._snapshot.files.values():
+            st = a.stats_dict() or {}
+            row: dict[str, Any] = {
+                "path": a.path,
+                "size_bytes": a.size,
+                "modification_time": a.modification_time,
+                "data_change": a.data_change,
+                "num_records": st.get("numRecords"),
+            }
+            if flatten:
+                for k, v in (a.partition_values or {}).items():
+                    row[f"partition.{k}"] = v
+                for k, v in (st.get("minValues") or {}).items():
+                    row[f"min.{k}"] = str(v)
+                for k, v in (st.get("maxValues") or {}).items():
+                    row[f"max.{k}"] = str(v)
+                for k, v in (st.get("nullCount") or {}).items():
+                    row[f"null_count.{k}"] = v
+            else:
+                row["partition_values"] = dict(a.partition_values or {})
+                row["min"] = {k: str(v) for k, v in (st.get("minValues") or {}).items()}
+                row["max"] = {k: str(v) for k, v in (st.get("maxValues") or {}).items()}
+                row["null_count"] = dict(st.get("nullCount") or {})
+            rows.append(row)
+        return pa.Table.from_pylist(rows)
+
+    def count(self) -> int:
+        """Metadata-only row count from file stats; falls back to a scan
+        (reference: python/deltalake/table.py:584-605)."""
+        n = self._snapshot.num_records()
+        if n is not None:
+            return n
+        return self.to_df().count()
+
+    def transaction_version(self, app_id: str) -> int | None:
+        txn = self._snapshot.txns.get(app_id)
+        return txn.version if txn else None
+
+    # -- time travel ------------------------------------------------------
+    def load_as_version(self, version: int | str | dt.datetime) -> None:
+        """(reference: python/deltalake/table.py:406-446)"""
+        if isinstance(version, int):
+            self._snapshot = load_snapshot(self.table_uri, version)
+            return
+        if isinstance(version, str):
+            version = dt.datetime.fromisoformat(version.replace("Z", "+00:00"))
+        if isinstance(version, dt.datetime):
+            ts_ms = int(version.timestamp() * 1000)
+            v = snap_mod.version_at_timestamp(self.table_uri, ts_ms)
+            self._snapshot = load_snapshot(self.table_uri, v)
+            return
+        raise TypeError(f"unsupported version spec: {version!r}")
+
+    # -- reads ------------------------------------------------------------
+    def to_df(
+        self,
+        predicate: str | None = None,
+        columns: list[str] | None = None,
+        partition_filters: list[PartitionFilter] | None = None,
+    ) -> DataFrame:
+        pred = predicate
+        pf = _dnf_to_sql(partition_filters)
+        if pf:
+            pred = f"({pred}) AND ({pf})" if pred else pf
+        return read_snapshot_df(self.spark, self._snapshot, self.table_uri, pred, columns)
+
+    # alias matching reference naming
+    to_spark = to_df
+
+    def to_pandas(self, **kwargs):
+        return self.to_df(**kwargs).toPandas()
+
+    def to_pyarrow_table(self, **kwargs):
+        import pyarrow as pa
+
+        pdf = self.to_pandas(**kwargs)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    # -- mutations (delegate to operators) --------------------------------
+    def delete(self, predicate: str | None = None) -> dict[str, Any]:
+        from delta_rs_spark.operators.delete import delete as _delete
+
+        metrics = _delete(self.spark, self.table_uri, predicate)
+        self._snapshot = load_snapshot(self.table_uri)
+        return metrics
+
+    def update(
+        self,
+        updates: dict[str, str],
+        predicate: str | None = None,
+    ) -> dict[str, Any]:
+        from delta_rs_spark.operators.update import update as _update
+
+        metrics = _update(self.spark, self.table_uri, updates, predicate)
+        self._snapshot = load_snapshot(self.table_uri)
+        return metrics
+
+    def merge(
+        self,
+        source: Any,
+        predicate: str,
+        source_alias: str | None = None,
+        target_alias: str | None = None,
+    ):
+        from delta_rs_spark.operators.merge import TableMerger
+
+        return TableMerger(self, source, predicate, source_alias, target_alias)
+
+    @property
+    def optimize(self):
+        from delta_rs_spark.operators.optimize import TableOptimizer
+
+        return TableOptimizer(self)
+
+    @property
+    def alter(self):
+        from delta_rs_spark.operators.alter import TableAlterer
+
+        return TableAlterer(self)
+
+    def vacuum(
+        self,
+        retention_hours: int | None = None,
+        dry_run: bool = True,
+        enforce_retention_duration: bool = True,
+        full: bool = False,
+    ) -> list[str]:
+        from delta_rs_spark.operators.vacuum import vacuum as _vacuum
+
+        return _vacuum(
+            self.table_uri, retention_hours, dry_run, enforce_retention_duration, full
+        )
+
+    def restore(
+        self,
+        target: int | str | dt.datetime,
+        ignore_missing_files: bool = False,
+    ) -> dict[str, Any]:
+        from delta_rs_spark.operators.restore import restore as _restore
+
+        metrics = _restore(self.table_uri, target, ignore_missing_files)
+        self._snapshot = load_snapshot(self.table_uri)
+        return metrics
+
+    def repair(self, dry_run: bool = False) -> dict[str, Any]:
+        from delta_rs_spark.operators.fsck import repair as _repair
+
+        metrics = _repair(self.table_uri, dry_run)
+        if not dry_run:
+            self._snapshot = load_snapshot(self.table_uri)
+        return metrics
+
+    def load_cdf(
+        self,
+        starting_version: int = 0,
+        ending_version: int | None = None,
+        starting_timestamp: str | None = None,
+        ending_timestamp: str | None = None,
+        columns: list[str] | None = None,
+        predicate: str | None = None,
+    ) -> DataFrame:
+        from delta_rs_spark.operators.cdf import load_cdf as _load_cdf
+
+        return _load_cdf(
+            self.spark,
+            self.table_uri,
+            starting_version,
+            ending_version,
+            starting_timestamp,
+            ending_timestamp,
+            columns,
+            predicate,
+        )
+
+    def create_checkpoint(self) -> None:
+        snap_mod.write_checkpoint(self.table_uri, self._snapshot)
+
+    def cleanup_metadata(self, retention_hours: int | None = None) -> int:
+        from delta_rs_spark.operators.vacuum import cleanup_metadata as _cleanup
+
+        return _cleanup(self.table_uri, retention_hours)
+
+    def refresh(self) -> None:
+        self._snapshot = load_snapshot(self.table_uri)

@@ -1,0 +1,378 @@
+"""write_deltalake — append / overwrite / replaceWhere writes.
+
+API mirrors the reference's writer surface
+(reference: python/deltalake/writer/writer.py:66-168) but the data plane
+is Spark: the DataFrame is written with Spark's parallel parquet writer
+into a staging directory (Hive ``k=v`` layout via ``partitionBy`` —
+exactly the layout the Delta protocol encodes in Add.path), files are
+moved into the table root, per-file stats are collected from parquet
+footers only (no data re-read; reference: crates/core/src/writer/stats.rs),
+and a single transaction commits the Add/Remove actions.
+
+Scale notes: the write itself is fully distributed (Spark tasks write
+files in parallel); only footer-stat collection and the log commit run
+on the driver, both O(num files). Partitioned writes hash-repartition by
+the partition columns first (reference: write/execution.rs:655-678) so
+each partition is produced by few tasks instead of every task writing a
+sliver of every partition.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import urllib.parse
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Protocol, Remove, Txn, now_ms
+from delta_rs_spark.log.commit import DeltaError, TransactionInfo
+from delta_rs_spark.log.stats import collect_stats_parallel, stats_json
+
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+class TableExistsError(DeltaError):
+    pass
+
+
+class SchemaMismatchError(DeltaError):
+    pass
+
+
+def _to_spark_df(data: Any, spark: SparkSession | None) -> DataFrame:
+    if isinstance(data, DataFrame):
+        return data
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise DeltaError("a SparkSession is required to convert non-Spark input")
+    try:
+        import pandas as pd
+
+        if isinstance(data, pd.DataFrame):
+            return spark.createDataFrame(data)
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        if isinstance(data, (pa.Table, pa.RecordBatch)):
+            return spark.createDataFrame(data.to_pandas())
+        if isinstance(data, pa.RecordBatchReader):
+            return spark.createDataFrame(data.read_all().to_pandas())
+    except ImportError:
+        pass
+    return spark.createDataFrame(data)
+
+
+def _decode_partition_dir(name: str) -> tuple[str, str | None]:
+    k, _, v = name.partition("=")
+    if v == _NULL_PARTITION:
+        return k, None
+    return k, urllib.parse.unquote(v)
+
+
+def _encode_partition_value(v: str | None) -> str:
+    if v is None:
+        return _NULL_PARTITION
+    return urllib.parse.quote(str(v), safe="")
+
+
+def write_files(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str],
+    max_records_per_file: int | None = None,
+) -> list[Add]:
+    """Write df as parquet files into the table directory; return Adds."""
+    stage = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
+    writer = df
+    if partition_by:
+        # co-locate rows of one partition into few tasks (map-side file count
+        # control; at cluster scale this is the difference between
+        # tasks*partitions files and ~partitions files)
+        writer = df.repartition(*partition_by)
+    w = writer.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
+
+    adds: list[Add] = []
+    moved: list[tuple[str, str, dict[str, str | None]]] = []  # (abs, rel, partvals)
+    for root, _dirs, files in os.walk(stage):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(root, fn)
+            rel_dir = os.path.relpath(root, stage)
+            part_vals: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, v = _decode_partition_dir(seg)
+                    part_vals[k] = v
+            new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            dst_dir = os.path.join(table_path, rel_dir) if rel_dir != "." else table_path
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, new_name)
+            os.rename(src, dst)
+            rel_path = os.path.relpath(dst, table_path)
+            moved.append((dst, rel_path, part_vals))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    stats = collect_stats_parallel([m[0] for m in moved])
+    for (abs_path, rel_path, part_vals), st in zip(moved, stats):
+        if st.get("numRecords") == 0:
+            os.unlink(abs_path)
+            continue
+        adds.append(
+            Add(
+                path=rel_path.replace(os.sep, "/"),
+                size=os.path.getsize(abs_path),
+                modification_time=int(os.path.getmtime(abs_path) * 1000),
+                data_change=True,
+                partition_values=part_vals,
+                stats=stats_json(st),
+            )
+        )
+    return adds
+
+
+def _merge_schemas(existing: T.StructType, new: T.StructType) -> T.StructType:
+    """Existing fields (by position) + brand-new fields appended
+    (reference: kernel/schema/cast/merge_schema.rs)."""
+    by_name = {f.name: f for f in new.fields}
+    fields = []
+    for f in existing.fields:
+        nf = by_name.get(f.name)
+        if nf is not None and nf.dataType != f.dataType:
+            if not _can_widen(f.dataType, nf.dataType):
+                raise SchemaMismatchError(
+                    f"cannot merge column {f.name}: {f.dataType} vs {nf.dataType}"
+                )
+        fields.append(f)
+    existing_names = {f.name for f in existing.fields}
+    for f in new.fields:
+        if f.name not in existing_names:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields)
+
+
+def _can_widen(old: T.DataType, new: T.DataType) -> bool:
+    return old == new
+
+
+def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Cast/select df to the table schema (missing columns -> null)
+    (reference: kernel/schema/cast/mod.rs:212 cast_record_batch)."""
+    cols = []
+    df_cols = {f.name: f for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name in df_cols:
+            src = df_cols[f.name]
+            c = F.col(f.name)
+            if src.dataType != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    extra = [n for n in df_cols if n not in {f.name for f in schema.fields}]
+    if extra:
+        raise SchemaMismatchError(
+            f"input has columns {extra} not in table schema; pass schema_mode='merge'"
+        )
+    return df.select(*cols)
+
+
+def write_deltalake(
+    table_or_uri: str,
+    data: Any,
+    *,
+    spark: SparkSession | None = None,
+    mode: str = "error",
+    partition_by: list[str] | str | None = None,
+    predicate: str | None = None,
+    schema_mode: str | None = None,
+    name: str | None = None,
+    description: str | None = None,
+    configuration: dict[str, str] | None = None,
+    max_records_per_file: int | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> None:
+    """Write a DataFrame (Spark/pandas/arrow) to a Delta table.
+
+    Modes: error | ignore | append | overwrite. ``predicate`` is
+    transactional replaceWhere (only valid with overwrite).
+    """
+    table_path = str(table_or_uri).removeprefix("file://")
+    df = _to_spark_df(data, spark)
+    spark = df.sparkSession
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    partition_by = partition_by or []
+    if mode not in ("error", "ignore", "append", "overwrite"):
+        raise ValueError(f"invalid mode {mode!r}")
+    if predicate and mode != "overwrite":
+        raise ValueError("predicate (replaceWhere) requires mode='overwrite'")
+
+    exists = snap_mod.is_delta_table(table_path)
+    snapshot = snap_mod.load_snapshot(table_path) if exists else None
+
+    if exists and mode == "error":
+        raise TableExistsError(f"table exists: {table_path} (mode='error')")
+    if exists and mode == "ignore":
+        return
+
+    # idempotent writes via txn watermark (reference: actions.rs:1042)
+    if exists and txn_app_id is not None and txn_version is not None:
+        prev = snapshot.txns.get(txn_app_id)
+        if prev is not None and prev.version >= txn_version:
+            return
+
+    actions: list = []
+    metrics: dict[str, Any] = {}
+    txn_info = TransactionInfo(blind_append=True)
+
+    if snapshot is None:
+        schema = df.schema
+        metadata = Metadata(
+            schema_string=schema.json(),
+            partition_columns=partition_by,
+            configuration=configuration or {},
+            name=name,
+            description=description,
+        )
+        actions.append(Protocol())
+        actions.append(metadata)
+        read_version = -1
+        table_schema = schema
+        part_cols = partition_by
+    else:
+        read_version = snapshot.version
+        table_schema = T.StructType.fromJson(__import__("json").loads(snapshot.schema_string))
+        part_cols = snapshot.partition_columns
+        if partition_by and partition_by != part_cols:
+            raise DeltaError(
+                f"partition_by {partition_by} != table partitioning {part_cols}"
+            )
+        if schema_mode == "overwrite":
+            if mode != "overwrite":
+                raise DeltaError("schema_mode='overwrite' requires mode='overwrite'")
+            table_schema = df.schema
+            meta = snapshot.metadata
+            actions.append(
+                Metadata(
+                    schema_string=table_schema.json(),
+                    partition_columns=part_cols,
+                    configuration=meta.configuration,
+                    id=meta.id,
+                    name=name or meta.name,
+                    description=description or meta.description,
+                    created_time=meta.created_time,
+                )
+            )
+        elif schema_mode == "merge":
+            merged = _merge_schemas(table_schema, df.schema)
+            if merged.json() != table_schema.json():
+                meta = snapshot.metadata
+                actions.append(
+                    Metadata(
+                        schema_string=merged.json(),
+                        partition_columns=part_cols,
+                        configuration=meta.configuration,
+                        id=meta.id,
+                        name=meta.name,
+                        description=meta.description,
+                        created_time=meta.created_time,
+                    )
+                )
+            table_schema = merged
+        df = _conform(df, table_schema)
+
+    # enforce CHECK constraints before any file lands
+    # (reference: crates/core/src/delta_datafusion/data_validation.rs:55-60)
+    if snapshot is not None:
+        from delta_rs_spark.operators.alter import table_constraints
+
+        for cname, cexpr in table_constraints(snapshot.configuration).items():
+            if df.filter(~F.expr(cexpr).eqNullSafe(F.lit(True))).limit(1).count():
+                raise DeltaError(
+                    f"CHECK constraint {cname!r} ({cexpr}) violated by incoming data"
+                )
+
+    adds = write_files(df, table_path, part_cols, max_records_per_file)
+    actions.extend(adds)
+    n_rows = sum(a.num_records() or 0 for a in adds)
+    metrics["numFiles"] = len(adds)
+    metrics["numOutputRows"] = n_rows
+    metrics["numOutputBytes"] = sum(a.size for a in adds)
+
+    if snapshot is not None and mode == "overwrite":
+        txn_info = TransactionInfo(blind_append=False, read_whole_table=True)
+        if predicate:
+            removes, extra_adds, n_removed = _replace_where(
+                spark, snapshot, table_path, df, predicate, table_schema, part_cols
+            )
+            actions.extend(extra_adds)
+            actions.extend(removes)
+            metrics["numRemovedFiles"] = len(removes)
+            metrics["numDeletedRows"] = n_removed
+        else:
+            ts = now_ms()
+            for add in snapshot.files.values():
+                actions.append(
+                    Remove(
+                        add.path,
+                        deletion_timestamp=ts,
+                        data_change=True,
+                        partition_values=add.partition_values,
+                        size=add.size,
+                    )
+                )
+            metrics["numRemovedFiles"] = len(snapshot.files)
+
+    if txn_app_id is not None and txn_version is not None:
+        actions.append(Txn(txn_app_id, txn_version))
+
+    op = CommitInfo(
+        operation="WRITE",
+        operation_parameters={
+            "mode": {"error": "ErrorIfExists", "ignore": "Ignore", "append": "Append", "overwrite": "Overwrite"}[mode],
+            **({"predicate": predicate} if predicate else {}),
+            **({"partitionBy": part_cols} if part_cols else {}),
+        },
+        operation_metrics=metrics,
+    )
+    commit_mod.commit(table_path, actions, op, read_version, txn_info)
+
+
+def _replace_where(
+    spark: SparkSession,
+    snapshot: snap_mod.Snapshot,
+    table_path: str,
+    new_df: DataFrame,
+    predicate: str,
+    table_schema: T.StructType,
+    part_cols: list[str],
+) -> tuple[list[Remove], list[Add], int]:
+    """Transactional replaceWhere (reference: write/mod.rs:228
+    with_replace_where): delete existing rows matching the predicate,
+    after validating that every incoming row satisfies it."""
+    from delta_rs_spark.operators.delete import plan_predicate_removal
+    from delta_rs_spark.table import read_snapshot_df
+
+    bad = new_df.filter(~F.expr(predicate).eqNullSafe(F.lit(True))).limit(1).count()
+    if bad:
+        raise DeltaError(f"replaceWhere: input rows violate predicate {predicate!r}")
+    removes, rewrite_adds, n_deleted = plan_predicate_removal(
+        spark, snapshot, table_path, predicate
+    )
+    return removes, rewrite_adds, n_deleted

@@ -1,0 +1,52 @@
+"""Change Data Feed (reference test model: python/tests/test_cdf.py)."""
+
+from delta_rs_spark import DeltaTable, write_deltalake
+
+
+CDF_CONF = {"delta.enableChangeDataFeed": "true"}
+
+
+def test_cdf_insert_delete_update(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df, configuration=CDF_CONF)
+    t = DeltaTable(tmp_table)
+    t.delete("price >= 3")          # v1: 2 deletes
+    t.update({"sold": "sold + 1"}, predicate="id = '1'")  # v2: update pair
+
+    cdf = t.load_cdf(starting_version=0).collect()
+    by_type = {}
+    for r in cdf:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert len(by_type["insert"]) == 5          # v0 synthesized from Add
+    assert len(by_type["delete"]) == 2
+    assert len(by_type["update_preimage"]) == 1
+    assert len(by_type["update_postimage"]) == 1
+    assert by_type["update_postimage"][0]["sold"] == 1
+    versions = {r["_commit_version"] for r in cdf}
+    assert versions == {0, 1, 2}
+
+
+def test_cdf_version_bounds(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df, configuration=CDF_CONF)
+    t = DeltaTable(tmp_table)
+    t.delete("price = 0")
+    only_v1 = t.load_cdf(starting_version=1, ending_version=1).collect()
+    assert {r["_change_type"] for r in only_v1} == {"delete"}
+
+
+def test_cdf_overwrite_synthesis(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df, configuration=CDF_CONF)
+    write_deltalake(tmp_table, sample_df.limit(2), mode="overwrite")
+    t = DeltaTable(tmp_table)
+    v1 = t.load_cdf(starting_version=1, ending_version=1).collect()
+    types = sorted(r["_change_type"] for r in v1)
+    assert types.count("insert") == 2 and types.count("delete") == 5
+
+
+def test_cdf_predicate_and_columns(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df, configuration=CDF_CONF)
+    t = DeltaTable(tmp_table)
+    rows = t.load_cdf(
+        predicate="price >= 3", columns=["id", "_change_type"]
+    ).collect()
+    assert len(rows) == 2
+    assert set(rows[0].asDict()) == {"id", "_change_type"}

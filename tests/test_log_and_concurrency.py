@@ -1,0 +1,120 @@
+"""Log internals + OCC conflicts (reference test model:
+crates/test/src/concurrent.rs, python/tests/test_threaded.py)."""
+
+import json
+import threading
+
+import pytest
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import (
+    Add,
+    CommitInfo,
+    Metadata,
+    Protocol,
+    Remove,
+    Txn,
+    action_to_line,
+    parse_action,
+)
+from delta_rs_spark.log.commit import (
+    ConcurrentDeleteDeleteError,
+    MetadataChangedError,
+    TransactionInfo,
+)
+
+
+def test_action_json_roundtrip():
+    for a in [
+        Protocol(1, 2),
+        Metadata(schema_string="{}", partition_columns=["x"], configuration={"k": "v"}),
+        Add("p.parquet", 10, 123, True, {"x": "1"}, stats='{"numRecords":5}'),
+        Remove("p.parquet", 456, True),
+        Txn("app", 7),
+        CommitInfo("WRITE", {"mode": "Append"}),
+    ]:
+        line = action_to_line(a)
+        b = parse_action(line)
+        assert type(b) is type(a)
+        assert action_to_line(b) == line or isinstance(a, CommitInfo)
+
+
+def test_unknown_action_ignored():
+    assert parse_action(json.dumps({"futureAction": {"x": 1}})) is None
+
+
+def test_concurrent_appends_both_succeed(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    errors = []
+
+    def appender():
+        try:
+            write_deltalake(tmp_table, sample_df, mode="append")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=appender) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    t = DeltaTable(tmp_table)
+    assert t.count() == 25
+    assert t.version() == 4  # 4 retried appends stacked up
+
+
+def test_conflict_delete_delete(tmp_table, spark, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    snap = snap_mod.load_snapshot(tmp_table)
+    victim = next(iter(snap.files))
+    rm = Remove(victim, 1, True)
+    commit_mod.commit(
+        tmp_table, [rm], CommitInfo("DELETE", {}), snap.version,
+        TransactionInfo(blind_append=False, read_files={victim}),
+    )
+    # a second writer that had read the same base version and removes the
+    # same file must fail with ConcurrentDeleteDelete
+    with pytest.raises(ConcurrentDeleteDeleteError):
+        commit_mod.commit(
+            tmp_table, [Remove(victim, 2, True)], CommitInfo("DELETE", {}),
+            snap.version, TransactionInfo(blind_append=False, read_files={victim}),
+        )
+
+
+def test_conflict_metadata_changed(tmp_table, spark, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    base = t.version()
+    t.alter.set_table_properties({"foo": "bar"})
+    with pytest.raises(MetadataChangedError):
+        commit_mod.commit(
+            tmp_table, [], CommitInfo("DELETE", {}), base,
+            TransactionInfo(blind_append=False, read_whole_table=True),
+        )
+
+
+def test_blind_append_never_conflicts(tmp_table, spark, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    base = t.version()
+    t.delete("price = 0")  # concurrent mutation wins first
+    # blind append on the stale base version retries and lands
+    add = Add("bogus.parquet", 1, 1, True, {}, stats='{"numRecords":0}')
+    v = commit_mod.commit(
+        tmp_table, [add], CommitInfo("WRITE", {"mode": "Append"}), base,
+        TransactionInfo(blind_append=True),
+    )
+    assert v == base + 2
+
+
+def test_checkpoint_preserves_tombstones_and_txns(tmp_table, spark, sample_df):
+    write_deltalake(tmp_table, sample_df, txn_app_id="x", txn_version=3)
+    t = DeltaTable(tmp_table)
+    t.delete("price = 0")
+    t.create_checkpoint()
+    snap = snap_mod.load_snapshot(tmp_table)
+    assert snap.txns["x"].version == 3
+    assert any(r.path for r in snap.tombstones)

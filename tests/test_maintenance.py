@@ -1,0 +1,155 @@
+"""OPTIMIZE/VACUUM/RESTORE/FSCK/ALTER/CONVERT/GENERATE/checkpoint
+(reference test model: python/tests/test_optimize.py, test_vacuum.py,
+test_restore.py, test_constraint.py, test_checkpoint.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_rs_spark import DeltaTable, convert_to_deltalake, write_deltalake
+from delta_rs_spark.log.commit import DeltaError
+
+
+def test_optimize_compact(spark, tmp_table, sample_df):
+    for _ in range(4):
+        write_deltalake(tmp_table, sample_df, mode="append")
+    t = DeltaTable(tmp_table)
+    n_before = len(t.files())
+    m = t.optimize.compact()
+    assert m["numFilesRemoved"] == n_before and m["numFilesAdded"] >= 1
+    assert len(t.files()) < n_before
+    assert t.count() == 20  # data unchanged
+
+
+def test_optimize_zorder(spark, tmp_table, lineitem):
+    write_deltalake(tmp_table, lineitem.repartition(4))
+    t = DeltaTable(tmp_table)
+    n = t.count()
+    m = t.optimize.z_order(["l_orderkey", "l_partkey"])
+    assert m["numFilesAdded"] >= 1
+    assert t.count() == n
+    # z-ordered files should be selective on the leading column
+    from delta_rs_spark.plans.skipping import prune_files
+
+    adds = list(t._snapshot.files.values())
+    if len(adds) > 1:
+        kept = prune_files(adds, "l_orderkey < 100", [])
+        assert len(kept) < len(adds)
+
+
+def test_vacuum(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    write_deltalake(tmp_table, sample_df, mode="overwrite")
+    t = DeltaTable(tmp_table)
+    # files tombstoned just now: respect retention -> nothing deletable
+    assert t.vacuum(dry_run=True) == []
+    with pytest.raises(DeltaError):
+        t.vacuum(retention_hours=0)  # below configured minimum
+    cands = t.vacuum(retention_hours=0, dry_run=True, enforce_retention_duration=False)
+    assert len(cands) >= 1
+    deleted = t.vacuum(retention_hours=0, dry_run=False, enforce_retention_duration=False)
+    for rel in deleted:
+        assert not os.path.exists(os.path.join(tmp_table, rel))
+    assert t.to_df().count() == 5  # active data intact
+
+
+def test_restore(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    write_deltalake(tmp_table, sample_df.limit(1), mode="overwrite")
+    t = DeltaTable(tmp_table)
+    assert t.count() == 1
+    m = t.restore(0)
+    assert m["numRestoredFiles"] >= 1
+    assert t.count() == 5
+    hist = t.history(1)
+    assert hist[0]["operation"] == "RESTORE"
+
+
+def test_fsck_repair(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    write_deltalake(tmp_table, sample_df, mode="append")
+    t = DeltaTable(tmp_table)
+    victim = t.files()[0]
+    os.unlink(os.path.join(tmp_table, victim))
+    res = t.repair(dry_run=True)
+    assert res["files_removed"] == [victim]
+    res = t.repair()
+    assert res["files_removed"] == [victim]
+    assert victim not in t.files()
+    t.to_df().count()  # scan works again
+
+
+def test_constraints(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    t.alter.add_constraint({"price_nonneg": "price >= 0"})
+    with pytest.raises(DeltaError):
+        t.alter.add_constraint({"impossible": "price > 100"})  # existing rows violate
+    bad = spark.createDataFrame(
+        [("9", -5, 0, False)], "id string, price long, sold int, deleted boolean"
+    )
+    with pytest.raises(DeltaError):
+        write_deltalake(tmp_table, bad, mode="append")
+    t.alter.drop_constraint("price_nonneg")
+    write_deltalake(tmp_table, bad, mode="append")  # allowed now
+    t.refresh()
+    assert t.count() == 6
+
+
+def test_add_columns_and_properties(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    t.alter.add_columns([T.StructField("note", T.StringType())])
+    assert "note" in [f.name for f in t.schema().fields]
+    assert t.to_df().select("note").distinct().collect()[0][0] is None
+    t.alter.set_table_properties({"delta.enableChangeDataFeed": "true"})
+    assert t.metadata().configuration["delta.enableChangeDataFeed"] == "true"
+    t.alter.set_table_name("mytable")
+    t.alter.set_column_metadata("id", {"comment": "primary key"})
+    assert t.metadata().name == "mytable"
+    assert t.schema()["id"].metadata["comment"] == "primary key"
+
+
+def test_checkpoint_roundtrip(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    for _ in range(3):
+        write_deltalake(tmp_table, sample_df, mode="append")
+    t = DeltaTable(tmp_table)
+    t.create_checkpoint()
+    # drop early commit JSONs; snapshot must still load from checkpoint
+    n = t.cleanup_metadata(retention_hours=0)
+    assert n >= 0
+    t2 = DeltaTable(tmp_table)
+    assert t2.count() == 20
+    write_deltalake(tmp_table, sample_df, mode="append")
+    assert DeltaTable(tmp_table).count() == 25
+
+
+def test_convert_to_delta(spark, tmp_path, lineitem):
+    raw = str(tmp_path / "plainparquet")
+    lineitem.limit(500).write.partitionBy("l_returnflag").parquet(raw)
+    convert_to_deltalake(raw, spark=spark)
+    t = DeltaTable(raw)
+    assert t.count() == 500
+    assert t.partition_columns() == ["l_returnflag"]
+    # partition col values come from dir names
+    flags = {r[0] for r in t.to_df().select("l_returnflag").distinct().collect()}
+    assert flags <= {"A", "N", "R"}
+
+
+def test_generate_manifest(spark, tmp_table, lineitem):
+    write_deltalake(tmp_table, lineitem.limit(100), partition_by=["l_returnflag"])
+    from delta_rs_spark.operators.generate import generate_symlink_manifest
+
+    files = generate_symlink_manifest(tmp_table)
+    assert files
+    content = open(files[0]).read().strip().splitlines()
+    assert all(line.startswith("file://") for line in content)
+
+
+def test_is_deltatable(tmp_table, spark, sample_df):
+    assert not DeltaTable.is_deltatable(tmp_table)
+    write_deltalake(tmp_table, sample_df)
+    assert DeltaTable.is_deltatable(tmp_table)

@@ -1,0 +1,143 @@
+"""DELETE/UPDATE/MERGE (reference test model: python/tests/test_delete.py,
+test_update.py, test_merge.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.log.commit import DeltaError
+from delta_rs_spark.operators.merge import MergeError
+
+
+def _tbl(tmp_table, df):
+    write_deltalake(tmp_table, df)
+    return DeltaTable(tmp_table)
+
+
+def test_delete_all(spark, tmp_table, sample_df):
+    t = _tbl(tmp_table, sample_df)
+    m = t.delete()
+    assert m["num_removed_files"] >= 1 and m["num_added_files"] == 0
+    assert t.count() == 0
+
+
+def test_delete_predicate(spark, tmp_table, sample_df):
+    t = _tbl(tmp_table, sample_df)
+    m = t.delete("price >= 3")
+    assert m["num_deleted_rows"] == 2
+    assert sorted(r.id for r in t.to_df().collect()) == ["1", "2", "3"]
+
+
+def test_delete_partition_metadata_only(spark, tmp_table, lineitem):
+    write_deltalake(tmp_table, lineitem, partition_by=["l_returnflag"])
+    t = DeltaTable(tmp_table)
+    m = t.delete("l_returnflag = 'A'")
+    # partition-only predicate -> pure metadata op, nothing rewritten
+    assert m["num_added_files"] == 0 and m["num_removed_files"] >= 1
+    assert t.to_df(predicate="l_returnflag = 'A'").count() == 0
+    assert t.to_df().count() == lineitem.filter("l_returnflag != 'A'").count()
+
+
+def test_delete_null_semantics(spark, tmp_table):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, v double"
+    )
+    t = _tbl(tmp_table, df)
+    t.delete("v > 15")  # null v rows must be KEPT (NOT(pred IS TRUE))
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 2]
+
+
+def test_update(spark, tmp_table, sample_df):
+    t = _tbl(tmp_table, sample_df)
+    m = t.update({"price": "price * 10"}, predicate="sold >= 3")
+    assert m["num_updated_rows"] == 2
+    rows = {r.id: r.price for r in t.to_df().collect()}
+    assert rows == {"1": 0, "2": 1, "3": 2, "4": 30, "5": 40}
+
+
+def test_update_no_predicate(spark, tmp_table, sample_df):
+    t = _tbl(tmp_table, sample_df)
+    m = t.update({"deleted": "true"})
+    assert m["num_updated_rows"] == 5
+    assert all(r.deleted for r in t.to_df().collect())
+
+
+def test_update_partition_column_rejected(spark, tmp_table, lineitem):
+    write_deltalake(tmp_table, lineitem, partition_by=["l_returnflag"])
+    with pytest.raises(DeltaError):
+        DeltaTable(tmp_table).update({"l_returnflag": "'X'"})
+
+
+def test_merge_upsert(spark, tmp_table, sample_df):
+    t = _tbl(tmp_table, sample_df)
+    src = spark.createDataFrame(
+        [("4", 400, 40, False), ("9", 900, 90, False)],
+        "id string, price long, sold int, deleted boolean",
+    )
+    m = (
+        t.merge(src, "target.id = source.id")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    assert m["num_target_rows_updated"] == 1
+    assert m["num_target_rows_inserted"] == 1
+    rows = {r.id: r.price for r in t.to_df().collect()}
+    assert rows["4"] == 400 and rows["9"] == 900 and len(rows) == 6
+
+
+def test_merge_clause_order(spark, tmp_table, sample_df):
+    """First matching clause wins (reference: ordered WHEN semantics)."""
+    t = _tbl(tmp_table, sample_df)
+    src = spark.createDataFrame([("1",), ("2",)], "id string")
+    (
+        t.merge(src, "target.id = source.id")
+        .when_matched_delete(predicate="target.price = 0")
+        .when_matched_update({"sold": "target.sold + 100"})
+        .execute()
+    )
+    rows = {r.id: r.sold for r in t.to_df().collect()}
+    assert "1" not in rows  # deleted by first clause
+    assert rows["2"] == 101  # second clause applied
+
+
+def test_merge_not_matched_by_source(spark, tmp_table, sample_df):
+    t = _tbl(tmp_table, sample_df)
+    src = spark.createDataFrame([("1",)], "id string")
+    (
+        t.merge(src, "target.id = source.id")
+        .when_not_matched_by_source_delete(predicate="target.price >= 3")
+        .execute()
+    )
+    assert sorted(r.id for r in t.to_df().collect()) == ["1", "2", "3"]
+
+
+def test_merge_duplicate_match_error(spark, tmp_table, sample_df):
+    t = _tbl(tmp_table, sample_df)
+    dup = spark.createDataFrame([("1", 1), ("1", 2)], "id string, price long")
+    with pytest.raises(MergeError):
+        t.merge(dup, "target.id = source.id").when_matched_update(
+            {"price": "source.price"}
+        ).execute()
+
+
+def test_merge_insert_only_rewrites_nothing(spark, tmp_table, sample_df):
+    t = _tbl(tmp_table, sample_df)
+    src = spark.createDataFrame(
+        [("7", 70, 7, False)], "id string, price long, sold int, deleted boolean"
+    )
+    m = t.merge(src, "target.id = source.id").when_not_matched_insert_all().execute()
+    assert m["num_target_files_removed"] == 0
+    assert t.count() == 6
+
+
+def test_merge_insert_partial_columns(spark, tmp_table, sample_df):
+    t = _tbl(tmp_table, sample_df)
+    src = spark.createDataFrame([("8", 80)], "id string, price long")
+    (
+        t.merge(src, "target.id = source.id")
+        .when_not_matched_insert({"id": "source.id", "price": "source.price"})
+        .execute()
+    )
+    row = [r for r in t.to_df().collect() if r.id == "8"][0]
+    assert row.price == 80 and row.sold is None and row.deleted is None

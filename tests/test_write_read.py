@@ -1,0 +1,157 @@
+"""Write/read round-trips (reference test model: python/tests/test_writer.py,
+test_table_read.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.log.commit import DeltaError
+from delta_rs_spark.writer import SchemaMismatchError, TableExistsError
+
+
+def test_roundtrip(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    dt_ = DeltaTable(tmp_table)
+    assert dt_.version() == 0
+    assert dt_.count() == 5
+    got = sorted((r.id, r.price) for r in dt_.to_df().collect())
+    assert got == [("1", 0), ("2", 1), ("3", 2), ("4", 3), ("5", 4)]
+    assert dt_.schema()["price"].dataType == T.LongType()
+
+
+def test_mode_error_and_ignore(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    with pytest.raises(TableExistsError):
+        write_deltalake(tmp_table, sample_df, mode="error")
+    write_deltalake(tmp_table, sample_df, mode="ignore")  # no-op
+    assert DeltaTable(tmp_table).version() == 0
+
+
+def test_append_overwrite(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    write_deltalake(tmp_table, sample_df, mode="append")
+    t = DeltaTable(tmp_table)
+    assert t.count() == 10
+    write_deltalake(tmp_table, sample_df.limit(2), mode="overwrite")
+    t.refresh()
+    assert t.count() == 2
+    assert t.version() == 2
+
+
+def test_schema_enforcement(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    bad = sample_df.withColumn("extra", F.lit(1))
+    with pytest.raises(SchemaMismatchError):
+        write_deltalake(tmp_table, bad, mode="append")
+
+
+def test_schema_merge(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    evolved = sample_df.withColumn("extra", F.lit(7))
+    write_deltalake(tmp_table, evolved, mode="append", schema_mode="merge")
+    t = DeltaTable(tmp_table)
+    assert "extra" in [f.name for f in t.schema().fields]
+    rows = t.to_df().collect()
+    assert len(rows) == 10
+    extras = {r.extra for r in rows}
+    assert extras == {None, 7}
+
+
+def test_partitioned_write_and_pruning(spark, tmp_table, lineitem):
+    write_deltalake(tmp_table, lineitem, partition_by=["l_returnflag"])
+    t = DeltaTable(tmp_table)
+    all_files = t.files()
+    pruned = t.files([("l_returnflag", "=", "A")])
+    assert 0 < len(pruned) < len(all_files)
+    n_a = t.to_df(predicate="l_returnflag = 'A'").count()
+    assert n_a == lineitem.filter("l_returnflag = 'A'").count()
+    # partition values round-trip
+    parts = t.partitions()
+    assert {p["l_returnflag"] for p in parts} == {"A", "N", "R"}
+
+
+def test_stats_skipping(spark, tmp_table, lineitem):
+    # several files so min/max skipping can drop some
+    write_deltalake(tmp_table, lineitem.repartitionByRange(4, "l_orderkey"))
+    t = DeltaTable(tmp_table)
+    from delta_rs_spark.plans.skipping import prune_files
+
+    adds = list(t._snapshot.files.values())
+    assert len(adds) >= 3
+    lo = prune_files(adds, "l_orderkey < 10", [])
+    assert len(lo) < len(adds)
+    n = t.to_df(predicate="l_orderkey < 10").count()
+    assert n == lineitem.filter("l_orderkey < 10").count()
+
+
+def test_time_travel(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    write_deltalake(tmp_table, sample_df, mode="append")
+    t = DeltaTable(tmp_table)
+    assert t.count() == 10
+    t.load_as_version(0)
+    assert t.count() == 5
+    assert t.version() == 0
+
+
+def test_timestamp_time_travel(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    t0 = DeltaTable(tmp_table)
+    ts0 = t0._snapshot.commit_timestamps[0]
+    write_deltalake(tmp_table, sample_df, mode="append")
+    t = DeltaTable(tmp_table)
+    t.load_as_version(dt.datetime.fromtimestamp(ts0 / 1000, dt.timezone.utc))
+    assert t.version() == 0
+
+
+def test_replace_where_validation(spark, tmp_table, lineitem):
+    write_deltalake(tmp_table, lineitem, partition_by=["l_returnflag"])
+    bad = lineitem.limit(50)  # mixed flags violate the predicate
+    with pytest.raises(DeltaError):
+        write_deltalake(tmp_table, bad, mode="overwrite", predicate="l_returnflag = 'A'")
+
+
+def test_metadata_count_no_scan(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    assert t._snapshot.num_records() == 5  # pure metadata
+
+
+def test_txn_idempotent_writes(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df, txn_app_id="app1", txn_version=1)
+    write_deltalake(
+        tmp_table, sample_df, mode="append", txn_app_id="app1", txn_version=1
+    )  # replay: skipped
+    t = DeltaTable(tmp_table)
+    assert t.count() == 5
+    assert t.transaction_version("app1") == 1
+    write_deltalake(
+        tmp_table, sample_df, mode="append", txn_app_id="app1", txn_version=2
+    )
+    t.refresh()
+    assert t.count() == 10
+
+
+def test_get_add_actions_and_history(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    write_deltalake(tmp_table, sample_df, mode="append")
+    t = DeltaTable(tmp_table)
+    aa = t.get_add_actions(flatten=True)
+    assert aa.num_rows == len(t.files())
+    assert "num_records" in aa.column_names
+    hist = t.history()
+    assert [h["operation"] for h in hist] == ["WRITE", "WRITE"]
+    assert hist[0]["version"] == 1
+
+
+def test_create_table_then_append(spark, tmp_table, sample_df):
+    DeltaTable.create(tmp_table, sample_df.schema, partition_by=["id"])
+    t = DeltaTable(tmp_table)
+    assert t.count() == 0
+    assert t.partition_columns() == ["id"]
+    write_deltalake(tmp_table, sample_df, mode="append")
+    t.refresh()
+    assert t.count() == 5
