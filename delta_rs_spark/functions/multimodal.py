@@ -1,0 +1,145 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The Spark-side plumbing is real and tested — schema conventions, Arrow
+batch shape, mapInPandas partition flow, partitioning by media type —
+while the codec itself is stubbed: this container has no image/audio
+libraries, so ``decode_image``/``decode_audio`` raise
+NotImplementedError unless ``fake=True``, which substitutes a
+deterministic byte-derived feature extractor (stable across runs, good
+enough to exercise the whole distributed pipeline end-to-end).
+
+Column convention: a media column is a struct<data: binary,
+media_type: string, meta: map<string,string>> — the pattern the
+reference's variant/binary types support (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("sha", T.StringType()),
+    ]
+)
+
+
+def pack_media(data: Column, media_type: Column | str, meta: Column | None = None) -> Column:
+    mt = F.lit(media_type) if isinstance(media_type, str) else media_type
+    return F.struct(
+        data.alias("data"),
+        mt.alias("media_type"),
+        (meta if meta is not None else F.create_map()).alias("meta"),
+    )
+
+
+def _payload_of(cell) -> bytes:
+    """Media cell -> raw bytes: accepts the struct convention (dict with
+    'data') or a bare binary column."""
+    if cell is None:
+        return b""
+    if isinstance(cell, (bytes, bytearray)):
+        return bytes(cell)
+    return bytes(cell["data"] or b"")
+
+
+def _fake_image_features(payload: bytes) -> dict:
+    """Deterministic stand-in for a real decoder: derives pseudo
+    dimensions and channel means from a digest of the bytes."""
+    h = hashlib.sha256(payload or b"").digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "mean_r": round(h[2] / 255.0, 6),
+        "mean_g": round(h[3] / 255.0, 6),
+        "mean_b": round(h[4] / 255.0, 6),
+        "sha": hashlib.sha256(payload or b"").hexdigest()[:16],
+    }
+
+
+def extract_image_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    fake: bool = False,
+    batch_size_hint: int = 1024,
+) -> DataFrame:
+    """Decode + feature-extract images via mapInPandas (Arrow batches,
+    one python worker per partition — the only sane shape for
+    CPU-decoding media at scale; real decode would call PIL/libvips here)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(IMAGE_FEATURES_SCHEMA.fields)
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decoding requires an image library not present in "
+                    "this environment; pass fake=True for the deterministic stub"
+                )
+            feats = [
+                _fake_image_features(_payload_of(row)) for row in pdf[media_col]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    narrowed = df.select(id_col, media_col)
+    return narrowed.mapInPandas(op, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    every_n: int = 10,
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame sampling stub: emits (id, frame_no, frame_sha) rows —
+    one output row per sampled frame, demonstrating the 1->N mapInPandas
+    expansion shape used by real frame extractors."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame_sha", T.StringType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decoding unavailable; pass fake=True for the stub"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = _payload_of(r[media_col])
+                n_frames = 1 + (len(payload) % 50)
+                for fno in range(0, n_frames, every_n):
+                    sha = hashlib.sha256(payload + fno.to_bytes(4, "little")).hexdigest()[:12]
+                    rows.append({id_col: r[id_col], "frame_no": fno, "frame_sha": sha})
+            yield pd.DataFrame(rows, columns=[id_col, "frame_no", "frame_sha"])
+
+    return df.select(id_col, media_col).mapInPandas(op, out_schema)

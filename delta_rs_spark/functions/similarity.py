@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact scan: dot products as JVM-side
+  array expressions (F.aggregate/zip_with in double precision), then a
+  top-k sort. The baseline every ANN variant is measured against; on a
+  cluster this is one map + one k-row reduce, no shuffle of the vectors.
+* ``lsh_topk`` — random-hyperplane LSH: bucket every vector by the sign
+  bits of ``n_planes`` seeded hyperplane projections; only the query's
+  bucket (plus hamming<=1 neighbor buckets) is scanned. The scale path:
+  the bucket id is a partitioning key, so a query touches a handful of
+  partitions instead of the full corpus.
+* ``ivf_assign/ivf_topk`` — IVF-style coarse quantizer built from a
+  deterministic sample of the corpus itself (k seed centroids), probe
+  the ``n_probe`` nearest lists.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _query_vec_column(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+    Ties broken by id for determinism."""
+    q = _query_vec_column(query_vec)
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine(F.col(vec_col), q), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG; no numpy needed
+    at plan-build time, reproducible across runs/sessions)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        n = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / n for x in row])
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from hyperplane projections."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec_col, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only vectors whose LSH bucket is within
+    hamming distance 1 of the query's bucket."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) >= 0:
+            qb |= 1 << i
+    neighbor_buckets = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
+    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("__bucket").isin(neighbor_buckets))
+    q = _query_vec_column(query_vec)
+    return (
+        cand.select(
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col), q), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse assignment: centroids = deterministic corpus sample
+    (first n_lists ids), each vector assigned to its nearest centroid.
+    Returns (assigned df with __list column, centroids)."""
+    seeds = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_lists)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    centroids = [(i, list(r[vec_col])) for i, r in enumerate(seeds)]
+    # argmax via array_max over (score, idx) structs — linear expression
+    # size (a nested CASE chain would duplicate subtrees exponentially)
+    pairs = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in centroids
+        ]
+    )
+    return df.withColumn("__list", F.array_max(pairs)["i"]), centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k probing the n_probe nearest inverted lists."""
+    assigned, centroids = ivf_assign(df, n_lists, vec_col, id_col)
+    ranked = sorted(
+        centroids,
+        key=lambda c: -sum(x * y for x, y in zip(query_vec, c[1]))
+        / (math.sqrt(sum(x * x for x in c[1])) or 1.0),
+    )
+    probe = [i for i, _ in ranked[:n_probe]]
+    q = _query_vec_column(query_vec)
+    return (
+        assigned.filter(F.col("__list").isin(probe))
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col), q), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )

@@ -1,0 +1,118 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` expressions
+(JVM-side, whole-stage-codegen) — no Python UDFs — so these run at full
+scan speed over 100 TB of documents. Each helper returns Column
+expressions composable with any DataFrame pipeline.
+
+Formulas are deliberately engine-neutral (length / regexp counts /
+md5) so the DuckDB oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Language marker stopwords (tiny n-gram-free heuristic; the standard
+# fasttext-style classifier would slot in as a pandas_udf, but a marker
+# lexicon is deterministic and cross-engine reproducible).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|was|that|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|mit)\b",
+    "es": r"\b(el|la|los|las|es|y|un|una|que)\b",
+    "fr": r"\b(le|la|les|et|est|un|une|dans|que)\b",
+    "zh": r"[一-鿿]",
+}
+
+STOPWORD_RE = r"\b(the|a|an|of|and|to|in|is|was)\b"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (BPE-ish splitting belongs in a pandas_udf
+    with a real tokenizer; whitespace is the deterministic baseline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def stopword_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(STOPWORD_RE), F.lit(0)))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[.,;:!?]"), F.lit(0)))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards mid-length docs with
+    a sane stopword ratio, penalizes punctuation soup. The shape follows
+    the usual Gopher/C4-style length+stopword filters."""
+    n_tok = token_count(col).cast("double")
+    n_char = char_count(col).cast("double")
+    sw = stopword_count(col).cast("double")
+    pn = punct_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    sw_ratio = sw / F.greatest(n_tok, F.lit(1.0))
+    sw_score = F.least(sw_ratio * F.lit(4.0), F.lit(1.0))
+    punct_penalty = F.least(pn / F.greatest(n_char, F.lit(1.0)) * F.lit(10.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_score + F.lit(0.5) * sw_score - F.lit(0.25) * punct_penalty, 6
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-lexicon language ID over LANG_MARKERS; highest marker count
+    wins (ties broken by language code order), 'und' when no marker hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    counts = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(rx), F.lit(0)))
+        for lang, rx in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    for lang in reversed(sorted(counts)):  # ascending code order wins ties
+        expr = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (cross-engine deterministic; xxhash64 is faster JVM-side but not
+    reproducible in the oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (input to MinHash)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience projection with all text metrics attached."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_m"),
+        stopword_count(text_col).alias("n_stopwords"),
+        punct_count(text_col).alias("n_punct"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

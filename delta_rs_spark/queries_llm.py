@@ -1,0 +1,237 @@
+"""LLM-data-pipeline query suite: dedup / similarity / text analysis /
+multimodal over the ``documents`` and ``embeddings`` tables.
+
+Same registry + oracle conventions as queries.py. Hash-based operators
+(MinHash, SimHash, LSH, IVF) have no cross-engine SQL equivalent
+(xxhash64 is JVM-specific) -> no oracle entry; the driver records a
+rows-only check for those, and tests/test_llm_ops.py pins their
+semantics against the exact operators instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_rs_spark.functions import dedup as D
+from delta_rs_spark.functions import similarity as S
+from delta_rs_spark.functions import text as X
+from delta_rs_spark.functions.multimodal import extract_image_features, pack_media
+from delta_rs_spark.queries import query
+from delta_rs_spark.sources.tpch import load_table
+
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_doc_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS n_tokens,
+           length(text) AS n_chars_m,
+           len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}')) AS n_stopwords,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           {_FP_SQL} AS fp
+    FROM documents
+    """,
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.char_count("text").alias("n_chars_m"),
+        X.stopword_count("text").alias("n_stopwords"),
+        X.punct_count("text").alias("n_punct"),
+        X.fingerprint("text").alias("fp"),
+    )
+
+
+@query(
+    "llm_doc_quality",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL})::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}'))::DOUBLE AS sw,
+             len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS pn
+      FROM documents)
+    SELECT doc_id,
+           round(0.5 * least(n_tok / 64.0, 1.0)
+               + 0.5 * least(sw / greatest(n_tok, 1.0) * 4.0, 1.0)
+               - 0.25 * least(pn / greatest(n_char, 1.0) * 10.0, 1.0), 6) AS quality
+    FROM m
+    """,
+)
+def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+def _lang_oracle() -> str:
+    counts = ",\n             ".join(
+        f"len(regexp_extract_all(lower(text), '{rx}')) AS c_{lang}"
+        for lang, rx in X.LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in X.LANG_MARKERS) + ")"
+    whens = "\n             ".join(
+        f"WHEN c_{lang} > 0 AND c_{lang} = {best} THEN '{lang}'"
+        for lang in sorted(X.LANG_MARKERS)
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             {counts}
+      FROM documents)
+    SELECT doc_id,
+           CASE {whens}
+                ELSE 'und' END AS lang_pred
+    FROM m
+    """
+
+
+@query("llm_lang_id", _lang_oracle())
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_dedup_exact",
+    f"""
+    SELECT doc_id, {_FP_SQL} AS fp FROM documents
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the corpus unioned with a shifted copy of itself
+    (ids + 1e6): the survivors must be exactly the original ids."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.union(docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    kept = D.dedup_exact(doubled, "text", "doc_id")
+    return kept.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+@query(
+    "llm_duplicate_groups",
+    f"""
+    SELECT {_FP_SQL} AS fp, 2 AS n_copies, doc_id AS keep_id FROM documents
+    """,
+)
+def llm_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.union(docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return D.duplicate_groups(doubled, "text", "doc_id").select(
+        "fp", "n_copies", "keep_id"
+    )
+
+
+@query(
+    "llm_ngram_jaccard_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+    sh AS (SELECT doc_id,
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')) END AS shingles
+      FROM w),
+    toks AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh),
+    sizes AS (SELECT doc_id, count(*) n FROM toks GROUP BY 1),
+    ov AS (SELECT a.doc_id ia, b.doc_id ib, count(*) nc
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b,
+           round(nc * 1.0 / (sa.n + sb.n - nc), 4) AS jaccard
+    FROM ov JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+    WHERE nc * 1.0 / (sa.n + sb.n - nc) >= 0.2
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.2, shingle_size=3)
+
+
+@query("llm_minhash_lsh_candidates", None)  # xxhash-based: rows-only check
+def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.2)
+
+
+@query("llm_simhash_signatures", None)  # xxhash-based: rows-only check
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+@query(
+    "llm_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+
+
+@query(
+    "llm_cosine_topk",
+    """
+    SELECT vec_id AS id,
+           round(list_cosine_similarity(embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS score
+    FROM embeddings
+    ORDER BY score DESC, id ASC
+    LIMIT 10
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+@query("llm_lsh_topk", None)  # approximate: rows-only; recall pinned in tests
+def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+@query("llm_ivf_topk", None)  # approximate: rows-only; recall pinned in tests
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+# --------------------------------------------------------------------------
+# Multimodal (deterministic fake decode -> rows-only)
+# --------------------------------------------------------------------------
+
+@query("llm_multimodal_features", None)
+def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        pack_media(
+            F.encode("text", "utf-8"), "image/fake", F.create_map(F.lit("src"), F.col("source"))
+        ).alias("media"),
+    )
+    return extract_image_features(media, media_col="media", id_col="doc_id", fake=True)
