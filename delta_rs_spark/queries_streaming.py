@@ -1,0 +1,81 @@
+"""Streaming-shaped window queries (batch-replayable -> oracle-checkable).
+
+The window operators in streaming/windows.py are definition-identical in
+batch and streaming mode; the driver's oracle checks them in batch
+replay over the events table, and tests/test_streaming.py runs the same
+definitions as live streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_rs_spark.queries import query
+from delta_rs_spark.sources.tpch import load_table
+from delta_rs_spark.streaming.windows import (
+    session_aggregates,
+    sliding_value_sums,
+    tumbling_counts,
+)
+
+
+@query(
+    "q_events_sliding_window",
+    """
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
+    assigned AS (
+      SELECT CAST(floor(epoch(t) / 1800) * 1800 AS BIGINT) AS window_start, value FROM ev
+      UNION ALL
+      SELECT CAST(floor(epoch(t) / 1800) * 1800 - 1800 AS BIGINT) AS window_start, value FROM ev
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM assigned GROUP BY window_start
+    """,
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_value_sums(ev, "1 hour", "30 minutes")
+
+
+@query(
+    "q_events_session_agg",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value, event_id FROM events),
+    marked AS (
+      SELECT user_id, t, value,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    sessions AS (
+      SELECT user_id, t, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           CAST(floor(epoch(min(t))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(t))) + 1800 AS BIGINT) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_aggregates(ev, "30 minutes")
+
+
+@query(
+    "q_events_tumbling_typed",
+    """
+    SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev, "1 hour")

@@ -1,0 +1,150 @@
+"""Structured Streaming: sources, exactly-once Delta sink, CDF follower,
+windows (streaming results must equal their batch replay)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.log.commit import DeltaError
+from delta_rs_spark.sources.tpch import _EVENTS_SCHEMA, load_table
+from delta_rs_spark.streaming.delta_stream import (
+    CdfFollower,
+    delta_sink_batch,
+    read_append_stream,
+    write_stream_to_delta,
+)
+from delta_rs_spark.streaming.windows import session_aggregates, tumbling_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_stream(spark):
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    stream = tumbling_counts(_events_stream(spark), "1 hour", watermark="1 hour")
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in tumbling_counts(load_table(spark, SF, "events"), "1 hour").collect()
+    }
+    assert got == batch
+
+
+def test_exactly_once_sink_replay(spark, tmp_path, sample_df):
+    table = str(tmp_path / "sink")
+    sink = delta_sink_batch(table, app_id="q1")
+    sink(sample_df, 0)
+    sink(sample_df, 0)  # replayed batch after recovery: must be a no-op
+    sink(sample_df, 1)
+    t = DeltaTable(table)
+    assert t.count() == 10
+    assert t.transaction_version("q1") == 1
+
+
+def test_write_stream_to_delta_end_to_end(spark, tmp_path):
+    table = str(tmp_path / "events_delta")
+    q = write_stream_to_delta(
+        _events_stream(spark),
+        table,
+        checkpoint_location=str(tmp_path / "ckpt2"),
+        app_id="ingest",
+    )
+    q.processAllAvailable()
+    q.stop()
+    t = DeltaTable(table)
+    assert t.count() == load_table(spark, SF, "events").count()
+    # restart from the same checkpoint: no duplicate ingestion
+    q2 = write_stream_to_delta(
+        _events_stream(spark),
+        table,
+        checkpoint_location=str(tmp_path / "ckpt2"),
+        app_id="ingest",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    t.refresh()
+    assert t.count() == load_table(spark, SF, "events").count()
+
+
+def test_read_append_stream(spark, tmp_path, sample_df):
+    table = str(tmp_path / "appendonly")
+    write_deltalake(table, sample_df)
+    write_deltalake(table, sample_df, mode="append")
+    stream = read_append_stream(spark, table)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tail_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) FROM tail_out").collect()[0][0] == 10
+
+
+def test_read_append_stream_rejects_rewritten(spark, tmp_path, sample_df):
+    table = str(tmp_path / "rewritten")
+    write_deltalake(table, sample_df)
+    DeltaTable(table).delete("price = 0")
+    with pytest.raises(DeltaError):
+        read_append_stream(spark, table)
+
+
+def test_cdf_follower(spark, tmp_path, sample_df):
+    table = str(tmp_path / "cdft")
+    write_deltalake(
+        table, sample_df, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    f = CdfFollower(spark, table)
+    first = f.poll()
+    assert first is not None
+    assert {r["_change_type"] for r in first.collect()} == {"insert"}
+    assert f.poll() is None  # caught up
+    DeltaTable(table).delete("price >= 3")
+    second = f.poll()
+    assert {r["_change_type"] for r in second.collect()} == {"delete"}
+    assert second.count() == 2
+
+
+def test_session_window_batch(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),   # same session
+        (1, base + dt.timedelta(minutes=70), 3.0),   # new session (gap 60m)
+        (2, base, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ts timestamp, value double")
+    out = session_aggregates(df, "30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2
+    assert len(by_user[2]) == 1
+    s1 = sorted(by_user[1], key=lambda r: r.session_start)
+    assert s1[0].n_events == 2 and s1[0].total_value == 3.0
+    assert s1[0].session_end == s1[0].session_start + 10 * 60 + 30 * 60
