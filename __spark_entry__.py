@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import delta_rs_spark.queries  # noqa: F401  (relational plane)
 import delta_rs_spark.queries_llm  # noqa: F401  (dedup/similarity/text/multimodal)
 import delta_rs_spark.queries_streaming  # noqa: F401  (window operators, batch replay)
+import delta_rs_spark.queries_delta  # noqa: F401  (Delta table operations, SURVEY §2A)
 
 from delta_rs_spark.queries import registry
 

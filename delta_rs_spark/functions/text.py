@@ -14,15 +14,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Language marker stopwords (tiny n-gram-free heuristic; the standard
+# Language marker lexicons (tiny n-gram-free heuristic; the standard
 # fasttext-style classifier would slot in as a pandas_udf, but a marker
-# lexicon is deterministic and cross-engine reproducible).
+# lexicon is deterministic and cross-engine reproducible). Latin-script
+# languages count marker TOKENS (token-set membership is ~10x cheaper
+# than alternation regexes at scan time); zh counts CJK codepoints.
+LANG_MARKER_TOKENS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "was", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "la", "los", "las", "es", "y", "un", "una", "que"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que"],
+}
+ZH_CHAR_RE = r"[一-鿿]"
 LANG_MARKERS: dict[str, str] = {
-    "en": r"\b(the|and|of|to|is|was|that|with)\b",
-    "de": r"\b(der|die|das|und|ist|nicht|ein|mit)\b",
-    "es": r"\b(el|la|los|las|es|y|un|una|que)\b",
-    "fr": r"\b(le|la|les|et|est|un|une|dans|que)\b",
-    "zh": r"[一-鿿]",
+    **{
+        lang: r"\b(" + "|".join(toks) + r")\b"
+        for lang, toks in LANG_MARKER_TOKENS.items()
+    },
+    "zh": ZH_CHAR_RE,
 }
 
 STOPWORD_RE = r"\b(the|a|an|of|and|to|in|is|was)\b"
@@ -72,14 +81,23 @@ def quality_score(col: Column | str) -> Column:
 
 
 def lang_id(col: Column | str) -> Column:
-    """Marker-lexicon language ID over LANG_MARKERS; highest marker count
-    wins (ties broken by language code order), 'und' when no marker hits."""
+    """Marker-lexicon language ID; highest marker count wins (ties broken
+    by ascending language code), 'und' when no marker hits. Latin
+    languages count marker tokens over one shared tokenization; zh counts
+    CJK codepoints via regex."""
     c = F.col(col) if isinstance(col, str) else col
-    lowered = F.lower(c)
-    counts = {
-        lang: F.size(F.regexp_extract_all(lowered, F.lit(rx), F.lit(0)))
-        for lang, rx in LANG_MARKERS.items()
+    toks = tokens(F.lower(c))
+
+    def member_of(markers: list[str]):
+        # one-arg closure: a two-parameter lambda would be interpreted as
+        # the (element, index) form of F.filter
+        return lambda t: t.isin(markers)
+
+    counts: dict[str, Column] = {
+        lang: F.size(F.filter(toks, member_of(markers)))
+        for lang, markers in LANG_MARKER_TOKENS.items()
     }
+    counts["zh"] = F.size(F.regexp_extract_all(c, F.lit(ZH_CHAR_RE), F.lit(0)))
     best = F.greatest(*counts.values())
     expr = F.lit("und")
     for lang in reversed(sorted(counts)):  # ascending code order wins ties

@@ -1,0 +1,377 @@
+"""Delta table-operation queries (SURVEY.md §2A plane) with SQL oracles.
+
+Each callable materializes a scratch Delta table under /tmp from the
+driver's parquet tables, applies the operator under test, and returns
+the resulting table state as a DataFrame. The oracle expresses the SAME
+final state in pure SQL over the original tables — so the driver's
+hash compare verifies the operator's semantics end-to-end (write path,
+transaction log, scan path included).
+
+Null-semantics note: DELETE keeps ``NOT (pred IS TRUE)`` rows; oracles
+use the equivalent ``NOT coalesce(pred, false)``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_rs_spark.queries import query
+from delta_rs_spark.sources.tpch import load_table
+
+_SCRATCH = "/tmp/delta_rs_spark_oracle"
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, tag, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def _li_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").filter("l_orderkey < 1500")
+
+
+_LI_COLS = "l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag"
+
+
+@query(
+    "delta_write_roundtrip",
+    f"""
+    SELECT {_LI_COLS} FROM lineitem WHERE l_orderkey < 1500
+    """,
+)
+def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_deltalake -> DeltaTable scan round-trip
+    (reference: operations/write + operations/load)."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("write_roundtrip", sf_dir)
+    write_deltalake(path, _li_subset(spark, sf_dir))
+    return DeltaTable(path, spark=spark).to_df(
+        columns=[c.strip() for c in _LI_COLS.split(",")]
+    )
+
+
+@query(
+    "delta_partitioned_scan",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def delta_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned scan."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("partitioned_scan", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    write_deltalake(path, orders, partition_by=["o_orderstatus"])
+    dt = DeltaTable(path, spark=spark)
+    return dt.to_df(predicate="o_orderstatus = 'O'").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"), "o_orderstatus"
+    )
+
+
+@query(
+    "delta_delete_op",
+    f"""
+    SELECT {_LI_COLS} FROM lineitem
+    WHERE l_orderkey < 1500 AND NOT coalesce(l_quantity > 25 AND l_discount < 0.05, false)
+    """,
+)
+def delta_delete_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE (tier-3 rewrite path)."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("delete_op", sf_dir)
+    write_deltalake(path, _li_subset(spark, sf_dir))
+    dt = DeltaTable(path, spark=spark)
+    dt.delete("l_quantity > 25 AND l_discount < 0.05")
+    return dt.to_df(columns=[c.strip() for c in _LI_COLS.split(",")])
+
+
+@query(
+    "delta_update_op",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN l_quantity + 100
+                ELSE l_quantity END AS qty,
+           round(l_extendedprice, 2) AS price
+    FROM lineitem WHERE l_orderkey < 1500
+    """,
+)
+def delta_update_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE with CASE-guarded rewrite (exact-in-binary arithmetic so
+    the oracle compare is float-rounding-proof)."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("update_op", sf_dir)
+    write_deltalake(path, _li_subset(spark, sf_dir))
+    dt = DeltaTable(path, spark=spark)
+    dt.update({"l_quantity": "l_quantity + 100"}, predicate="l_discount > 0.05")
+    return dt.to_df().select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@query(
+    "delta_merge_upsert_op",
+    """
+    SELECT o_orderkey, round(o_totalprice + 1000, 2) AS total, o_orderstatus
+    FROM orders WHERE o_orderkey >= 2500 AND o_orderkey < 7500
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderstatus
+    FROM orders WHERE o_orderkey < 2500
+    """,
+)
+def delta_merge_upsert_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert: matched rows take source values, unmatched sources
+    insert (reference: merge/mod.rs ordered clause semantics)."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("merge_upsert", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_deltalake(path, orders.filter("o_orderkey < 5000"))
+    source = orders.filter("o_orderkey >= 2500 AND o_orderkey < 7500").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    dt = DeltaTable(path, spark=spark)
+    (
+        dt.merge(source, "target.o_orderkey = source.o_orderkey")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    return dt.to_df().select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total"), "o_orderstatus"
+    )
+
+
+@query(
+    "delta_merge_delete_op",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderkey < 5000 AND NOT (o_orderkey % 3 = 0)
+    """,
+)
+def delta_merge_delete_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with matched-delete clause."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("merge_delete", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    write_deltalake(path, orders.filter("o_orderkey < 5000"))
+    source = orders.filter("o_orderkey % 3 = 0").select("o_orderkey")
+    dt = DeltaTable(path, spark=spark)
+    dt.merge(source, "target.o_orderkey = source.o_orderkey").when_matched_delete().execute()
+    return dt.to_df()
+
+
+@query(
+    "delta_time_travel_op",
+    f"""
+    SELECT {_LI_COLS} FROM lineitem WHERE l_orderkey < 1500
+    """,
+)
+def delta_time_travel_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-travel: read v0 after a later destructive commit."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("time_travel", sf_dir)
+    write_deltalake(path, _li_subset(spark, sf_dir))
+    dt = DeltaTable(path, spark=spark)
+    dt.delete()  # v1 wipes everything
+    dt.load_as_version(0)
+    return dt.to_df(columns=[c.strip() for c in _LI_COLS.split(",")])
+
+
+@query(
+    "delta_optimize_preserves_data",
+    f"""
+    SELECT {_LI_COLS} FROM lineitem WHERE l_orderkey < 1500
+    """,
+)
+def delta_optimize_preserves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE compact must be a pure physical rewrite."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("optimize_op", sf_dir)
+    li = _li_subset(spark, sf_dir)
+    write_deltalake(path, li.repartition(6))
+    dt = DeltaTable(path, spark=spark)
+    dt.optimize.compact()
+    return dt.to_df(columns=[c.strip() for c in _LI_COLS.split(",")])
+
+
+@query(
+    "delta_zorder_preserves_data",
+    f"""
+    SELECT {_LI_COLS} FROM lineitem WHERE l_orderkey < 1500
+    """,
+)
+def delta_zorder_preserves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER must be a pure physical rewrite."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("zorder_op", sf_dir)
+    write_deltalake(path, _li_subset(spark, sf_dir).repartition(4))
+    dt = DeltaTable(path, spark=spark)
+    dt.optimize.z_order(["l_orderkey", "l_quantity"])
+    return dt.to_df(columns=[c.strip() for c in _LI_COLS.split(",")])
+
+
+@query(
+    "delta_replace_where_op",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderstatus
+    FROM orders WHERE o_orderstatus <> 'O'
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice * 2, 2) AS total, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'O' AND o_orderkey < 1000
+    """,
+)
+def delta_replace_where_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional replaceWhere overwrite of one partition."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("replace_where", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_deltalake(path, orders, partition_by=["o_orderstatus"])
+    replacement = orders.filter("o_orderstatus = 'O' AND o_orderkey < 1000").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    write_deltalake(path, replacement, mode="overwrite", predicate="o_orderstatus = 'O'")
+    dt = DeltaTable(path, spark=spark)
+    return dt.to_df().select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total"), "o_orderstatus"
+    )
+
+
+@query(
+    "delta_cdf_op",
+    """
+    SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type, 0 AS _commit_version
+    FROM orders WHERE o_orderkey < 3000
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'delete' AS _change_type, 1 AS _commit_version
+    FROM orders WHERE o_orderkey < 3000 AND o_orderstatus = 'F'
+    """,
+)
+def delta_cdf_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed across an insert + delete commit
+    (reference: load_cdf.rs synthesized + real CDC rows)."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("cdf_op", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    write_deltalake(
+        path,
+        orders.filter("o_orderkey < 3000"),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dt = DeltaTable(path, spark=spark)
+    dt.delete("o_orderstatus = 'F'")
+    return dt.load_cdf(starting_version=0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "_change_type",
+        F.col("_commit_version").cast("int").alias("_commit_version"),
+    )
+
+
+@query(
+    "delta_restore_op",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def delta_restore_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE to the pre-overwrite version."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("restore_op", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    write_deltalake(path, orders.filter("o_orderkey < 2000"))
+    write_deltalake(path, orders.filter("o_orderkey >= 9000"), mode="overwrite")
+    dt = DeltaTable(path, spark=spark)
+    dt.restore(0)
+    return dt.to_df()
+
+
+@query(
+    "delta_schema_evolution_op",
+    """
+    SELECT c_custkey, c_name, NULL AS segment_code FROM customer WHERE c_custkey < 500
+    UNION ALL
+    SELECT c_custkey, c_name, substr(c_mktsegment, 1, 2) AS segment_code
+    FROM customer WHERE c_custkey >= 500 AND c_custkey < 900
+    """,
+)
+def delta_schema_evolution_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema_mode='merge' append adds a column; old rows read as NULL."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("schema_evolution", sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    write_deltalake(path, cust.filter("c_custkey < 500").select("c_custkey", "c_name"))
+    evolved = (
+        cust.filter("c_custkey >= 500 AND c_custkey < 900")
+        .select("c_custkey", "c_name", F.substring("c_mktsegment", 1, 2).alias("segment_code"))
+    )
+    write_deltalake(path, evolved, mode="append", schema_mode="merge")
+    return DeltaTable(path, spark=spark).to_df()
+
+
+@query(
+    "delta_convert_op",
+    """
+    SELECT s_suppkey, s_name, s_nationkey FROM supplier
+    """,
+)
+def delta_convert_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA over a plain parquet directory."""
+    from delta_rs_spark import DeltaTable, convert_to_deltalake
+
+    path = _scratch("convert_op", sf_dir)
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    supp.write.mode("overwrite").parquet(path)
+    shutil.rmtree(os.path.join(path, "_delta_log"), ignore_errors=True)
+    convert_to_deltalake(path, spark=spark)
+    return DeltaTable(path, spark=spark).to_df()
+
+
+@query(
+    "delta_checkpoint_replay_op",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def delta_checkpoint_replay_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconstruction from a parquet checkpoint + later commits."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("checkpoint_op", sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_deltalake(path, nation)
+    dt = DeltaTable(path, spark=spark)
+    dt.create_checkpoint()
+    dt.cleanup_metadata(retention_hours=0)
+    write_deltalake(path, nation, mode="append")
+    return DeltaTable(path, spark=spark).to_df()

@@ -24,6 +24,19 @@ _FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across cores, sized by input bytes — the
+    driver tables are single parquet files (one scan task otherwise);
+    per-row regex/hash work needs the cores, but tiny inputs should not
+    pay 32-task scheduling overhead."""
+    import os
+
+    size = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    n = min(max(1, size // (128 * 1024)), spark.sparkContext.defaultParallelism)
+    df = load_table(spark, sf_dir, "documents")
+    return df.repartition(int(n)) if n > 1 else df
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -41,7 +54,7 @@ _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
     """,
 )
 def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         X.token_count("text").alias("n_tokens"),
@@ -70,19 +83,25 @@ def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", X.quality_score("text").alias("quality"))
 
 
 def _lang_oracle() -> str:
-    counts = ",\n             ".join(
-        f"len(regexp_extract_all(lower(text), '{rx}')) AS c_{lang}"
-        for lang, rx in X.LANG_MARKERS.items()
+    count_exprs = []
+    for lang, markers in X.LANG_MARKER_TOKENS.items():
+        lits = ", ".join(f"'{m}'" for m in markers)
+        count_exprs.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ({lits}))) AS c_{lang}"
+        )
+    count_exprs.append(
+        f"len(regexp_extract_all(text, '{X.ZH_CHAR_RE}')) AS c_zh"
     )
-    best = "greatest(" + ", ".join(f"c_{lang}" for lang in X.LANG_MARKERS) + ")"
+    counts = ",\n             ".join(count_exprs)
+    langs = sorted([*X.LANG_MARKER_TOKENS, "zh"])
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
     whens = "\n             ".join(
-        f"WHEN c_{lang} > 0 AND c_{lang} = {best} THEN '{lang}'"
-        for lang in sorted(X.LANG_MARKERS)
+        f"WHEN c_{lang} > 0 AND c_{lang} = {best} THEN '{lang}'" for lang in langs
     )
     return f"""
     WITH m AS (
@@ -98,7 +117,7 @@ def _lang_oracle() -> str:
 
 @query("llm_lang_id", _lang_oracle())
 def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
 
 
@@ -115,7 +134,7 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the corpus unioned with a shifted copy of itself
     (ids + 1e6): the survivors must be exactly the original ids."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     doubled = docs.union(docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
     kept = D.dedup_exact(doubled, "text", "doc_id")
     return kept.select("doc_id", X.fingerprint("text").alias("fp"))
@@ -128,7 +147,7 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     doubled = docs.union(docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
     return D.duplicate_groups(doubled, "text", "doc_id").select(
         "fp", "n_copies", "keep_id"
@@ -154,19 +173,19 @@ def llm_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return D.ngram_jaccard_pairs(docs, threshold=0.2, shingle_size=3)
 
 
 @query("llm_minhash_lsh_candidates", None)  # xxhash-based: rows-only check
 def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return D.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.2)
 
 
 @query("llm_simhash_signatures", None)  # xxhash-based: rows-only check
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return D.simhash(docs)
 
 
@@ -227,7 +246,7 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("llm_multimodal_features", None)
 def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     media = docs.select(
         "doc_id",
         pack_media(
