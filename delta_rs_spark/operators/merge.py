@@ -68,6 +68,7 @@ class TableMerger:
     predicate: str
     source_alias: str | None = None
     target_alias: str | None = None
+    merge_schema: bool = False  # schema evolution (reference: merge/mod.rs:1047-1080)
     matched: list[_Clause] = field(default_factory=list)
     not_matched: list[_Clause] = field(default_factory=list)
     not_matched_by_source: list[_Clause] = field(default_factory=list)
@@ -168,6 +169,15 @@ class TableMerger:
         source_df = source_df.persist()
         num_source_rows = source_df.count()
 
+        schema_changed = False
+        if self.merge_schema:
+            from delta_rs_spark.writer import _merge_schemas
+
+            merged = _merge_schemas(schema, source_df.schema)
+            schema_changed = merged.json() != schema.json()
+            schema = merged
+            cols = [f.name for f in schema.fields]
+
         # expand *_all clauses
         for cl in self.matched:
             if cl.kind == "update" and cl.updates is None:
@@ -207,10 +217,12 @@ class TableMerger:
         n_updated = n_deleted = n_copied = n_nmbs_updated = 0
         acted = None
         if rewrite_adds:
-            t_df = (
-                read_snapshot_df(spark, snapshot, table_path, files=rewrite_adds)
-                .withColumn(_TMARK, F.lit(1))
-                .withColumn(_TID, F.monotonically_increasing_id())
+            t_df = read_snapshot_df(spark, snapshot, table_path, files=rewrite_adds)
+            for f in schema.fields:  # evolved columns read as NULL from old files
+                if f.name not in t_df.columns:
+                    t_df = t_df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            t_df = t_df.withColumn(_TMARK, F.lit(1)).withColumn(
+                _TID, F.monotonically_increasing_id()
             )
             s_df = source_df.withColumn(_SMARK, F.lit(1))
             joined = t_df.alias(t).join(s_df.alias(s), F.expr(self.predicate), "left_outer")
@@ -331,6 +343,21 @@ class TableMerger:
 
         # ---- write + commit ---------------------------------------------
         actions: list = []
+        if schema_changed:
+            from delta_rs_spark.log.actions import Metadata
+
+            meta = snapshot.metadata
+            actions.append(
+                Metadata(
+                    schema_string=schema.json(),
+                    partition_columns=part_cols,
+                    configuration=meta.configuration,
+                    id=meta.id,
+                    name=meta.name,
+                    description=meta.description,
+                    created_time=meta.created_time,
+                )
+            )
         new_adds: list[Add] = []
         if out_parts:
             result = out_parts[0]

@@ -344,10 +344,13 @@ class DeltaTable:
         predicate: str,
         source_alias: str | None = None,
         target_alias: str | None = None,
+        merge_schema: bool = False,
     ):
         from delta_rs_spark.operators.merge import TableMerger
 
-        return TableMerger(self, source, predicate, source_alias, target_alias)
+        return TableMerger(
+            self, source, predicate, source_alias, target_alias, merge_schema
+        )
 
     @property
     def optimize(self):

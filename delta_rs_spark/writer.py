@@ -169,18 +169,27 @@ def _can_widen(old: T.DataType, new: T.DataType) -> bool:
     return old == new
 
 
+GENERATION_KEY = "delta.generationExpression"
+INVARIANTS_KEY = "delta.invariants"
+
+
 def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
-    """Cast/select df to the table schema (missing columns -> null)
-    (reference: kernel/schema/cast/mod.rs:212 cast_record_batch)."""
+    """Cast/select df to the table schema (missing columns -> null, or the
+    column's generation expression when one is declared)
+    (reference: kernel/schema/cast/mod.rs:212 cast_record_batch;
+    operations/write/generated_columns.rs:20-38)."""
     cols = []
     df_cols = {f.name: f for f in df.schema.fields}
     for f in schema.fields:
+        gen_expr = (f.metadata or {}).get(GENERATION_KEY)
         if f.name in df_cols:
             src = df_cols[f.name]
             c = F.col(f.name)
             if src.dataType != f.dataType:
                 c = c.cast(f.dataType)
             cols.append(c.alias(f.name))
+        elif gen_expr:
+            cols.append(F.expr(gen_expr).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     extra = [n for n in df_cols if n not in {f.name for f in schema.fields}]
@@ -189,6 +198,41 @@ def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
             f"input has columns {extra} not in table schema; pass schema_mode='merge'"
         )
     return df.select(*cols)
+
+
+def _validate_field_rules(df: DataFrame, schema: T.StructType, provided: set[str]) -> None:
+    """Enforce generated-column equality for provided values and column
+    invariants (reference: generated_columns.rs validation;
+    kernel/schema/schema.rs:21-28 invariants)."""
+    import json as _json
+
+    checks: list[tuple[str, F.Column]] = []
+    for f in schema.fields:
+        meta = f.metadata or {}
+        gen_expr = meta.get(GENERATION_KEY)
+        if gen_expr and f.name in provided:
+            checks.append(
+                (
+                    f"generated column {f.name} != {gen_expr}",
+                    ~F.col(f.name).eqNullSafe(F.expr(gen_expr).cast(f.dataType)),
+                )
+            )
+        inv = meta.get(INVARIANTS_KEY)
+        if inv:
+            try:
+                expr = _json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                expr = None
+            if expr:
+                checks.append(
+                    (
+                        f"invariant violated on {f.name}: {expr}",
+                        ~F.expr(expr).eqNullSafe(F.lit(True)),
+                    )
+                )
+    for label, bad_cond in checks:
+        if df.filter(bad_cond).limit(1).count():
+            raise DeltaError(label)
 
 
 def write_deltalake(
@@ -295,7 +339,9 @@ def write_deltalake(
                     )
                 )
             table_schema = merged
+        provided = set(df.columns)
         df = _conform(df, table_schema)
+        _validate_field_rules(df, table_schema, provided)
 
     # enforce CHECK constraints before any file lands
     # (reference: crates/core/src/delta_datafusion/data_validation.rs:55-60)
