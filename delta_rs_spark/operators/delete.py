@@ -130,6 +130,9 @@ def delete(spark: SparkSession, table_path: str, predicate: str | None) -> dict[
         blind_append=False,
         read_files={r.path for r in removes},
         read_whole_table=False,
+        isolation_level=snapshot.configuration.get(
+            "delta.isolationLevel", "WriteSerializable"
+        ),
     )
     commit_mod.commit(table_path, list(new_adds) + list(removes), op, snapshot.version, txn)
     return metrics

@@ -52,6 +52,40 @@ class MergeError(DeltaError):
     pass
 
 
+def _recompute_generated(df: DataFrame, schema, cols: list[str], coded_clauses) -> DataFrame:
+    """Recompute generated columns on rows an update clause touched,
+    unless that clause assigned the column explicitly — evaluated over the
+    post-update projection so generation expressions see new values
+    (reference: write/generated_columns.rs applied to merge)."""
+    from delta_rs_spark.writer import GENERATION_KEY
+
+    out = []
+    changed = False
+    for c in cols:
+        gen_expr = (schema[c].metadata or {}).get(GENERATION_KEY)
+        if not gen_expr:
+            out.append(F.col(c))
+            continue
+        recompute_codes = [
+            code
+            for code, cl in coded_clauses
+            if cl.kind == "update" and c not in (cl.updates or {})
+        ]
+        if not recompute_codes:
+            out.append(F.col(c))
+            continue
+        changed = True
+        out.append(
+            F.when(F.col(_ACTION).isin(recompute_codes), F.expr(gen_expr))
+            .otherwise(F.col(c))
+            .cast(schema[c].dataType)
+            .alias(c)
+        )
+    if not changed:
+        return df
+    return df.select(*out, F.col(_ACTION))
+
+
 @dataclass
 class _Clause:
     kind: str  # update | delete | insert
@@ -288,7 +322,12 @@ class TableMerger:
                                 F.col(_ACTION) == code_i, F.expr(upd[c])
                             ).otherwise(col_expr)
                 proj.append(col_expr.cast(schema[c].dataType).alias(c))
-            rewritten = acted.filter(F.col(_ACTION) != DELETE).select(*proj)
+            rewritten = acted.filter(F.col(_ACTION) != DELETE).select(
+                *proj, F.col(_ACTION)
+            )
+            rewritten = _recompute_generated(
+                rewritten, schema, cols, coded_clauses
+            ).drop(_ACTION)
             out_parts.append(rewritten)
 
             if cdf_enabled(snapshot):
@@ -331,7 +370,25 @@ class TableMerger:
                     (F.expr(upd[c]) if c in upd else F.lit(None)).cast(schema[c].dataType).alias(c)
                     for c in cols
                 ]
-                pieces.append(sel.select(*proj))
+                piece = sel.select(*proj)
+                # inserted rows: compute generated columns not set explicitly
+                from delta_rs_spark.writer import GENERATION_KEY
+
+                gen_missing = {
+                    c: (schema[c].metadata or {}).get(GENERATION_KEY)
+                    for c in cols
+                    if c not in upd and (schema[c].metadata or {}).get(GENERATION_KEY)
+                }
+                if gen_missing:
+                    piece = piece.select(
+                        *[
+                            F.expr(gen_missing[c]).cast(schema[c].dataType).alias(c)
+                            if c in gen_missing
+                            else F.col(c)
+                            for c in cols
+                        ]
+                    )
+                pieces.append(piece)
             insert_df = pieces[0]
             for p_df in pieces[1:]:
                 insert_df = insert_df.unionByName(p_df)
@@ -407,7 +464,13 @@ class TableMerger:
             },
             operation_metrics=metrics,
         )
-        txn = TransactionInfo(blind_append=False, read_files={r.path for r in removes})
+        txn = TransactionInfo(
+        blind_append=False,
+        read_files={r.path for r in removes},
+        isolation_level=snapshot.configuration.get(
+            "delta.isolationLevel", "WriteSerializable"
+        ),
+    )
         commit_mod.commit(table_path, actions, op, snapshot.version, txn)
 
         source_df.unpersist()

@@ -122,6 +122,12 @@ def update(
     op = CommitInfo(
         "UPDATE", {"predicate": predicate or ""}, operation_metrics=metrics
     )
-    txn = TransactionInfo(blind_append=False, read_files={r.path for r in removes})
+    txn = TransactionInfo(
+        blind_append=False,
+        read_files={r.path for r in removes},
+        isolation_level=snapshot.configuration.get(
+            "delta.isolationLevel", "WriteSerializable"
+        ),
+    )
     commit_mod.commit(table_path, actions, op, snapshot.version, txn)
     return metrics

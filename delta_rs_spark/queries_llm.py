@@ -254,3 +254,32 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("media"),
     )
     return extract_image_features(media, media_col="media", id_col="doc_id", fake=True)
+
+
+@query(
+    "llm_embedding_array_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(embedding[1]::DOUBLE, 4) AS first_val,
+           round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'), 4) AS sq_norm,
+           round(list_aggregate(embedding::DOUBLE[], 'max'), 4) AS max_val
+    FROM embeddings
+    """,
+)
+def llm_embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage over the vector column (size/element_at/
+    aggregate/array_max), all JVM-side expressions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(sq, 4).alias("sq_norm"),
+        F.round(F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 4).alias("max_val"),
+    )

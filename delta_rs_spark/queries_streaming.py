@@ -79,3 +79,59 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return tumbling_counts(ev, "1 hour")
+
+
+@query(
+    "q_asof_join_purchases",
+    """
+    WITH clicks AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+                    WHERE event_type = 'click'),
+    purch AS (SELECT user_id, epoch_ns(ts) AS t, value AS pv FROM events
+              WHERE event_type = 'purchase')
+    SELECT clicks.event_id, clicks.user_id,
+           round(coalesce(purch.pv, -1.0), 2) AS last_purchase_value
+    FROM clicks ASOF LEFT JOIN purch
+      ON clicks.user_id = purch.user_id AND purch.t <= clicks.t
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click gets the user's most recent prior
+    purchase value (operator: functions/asof.py, union-marker windows)."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.functions.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.col("r_pv"), F.lit(-1.0)), 2).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "q_events_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON props column -> typed aggregation."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
