@@ -38,6 +38,7 @@ from delta_rs_spark.log.actions import (
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 
 
 def log_dir(table_path: str) -> str:
@@ -56,7 +57,10 @@ def is_delta_table(table_path: str) -> bool:
     d = log_dir(table_path)
     if not os.path.isdir(d):
         return False
-    return any(_COMMIT_RE.match(f) or _CHECKPOINT_RE.match(f) for f in os.listdir(d))
+    return any(
+        _COMMIT_RE.match(f) or _CHECKPOINT_RE.match(f) or _COMPACTED_RE.match(f)
+        for f in os.listdir(d)
+    )
 
 
 def list_log(table_path: str) -> tuple[list[int], list[int]]:
@@ -77,9 +81,29 @@ def list_log(table_path: str) -> tuple[list[int], list[int]]:
     return sorted(commits), sorted(checkpoints)
 
 
+def list_compacted(table_path: str) -> dict[int, int]:
+    """start_version -> end_version of ``<s>.<e>.compacted.json`` files
+    (reference: crates/core/src/protocol/log_compaction.rs)."""
+    d = log_dir(table_path)
+    out: dict[int, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        m = _COMPACTED_RE.match(f)
+        if m:
+            s, e = int(m.group(1)), int(m.group(2))
+            if s not in out or e > out[s]:
+                out[s] = e
+    return out
+
+
+def compacted_file(table_path: str, start: int, end: int) -> str:
+    return os.path.join(log_dir(table_path), f"{start:020d}.{end:020d}.compacted.json")
+
+
 def latest_version(table_path: str) -> int | None:
     commits, checkpoints = list_log(table_path)
-    candidates = commits + checkpoints
+    candidates = commits + checkpoints + list(list_compacted(table_path).values())
     return max(candidates) if candidates else None
 
 
@@ -280,9 +304,10 @@ class Snapshot:
 
 def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
     commits, checkpoints = list_log(table_path)
-    if not commits and not checkpoints:
+    compacted_ranges = list_compacted(table_path)
+    if not commits and not checkpoints and not compacted_ranges:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
-    max_v = max(commits + checkpoints)
+    max_v = max(commits + checkpoints + list(compacted_ranges.values()))
     target = max_v if version is None else version
     if version is not None and version > max_v:
         raise ValueError(f"version {version} > latest {max_v}")
@@ -296,13 +321,34 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
             snap.apply(a, cp_v)
         snap.version = cp_v
         start = cp_v + 1
-    for v in range(start, target + 1):
-        if v not in commits and usable_cp and v <= max(usable_cp):
+    compacted = list_compacted(table_path)
+    commit_set = set(commits)
+    v = start
+    while v <= target:
+        # prefer a compacted range when it covers versions up to the target
+        # (reference: protocol/log_compaction.rs read path)
+        if v in compacted and compacted[v] <= target:
+            end = compacted[v]
+            path = compacted_file(table_path, v, end)
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        a = parse_action(line)
+                        if a is not None:
+                            snap.apply(a, end)
+            snap.version = end
+            snap.commit_timestamps[end] = int(os.path.getmtime(path) * 1000)
+            v = end + 1
+            continue
+        if v not in commit_set and usable_cp and v <= max(usable_cp):
+            v += 1
             continue  # compacted away below a checkpoint
         try:
             actions = read_commit_actions(table_path, v)
         except FileNotFoundError:
             if v in checkpoints:
+                v += 1
                 continue
             raise
         for a in actions:
@@ -313,6 +359,7 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
         if not ts:
             ts = int(os.path.getmtime(commit_file(table_path, v)) * 1000)
         snap.commit_timestamps[v] = ts
+        v += 1
     if snap.version < target:
         snap.version = target
     return snap

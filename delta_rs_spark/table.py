@@ -421,6 +421,11 @@ class DeltaTable:
     def create_checkpoint(self) -> None:
         snap_mod.write_checkpoint(self.table_uri, self._snapshot)
 
+    def compact_logs(self, start: int | None = None, end: int | None = None) -> str:
+        from delta_rs_spark.operators.log_compaction import compact_logs as _compact
+
+        return _compact(self.table_uri, start, end)
+
     def cleanup_metadata(self, retention_hours: int | None = None) -> int:
         from delta_rs_spark.operators.vacuum import cleanup_metadata as _cleanup
 

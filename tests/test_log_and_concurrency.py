@@ -118,3 +118,32 @@ def test_checkpoint_preserves_tombstones_and_txns(tmp_table, spark, sample_df):
     snap = snap_mod.load_snapshot(tmp_table)
     assert snap.txns["x"].version == 3
     assert any(r.path for r in snap.tombstones)
+
+
+def test_log_compaction_roundtrip(tmp_table, spark, sample_df):
+    from delta_rs_spark.operators.log_compaction import compact_logs
+
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    t.delete("price = 0")                       # v1
+    write_deltalake(tmp_table, sample_df, mode="append")  # v2
+    path = compact_logs(tmp_table, 0, 2)
+    assert path.endswith("00000000000000000000.00000000000000000002.compacted.json")
+    # snapshot via the compacted file must equal commit replay
+    snap = snap_mod.load_snapshot(tmp_table)
+    assert snap.version == 2
+    t2 = DeltaTable(tmp_table)
+    assert t2.count() == 9  # 5 - 1 + 5
+    # later commits still apply on top
+    t2.delete("price = 1")
+    assert DeltaTable(tmp_table).count() == 7
+
+
+def test_log_compaction_bad_range(tmp_table, spark, sample_df):
+    from delta_rs_spark.operators.log_compaction import compact_logs
+
+    write_deltalake(tmp_table, sample_df)
+    with pytest.raises(Exception):
+        compact_logs(tmp_table, 0, 0)
+    with pytest.raises(Exception):
+        compact_logs(tmp_table, 0, 99)
