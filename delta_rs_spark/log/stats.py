@@ -71,6 +71,7 @@ def collect_file_stats(
             if name:
                 mins.pop(name, None)
                 maxs.pop(name, None)
+                nulls.pop(name, None)  # partial counts would under-report
     return {
         "numRecords": md.num_rows,
         "minValues": {k: _scalar(v) for k, v in mins.items() if v is not None},

@@ -52,6 +52,10 @@ class TableAlterer:
         self.dt.refresh()
 
     def _meta_copy(self) -> Metadata:
+        # refresh first: copying from a stale snapshot would silently drop
+        # metadata committed in between (the conflict checker then protects
+        # the remaining refresh->commit window)
+        self.dt.refresh()
         m = self.dt.metadata()
         return Metadata(
             schema_string=m.schema_string,

@@ -65,15 +65,31 @@ def load_cdf(
         raise DeltaError(f"starting_version {starting_version} > latest {latest}")
     ending_version = min(ending_version, latest)
 
+    # incremental log replay: load the base snapshot ONCE, then apply each
+    # commit's actions forward — O(log + range x files) instead of a full
+    # snapshot reconstruction per version (reference: load_cdf.rs streams
+    # the log the same way)
+    if starting_version > 0:
+        snap = snap_mod.load_snapshot(table_path, starting_version - 1)
+    else:
+        snap = snap_mod.Snapshot(table_path=table_path)
+
     parts: list[DataFrame] = []
     for v in range(starting_version, ending_version + 1):
         try:
             actions = snap_mod.read_commit_actions(table_path, v)
         except FileNotFoundError:
             continue
-        snapshot = snap_mod.load_snapshot(table_path, v)
-        schema = T.StructType.fromJson(json.loads(snapshot.schema_string))
-        ts_ms = snapshot.commit_timestamps.get(v) or int(
+        pre_metadata = snap.metadata  # removed files conform to the PRE schema
+        pre_files = dict(snap.files)
+        for a in actions:
+            snap.apply(a, v)
+        snap.version = v
+        if snap.metadata is None:
+            continue
+        schema = T.StructType.fromJson(json.loads(snap.schema_string))
+        ci = snap.commit_infos.get(v)
+        ts_ms = (ci.timestamp if ci else None) or int(
             os.path.getmtime(snap_mod.commit_file(table_path, v)) * 1000
         )
         ts_col = F.timestamp_millis(F.lit(ts_ms))
@@ -91,15 +107,15 @@ def load_cdf(
         else:
             pieces = []
             if adds:
-                ins = read_snapshot_df(spark, snapshot, table_path, files=adds)
+                ins = read_snapshot_df(spark, snap, table_path, files=adds)
                 pieces.append(ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
-            if removes:
-                prev = snap_mod.load_snapshot(table_path, v - 1) if v > 0 else None
-                if prev is not None:
-                    rm_adds = [prev.files[r.path] for r in removes if r.path in prev.files]
-                    if rm_adds:
-                        deleted = read_snapshot_df(spark, prev, table_path, files=rm_adds)
-                        pieces.append(deleted.withColumn(CHANGE_TYPE_COL, F.lit("delete")))
+            if removes and pre_metadata is not None:
+                pre_snap = snap_mod.Snapshot(table_path=table_path)
+                pre_snap.metadata = pre_metadata
+                rm_adds = [pre_files[r.path] for r in removes if r.path in pre_files]
+                if rm_adds:
+                    deleted = read_snapshot_df(spark, pre_snap, table_path, files=rm_adds)
+                    pieces.append(deleted.withColumn(CHANGE_TYPE_COL, F.lit("delete")))
             if not pieces:
                 continue
             df = pieces[0]

@@ -16,6 +16,7 @@ with Spark's parallel writer.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -28,7 +29,11 @@ from delta_rs_spark.log.actions import Add, CommitInfo, Remove, now_ms
 from delta_rs_spark.log.commit import TransactionInfo
 from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
 from delta_rs_spark.operators.util import match_touched_files
-from delta_rs_spark.plans.skipping import partition_only_predicate, prune_files
+from delta_rs_spark.plans.skipping import (
+    col_types_from_schema_json,
+    partition_only_predicate,
+    prune_files,
+)
 
 
 def plan_predicate_removal(
@@ -45,10 +50,11 @@ def plan_predicate_removal(
     part_cols = snapshot.partition_columns
     adds = list(snapshot.files.values())
     ts = now_ms()
+    col_types = col_types_from_schema_json(json.loads(snapshot.schema_string))
 
     # tier 2: exact partition-only predicate -> metadata-only removal
-    if partition_only_predicate(predicate, part_cols):
-        matched = prune_files(adds, predicate, part_cols)
+    if partition_only_predicate(predicate, part_cols, col_types):
+        matched = prune_files(adds, predicate, part_cols, col_types)
         removes = [
             Remove(a.path, ts, True, a.partition_values, a.size) for a in matched
         ]
@@ -56,7 +62,7 @@ def plan_predicate_removal(
         return removes, [], n_deleted
 
     # tier 3: candidate scan -> touched files -> rewrite
-    candidates = prune_files(adds, predicate, part_cols)
+    candidates = prune_files(adds, predicate, part_cols, col_types)
     if not candidates:
         return [], [], 0
     cand_df = read_snapshot_df(spark, snapshot, table_path, files=candidates)

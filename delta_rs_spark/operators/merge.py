@@ -38,7 +38,7 @@ from delta_rs_spark.log.actions import Add, CommitInfo, Remove, now_ms
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
 from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
 from delta_rs_spark.operators.util import match_touched_files
-from delta_rs_spark.plans.skipping import prune_files
+from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
 
 _ACTION = "__delta_rs_action"
 _TMARK = "__delta_rs_t"
@@ -157,7 +157,11 @@ class TableMerger:
         """Early-filter construction (reference: merge/filter.rs
         try_construct_early_filter): for equi-join conjuncts
         ``target.col = source.col`` aggregate source min/max and emit a
-        BETWEEN pruning predicate on the target column."""
+        BETWEEN pruning predicate on the target column. Only safe when the
+        predicate is a pure conjunction — an OR/NOT branch would make the
+        extracted pairs non-binding and over-prune (skip entirely then)."""
+        if re.search(r"\bOR\b|\bNOT\b", self.predicate, re.IGNORECASE):
+            return None
         t, s = self._aliases()
         pairs = []
         for m in re.finditer(
@@ -221,8 +225,13 @@ class TableMerger:
                 cl.updates = self._auto_updates(cl, cols, src_cols, getattr(self, "_insert_except", []))
 
         all_adds = list(snapshot.files.values())
+        col_types = col_types_from_schema_json(
+            __import__("json").loads(snapshot.schema_string)
+        )
         early = self._strip_target_only_predicate(source_df)
-        candidates = prune_files(all_adds, early, part_cols) if early else all_adds
+        candidates = (
+            prune_files(all_adds, early, part_cols, col_types) if early else all_adds
+        )
 
         # ---- choose rewrite files ---------------------------------------
         if self.not_matched_by_source:
@@ -259,9 +268,10 @@ class TableMerger:
                 _TID, F.monotonically_increasing_id()
             )
             s_df = source_df.withColumn(_SMARK, F.lit(1))
-            joined = t_df.alias(t).join(s_df.alias(s), F.expr(self.predicate), "left_outer")
-
             if self.matched:
+                joined = t_df.alias(t).join(
+                    s_df.alias(s), F.expr(self.predicate), "left_outer"
+                )
                 dup = (
                     joined.filter(F.col(_SMARK).isNotNull())
                     .groupBy(_TID)
@@ -275,6 +285,20 @@ class TableMerger:
                         "a target row matched multiple source rows with "
                         "matched update/delete clauses present"
                     )
+            else:
+                # nmbs-only merge: clauses read target columns only, so a
+                # semi/anti split keeps exactly one row per target row — a
+                # left_outer join would duplicate targets matched by
+                # multiple source rows (allowed without matched clauses)
+                tt = t_df.alias(t)
+                ss = s_df.alias(s)
+                sem = tt.join(ss, F.expr(self.predicate), "left_semi").withColumn(
+                    _SMARK, F.lit(1)
+                )
+                ant = tt.join(ss, F.expr(self.predicate), "left_anti").withColumn(
+                    _SMARK, F.lit(None).cast("int")
+                )
+                joined = sem.unionByName(ant).alias(t)
 
             matched_cond = F.col(_SMARK).isNotNull()
             action = None

@@ -47,7 +47,7 @@ class TableOptimizer:
         min_commit_interval: int | None = None,
     ) -> dict[str, Any]:
         from delta_rs_spark.table import _dnf_to_sql, read_snapshot_df
-        from delta_rs_spark.plans.skipping import prune_files
+        from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
         from delta_rs_spark.writer import write_files
 
         spark = self.dt.spark
@@ -61,7 +61,12 @@ class TableOptimizer:
         adds = list(snapshot.files.values())
         pred = _dnf_to_sql(partition_filters)
         if pred:
-            adds = prune_files(adds, pred, part_cols)
+            adds = prune_files(
+                adds,
+                pred,
+                part_cols,
+                col_types_from_schema_json(__import__("json").loads(snapshot.schema_string)),
+            )
         small = [a for a in adds if a.size < target]
         # group by partition: a partition with a single small file needs no work
         by_part: dict[tuple, list] = {}
@@ -111,7 +116,7 @@ class TableOptimizer:
         target_size: int | None = None,
     ) -> dict[str, Any]:
         from delta_rs_spark.table import _dnf_to_sql, read_snapshot_df
-        from delta_rs_spark.plans.skipping import prune_files
+        from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
         from delta_rs_spark.writer import write_files
 
         if not columns:
@@ -127,7 +132,12 @@ class TableOptimizer:
         adds = list(snapshot.files.values())
         pred = _dnf_to_sql(partition_filters)
         if pred:
-            adds = prune_files(adds, pred, part_cols)
+            adds = prune_files(
+                adds,
+                pred,
+                part_cols,
+                col_types_from_schema_json(__import__("json").loads(snapshot.schema_string)),
+            )
         if not adds:
             return {"numFilesAdded": 0, "numFilesRemoved": 0}
 

@@ -10,6 +10,7 @@ CDF emits update_preimage/update_postimage pairs
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -22,7 +23,7 @@ from delta_rs_spark.log.actions import CommitInfo, Remove, now_ms
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
 from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
 from delta_rs_spark.operators.util import match_touched_files
-from delta_rs_spark.plans.skipping import prune_files
+from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
 
 
 def update(
@@ -43,7 +44,10 @@ def update(
             raise DeltaError(f"cannot update partition column {col!r}")
 
     adds = list(snapshot.files.values())
-    candidates = prune_files(adds, predicate, part_cols) if predicate else adds
+    col_types = col_types_from_schema_json(json.loads(snapshot.schema_string))
+    candidates = (
+        prune_files(adds, predicate, part_cols, col_types) if predicate else adds
+    )
     ts = now_ms()
     cond = F.expr(predicate) if predicate else F.lit(True)
 

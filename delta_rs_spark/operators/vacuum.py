@@ -80,7 +80,13 @@ def vacuum(
         if rel in active:
             continue
         if rel.startswith("_change_data/"):
-            continue  # owned by CDF; cleaned by metadata retention
+            # CDC files are never in the active set; reclaim them once
+            # older than retention (bounds how far back load_cdf reaches,
+            # same trade-off as Delta's VACUUM)
+            mtime_ms = os.path.getmtime(os.path.join(table_path, rel)) * 1000
+            if mtime_ms <= cutoff_ms:
+                candidates.append(rel)
+            continue
         if rel in tombstoned:
             if tombstoned[rel] <= cutoff_ms:
                 candidates.append(rel)

@@ -61,9 +61,21 @@ def split_conjuncts(predicate: str) -> list[str]:
     parts: list[str] = []
     depth = 0
     in_str = False
+    pending_between = False  # BETWEEN consumes its own AND
     cur = ""
     i = 0
     s = predicate
+
+    def _word_at(idx: int, w: str) -> bool:
+        return (
+            s[idx : idx + len(w)].upper() == w
+            and (idx == 0 or not (s[idx - 1].isalnum() or s[idx - 1] == "_"))
+            and (
+                idx + len(w) >= len(s)
+                or not (s[idx + len(w)].isalnum() or s[idx + len(w)] == "_")
+            )
+        )
+
     while i < len(s):
         c = s[i]
         if in_str:
@@ -81,16 +93,16 @@ def split_conjuncts(predicate: str) -> list[str]:
             depth += 1
         elif c == ")":
             depth -= 1
-        if (
-            depth == 0
-            and s[i : i + 3].upper() == "AND"
-            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-            and (i + 3 >= len(s) or not (s[i + 3].isalnum() or s[i + 3] == "_"))
-        ):
-            parts.append(cur)
-            cur = ""
-            i += 3
-            continue
+        if depth == 0 and _word_at(i, "BETWEEN"):
+            pending_between = True
+        if depth == 0 and _word_at(i, "AND"):
+            if pending_between:
+                pending_between = False  # the AND belongs to BETWEEN .. AND ..
+            else:
+                parts.append(cur)
+                cur = ""
+                i += 3
+                continue
         cur += c
         i += 1
     parts.append(cur)
@@ -177,16 +189,112 @@ def _cmp_keep(op: str, lo: Any, hi: Any, lit: Any) -> bool:
     return True
 
 
+# sample value per Spark type category, used as the coercion target so a
+# partition value and a literal are compared in the COLUMN's type, the way
+# Spark SQL would cast them — not the literal's python type
+_TYPE_SAMPLES: dict[str, Any] = {
+    "byte": 0,
+    "short": 0,
+    "integer": 0,
+    "long": 0,
+    "float": 0.0,
+    "double": 0.0,
+    "boolean": False,
+    "string": "",
+    "date": dt.date(1970, 1, 1),
+    "timestamp": dt.datetime(1970, 1, 1),
+    "timestamp_ntz": dt.datetime(1970, 1, 1),
+}
+
+
+def col_types_from_schema_json(schema_json: dict) -> dict[str, str]:
+    """Map top-level column name -> Spark typeName from a schema dict."""
+    out = {}
+    for f in schema_json.get("fields", []):
+        t = f.get("type")
+        if isinstance(t, str):
+            out[f["name"]] = t.split("(")[0]
+    return out
+
+
+def _coerce_literal(lit: Any, like: Any) -> Any:
+    """Literal -> column type; None if Spark's implicit cast would be
+    needed but we cannot reproduce it exactly."""
+    if isinstance(like, bool):
+        return lit if isinstance(lit, bool) else None
+    if isinstance(like, int) and not isinstance(like, bool):
+        if isinstance(lit, bool):
+            return None
+        if isinstance(lit, int):
+            return lit
+        if isinstance(lit, str):
+            try:
+                return int(lit)
+            except ValueError:
+                return None
+        return None
+    if isinstance(like, float):
+        if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+            return float(lit)
+        if isinstance(lit, str):
+            try:
+                return float(lit)
+            except ValueError:
+                return None
+        return None
+    if isinstance(like, dt.datetime):
+        return _coerce(lit if not isinstance(lit, str) else lit, like)
+    if isinstance(like, dt.date):
+        return _coerce(lit, like)
+    return lit if isinstance(lit, str) else None  # string col, non-string lit
+
+
 class _Conjunct:
     def __init__(self, col: str, op: str, lits: list[Any]):
         self.col = col
-        self.op = op  # cmp ops, 'in', 'between'
+        self.op = op  # cmp ops, 'in', 'between', 'isnull', 'notnull'
         self.lits = lits
 
-    def keep(self, add: Add, partition_columns: list[str]) -> bool:
+    def _typed(self, col_types: dict[str, str] | None) -> tuple[Any, list[Any]] | None:
+        """(coercion sample, literals in column type) or None when the
+        column type is unknown/uncoercible -> fall back to literal typing."""
+        if not col_types or self.col not in col_types:
+            return None
+        sample = _TYPE_SAMPLES.get(col_types[self.col])
+        if sample is None:
+            return None
+        lits = [_coerce_literal(x, sample) for x in self.lits]
+        if any(x is None for x in lits):
+            return None
+        return sample, lits
+
+    def exact_on(self, col_types: dict[str, str] | None) -> bool:
+        """Can this conjunct be evaluated EXACTLY against partition values
+        (required for metadata-only fast paths)?"""
+        if self.op in ("isnull", "notnull"):
+            return True
+        return self._typed(col_types) is not None
+
+    def keep(
+        self,
+        add: Add,
+        partition_columns: list[str],
+        col_types: dict[str, str] | None = None,
+    ) -> bool:
         if self.col in partition_columns:
             raw = add.partition_values.get(self.col)
-            v = _coerce(raw, self.lits[0])
+            if self.op == "isnull":
+                return raw is None or raw == _NULL_PARTITION
+            if self.op == "notnull":
+                return not (raw is None or raw == _NULL_PARTITION)
+            typed = self._typed(col_types)
+            if typed is not None:
+                sample, lits = typed
+            else:
+                sample, lits = self.lits[0], self.lits
+                if type(sample) is not type(raw) and not isinstance(raw, str):
+                    return True  # can't compare faithfully -> keep
+            v = _coerce(raw, sample)
             if v is None:
                 return False  # null partition never matches these ops
             lo = hi = v
@@ -194,15 +302,26 @@ class _Conjunct:
             st = add.stats_dict()
             if not st:
                 return True
-            lo = _coerce(st.get("minValues", {}).get(self.col), self.lits[0])
-            hi = _coerce(st.get("maxValues", {}).get(self.col), self.lits[0])
+            if self.op == "isnull":
+                nc = (st.get("nullCount") or {}).get(self.col)
+                return True if nc is None else nc > 0
+            if self.op == "notnull":
+                nc = (st.get("nullCount") or {}).get(self.col)
+                nr = st.get("numRecords")
+                if nc is None or nr is None:
+                    return True
+                return nc < nr
+            typed = self._typed(col_types)
+            sample, lits = typed if typed is not None else (self.lits[0], self.lits)
+            lo = _coerce(st.get("minValues", {}).get(self.col), sample)
+            hi = _coerce(st.get("maxValues", {}).get(self.col), sample)
             if lo is None and hi is None:
                 return True
         if self.op == "in":
-            return any(_cmp_keep("=", lo, hi, lit) for lit in self.lits)
+            return any(_cmp_keep("=", lo, hi, lit) for lit in lits)
         if self.op == "between":
-            return _cmp_keep(">=", lo, hi, self.lits[0]) and _cmp_keep("<=", lo, hi, self.lits[1])
-        return _cmp_keep(self.op, lo, hi, self.lits[0])
+            return _cmp_keep(">=", lo, hi, lits[0]) and _cmp_keep("<=", lo, hi, lits[1])
+        return _cmp_keep(self.op, lo, hi, lits[0])
 
 
 def parse_conjuncts(predicate: str) -> list[_Conjunct]:
@@ -228,12 +347,19 @@ def parse_conjuncts(predicate: str) -> list[_Conjunct]:
                 _Conjunct(m.group(1), "between", [_parse_literal(m.group(2)), _parse_literal(m.group(3))])
             )
             continue
+        m = _NULL_RE.match(part)
+        if m:
+            out.append(_Conjunct(m.group(1), "notnull" if m.group(2) else "isnull", []))
+            continue
         # unparseable conjunct -> no pruning from it (Unsupported tier)
     return out
 
 
 def prune_files(
-    adds: list[Add], predicate: str | None, partition_columns: list[str]
+    adds: list[Add],
+    predicate: str | None,
+    partition_columns: list[str],
+    col_types: dict[str, str] | None = None,
 ) -> list[Add]:
     """Files that may contain rows matching the predicate."""
     if not predicate:
@@ -241,14 +367,25 @@ def prune_files(
     conjuncts = parse_conjuncts(predicate)
     if not conjuncts:
         return list(adds)
-    return [a for a in adds if all(c.keep(a, partition_columns) for c in conjuncts)]
+    return [
+        a
+        for a in adds
+        if all(c.keep(a, partition_columns, col_types) for c in conjuncts)
+    ]
 
 
-def partition_only_predicate(predicate: str, partition_columns: list[str]) -> bool:
-    """True if every conjunct parses and references only partition columns —
-    the reference's metadata-only fast path test (delete.rs:472-535)."""
+def partition_only_predicate(
+    predicate: str,
+    partition_columns: list[str],
+    col_types: dict[str, str] | None = None,
+) -> bool:
+    """True if every conjunct parses, references only partition columns,
+    and is exactly evaluable in the column's type — the reference's
+    metadata-only fast path test (delete.rs:472-535)."""
     parts = split_conjuncts(predicate)
     conjuncts = parse_conjuncts(predicate)
     if len(parts) != len(conjuncts):
         return False
-    return all(c.col in partition_columns for c in conjuncts)
+    return all(
+        c.col in partition_columns and c.exact_on(col_types) for c in conjuncts
+    )

@@ -83,9 +83,12 @@ def read_append_stream(spark: SparkSession, table_path: str) -> DataFrame:
     layout). Raises if the log shows rewriting commits — those need
     the CDF follower."""
     snapshot = snap_mod.load_snapshot(table_path)
-    if any(r.data_change for r in snapshot.tombstones):
+    if snapshot.tombstones:
+        # any tombstone (even dataChange=false from OPTIMIZE) means removed
+        # files still sit on disk until VACUUM and a file-tailing source
+        # would read both generations
         raise DeltaError(
-            "table has non-append commits; use CdfFollower for rewritten tables"
+            "table has removed files; use CdfFollower for rewritten/compacted tables"
         )
     schema = T.StructType.fromJson(json.loads(snapshot.schema_string))
     reader = spark.readStream.schema(schema)

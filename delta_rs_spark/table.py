@@ -24,7 +24,7 @@ from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Protocol
 from delta_rs_spark.log.commit import DeltaError
 from delta_rs_spark.log.snapshot import Snapshot, load_snapshot
-from delta_rs_spark.plans.skipping import prune_files
+from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
 
 PartitionFilter = tuple[str, str, Any]  # DNF tuples like the reference (table.py:74-78)
 
@@ -67,7 +67,12 @@ def read_snapshot_df(
     schema = T.StructType.fromJson(json.loads(snapshot.schema_string))
     adds = files if files is not None else list(snapshot.files.values())
     if predicate:
-        adds = prune_files(adds, predicate, snapshot.partition_columns)
+        adds = prune_files(
+            adds,
+            predicate,
+            snapshot.partition_columns,
+            col_types_from_schema_json(json.loads(snapshot.schema_string)),
+        )
     if not adds:
         df = spark.createDataFrame([], schema)
     else:
@@ -130,6 +135,8 @@ class DeltaTable:
         from delta_rs_spark.log.commit import TransactionInfo
 
         path = str(table_uri).removeprefix("file://")
+        if mode not in ("error", "ignore", "overwrite"):
+            raise ValueError(f"invalid create mode {mode!r}")
         if isinstance(partition_by, str):
             partition_by = [partition_by]
         exists = snap_mod.is_delta_table(path)
@@ -188,7 +195,12 @@ class DeltaTable:
         pred = _dnf_to_sql(partition_filters)
         adds = list(self._snapshot.files.values())
         if pred:
-            adds = prune_files(adds, pred, self._snapshot.partition_columns)
+            adds = prune_files(
+                adds,
+                pred,
+                self._snapshot.partition_columns,
+                col_types_from_schema_json(json.loads(self._snapshot.schema_string)),
+            )
         return [a.path for a in adds]
 
     def file_uris(self, partition_filters: list[PartitionFilter] | None = None) -> list[str]:
@@ -201,7 +213,12 @@ class DeltaTable:
         pred = _dnf_to_sql(partition_filters)
         adds = list(self._snapshot.files.values())
         if pred:
-            adds = prune_files(adds, pred, self._snapshot.partition_columns)
+            adds = prune_files(
+                adds,
+                pred,
+                self._snapshot.partition_columns,
+                col_types_from_schema_json(json.loads(self._snapshot.schema_string)),
+            )
         for a in adds:
             if a.partition_values not in seen:
                 seen.append(dict(a.partition_values))

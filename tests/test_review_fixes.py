@@ -1,0 +1,139 @@
+"""Regression tests for review-found defects."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.log.commit import DeltaError
+
+
+def test_nmbs_only_merge_no_duplication(spark, tmp_table, sample_df):
+    """A target row matched by MULTIPLE source rows must not be duplicated
+    when only not-matched-by-source clauses exist (no matched clauses)."""
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    dup_src = spark.createDataFrame([("1",), ("1",), ("1",)], "id string")
+    (
+        t.merge(dup_src, "target.id = source.id")
+        .when_not_matched_by_source_delete(predicate="target.price >= 4")
+        .execute()
+    )
+    rows = [r.id for r in t.to_df().collect()]
+    assert sorted(rows) == ["1", "2", "3", "4"]  # id 5 deleted; id 1 NOT tripled
+
+
+def test_merge_or_predicate_not_overpruned(spark, tmp_table):
+    """Early filter must not fire on OR-join predicates (would drop files
+    whose rows match only via the second disjunct)."""
+    tgt = spark.createDataFrame(
+        [(1, 100, "x"), (2, 200, "y")], "a long, b long, tag string"
+    )
+    write_deltalake(tmp_table, tgt)
+    t = DeltaTable(tmp_table)
+    # source matches row 2 only via b; source a-range is far from target a
+    src = spark.createDataFrame([(999, 200)], "a long, b long")
+    m = (
+        t.merge(src, "target.a = source.a OR target.b = source.b")
+        .when_matched_update({"tag": "'hit'"})
+        .when_not_matched_insert({"a": "source.a", "b": "source.b", "tag": "'new'"})
+        .execute()
+    )
+    rows = {r.a: r.tag for r in t.to_df().collect()}
+    assert rows[2] == "hit"      # matched via the OR branch
+    assert 999 not in rows       # no spurious insert
+    assert m["num_target_rows_inserted"] == 0
+
+
+def test_int_partition_string_literal_delete(spark, tmp_table):
+    """DELETE 'part = <string literal>' on an int partition column must not
+    take a wrong metadata-only fast path (Spark casts '05' -> 5)."""
+    df = spark.createDataFrame([(5, "a"), (5, "b"), (7, "c")], "part int, v string")
+    write_deltalake(tmp_table, df, partition_by=["part"])
+    t = DeltaTable(tmp_table)
+    m = t.delete("part = '05'")
+    assert m["num_deleted_rows"] == 2  # rows with part=5, via Spark semantics
+    assert sorted(r.v for r in t.to_df().collect()) == ["c"]
+
+
+def test_int_partition_typed_pruning_exact(spark, tmp_table):
+    df = spark.createDataFrame([(5, "a"), (7, "c")], "part int, v string")
+    write_deltalake(tmp_table, df, partition_by=["part"])
+    t = DeltaTable(tmp_table)
+    m = t.delete("part = 5")
+    # typed int literal: metadata-only removal fires
+    assert m["num_added_files"] == 0 and m["num_deleted_rows"] == 1
+
+
+def test_create_invalid_mode_rejected(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    with pytest.raises(ValueError):
+        DeltaTable.create(tmp_table, sample_df.schema, mode="append")
+    assert DeltaTable(tmp_table).count() == 5  # data untouched
+
+
+def test_between_pruning_works(spark):
+    from delta_rs_spark.log.actions import Add
+    from delta_rs_spark.plans.skipping import prune_files, split_conjuncts
+
+    assert split_conjuncts("x BETWEEN 1 AND 5 AND y = 2") == [
+        "x BETWEEN 1 AND 5",
+        "y = 2",
+    ]
+    import json
+
+    def add_for(lo, hi):
+        return Add(
+            path=f"{lo}-{hi}.parquet",
+            size=1,
+            modification_time=0,
+            stats=json.dumps(
+                {"numRecords": 2, "minValues": {"x": lo}, "maxValues": {"x": hi}, "nullCount": {"x": 0}}
+            ),
+        )
+
+    adds = [add_for(0, 3), add_for(10, 20)]
+    kept = prune_files(adds, "x BETWEEN 1 AND 5", [])
+    assert [a.path for a in kept] == ["0-3.parquet"]
+
+
+def test_is_null_pruning(spark):
+    import json
+
+    from delta_rs_spark.log.actions import Add
+    from delta_rs_spark.plans.skipping import prune_files
+
+    no_nulls = Add(
+        path="a.parquet", size=1, modification_time=0,
+        stats=json.dumps({"numRecords": 5, "minValues": {}, "maxValues": {}, "nullCount": {"x": 0}}),
+    )
+    some_nulls = Add(
+        path="b.parquet", size=1, modification_time=0,
+        stats=json.dumps({"numRecords": 5, "minValues": {}, "maxValues": {}, "nullCount": {"x": 3}}),
+    )
+    kept = prune_files([no_nulls, some_nulls], "x IS NULL", [])
+    assert [a.path for a in kept] == ["b.parquet"]
+
+
+def test_vacuum_reclaims_old_cdc_files(spark, tmp_table, sample_df):
+    import os
+
+    write_deltalake(
+        tmp_table, sample_df, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    t = DeltaTable(tmp_table)
+    t.delete("price >= 3")  # writes a _change_data file
+    cdc_dir = os.path.join(tmp_table, "_change_data")
+    assert os.listdir(cdc_dir)
+    deleted = t.vacuum(retention_hours=0, dry_run=False, enforce_retention_duration=False)
+    assert any(p.startswith("_change_data/") for p in deleted)
+    assert not os.listdir(cdc_dir)
+
+
+def test_alter_sees_latest_metadata(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    stale = DeltaTable(tmp_table)  # snapshot at v0
+    fresh = DeltaTable(tmp_table)
+    fresh.alter.set_table_properties({"delta.appendOnly": "false"})
+    stale.alter.set_table_properties({"other.key": "1"})  # must keep appendOnly
+    cfg = DeltaTable(tmp_table).metadata().configuration
+    assert cfg.get("delta.appendOnly") == "false" and cfg.get("other.key") == "1"
