@@ -165,14 +165,25 @@ def ngram_jaccard_pairs(
     )
     # join on the 64-bit hash of the shingle, not the string: smaller
     # shuffle rows and cheaper equality; AQE skew-join splits hot shingles
-    toks = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(units)).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("tok"))
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # carry set sizes on every exploded row: J(A,B) >= t forces
+    # min(|A|,|B|) >= t*max(|A|,|B|), so size-incompatible pairs can be
+    # rejected INSIDE the join (exact — no false negatives) before the
+    # quadratic per-shingle pair blowup
+    toks = base.join(sizes, "id")
     a, b = toks.alias("a"), toks.alias("b")
     overlap = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n_tok") >= threshold * F.col("b.n_tok"))
+            & (F.col("b.n_tok") >= threshold * F.col("a.n_tok")),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
