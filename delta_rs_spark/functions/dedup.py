@@ -78,39 +78,39 @@ def minhash_lsh_candidates(
     Jaccard (fraction of agreeing permutations)."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_size)
+    # the band self-join carries IDS ONLY: combining band index into the
+    # bucket hash makes (bucket) the single join key, and the 64-element
+    # signature arrays never enter the 16x-exploded shuffle (r01 carried
+    # both sides' signatures through it — ~30x the shuffle bytes)
     banded = sigs.select(
         "id",
-        "signature",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col("signature")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("id", "signature", "bb.band", "bb.bucket")
+        ).alias("bucket"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # re-attach signatures once per side, AFTER pair dedup
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -119,33 +119,57 @@ def minhash_lsh_candidates(
         ).cast("double")
         / F.lit(float(num_perm))
     )
-    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc: sign-sum over token-hash bits, shaped as
-    explode -> one groupBy with ``bits`` partial-aggregating sums (map-side
-    combine keeps the shuffle at one row per doc, not per token)."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    sums = toks.groupBy("id").agg(*bit_aggs)
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        sim = sim.bitwiseOR(
-            F.when(
-                F.col(f"b{b}") > 0,
-                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),  # b=63: sign bit
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return sums.select("id", sim.alias("simhash"))
+    """64-bit SimHash per doc — a single narrow projection, NO shuffle.
+
+    Per document: hash each distinct token once, fold the hashes into a
+    ``bits``-element bit-count accumulator with one ``F.aggregate`` pass,
+    then set bit b iff the majority of tokens had bit b set (equivalent
+    to the classic sign-of-sum-of-±1 formulation: sum = 2*cnt_b - n > 0).
+
+    This replaces the r01 shape (explode -> 64 ``sum(when(...))``
+    aggregates -> 64-deep bitwiseOR chain) whose giant codegen unit and
+    per-token shuffle made it the slowest query in the suite (27 s at
+    sf0.1); higher-order array functions keep the expression tree ~4
+    nodes deep regardless of ``bits`` and the work map-side only.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    idxs = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, idxs, lambda c, i: c + F.getbit(h, i).cast("int")
+        ),
+    )
+    n = F.size(hs)
+    # literal 2^b values; b=63 is the long sign bit (1<<63 would overflow)
+    powers = F.array(
+        *[F.lit(1 << b if b < 63 else -(1 << 63)).cast("long") for b in range(bits)]
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counts,
+            powers,
+            lambda c, p: F.when(c * 2 > n, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    # the r01 explode/groupBy shape dropped zero-token docs; keep that
+    return (
+        df.select(F.col(id_col).alias("id"), sim.alias("simhash"), n.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .drop("__n")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -209,42 +233,69 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact, via block matrix
-    multiply: one side is broadcast as a normalized numpy matrix, the
-    other streams through mapInPandas computing a BLAS ``A @ B.T`` per
-    Arrow batch (~100x faster than a pair-expression cross join). At
-    larger-than-broadcast scale the same kernel tiles the broadcast side;
-    LSH bucketing (functions/similarity.py) is the sub-quadratic path."""
+    """Embedding-cosine near-duplicate pairs, exact, via DISTRIBUTED
+    block matrix multiply — no driver-side collect or broadcast of
+    vector data anywhere.
+
+    Every vector is hashed into one of ``num_blocks`` blocks; each row
+    is replicated to the ``num_blocks`` unordered block pairs it belongs
+    to, and one ``applyInPandas`` task per (block_i, block_j) group runs
+    the BLAS ``A @ B.T`` between the two blocks' normalized matrices.
+    Peak task memory is ~2N/num_blocks vectors regardless of total N —
+    size num_blocks so a block fits an executor (at 100 TB: thousands of
+    blocks; the replication factor stays num_blocks, the exact-cosine
+    work stays O(N²/2) as it must for an exact all-pairs operator; the
+    sub-quadratic path is LSH bucketing in functions/similarity.py).
+    """
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids_all = pdf[id_col].to_numpy()
-    m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-    bc = spark.sparkContext.broadcast((ids_all, m))
+    nb = int(num_blocks)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    tagged = base.withColumn("g", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
+    # block g participates in unordered pairs (min(g,j), max(g,j)) for all j
+    replicated = tagged.select(
+        "id",
+        "vec",
+        "g",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("j"),
+    ).select(
+        "id",
+        "vec",
+        "g",
+        F.least("g", "j").alias("pi"),
+        F.greatest("g", "j").alias("pj"),
+    )
 
-    def op(batches):
-        bids, bm = bc.value
-        for batch in batches:
-            if not len(batch):
-                continue
-            a = np.array(batch[vec_col].tolist(), dtype=np.float64)
-            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
-            s = a @ bm.T
-            aids = batch[id_col].to_numpy()
-            ia, ib = np.nonzero((s >= threshold) & (aids[:, None] < bids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": aids[ia], "id_b": bids[ib], "cos": np.round(s[ia, ib], 4)}
+    def compute(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        i, j = key
+        left = pdf[pdf["g"] == i]
+        right = pdf[pdf["g"] == j] if i != j else left
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
             )
+        a = np.array(left["vec"].tolist(), dtype=np.float64)
+        b = np.array(right["vec"].tolist(), dtype=np.float64)
+        a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
+        b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
+        s = a @ b.T
+        aids = left["id"].to_numpy()
+        bids = right["id"].to_numpy()
+        if i == j:
+            # within-block: the id ordering picks each unordered pair once
+            ia, ib = np.nonzero((s >= threshold) & (aids[:, None] < bids[None, :]))
+            lo, hi = aids[ia], bids[ib]
+        else:
+            # disjoint blocks: every hit is a distinct unordered pair;
+            # normalize to (min, max) so direction doesn't drop pairs
+            ia, ib = np.nonzero(s >= threshold)
+            lo = np.minimum(aids[ia], bids[ib])
+            hi = np.maximum(aids[ia], bids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": np.round(s[ia, ib], 4)})
 
-    # enough partitions to parallelize the matmul blocks, few enough that
-    # python-worker startup does not dominate on small inputs
-    n_parts = max(1, min(16, len(ids_all) // 256))
-    return (
-        df.select(id_col, vec_col)
-        .repartition(n_parts)
-        .mapInPandas(op, "id_a long, id_b long, cos double")
+    return replicated.groupBy("pi", "pj").applyInPandas(
+        compute, "id_a long, id_b long, cos double"
     )

@@ -99,6 +99,10 @@ class Add:
     partition_values: dict[str, str | None] = field(default_factory=dict)
     stats: str | None = None  # JSON: numRecords/minValues/maxValues/nullCount
     tags: dict[str, str] | None = None
+    # DV descriptor (reference: kernel/models/actions.rs:883
+    # DeletionVectorDescriptor): storageType 'u'|'i'|'p', pathOrInlineDv,
+    # offset, sizeInBytes, cardinality
+    deletion_vector: dict[str, Any] | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -112,6 +116,8 @@ class Add:
             d["stats"] = self.stats
         if self.tags:
             d["tags"] = self.tags
+        if self.deletion_vector:
+            d["deletionVector"] = self.deletion_vector
         return {"add": d}
 
     @classmethod
@@ -124,6 +130,7 @@ class Add:
             partition_values=d.get("partitionValues") or {},
             stats=d.get("stats"),
             tags=d.get("tags"),
+            deletion_vector=d.get("deletionVector"),
         )
 
     def stats_dict(self) -> dict[str, Any] | None:

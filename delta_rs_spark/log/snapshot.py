@@ -126,6 +126,16 @@ def read_commit_actions(table_path: str, version: int) -> list[Action]:
 # the protocol's JSON string).
 # ---------------------------------------------------------------------------
 
+_DV_STRUCT = pa.struct(
+    [
+        pa.field("storageType", pa.string()),
+        pa.field("pathOrInlineDv", pa.string()),
+        pa.field("offset", pa.int32()),
+        pa.field("sizeInBytes", pa.int32()),
+        pa.field("cardinality", pa.int64()),
+    ]
+)
+
 _CP_SCHEMA = pa.schema(
     [
         pa.field(
@@ -138,6 +148,8 @@ _CP_SCHEMA = pa.schema(
                     pa.field("modificationTime", pa.int64()),
                     pa.field("dataChange", pa.bool_()),
                     pa.field("stats", pa.string()),
+                    pa.field("tags", pa.map_(pa.string(), pa.string())),
+                    pa.field("deletionVector", _DV_STRUCT),
                 ]
             ),
         ),
@@ -148,11 +160,46 @@ _CP_SCHEMA = pa.schema(
                     pa.field("path", pa.string()),
                     pa.field("deletionTimestamp", pa.int64()),
                     pa.field("dataChange", pa.bool_()),
+                    pa.field("extendedFileMetadata", pa.bool_()),
+                    pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
+                    pa.field("size", pa.int64()),
                 ]
             ),
         ),
-        pa.field("metaData", pa.struct([pa.field("json", pa.string())])),
-        pa.field("protocol", pa.struct([pa.field("json", pa.string())])),
+        pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    pa.field("id", pa.string()),
+                    pa.field("name", pa.string()),
+                    pa.field("description", pa.string()),
+                    pa.field(
+                        "format",
+                        pa.struct(
+                            [
+                                pa.field("provider", pa.string()),
+                                pa.field("options", pa.map_(pa.string(), pa.string())),
+                            ]
+                        ),
+                    ),
+                    pa.field("schemaString", pa.string()),
+                    pa.field("partitionColumns", pa.list_(pa.string())),
+                    pa.field("configuration", pa.map_(pa.string(), pa.string())),
+                    pa.field("createdTime", pa.int64()),
+                ]
+            ),
+        ),
+        pa.field(
+            "protocol",
+            pa.struct(
+                [
+                    pa.field("minReaderVersion", pa.int32()),
+                    pa.field("minWriterVersion", pa.int32()),
+                    pa.field("readerFeatures", pa.list_(pa.string())),
+                    pa.field("writerFeatures", pa.list_(pa.string())),
+                ]
+            ),
+        ),
         pa.field(
             "txn",
             pa.struct(
@@ -170,13 +217,42 @@ _CP_SCHEMA = pa.schema(
 def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
     """Write a parquet checkpoint of the snapshot state + _last_checkpoint.
 
-    (reference: crates/core/src/protocol/checkpoints.rs:26-45)
+    Uses the protocol's typed nested structs (one action per row, one
+    struct column per action kind) so external Delta readers — including
+    the reference, crates/core/src/protocol/checkpoints.rs — can consume
+    it: metaData/protocol are real structs (schemaString,
+    partitionColumns, configuration, minReaderVersion, ...), remove
+    carries extendedFileMetadata/partitionValues/size.
     """
     rows: list[dict[str, Any]] = []
     if snapshot.protocol:
-        rows.append({"protocol": {"json": json.dumps(snapshot.protocol.to_json()["protocol"])}})
+        p = snapshot.protocol
+        rows.append(
+            {
+                "protocol": {
+                    "minReaderVersion": p.min_reader_version,
+                    "minWriterVersion": p.min_writer_version,
+                    "readerFeatures": p.reader_features,
+                    "writerFeatures": p.writer_features,
+                }
+            }
+        )
     if snapshot.metadata:
-        rows.append({"metaData": {"json": json.dumps(snapshot.metadata.to_json()["metaData"])}})
+        m = snapshot.metadata
+        rows.append(
+            {
+                "metaData": {
+                    "id": m.id,
+                    "name": m.name,
+                    "description": m.description,
+                    "format": {"provider": "parquet", "options": []},
+                    "schemaString": m.schema_string,
+                    "partitionColumns": m.partition_columns,
+                    "configuration": list((m.configuration or {}).items()),
+                    "createdTime": m.created_time,
+                }
+            }
+        )
     for app_id, txn in snapshot.txns.items():
         rows.append({"txn": {"appId": app_id, "version": txn.version, "lastUpdated": txn.last_updated}})
     for rm in snapshot.tombstones:
@@ -186,6 +262,13 @@ def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
                     "path": rm.path,
                     "deletionTimestamp": rm.deletion_timestamp,
                     "dataChange": rm.data_change,
+                    "extendedFileMetadata": rm.partition_values is not None,
+                    "partitionValues": (
+                        list(rm.partition_values.items())
+                        if rm.partition_values is not None
+                        else None
+                    ),
+                    "size": rm.size,
                 }
             }
         )
@@ -199,6 +282,8 @@ def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
                     "modificationTime": add.modification_time,
                     "dataChange": False,
                     "stats": add.stats,
+                    "tags": list(add.tags.items()) if add.tags else None,
+                    "deletionVector": add.deletion_vector,
                 }
             }
         )
@@ -210,21 +295,60 @@ def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
     return path
 
 
+def _dv_dict(raw: dict | None) -> dict[str, Any] | None:
+    if not raw or raw.get("storageType") is None:
+        return None
+    return {k: v for k, v in raw.items() if v is not None}
+
+
 def read_checkpoint(table_path: str, version: int) -> list[Action]:
     table = pq.read_table(checkpoint_file(table_path, version))
     actions: list[Action] = []
     for row in table.to_pylist():
-        if row.get("protocol") and row["protocol"].get("json"):
-            actions.append(Protocol.from_json(json.loads(row["protocol"]["json"])))
-        elif row.get("metaData") and row["metaData"].get("json"):
-            actions.append(Metadata.from_json(json.loads(row["metaData"]["json"])))
+        proto = row.get("protocol")
+        meta = row.get("metaData")
+        if proto and proto.get("minReaderVersion") is not None:
+            actions.append(
+                Protocol(
+                    proto["minReaderVersion"],
+                    proto.get("minWriterVersion") or 2,
+                    proto.get("readerFeatures"),
+                    proto.get("writerFeatures"),
+                )
+            )
+        elif proto and proto.get("json"):  # pre-r02 wrapper format
+            actions.append(Protocol.from_json(json.loads(proto["json"])))
+        elif meta and meta.get("schemaString"):
+            actions.append(
+                Metadata(
+                    schema_string=meta["schemaString"],
+                    partition_columns=list(meta.get("partitionColumns") or []),
+                    configuration=dict(meta.get("configuration") or []),
+                    id=meta.get("id") or "",
+                    name=meta.get("name"),
+                    description=meta.get("description"),
+                    created_time=meta.get("createdTime") or 0,
+                )
+            )
+        elif meta and meta.get("json"):  # pre-r02 wrapper format
+            actions.append(Metadata.from_json(json.loads(meta["json"])))
         elif row.get("txn") and row["txn"].get("appId") is not None:
             t = row["txn"]
             actions.append(Txn(t["appId"], t["version"], t.get("lastUpdated") or 0))
         elif row.get("remove") and row["remove"].get("path"):
             r = row["remove"]
             actions.append(
-                Remove(r["path"], r.get("deletionTimestamp") or 0, r.get("dataChange", True))
+                Remove(
+                    r["path"],
+                    r.get("deletionTimestamp") or 0,
+                    r.get("dataChange", True),
+                    partition_values=(
+                        dict(r["partitionValues"])
+                        if r.get("partitionValues") is not None
+                        else None
+                    ),
+                    size=r.get("size"),
+                )
             )
         elif row.get("add") and row["add"].get("path"):
             a = row["add"]
@@ -236,6 +360,8 @@ def read_checkpoint(table_path: str, version: int) -> list[Action]:
                     data_change=False,
                     partition_values=dict(a.get("partitionValues") or []),
                     stats=a.get("stats"),
+                    tags=dict(a["tags"]) if a.get("tags") else None,
+                    deletion_vector=_dv_dict(a.get("deletionVector")),
                 )
             )
     return actions

@@ -153,6 +153,38 @@ class TableMerger:
                 out[c] = f"{s}.`{c}`"
         return out
 
+    def _equi_join_pairs(self) -> list[tuple[str, str]]:
+        """(target_col, source_col) pairs from the join predicate's
+        top-level equality conjuncts. Conjunct-wise full matching (not a
+        substring scan): the predicate is split on top-level AND with the
+        same parser file skipping uses, then each WHOLE conjunct must be
+        ``t.col = s.col`` (either order, optional backquotes) to bind —
+        a conjunct like ``upper(s.c) = t.c`` or ``t.a = s.b + 1`` never
+        contributes a pair (reference: merge/filter.rs rewrites the
+        expression tree; this is the equivalent guarantee over conjuncts)."""
+        from delta_rs_spark.plans.skipping import _has_top_level_or_not, split_conjuncts
+
+        if _has_top_level_or_not(self.predicate):
+            return []
+        t, s = self._aliases()
+        col = r"`?([\w]+)`?"
+        pat_ts = re.compile(
+            rf"^\s*{re.escape(t)}\.{col}\s*(?:==|=)\s*{re.escape(s)}\.{col}\s*$"
+        )
+        pat_st = re.compile(
+            rf"^\s*{re.escape(s)}\.{col}\s*(?:==|=)\s*{re.escape(t)}\.{col}\s*$"
+        )
+        pairs = []
+        for conj in split_conjuncts(self.predicate):
+            m = pat_ts.match(conj)
+            if m:
+                pairs.append((m.group(1), m.group(2)))
+                continue
+            m = pat_st.match(conj)
+            if m:
+                pairs.append((m.group(2), m.group(1)))
+        return pairs
+
     def _strip_target_only_predicate(self, source_df: DataFrame) -> str | None:
         """Early-filter construction (reference: merge/filter.rs
         try_construct_early_filter): for equi-join conjuncts
@@ -160,19 +192,7 @@ class TableMerger:
         BETWEEN pruning predicate on the target column. Only safe when the
         predicate is a pure conjunction — an OR/NOT branch would make the
         extracted pairs non-binding and over-prune (skip entirely then)."""
-        if re.search(r"\bOR\b|\bNOT\b", self.predicate, re.IGNORECASE):
-            return None
-        t, s = self._aliases()
-        pairs = []
-        for m in re.finditer(
-            rf"(?:{re.escape(t)}\.`?(\w+)`?\s*=\s*{re.escape(s)}\.`?(\w+)`?)"
-            rf"|(?:{re.escape(s)}\.`?(\w+)`?\s*=\s*{re.escape(t)}\.`?(\w+)`?)",
-            self.predicate,
-        ):
-            if m.group(1):
-                pairs.append((m.group(1), m.group(2)))
-            else:
-                pairs.append((m.group(4), m.group(3)))
+        pairs = self._equi_join_pairs()
         if not pairs:
             return None
         aggs = []
@@ -488,13 +508,20 @@ class TableMerger:
             },
             operation_metrics=metrics,
         )
+        # the read set is every CANDIDATE file (the insert anti-join scans
+        # them and file selection consults their stats), not just the
+        # rewritten ones; with not_matched_by_source clauses or no early
+        # filter the whole table was read (ADVICE r01: a concurrent DELETE
+        # of a scanned-but-not-rewritten file must raise
+        # ConcurrentDeleteReadError)
         txn = TransactionInfo(
-        blind_append=False,
-        read_files={r.path for r in removes},
-        isolation_level=snapshot.configuration.get(
-            "delta.isolationLevel", "WriteSerializable"
-        ),
-    )
+            blind_append=False,
+            read_files={a.path for a in candidates},
+            read_whole_table=(early is None or bool(self.not_matched_by_source)),
+            isolation_level=snapshot.configuration.get(
+                "delta.isolationLevel", "WriteSerializable"
+            ),
+        )
         commit_mod.commit(table_path, actions, op, snapshot.version, txn)
 
         source_df.unpersist()

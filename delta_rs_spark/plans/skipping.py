@@ -324,7 +324,61 @@ class _Conjunct:
         return _cmp_keep(self.op, lo, hi, lits[0])
 
 
+def _has_top_level_or_not(predicate: str) -> bool:
+    """True when a top-level OR / NOT makes AND-splitting unsound.
+
+    SQL precedence is NOT > AND > OR, so ``a = 1 AND b = 2 OR c = 3``
+    means ``(a=1 AND b=2) OR c=3`` — no part of it is a binding
+    conjunct. ``NOT`` that is part of ``IS NOT NULL`` is fine (handled
+    by _NULL_RE); any other top-level NOT is refused conservatively.
+    """
+    s = predicate
+    depth = 0
+    in_str = False
+    prev_word = ""
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < len(s) and (s[j].isalnum() or s[j] in "._"):
+                j += 1
+            word = s[i:j].upper()
+            if depth == 0:
+                if word == "OR":
+                    return True
+                if word == "NOT" and prev_word != "IS":
+                    return True
+            prev_word = word
+            i = j
+            continue
+        i += 1
+    return False
+
+
 def parse_conjuncts(predicate: str) -> list[_Conjunct]:
+    # A top-level OR/NOT means the AND-split below does not yield binding
+    # conjuncts (ADVICE r01: 'a=1 AND b=2 OR c=3' must not prune on a=1).
+    # Refuse extraction entirely; Spark re-applies the full predicate.
+    if _has_top_level_or_not(predicate):
+        return []
     out: list[_Conjunct] = []
     for part in split_conjuncts(predicate):
         m = _CMP_RE.match(part)

@@ -20,6 +20,7 @@ commit kind (protocol/mod.rs:316) and txn idempotency watermarks
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,24 +78,150 @@ def delta_sink_batch(table_path: str, app_id: str):
     return sink
 
 
-def read_append_stream(spark: SparkSession, table_path: str) -> DataFrame:
-    """Streaming source over an APPEND-ONLY Delta table (parquet file
-    tailing with the table schema; partition columns come from dir
-    layout). Raises if the log shows rewriting commits — those need
-    the CDF follower."""
+try:
+    from pyspark.sql.datasource import InputPartition as _InputPartition
+except ImportError:  # pragma: no cover - pyspark < 4
+    _InputPartition = object
+
+
+class _AddFilePartition(_InputPartition):
+    """One committed data file to read in a micro-batch (pickled to the
+    Python worker that executes ``read``)."""
+
+    def __init__(self, abs_path: str, partition_values: dict, schema_json: str):
+        self.abs_path = abs_path
+        self.partition_values = partition_values
+        self.schema_json = schema_json
+
+
+def _make_stream_reader_cls():
+    """Build the DataSource classes lazily (pyspark.sql.datasource import)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _DeltaLogStreamReader(DataSourceStreamReader):
+        """Micro-batch reader driven by the TRANSACTION LOG, not directory
+        listing: an offset is a committed table version, a batch is the
+        data_change Add files of versions (start, end]. Files from
+        in-flight, conflicted, or failed writes (which sit in the table
+        dir before their commit succeeds) are invisible — only paths the
+        log committed are ever read. Rewriting commits (Remove with
+        dataChange=true, e.g. UPDATE/MERGE/DELETE) raise mid-stream
+        unless ignoreChanges is set; OPTIMIZE's dataChange=false
+        shuffles are skipped entirely instead of being re-emitted.
+        """
+
+        def __init__(self, table_path: str, schema_json: str, ignore_changes: bool):
+            self.table_path = table_path
+            self.schema_json = schema_json
+            self.ignore_changes = ignore_changes
+
+        def initialOffset(self) -> dict:
+            return {"version": -1}
+
+        def latestOffset(self) -> dict:
+            latest = snap_mod.latest_version(self.table_path)
+            return {"version": -1 if latest is None else latest}
+
+        def partitions(self, start: dict, end: dict):
+            from delta_rs_spark.log.actions import Add, Remove
+
+            parts = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                try:
+                    actions = snap_mod.read_commit_actions(self.table_path, v)
+                except FileNotFoundError:
+                    continue  # checkpointed/compacted away
+                if not self.ignore_changes and any(
+                    isinstance(a, Remove) and a.data_change for a in actions
+                ):
+                    raise DeltaError(
+                        f"version {v} rewrites data (UPDATE/MERGE/DELETE); "
+                        "use CdfFollower or ignore_changes=True"
+                    )
+                for a in actions:
+                    if isinstance(a, Add) and a.data_change:
+                        parts.append(
+                            _AddFilePartition(
+                                os.path.join(self.table_path, a.path),
+                                dict(a.partition_values or {}),
+                                self.schema_json,
+                            )
+                        )
+            return parts or [InputPartition(0)]
+
+        def read(self, partition):
+            if not isinstance(partition, _AddFilePartition):
+                return  # empty placeholder batch
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            spark_schema = T.StructType.fromJson(json.loads(partition.schema_json))
+            arrow_schema = to_arrow_schema(spark_schema)
+            tbl = pq.read_table(partition.abs_path)
+            n = len(tbl)
+            cols = []
+            for f in arrow_schema:
+                if f.name in tbl.column_names:
+                    cols.append(tbl[f.name].cast(f.type))
+                else:
+                    raw = partition.partition_values.get(f.name)
+                    if raw is None:
+                        cols.append(pa.nulls(n, f.type))
+                    else:
+                        cols.append(pa.array([raw] * n).cast(f.type))
+            out = pa.table(cols, schema=arrow_schema)
+            for batch in out.to_batches():
+                yield batch
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class DeltaLogStreamDataSource(DataSource):
+        """``spark.readStream.format("delta_log_stream")`` source."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "delta_log_stream"
+
+        def schema(self):
+            snapshot = snap_mod.load_snapshot(self.options["path"])
+            return T.StructType.fromJson(json.loads(snapshot.schema_string))
+
+        def streamReader(self, schema):
+            snapshot = snap_mod.load_snapshot(self.options["path"])
+            ignore = str(self.options.get("ignorechanges", "false")).lower() == "true"
+            return _DeltaLogStreamReader(
+                self.options["path"], snapshot.schema_string, ignore
+            )
+
+    return DeltaLogStreamDataSource
+
+
+def read_append_stream(
+    spark: SparkSession, table_path: str, ignore_changes: bool = False
+) -> DataFrame:
+    """Streaming source over an append-only Delta table, driven by the
+    transaction log (only committed Add paths are read — never staged,
+    conflicted, or orphaned files). Raises up front if the log already
+    shows rewriting commits, and the source itself re-checks every new
+    commit mid-stream."""
     snapshot = snap_mod.load_snapshot(table_path)
-    if snapshot.tombstones:
-        # any tombstone (even dataChange=false from OPTIMIZE) means removed
-        # files still sit on disk until VACUUM and a file-tailing source
-        # would read both generations
+    if not ignore_changes and any(t.data_change for t in snapshot.tombstones):
         raise DeltaError(
-            "table has removed files; use CdfFollower for rewritten/compacted tables"
+            "table has rewritten files; use CdfFollower or ignore_changes=True"
         )
-    schema = T.StructType.fromJson(json.loads(snapshot.schema_string))
-    reader = spark.readStream.schema(schema)
-    if snapshot.partition_columns:
-        reader = reader.option("basePath", table_path)
-    return reader.option("pathGlobFilter", "*.parquet").parquet(table_path)
+    spark.dataSource.register(_make_stream_reader_cls())
+    return (
+        spark.readStream.format("delta_log_stream")
+        .option("path", table_path)
+        .option("ignoreChanges", str(ignore_changes).lower())
+        .load()
+    )
 
 
 class CdfFollower:

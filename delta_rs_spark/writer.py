@@ -387,6 +387,12 @@ def write_deltalake(
 
     if txn_app_id is not None and txn_version is not None:
         actions.append(Txn(txn_app_id, txn_version))
+        # register the appId in the transaction's read set so a concurrent
+        # commit advancing the same watermark raises
+        # ConcurrentTransactionError during retry replay (ADVICE r01:
+        # without this, two writers with the same app_id/txn_version could
+        # both commit, breaking exactly-once)
+        txn_info.app_ids.add(txn_app_id)
 
     op = CommitInfo(
         operation="WRITE",

@@ -142,3 +142,39 @@ def test_frame_sampling_expansion(spark, docs):
     frames = sample_frames(media, fake=True).collect()
     assert len(frames) >= 5
     assert all(f.frame_no % 10 == 0 for f in frames)
+
+def test_embedding_near_dup_no_driver_collect(spark, emb, monkeypatch):
+    """The block-matmul path must never materialize vector data on the
+    driver (VERDICT r01 #1: toPandas/collect scale-killer)."""
+    from pyspark.sql import DataFrame
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side materialization in operator")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    plan = D.embedding_near_dup_pairs(emb, threshold=0.4)
+    monkeypatch.undo()
+    assert plan.count() > 0
+
+
+def test_embedding_near_dup_10x_and_block_count_invariance(spark, emb):
+    """Correctness must not depend on num_blocks, and the operator must
+    handle 10x the corpus (each vector duplicated under 10 id offsets)."""
+    small = D.embedding_near_dup_pairs(emb, threshold=0.4, num_blocks=3)
+    big_blocks = D.embedding_near_dup_pairs(emb, threshold=0.4, num_blocks=13)
+    s = {(r.id_a, r.id_b, r.cos) for r in small.collect()}
+    b = {(r.id_a, r.id_b, r.cos) for r in big_blocks.collect()}
+    assert s == b and len(s) > 0
+
+    n = emb.count()
+    base = emb.select("vec_id", "embedding")
+    tiled = base
+    for i in range(1, 10):
+        tiled = tiled.unionByName(
+            base.select((F.col("vec_id") + i * n * 10).alias("vec_id"), "embedding")
+        )
+    pairs10 = D.embedding_near_dup_pairs(tiled, threshold=0.95, num_blocks=8)
+    # every original vector matches its 9 clones at cos=1: >= 45*n pairs... but
+    # only count: clones of the same base vector pair up C(10,2)=45 times each
+    assert pairs10.count() >= 45 * n

@@ -137,3 +137,124 @@ def test_alter_sees_latest_metadata(spark, tmp_table, sample_df):
     stale.alter.set_table_properties({"other.key": "1"})  # must keep appendOnly
     cfg = DeltaTable(tmp_table).metadata().configuration
     assert cfg.get("delta.appendOnly") == "false" and cfg.get("other.key") == "1"
+
+
+# ---- round-2 ADVICE regressions -------------------------------------------
+
+
+def test_or_precedence_no_overprune(spark):
+    """'a = 1 AND b = 2 OR c = 3' means '(a=1 AND b=2) OR c=3': a file
+    whose rows match only the c=3 branch must be KEPT (ADVICE r01 high)."""
+    import json
+
+    from delta_rs_spark.log.actions import Add
+    from delta_rs_spark.plans.skipping import parse_conjuncts, prune_files
+
+    only_c = Add(
+        path="c.parquet", size=1, modification_time=0,
+        stats=json.dumps(
+            {
+                "numRecords": 5,
+                "minValues": {"a": 50, "b": 50, "c": 3},
+                "maxValues": {"a": 60, "b": 60, "c": 3},
+                "nullCount": {"a": 0, "b": 0, "c": 0},
+            }
+        ),
+    )
+    pred = "a = 1 AND b = 2 OR c = 3"
+    assert parse_conjuncts(pred) == []  # refuses extraction entirely
+    assert [x.path for x in prune_files([only_c], pred, [])] == ["c.parquet"]
+    # NOT at top level also refuses; IS NOT NULL does not trip the guard
+    assert parse_conjuncts("NOT a = 1 AND b = 2") == []
+    assert len(parse_conjuncts("a IS NOT NULL AND b = 2")) == 2
+
+
+def test_writer_populates_txn_app_ids(spark, tmp_table, sample_df, monkeypatch):
+    """write_deltalake must put txn_app_id into TransactionInfo.app_ids so
+    ConcurrentTransactionError is reachable (ADVICE r01 medium)."""
+    from delta_rs_spark.log import commit as commit_mod
+
+    captured = {}
+    real_commit = commit_mod.commit
+
+    def spy(table_path, actions, op, read_version, txn_info=None, **kw):
+        captured["txn_info"] = txn_info
+        return real_commit(table_path, actions, op, read_version, txn_info, **kw)
+
+    monkeypatch.setattr("delta_rs_spark.writer.commit_mod.commit", spy)
+    write_deltalake(tmp_table, sample_df, txn_app_id="appX", txn_version=1)
+    assert captured["txn_info"].app_ids == {"appX"}
+
+
+def test_checkpoint_protocol_shaped(spark, tmp_table, sample_df):
+    """Checkpoint parquet must carry typed metaData/protocol structs and a
+    full remove struct (ADVICE r01 medium) and still round-trip."""
+    import pyarrow.parquet as pq
+
+    from delta_rs_spark.log import snapshot as snap_mod
+
+    write_deltalake(tmp_table, sample_df, partition_by=["id"])
+    t = DeltaTable(tmp_table)
+    t.delete("price >= 4")
+    snap = snap_mod.load_snapshot(tmp_table)
+    snap_mod.write_checkpoint(tmp_table, snap)
+    cp = pq.read_table(snap_mod.checkpoint_file(tmp_table, snap.version))
+    names = {f.name for f in cp.schema}
+    assert {"add", "remove", "metaData", "protocol", "txn"} <= names
+    meta_fields = {f.name for f in cp.schema.field("metaData").type}
+    assert {"id", "schemaString", "partitionColumns", "configuration", "createdTime"} <= meta_fields
+    proto_fields = {f.name for f in cp.schema.field("protocol").type}
+    assert {"minReaderVersion", "minWriterVersion"} <= proto_fields
+    rm_fields = {f.name for f in cp.schema.field("remove").type}
+    assert {"partitionValues", "size", "extendedFileMetadata"} <= rm_fields
+    rows = [r["metaData"] for r in cp.to_pylist() if r.get("metaData") and r["metaData"].get("schemaString")]
+    assert rows and rows[0]["partitionColumns"] == ["id"]
+    # replay from the checkpoint alone reproduces the table state
+    actions = snap_mod.read_checkpoint(tmp_table, snap.version)
+    replayed = snap_mod.Snapshot(table_path=tmp_table)
+    for a in actions:
+        replayed.apply(a, snap.version)
+    assert set(replayed.files) == set(snap.files)
+    assert replayed.partition_columns == ["id"]
+
+
+def test_append_stream_ignores_uncommitted_files(spark, tmp_path, sample_df):
+    """Files sitting in the table dir WITHOUT a committed Add action must
+    not be streamed (ADVICE r01 medium: phantom rows)."""
+    import shutil
+    import os
+
+    from delta_rs_spark.streaming.delta_stream import read_append_stream
+
+    table = str(tmp_path / "phantoms")
+    write_deltalake(table, sample_df)
+    # plant an orphan parquet (simulates an in-flight/failed write)
+    committed = [f for f in os.listdir(table) if f.endswith(".parquet")]
+    shutil.copy(os.path.join(table, committed[0]), os.path.join(table, "part-orphan.snappy.parquet"))
+    stream = read_append_stream(spark, table)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("phantom_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ph"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) FROM phantom_out").collect()[0][0] == 5
+
+
+def test_merge_equi_pairs_robust(spark, tmp_table, sample_df):
+    """Function-wrapped / expression conjuncts must not contribute early
+    filter pairs; backquoted ones must (ADVICE-adjacent, VERDICT #5)."""
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    src = spark.createDataFrame([("1",)], "id string")
+    m = t.merge(src, "target.`id` = source.`id`")
+    assert m._equi_join_pairs() == [("id", "id")]
+    m2 = t.merge(src, "upper(target.id) = source.id AND target.id = source.id")
+    assert m2._equi_join_pairs() == [("id", "id")]
+    m3 = t.merge(src, "target.id = concat(source.id, '_x')")
+    assert m3._equi_join_pairs() == []
+    m4 = t.merge(src, "target.id = source.id OR target.id = source.id")
+    assert m4._equi_join_pairs() == []
