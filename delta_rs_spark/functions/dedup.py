@@ -51,13 +51,19 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: min over shingles of
-    xxhash64(shingle, seed) for each of ``num_perm`` seeded permutations.
-    Computed entirely with array expressions — one projection, no shuffle."""
+    """MinHash signature per document, entirely array expressions — one
+    projection, no shuffle.
+
+    Each shingle STRING is hashed exactly once; the ``num_perm``
+    permutations are derived by re-hashing that 8-byte value with the
+    permutation index as seed (the standard universal-hashing trick:
+    string hashing is the expensive part, so 1 string pass + num_perm
+    integer passes instead of num_perm string passes)."""
     sh = shingles(text_col, shingle_size)
+    hs = F.transform(sh, lambda s: F.xxhash64(s))
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(hs, lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(num_perm)
         ]
     )
@@ -77,7 +83,13 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b, est_jaccard) with the signature-estimated
     Jaccard (fraction of agreeing permutations)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_size)
+    # the signature table is consumed by 4 plan branches (two band-join
+    # aliases + two est re-attach joins); checkpoint it lazily so the
+    # shingle+hash pass runs ONCE instead of once per branch (sigs are
+    # ~0.5 KB/doc — orders of magnitude smaller than the corpus)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_size).localCheckpoint(
+        eager=False
+    )
     # the band self-join carries IDS ONLY: combining band index into the
     # bucket hash makes (bucket) the single join key, and the 64-element
     # signature arrays never enter the 16x-exploded shuffle (r01 carried

@@ -180,3 +180,152 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized ANN indexes — build once as a Delta table PARTITIONED BY the
+# bucket/list id, query by reading only the probed partitions through the
+# transaction log's file skipping. This is the 100 TB shape: the per-query
+# cost is O(corpus/2^n_planes * probes), not a full corpus scan per query
+# (the r01 lsh_topk/ivf_topk recomputed every vector's bucket per call).
+# ---------------------------------------------------------------------------
+
+_LSH_PLANES_KEY = "spark_graft.lsh.planes"
+_IVF_CENTROIDS_KEY = "spark_graft.ivf.centroids"
+
+
+def build_lsh_index(
+    df: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a hyperplane-LSH index: one Delta partition per bucket.
+
+    The hyperplane parameters are stored in the table configuration so
+    queries are self-describing (no out-of-band state to drift)."""
+    import json as _json
+
+    from delta_rs_spark.writer import write_deltalake
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    indexed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    write_deltalake(
+        index_path,
+        indexed,
+        mode=mode,
+        partition_by=["bucket"],
+        configuration={
+            _LSH_PLANES_KEY: _json.dumps(
+                {"n_planes": n_planes, "seed": seed, "dim": dim}
+            )
+        },
+    )
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k over a materialized LSH index: only the query bucket and its
+    hamming<=1 neighbors are READ — partition pruning through the Delta
+    log keeps every other file out of the scan entirely."""
+    import json as _json
+
+    from delta_rs_spark.table import DeltaTable
+
+    t = DeltaTable(index_path, spark=spark)
+    params = _json.loads(t.metadata().configuration[_LSH_PLANES_KEY])
+    if params["dim"] != len(query_vec):
+        raise ValueError(f"query dim {len(query_vec)} != index dim {params['dim']}")
+    planes = _hyperplanes(params["dim"], params["n_planes"], params["seed"])
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) >= 0:
+            qb |= 1 << i
+    probe = [qb] + [qb ^ (1 << i) for i in range(params["n_planes"])]
+    cand = t.to_df(predicate=f"bucket IN ({', '.join(str(b) for b in probe)})")
+    q = _query_vec_column(query_vec)
+    return (
+        cand.select(
+            F.col("id"), F.round(cosine(F.col("vec"), q), 4).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an IVF index: one Delta partition per inverted list;
+    centroids live in the table configuration (n_lists * dim floats — log
+    metadata, tiny next to the vectors)."""
+    import json as _json
+
+    from delta_rs_spark.writer import write_deltalake
+
+    assigned, centroids = ivf_assign(df, n_lists, vec_col, id_col)
+    indexed = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col("__list").alias("list"),
+    )
+    write_deltalake(
+        index_path,
+        indexed,
+        mode=mode,
+        partition_by=["list"],
+        configuration={
+            _IVF_CENTROIDS_KEY: _json.dumps(
+                [[i, [round(x, 8) for x in c]] for i, c in centroids]
+            )
+        },
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k over a materialized IVF index: rank centroids driver-side
+    (n_lists rows of metadata), scan only the n_probe nearest lists."""
+    import json as _json
+
+    from delta_rs_spark.table import DeltaTable
+
+    t = DeltaTable(index_path, spark=spark)
+    centroids = _json.loads(t.metadata().configuration[_IVF_CENTROIDS_KEY])
+    ranked = sorted(
+        centroids,
+        key=lambda c: -sum(x * y for x, y in zip(query_vec, c[1]))
+        / (math.sqrt(sum(x * x for x in c[1])) or 1.0),
+    )
+    probe = [i for i, _ in ranked[:n_probe]]
+    cand = t.to_df(predicate=f"list IN ({', '.join(str(i) for i in probe)})")
+    q = _query_vec_column(query_vec)
+    return (
+        cand.select(
+            F.col("id"), F.round(cosine(F.col("vec"), q), 4).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )

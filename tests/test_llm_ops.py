@@ -178,3 +178,62 @@ def test_embedding_near_dup_10x_and_block_count_invariance(spark, emb):
     # every original vector matches its 9 clones at cos=1: >= 45*n pairs... but
     # only count: clones of the same base vector pair up C(10,2)=45 times each
     assert pairs10.count() >= 45 * n
+
+def test_lsh_index_partition_pruned(spark, emb, tmp_path):
+    """Materialized LSH index: probe reads ONLY the probed bucket
+    partitions (VERDICT r01 #2), and matches the scan-based operator."""
+    from delta_rs_spark.table import DeltaTable
+
+    idx = str(tmp_path / "lshidx")
+    S.build_lsh_index(emb, idx, n_planes=6, seed=7)
+    t = DeltaTable(idx)
+    q = list(emb.filter("vec_id = 0").collect()[0]["embedding"])
+    planes = S._hyperplanes(len(q), 6, 7)
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(q, p)) >= 0:
+            qb |= 1 << i
+    probe = {qb} | {qb ^ (1 << i) for i in range(6)}
+    all_files = t.files()
+    kept = t.files([("bucket", "in", sorted(probe))])
+    assert 0 < len(kept) < len(all_files)
+    for f in kept:
+        assert any(f.startswith(f"bucket={b}/") for b in probe), f
+    got = [(r.id, r.score) for r in S.lsh_topk_indexed(spark, idx, q, k=10).collect()]
+    ref = [
+        (r.id, r.score)
+        for r in S.lsh_topk(emb, q, k=10, n_planes=6, seed=7).collect()
+    ]
+    assert got == ref
+
+
+def test_ivf_index_partition_pruned(spark, emb, tmp_path):
+    from delta_rs_spark.table import DeltaTable
+
+    idx = str(tmp_path / "ivfidx")
+    S.build_ivf_index(emb, idx, n_lists=8)
+    t = DeltaTable(idx)
+    q = list(emb.filter("vec_id = 0").collect()[0]["embedding"])
+    got = [
+        (r.id, r.score)
+        for r in S.ivf_topk_indexed(spark, idx, q, k=5, n_probe=3).collect()
+    ]
+    ref = [
+        (r.id, r.score)
+        for r in S.ivf_topk(emb, q, k=5, n_lists=8, n_probe=3).collect()
+    ]
+    assert got == ref and got[0][0] == 0
+    # scan is pruned to the probed lists
+    import json as _json
+
+    cents = _json.loads(t.metadata().configuration[S._IVF_CENTROIDS_KEY])
+    import math
+
+    ranked = sorted(
+        cents,
+        key=lambda c: -sum(x * y for x, y in zip(q, c[1]))
+        / (math.sqrt(sum(x * x for x in c[1])) or 1.0),
+    )
+    probe = [i for i, _ in ranked[:3]]
+    kept = t.files([("list", "in", probe)])
+    assert 0 < len(kept) < len(t.files())
