@@ -418,13 +418,16 @@ class Snapshot:
 
     def num_records(self) -> int | None:
         """Metadata-only row count when every file carries stats
-        (reference: python/deltalake/table.py:584-605)."""
+        (reference: python/deltalake/table.py:584-605). Files with a
+        deletion vector contribute physical rows minus DV cardinality."""
         total = 0
         for add in self.files.values():
             n = add.num_records()
             if n is None:
                 return None
             total += n
+            if add.deletion_vector:
+                total -= int(add.deletion_vector.get("cardinality") or 0)
         return total
 
 

@@ -375,3 +375,46 @@ def delta_checkpoint_replay_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt.cleanup_metadata(retention_hours=0)
     write_deltalake(path, nation, mode="append")
     return DeltaTable(path, spark=spark).to_df()
+
+
+@query(
+    "delta_dv_read_op",
+    """
+    WITH t AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal,
+                      row_number() OVER (ORDER BY c_custkey) - 1 AS rn
+               FROM customer)
+    SELECT c_custkey, c_name, bal FROM t WHERE rn % 3 <> 0
+    """,
+)
+def delta_dv_read_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of a table whose Add carries a deletion vector: every third
+    physical row (by row_index) is tombstoned via an inline DV, the way
+    a foreign DV-enabled writer would leave it (reference descriptor:
+    kernel/models/actions.rs:883; format: Delta PROTOCOL.md)."""
+    import dataclasses
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.log import commit as commit_mod
+    from delta_rs_spark.log import snapshot as snap_mod
+    from delta_rs_spark.log.actions import CommitInfo
+    from delta_rs_spark.plans.deletion_vectors import inline_dv_descriptor
+
+    path = _scratch("dv_read", sf_dir)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal"))
+        .coalesce(1)
+        .sortWithinPartitions("c_custkey")
+    )
+    write_deltalake(path, cust)
+    snap = snap_mod.load_snapshot(path)
+    (add,) = snap.files.values()
+    n = add.num_records()
+    desc = inline_dv_descriptor(list(range(0, n, 3)))
+    commit_mod.commit(
+        path,
+        [dataclasses.replace(add, deletion_vector=desc, data_change=True)],
+        CommitInfo("DELETE", {"predicate": "rn % 3 = 0"}),
+        snap.version,
+    )
+    return DeltaTable(path, spark=spark).to_df()

@@ -63,7 +63,14 @@ def read_snapshot_df(
     columns: list[str] | None = None,
     files: list[Add] | None = None,
 ) -> DataFrame:
-    """Build the scan DataFrame for a snapshot (with file skipping)."""
+    """Build the scan DataFrame for a snapshot (with file skipping).
+
+    Files carrying a deletion vector are scanned with the parquet
+    ``_metadata.row_index`` bound and anti-joined against the decoded
+    (file, row_index) tombstone set — the Spark analogue of the
+    reference's per-batch selection vectors
+    (crates/core/src/delta_datafusion/table_provider/next/scan/exec.rs:63-108).
+    """
     schema = T.StructType.fromJson(json.loads(snapshot.schema_string))
     adds = files if files is not None else list(snapshot.files.values())
     if predicate:
@@ -73,14 +80,46 @@ def read_snapshot_df(
             snapshot.partition_columns,
             col_types_from_schema_json(json.loads(snapshot.schema_string)),
         )
-    if not adds:
+    plain = [a for a in adds if not a.deletion_vector]
+    dv_adds = [a for a in adds if a.deletion_vector]
+    if not plain and not dv_adds:
         df = spark.createDataFrame([], schema)
     else:
-        paths = [os.path.join(table_path, a.path) for a in adds]
         reader = spark.read.schema(schema)
         if snapshot.partition_columns:
             reader = reader.option("basePath", table_path)
-        df = reader.parquet(*paths)
+        parts = []
+        if plain:
+            parts.append(
+                reader.parquet(*[os.path.join(table_path, a.path) for a in plain])
+            )
+        if dv_adds:
+            from delta_rs_spark.plans.deletion_vectors import load_dv_row_indexes
+
+            deleted_rows = []
+            for a in dv_adds:
+                abs_path = os.path.join(table_path, a.path)
+                for ri in load_dv_row_indexes(table_path, a.deletion_vector):
+                    # _metadata.file_path renders as file:<abs> (single slash)
+                    deleted_rows.append((f"file:{abs_path}", ri))
+            deleted_df = spark.createDataFrame(
+                deleted_rows, "__dv_fp string, __dv_ri long"
+            )
+            dv_df = (
+                reader.parquet(*[os.path.join(table_path, a.path) for a in dv_adds])
+                .withColumn("__fp", F.col("_metadata.file_path"))
+                .withColumn("__ri", F.col("_metadata.row_index"))
+            )
+            dv_df = dv_df.join(
+                F.broadcast(deleted_df),
+                (F.col("__fp") == F.col("__dv_fp"))
+                & (F.col("__ri") == F.col("__dv_ri")),
+                "left_anti",
+            ).drop("__fp", "__ri")
+            parts.append(dv_df.select(*[f.name for f in schema.fields]))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
     if predicate:
         df = df.filter(F.expr(predicate))
     if columns:

@@ -1,0 +1,159 @@
+"""Deletion-vector reading: Z85 + roaring codec round-trips, and scans
+of tables whose Adds carry DV descriptors (inline / uuid-file /
+absolute-path storage)."""
+
+import dataclasses
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import CommitInfo
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.plans import deletion_vectors as DV
+
+
+def test_z85_round_trip():
+    for raw in [b"\x00\x00\x00\x00", b"\xff\xff\xff\xff", os.urandom(16), os.urandom(40)]:
+        assert DV.z85_decode(DV.z85_encode(raw)) == raw
+    # spec reference vector: Z85 of 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B
+    assert DV.z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+
+
+@pytest.mark.parametrize("force", ["array", "bitmap", "run"])
+def test_roaring_round_trip_container_kinds(force):
+    vals = sorted({1, 2, 3, 100, 5000, 65535, 65536, 70000, (1 << 16) * 3 + 7})
+    if force == "bitmap":
+        vals = sorted(set(vals) | set(range(200000, 210000)))  # >4096 in one key
+    got = DV.decode_bitmap_array(DV.encode_bitmap_array(vals, force=force))
+    assert got == sorted(vals)
+
+
+def test_roaring_round_trip_high_32_bits():
+    vals = [5, (1 << 32) + 1, (1 << 33) + 42, (7 << 32) + 65536]
+    got = DV.decode_bitmap_array(DV.encode_bitmap_array(vals))
+    assert got == sorted(vals)
+
+
+def _make_table(spark, path, n=200):
+    df = (
+        spark.range(n)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+        .sortWithinPartitions("id")
+    )
+    write_deltalake(path, df)
+    return DeltaTable(path)
+
+
+def _attach_dv(table_path, descriptor):
+    """Re-commit the single data file's Add with a DV descriptor, the way
+    a foreign DV-enabled writer would after a partial delete."""
+    snap = snap_mod.load_snapshot(table_path)
+    (add,) = snap.files.values()
+    new_add = dataclasses.replace(add, deletion_vector=descriptor, data_change=True)
+    commit_mod.commit(
+        table_path,
+        [new_add],
+        CommitInfo("DELETE", {"predicate": "synthetic-dv"}),
+        snap.version,
+    )
+
+
+def _row_index_of(spark, table_path, ids):
+    (add,) = snap_mod.load_snapshot(table_path).files.values()
+    abs_path = os.path.join(table_path, add.path)
+    rows = (
+        spark.read.parquet(abs_path)
+        .select("id", F.col("_metadata.row_index").alias("ri"))
+        .collect()
+    )
+    by_id = {r.id: r.ri for r in rows}
+    return [by_id[i] for i in ids]
+
+
+def test_inline_dv_scan(spark, tmp_path):
+    table = str(tmp_path / "dvi")
+    t = _make_table(spark, table)
+    deleted_ids = [3, 77, 150, 199]
+    ris = _row_index_of(spark, table, deleted_ids)
+    _attach_dv(table, DV.inline_dv_descriptor(ris))
+    t.refresh()
+    assert t.count() == 200 - len(deleted_ids)  # metadata-only count
+    got_ids = sorted(r.id for r in t.to_df().collect())
+    assert got_ids == sorted(set(range(200)) - set(deleted_ids))
+    # predicate still works through the DV path
+    assert t.to_df(predicate="id < 10").count() == 9  # id=3 deleted
+
+
+def test_uuid_file_dv_scan(spark, tmp_path):
+    table = str(tmp_path / "dvu")
+    t = _make_table(spark, table)
+    deleted_ids = list(range(0, 120))  # >50% deleted
+    ris = _row_index_of(spark, table, deleted_ids)
+    desc = DV.write_dv_file(table, ris, prefix="ab")
+    assert desc["pathOrInlineDv"].startswith("ab")
+    _attach_dv(table, desc)
+    t.refresh()
+    got_ids = sorted(r.id for r in t.to_df().collect())
+    assert got_ids == list(range(120, 200))
+    assert t.count() == 80
+
+
+def test_absolute_path_dv_scan(spark, tmp_path):
+    table = str(tmp_path / "dvp")
+    t = _make_table(spark, table)
+    ris = _row_index_of(spark, table, [10])
+    desc = DV.write_dv_file(table, ris)
+    # rewrite as absolute-path storage
+    abs_file = DV.dv_file_path(table, desc["pathOrInlineDv"])
+    desc_p = {**desc, "storageType": "p", "pathOrInlineDv": abs_file}
+    _attach_dv(table, desc_p)
+    t.refresh()
+    assert t.count() == 199
+    assert t.to_df().filter("id = 10").count() == 0
+
+
+def test_dv_oracle_vs_pyarrow(spark, tmp_path):
+    """Scan result must equal the raw parquet content minus the DV rows."""
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "dvo")
+    t = _make_table(spark, table, n=500)
+    ris = list(range(0, 500, 7))
+    _attach_dv(table, DV.inline_dv_descriptor(ris))
+    t.refresh()
+    (add,) = [a for a in snap_mod.load_snapshot(table).files.values()]
+    raw = pq.read_table(os.path.join(table, add.path)).to_pylist()
+    expected = sorted(
+        (r["id"], r["v"]) for i, r in enumerate(raw) if i not in set(ris)
+    )
+    got = sorted((r.id, r.v) for r in t.to_df().collect())
+    assert got == expected
+
+
+def test_dv_checksum_validation(spark, tmp_path):
+    table = str(tmp_path / "dvc")
+    _make_table(spark, table)
+    desc = DV.write_dv_file(table, [1, 2, 3])
+    path = DV.dv_file_path(table, desc["pathOrInlineDv"])
+    blob = bytearray(open(path, "rb").read())
+    blob[-1] ^= 0xFF  # corrupt the CRC
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        DV.load_dv_row_indexes(table, desc)
+
+
+def test_dv_survives_checkpoint(spark, tmp_path):
+    table = str(tmp_path / "dvck")
+    t = _make_table(spark, table)
+    ris = _row_index_of(spark, table, [0, 1])
+    _attach_dv(table, DV.inline_dv_descriptor(ris))
+    snap = snap_mod.load_snapshot(table)
+    snap_mod.write_checkpoint(table, snap)
+    t2 = DeltaTable(table)
+    assert t2.count() == 198
+    assert t2.to_df().filter("id <= 1").count() == 0
