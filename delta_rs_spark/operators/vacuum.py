@@ -59,6 +59,7 @@ def vacuum(
     dry_run: bool = True,
     enforce_retention_duration: bool = True,
     full: bool = False,
+    keep_versions: list[int] | None = None,
 ) -> list[str]:
     snapshot = snap_mod.load_snapshot(table_path)
     configured = _configured_retention_hours(snapshot.configuration)
@@ -74,6 +75,11 @@ def vacuum(
     cutoff_ms = (time.time() - retention_hours * 3600) * 1000
 
     active = set(snapshot.files.keys())
+    # keep_versions: every file referenced by a protected historical
+    # version survives, so time travel to it stays intact
+    # (reference: python/deltalake/table.py:607-684 keep_versions)
+    for kv in keep_versions or []:
+        active |= set(snap_mod.load_snapshot(table_path, kv).files.keys())
     tombstoned = {r.path: r.deletion_timestamp for r in snapshot.tombstones}
     candidates: list[str] = []
     for rel in _walk_data_files(table_path):

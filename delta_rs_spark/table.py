@@ -370,10 +370,101 @@ class DeltaTable:
         return self.to_df(**kwargs).toPandas()
 
     def to_pyarrow_table(self, **kwargs):
+        """Arrow-native when Spark supports it (DataFrame.toArrow, Spark
+        4) — no pandas hop, so binary/nested/decimal columns survive
+        losslessly (reference: python/deltalake/table.py:936-1079)."""
+        df = self.to_df(**kwargs)
+        if hasattr(df, "toArrow"):
+            return df.toArrow()
         import pyarrow as pa
 
-        pdf = self.to_pandas(**kwargs)
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return pa.Table.from_pandas(df.toPandas(), preserve_index=False)
+
+    def to_pyarrow_dataset(self, **kwargs):
+        """A pyarrow dataset over the snapshot's (pruned) file list —
+        streams per-file, never materializes the table
+        (reference: python/deltalake/table.py:936-1079). Partition
+        columns are injected from the Hive paths by pyarrow."""
+        import pyarrow.dataset as ds
+
+        pf = kwargs.pop("partition_filters", None)
+        pred = kwargs.pop("predicate", None)
+        uris = self.file_uris(pf)
+        part = (
+            ds.partitioning(flavor="hive") if self._snapshot.partition_columns else None
+        )
+        dataset = ds.dataset(
+            uris, format="parquet", partitioning=part, partition_base_dir=self.table_uri
+        )
+        if pred is not None:
+            raise ValueError(
+                "pass predicates as pyarrow expressions to dataset.to_table(filter=...)"
+            )
+        return dataset
+
+    def update_incremental(self) -> None:
+        """Re-sync the handle to the latest committed version
+        (reference: python/deltalake/table.py update_incremental)."""
+        self.refresh()
+
+    def create_write_transaction(
+        self,
+        actions: list,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+        schema: T.StructType | None = None,
+    ) -> int:
+        """Commit files written OUTSIDE this engine (reference:
+        python/deltalake/table.py:1330-1363): each action is an
+        ``AddAction``-shaped object or dict with path/size/
+        modification_time/data_change/partition_values/stats. Returns
+        the committed version."""
+        from delta_rs_spark.log import commit as commit_mod
+        from delta_rs_spark.log.actions import Remove, now_ms
+        from delta_rs_spark.log.commit import TransactionInfo
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"invalid mode {mode!r}")
+        if partition_by and partition_by != self._snapshot.partition_columns:
+            raise DeltaError(
+                f"partition_by {partition_by} != table partitioning "
+                f"{self._snapshot.partition_columns}"
+            )
+        if schema is not None and schema.json() != self._snapshot.schema_string:
+            raise DeltaError("schema does not match table schema")
+        adds = []
+        for a in actions:
+            get = a.get if isinstance(a, dict) else lambda k, d=None: getattr(a, k, d)
+            adds.append(
+                Add(
+                    path=get("path"),
+                    size=get("size") or 0,
+                    modification_time=get("modification_time") or now_ms(),
+                    data_change=get("data_change", True),
+                    partition_values=dict(get("partition_values") or {}),
+                    stats=get("stats"),
+                )
+            )
+        commit_actions: list = list(adds)
+        if mode == "overwrite":
+            ts = now_ms()
+            commit_actions += [
+                Remove(f.path, ts, True, f.partition_values, f.size)
+                for f in self._snapshot.files.values()
+            ]
+        op = CommitInfo(
+            operation="WRITE",
+            operation_parameters={
+                "mode": "Append" if mode == "append" else "Overwrite"
+            },
+            operation_metrics={"numFiles": len(adds)},
+        )
+        txn = TransactionInfo(
+            blind_append=(mode == "append"), read_whole_table=(mode == "overwrite")
+        )
+        v = commit_mod.commit(self.table_uri, commit_actions, op, self._snapshot.version, txn)
+        self.refresh()
+        return v
 
     # -- mutations (delegate to operators) --------------------------------
     def delete(self, predicate: str | None = None) -> dict[str, Any]:
@@ -426,11 +517,17 @@ class DeltaTable:
         dry_run: bool = True,
         enforce_retention_duration: bool = True,
         full: bool = False,
+        keep_versions: list[int] | None = None,
     ) -> list[str]:
         from delta_rs_spark.operators.vacuum import vacuum as _vacuum
 
         return _vacuum(
-            self.table_uri, retention_hours, dry_run, enforce_retention_duration, full
+            self.table_uri,
+            retention_hours,
+            dry_run,
+            enforce_retention_duration,
+            full,
+            keep_versions,
         )
 
     def restore(

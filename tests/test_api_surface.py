@@ -59,3 +59,89 @@ def test_count_and_schema_api(spark, tmp_table, sample_df):
     assert [f.name for f in t.schema().fields] == ["id", "price", "sold", "deleted"]
     assert t.protocol().min_reader_version == 1
     assert t.metadata().partition_columns == []
+
+
+# ---- round-2 API parity additions -----------------------------------------
+
+
+def test_vacuum_keep_versions(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)                      # v0
+    write_deltalake(tmp_table, sample_df, mode="overwrite")    # v1 tombstones v0
+    t = DeltaTable(tmp_table)
+    would_delete = t.vacuum(retention_hours=0, enforce_retention_duration=False)
+    assert would_delete  # v0 files are reclaimable
+    kept = t.vacuum(
+        retention_hours=0, enforce_retention_duration=False, keep_versions=[0]
+    )
+    assert kept == []  # every candidate belongs to the protected version
+    # destructive vacuum honoring keep_versions leaves v0 readable
+    t.vacuum(
+        retention_hours=0,
+        dry_run=False,
+        enforce_retention_duration=False,
+        keep_versions=[0],
+    )
+    assert DeltaTable(tmp_table, version=0).to_df().count() == 5
+
+
+def test_create_write_transaction(spark, tmp_table, sample_df):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    # produce a file OUTSIDE the engine, then commit it
+    extra = pa.table({"id": ["x1", "x2"], "price": [10.0, 20.0]})
+    fname = "part-external-0001.snappy.parquet"
+    pq.write_table(extra, os.path.join(tmp_table, fname))
+    v = t.create_write_transaction(
+        [
+            {
+                "path": fname,
+                "size": os.path.getsize(os.path.join(tmp_table, fname)),
+                "stats": '{"numRecords": 2}',
+            }
+        ],
+        mode="append",
+    )
+    assert v == 1
+    assert t.count() == 7
+    assert t.to_df().filter("id = 'x1'").count() == 1
+    # schema guard
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    with _pytest.raises(Exception):
+        t.create_write_transaction(
+            [{"path": fname, "size": 1}],
+            schema=T.StructType([T.StructField("other", T.StringType())]),
+        )
+
+
+def test_update_incremental(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    stale = DeltaTable(tmp_table)
+    write_deltalake(tmp_table, sample_df, mode="append")
+    assert stale.version() == 0
+    stale.update_incremental()
+    assert stale.version() == 1 and stale.count() == 10
+
+
+def test_to_pyarrow_table_native(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    tbl = DeltaTable(tmp_table).to_pyarrow_table()
+    assert tbl.num_rows == 5
+    assert {"id", "price"} <= set(tbl.column_names)
+
+
+def test_to_pyarrow_dataset_pruned(spark, tmp_table):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "v long, part string"
+    )
+    write_deltalake(tmp_table, df, partition_by=["part"])
+    t = DeltaTable(tmp_table)
+    ds = t.to_pyarrow_dataset(partition_filters=[("part", "=", "a")])
+    got = ds.to_table()
+    assert got.num_rows == 2
+    assert set(got.column_names) >= {"v", "part"}
