@@ -80,6 +80,71 @@ class TransactionInfo:
     isolation_level: str = "WriteSerializable"
 
 
+class LogStore:
+    """Atomic put-if-absent publisher for commit files (reference:
+    logstore/mod.rs:832-841 rename_if_not_exists; the S3 production
+    impl is crates/aws's conditional-put/DynamoDB coordination).
+
+    One method is the whole contract: publish `content` at `target`
+    atomically, raising FileExistsError iff some other writer won the
+    version. Everything else in the commit protocol (conflict replay,
+    retries, checkpointing) is store-agnostic.
+    """
+
+    def put_if_absent(self, target: str, content: str) -> None:
+        raise NotImplementedError
+
+
+class PosixHardLinkLogStore(LogStore):
+    """Local-filesystem store: fsync a temp file, then ``os.link`` —
+    create-if-absent on every POSIX filesystem."""
+
+    def put_if_absent(self, target: str, content: str) -> None:
+        tmp = f"{target}.{os.getpid()}.{id(content)}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)  # atomic put-if-absent
+        finally:
+            os.unlink(tmp)
+
+
+class InMemoryCASLogStore(LogStore):
+    """Process-local compare-and-set arbitration (the shape of an S3
+    conditional-put / DynamoDB-coordinated store: an external CAS decides
+    the winner, then the winner uploads). Useful for tests and as the
+    template for a real object-store impl."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._claimed: set[str] = set()
+
+    def put_if_absent(self, target: str, content: str) -> None:
+        with self._lock:
+            if target in self._claimed or os.path.exists(target):
+                raise FileExistsError(target)
+            self._claimed.add(target)
+        with open(target, "w", encoding="utf-8") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+
+
+_DEFAULT_LOG_STORE: LogStore = PosixHardLinkLogStore()
+
+
+def set_log_store(store: LogStore) -> LogStore:
+    """Swap the global LogStore (returns the previous one)."""
+    global _DEFAULT_LOG_STORE
+    prev = _DEFAULT_LOG_STORE
+    _DEFAULT_LOG_STORE = store
+    return prev
+
+
 def _check_conflicts(winning: list[Action], txn: TransactionInfo, our_removes: set[str]) -> None:
     for a in winning:
         if isinstance(a, Metadata):
@@ -109,30 +174,25 @@ def commit(
     read_version: int,
     txn_info: TransactionInfo | None = None,
     max_retries: int = MAX_RETRIES,
+    log_store: LogStore | None = None,
 ) -> int:
     """Write actions as the next commit; returns the committed version."""
     txn_info = txn_info or TransactionInfo(blind_append=False, read_whole_table=True)
+    store = log_store or _DEFAULT_LOG_STORE
     our_removes = {a.path for a in actions if isinstance(a, Remove)}
     os.makedirs(snap_mod.log_dir(table_path), exist_ok=True)
     attempt_version = read_version + 1
 
-    for attempt in range(max_retries + 1):
+    for _attempt in range(max_retries + 1):
         operation.timestamp = now_ms()
         operation.read_version = read_version if read_version >= 0 else None
         lines = [action_to_line(operation)] + [action_to_line(a) for a in actions]
         target = snap_mod.commit_file(table_path, attempt_version)
-        tmp = target + f".{os.getpid()}.{attempt}.tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(lines) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, target)  # atomic put-if-absent
-            os.unlink(tmp)
+            store.put_if_absent(target, "\n".join(lines) + "\n")
             _maybe_checkpoint(table_path, attempt_version)
             return attempt_version
         except FileExistsError:
-            os.unlink(tmp)
             # replay winning commit(s), check conflicts, then retry on top
             latest = snap_mod.latest_version(table_path)
             assert latest is not None

@@ -272,7 +272,35 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal (deterministic fake decode -> rows-only)
 # --------------------------------------------------------------------------
 
-@query("llm_multimodal_features", None)
+def _mm_oracle() -> str:
+    """The fake feature extractor is sha256-derived (multimodal.py:66-77),
+    so DuckDB can reproduce it byte-for-byte: h[i] is the i-th byte of
+    the digest, recovered from the hex string."""
+    def hbyte(i: int) -> str:
+        c1, c2 = 2 * i + 1, 2 * i + 2
+        return (
+            f"(strpos('0123456789abcdef', substr(hx,{c1},1))-1)*16"
+            f" + strpos('0123456789abcdef', substr(hx,{c2},1))-1"
+        )
+
+    return f"""
+    WITH s AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    b AS (SELECT doc_id, hx,
+                 {hbyte(0)} AS h0, {hbyte(1)} AS h1, {hbyte(2)} AS h2,
+                 {hbyte(3)} AS h3, {hbyte(4)} AS h4
+          FROM s)
+    SELECT doc_id,
+           CAST(64 + h0 % 192 AS INT) AS width,
+           CAST(64 + h1 % 192 AS INT) AS height,
+           round(h2 / 255.0, 6) AS mean_r,
+           round(h3 / 255.0, 6) AS mean_g,
+           round(h4 / 255.0, 6) AS mean_b,
+           substr(hx, 1, 16) AS sha
+    FROM b
+    """
+
+
+@query("llm_multimodal_features", _mm_oracle())
 def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     media = docs.select(

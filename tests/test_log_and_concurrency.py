@@ -147,3 +147,59 @@ def test_log_compaction_bad_range(tmp_table, spark, sample_df):
         compact_logs(tmp_table, 0, 0)
     with pytest.raises(Exception):
         compact_logs(tmp_table, 0, 99)
+
+
+@pytest.mark.parametrize("store_kind", ["posix", "memcas"])
+def test_concurrent_commits_via_logstore(tmp_table, spark, sample_df, store_kind):
+    """The commit protocol must behave identically through any LogStore
+    impl: N racing blind appends all land, versions are distinct, and
+    replay sees every commit (the seam a cloud conditional-put store
+    plugs into)."""
+    from delta_rs_spark.log.commit import (
+        InMemoryCASLogStore,
+        PosixHardLinkLogStore,
+        TransactionInfo,
+    )
+
+    write_deltalake(tmp_table, sample_df)
+    store = PosixHardLinkLogStore() if store_kind == "posix" else InMemoryCASLogStore()
+    versions = []
+    errors = []
+
+    def worker(i):
+        try:
+            add = Add(f"race-{i}.parquet", 1, 0, True, {}, stats='{"numRecords":1}')
+            v = commit_mod.commit(
+                tmp_table,
+                [add],
+                CommitInfo("WRITE", {"mode": "Append"}),
+                snap_mod.latest_version(tmp_table),
+                TransactionInfo(blind_append=True),
+                log_store=store,
+            )
+            versions.append(v)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(set(versions)) == 6
+    snap = snap_mod.load_snapshot(tmp_table)
+    assert sum(1 for p in snap.files if p.startswith("race-")) == 6
+
+
+def test_inmemory_cas_rejects_double_claim(tmp_path):
+    from delta_rs_spark.log.commit import InMemoryCASLogStore
+
+    store = InMemoryCASLogStore()
+    target = str(tmp_path / "00000000000000000001.json")
+    store.put_if_absent(target, "{}\n")
+    with pytest.raises(FileExistsError):
+        store.put_if_absent(target, "{}\n")
+    # a different store instance still sees the on-disk object
+    with pytest.raises(FileExistsError):
+        InMemoryCASLogStore().put_if_absent(target, "{}\n")
