@@ -98,6 +98,9 @@ def plan_predicate_removal(
 
 def delete(spark: SparkSession, table_path: str, predicate: str | None) -> dict[str, Any]:
     snapshot = snap_mod.load_snapshot(table_path)
+    from delta_rs_spark.plans.column_mapping import ensure_writable
+
+    ensure_writable(snapshot.configuration)
     ts = now_ms()
 
     if not predicate:

@@ -217,6 +217,9 @@ class TableMerger:
         spark = self.dt.spark
         table_path = self.dt.table_uri
         snapshot = snap_mod.load_snapshot(table_path)
+        from delta_rs_spark.plans.column_mapping import ensure_writable
+
+        ensure_writable(snapshot.configuration)
         part_cols = snapshot.partition_columns
         schema = self.dt.schema()
         cols = [f.name for f in schema.fields]

@@ -53,6 +53,9 @@ class TableOptimizer:
         spark = self.dt.spark
         table_path = self.dt.table_uri
         snapshot = snap_mod.load_snapshot(table_path)
+        from delta_rs_spark.plans.column_mapping import ensure_writable
+
+        ensure_writable(snapshot.configuration)
         part_cols = snapshot.partition_columns
         target = target_size or int(
             snapshot.configuration.get("delta.targetFileSize", DEFAULT_TARGET_SIZE)
@@ -124,6 +127,9 @@ class TableOptimizer:
         spark = self.dt.spark
         table_path = self.dt.table_uri
         snapshot = snap_mod.load_snapshot(table_path)
+        from delta_rs_spark.plans.column_mapping import ensure_writable
+
+        ensure_writable(snapshot.configuration)
         part_cols = snapshot.partition_columns
         for c in columns:
             if c in part_cols:

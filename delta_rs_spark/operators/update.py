@@ -38,6 +38,9 @@ def update(
     if not updates:
         raise DeltaError("update requires at least one column assignment")
     snapshot = snap_mod.load_snapshot(table_path)
+    from delta_rs_spark.plans.column_mapping import ensure_writable
+
+    ensure_writable(snapshot.configuration)
     part_cols = snapshot.partition_columns
     for col in updates:
         if col in part_cols:

@@ -280,9 +280,12 @@ class _Conjunct:
         add: Add,
         partition_columns: list[str],
         col_types: dict[str, str] | None = None,
+        physical_of: dict[str, str] | None = None,
     ) -> bool:
+        # column-mapped tables key partitionValues/stats by PHYSICAL name
+        key = (physical_of or {}).get(self.col, self.col)
         if self.col in partition_columns:
-            raw = add.partition_values.get(self.col)
+            raw = add.partition_values.get(key)
             if self.op == "isnull":
                 return raw is None or raw == _NULL_PARTITION
             if self.op == "notnull":
@@ -303,18 +306,18 @@ class _Conjunct:
             if not st:
                 return True
             if self.op == "isnull":
-                nc = (st.get("nullCount") or {}).get(self.col)
+                nc = (st.get("nullCount") or {}).get(key)
                 return True if nc is None else nc > 0
             if self.op == "notnull":
-                nc = (st.get("nullCount") or {}).get(self.col)
+                nc = (st.get("nullCount") or {}).get(key)
                 nr = st.get("numRecords")
                 if nc is None or nr is None:
                     return True
                 return nc < nr
             typed = self._typed(col_types)
             sample, lits = typed if typed is not None else (self.lits[0], self.lits)
-            lo = _coerce(st.get("minValues", {}).get(self.col), sample)
-            hi = _coerce(st.get("maxValues", {}).get(self.col), sample)
+            lo = _coerce(st.get("minValues", {}).get(key), sample)
+            hi = _coerce(st.get("maxValues", {}).get(key), sample)
             if lo is None and hi is None:
                 return True
         if self.op == "in":
@@ -414,8 +417,11 @@ def prune_files(
     predicate: str | None,
     partition_columns: list[str],
     col_types: dict[str, str] | None = None,
+    physical_of: dict[str, str] | None = None,
 ) -> list[Add]:
-    """Files that may contain rows matching the predicate."""
+    """Files that may contain rows matching the predicate.
+    ``physical_of`` translates logical->physical names for
+    column-mapped tables (partitionValues/stats use physical keys)."""
     if not predicate:
         return list(adds)
     conjuncts = parse_conjuncts(predicate)
@@ -424,7 +430,7 @@ def prune_files(
     return [
         a
         for a in adds
-        if all(c.keep(a, partition_columns, col_types) for c in conjuncts)
+        if all(c.keep(a, partition_columns, col_types, physical_of) for c in conjuncts)
     ]
 
 

@@ -71,7 +71,11 @@ def read_snapshot_df(
     reference's per-batch selection vectors
     (crates/core/src/delta_datafusion/table_provider/next/scan/exec.rs:63-108).
     """
+    from delta_rs_spark.plans import column_mapping as cmap
+
     schema = T.StructType.fromJson(json.loads(snapshot.schema_string))
+    mapped = cmap.mapping_mode(snapshot.configuration) in ("name", "id")
+    phys_of = cmap.logical_to_physical(schema) if mapped else None
     adds = files if files is not None else list(snapshot.files.values())
     if predicate:
         adds = prune_files(
@@ -79,19 +83,27 @@ def read_snapshot_df(
             predicate,
             snapshot.partition_columns,
             col_types_from_schema_json(json.loads(snapshot.schema_string)),
+            phys_of,
         )
     plain = [a for a in adds if not a.deletion_vector]
     dv_adds = [a for a in adds if a.deletion_vector]
+    read_schema = cmap.physical_schema(schema) if mapped else schema
+
+    def to_logical(part_df: DataFrame) -> DataFrame:
+        return cmap.rename_to_logical(part_df, schema) if mapped else part_df
+
     if not plain and not dv_adds:
         df = spark.createDataFrame([], schema)
     else:
-        reader = spark.read.schema(schema)
+        reader = spark.read.schema(read_schema)
         if snapshot.partition_columns:
             reader = reader.option("basePath", table_path)
         parts = []
         if plain:
             parts.append(
-                reader.parquet(*[os.path.join(table_path, a.path) for a in plain])
+                to_logical(
+                    reader.parquet(*[os.path.join(table_path, a.path) for a in plain])
+                )
             )
         if dv_adds:
             from delta_rs_spark.plans.deletion_vectors import load_dv_row_indexes
@@ -116,7 +128,9 @@ def read_snapshot_df(
                 & (F.col("__ri") == F.col("__dv_ri")),
                 "left_anti",
             ).drop("__fp", "__ri")
-            parts.append(dv_df.select(*[f.name for f in schema.fields]))
+            parts.append(
+                to_logical(dv_df.select(*[f.name for f in read_schema.fields]))
+            )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -230,6 +244,13 @@ class DeltaTable:
     def partition_columns(self) -> list[str]:
         return self._snapshot.partition_columns
 
+    def _physical_of(self) -> dict[str, str] | None:
+        from delta_rs_spark.plans import column_mapping as cmap
+
+        if cmap.mapping_mode(self._snapshot.configuration) not in ("name", "id"):
+            return None
+        return cmap.logical_to_physical(self.schema())
+
     def files(self, partition_filters: list[PartitionFilter] | None = None) -> list[str]:
         pred = _dnf_to_sql(partition_filters)
         adds = list(self._snapshot.files.values())
@@ -239,6 +260,7 @@ class DeltaTable:
                 pred,
                 self._snapshot.partition_columns,
                 col_types_from_schema_json(json.loads(self._snapshot.schema_string)),
+                self._physical_of(),
             )
         return [a.path for a in adds]
 
@@ -257,6 +279,7 @@ class DeltaTable:
                 pred,
                 self._snapshot.partition_columns,
                 col_types_from_schema_json(json.loads(self._snapshot.schema_string)),
+                self._physical_of(),
             )
         for a in adds:
             if a.partition_values not in seen:

@@ -269,6 +269,10 @@ def write_deltalake(
 
     exists = snap_mod.is_delta_table(table_path)
     snapshot = snap_mod.load_snapshot(table_path) if exists else None
+    if snapshot is not None:
+        from delta_rs_spark.plans.column_mapping import ensure_writable
+
+        ensure_writable(snapshot.configuration)
 
     if exists and mode == "error":
         raise TableExistsError(f"table exists: {table_path} (mode='error')")

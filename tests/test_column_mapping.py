@@ -1,0 +1,172 @@
+"""Column mapping mode: reading foreign tables whose parquet files and
+partitionValues/stats use physical ``col-<uuid>`` names (hand-built per
+the Delta protocol's Column Mapping section)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from delta_rs_spark import DeltaTable
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Protocol
+from delta_rs_spark.log.commit import DeltaError, TransactionInfo
+
+P_ID = "col-9a1b2c3d"
+P_NAME = "col-4e5f6a7b"
+P_CAT = "col-8c9d0e1f"
+P_POINT = "col-struct01"
+P_X = "col-x777"
+
+
+def _schema_string() -> str:
+    def fld(name, typ, phys, cid, **kw):
+        return {
+            "name": name,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": cid,
+                "delta.columnMapping.physicalName": phys,
+            },
+            **kw,
+        }
+
+    point_type = {
+        "type": "struct",
+        "fields": [fld("x", "long", P_X, 5)],
+    }
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("id", "long", P_ID, 1),
+                fld("name", "string", P_NAME, 2),
+                fld("cat", "string", P_CAT, 3),
+                fld("point", point_type, P_POINT, 4),
+            ],
+        }
+    )
+
+
+def _build_mapped_table(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    adds = []
+    for cat, ids in [("a", [1, 2, 3]), ("b", [10, 20])]:
+        rel_dir = f"{P_CAT}={cat}"
+        os.makedirs(os.path.join(path, rel_dir), exist_ok=True)
+        tbl = pa.table(
+            {
+                P_ID: pa.array(ids, pa.int64()),
+                P_NAME: pa.array([f"n{i}" for i in ids]),
+                P_POINT: pa.array(
+                    [{P_X: i * 100} for i in ids],
+                    pa.struct([pa.field(P_X, pa.int64())]),
+                ),
+            }
+        )
+        rel = f"{rel_dir}/part-{cat}.parquet"
+        pq.write_table(tbl, os.path.join(path, rel))
+        adds.append(
+            Add(
+                path=rel,
+                size=os.path.getsize(os.path.join(path, rel)),
+                modification_time=0,
+                data_change=True,
+                partition_values={P_CAT: cat},
+                stats=json.dumps(
+                    {
+                        "numRecords": len(ids),
+                        "minValues": {P_ID: min(ids)},
+                        "maxValues": {P_ID: max(ids)},
+                        "nullCount": {P_ID: 0},
+                    }
+                ),
+            )
+        )
+    meta = Metadata(
+        schema_string=_schema_string(),
+        partition_columns=["cat"],
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": "5",
+        },
+    )
+    commit_mod.commit(
+        path,
+        [Protocol(2, 5), meta, *adds],
+        CommitInfo("CREATE TABLE", {}),
+        -1,
+        TransactionInfo(blind_append=True),
+    )
+
+
+@pytest.fixture()
+def mapped(tmp_path):
+    p = str(tmp_path / "mapped")
+    _build_mapped_table(p)
+    return p
+
+
+def test_mapped_read_logical_names(spark, mapped):
+    t = DeltaTable(mapped, spark=spark)
+    df = t.to_df()
+    assert set(df.columns) == {"id", "name", "cat", "point"}
+    rows = {r.id: (r.name, r.cat, r.point.x) for r in df.collect()}
+    assert rows[1] == ("n1", "a", 100)
+    assert rows[20] == ("n20", "b", 2000)
+    assert t.count() == 5
+
+
+def test_mapped_predicate_and_pruning(spark, mapped):
+    t = DeltaTable(mapped, spark=spark)
+    got = sorted(r.id for r in t.to_df(predicate="cat = 'b'").collect())
+    assert got == [10, 20]
+    # partition pruning consults physical partitionValues keys
+    assert len(t.files([("cat", "=", "b")])) == 1
+    # stats skipping consults physical minValues/maxValues keys
+    assert sorted(r.id for r in t.to_df(predicate="id <= 3").collect()) == [1, 2, 3]
+    from delta_rs_spark.log.snapshot import load_snapshot
+    from delta_rs_spark.plans.column_mapping import logical_to_physical
+    from delta_rs_spark.plans.skipping import prune_files
+
+    snap = load_snapshot(mapped)
+    kept = prune_files(
+        list(snap.files.values()),
+        "id <= 3",
+        ["cat"],
+        {"id": "long", "cat": "string"},
+        logical_to_physical(t.schema()),
+    )
+    assert len(kept) == 1
+
+
+def test_mapped_projection(spark, mapped):
+    t = DeltaTable(mapped, spark=spark)
+    got = t.to_df(columns=["name", "id"]).collect()
+    assert {r.name for r in got} == {"n1", "n2", "n3", "n10", "n20"}
+
+
+def test_mapped_tables_are_read_only(spark, mapped):
+    t = DeltaTable(mapped, spark=spark)
+    with pytest.raises(DeltaError, match="read-only"):
+        t.delete("id = 1")
+    with pytest.raises(DeltaError, match="read-only"):
+        t.update({"name": "'x'"})
+    with pytest.raises(DeltaError, match="read-only"):
+        from delta_rs_spark import write_deltalake
+
+        write_deltalake(mapped, t.to_df(), mode="append")
+    with pytest.raises(DeltaError, match="read-only"):
+        t.optimize.compact()
+
+
+def test_unmapped_tables_unaffected(spark, tmp_table, sample_df):
+    from delta_rs_spark import write_deltalake
+
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    assert t._physical_of() is None
+    assert t.count() == 5
