@@ -223,6 +223,77 @@ class Txn:
 
 
 @dataclass
+class DomainMetadata:
+    """Per-domain configuration blob (reference: actions.rs:1128).
+    Replay: latest action per domain wins; ``removed=True`` tombstones."""
+
+    domain: str
+    configuration: str = ""
+    removed: bool = False
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "domainMetadata": {
+                "domain": self.domain,
+                "configuration": self.configuration,
+                "removed": self.removed,
+            }
+        }
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> DomainMetadata:
+        return cls(d["domain"], d.get("configuration") or "", d.get("removed", False))
+
+
+@dataclass
+class Sidecar:
+    """V2-checkpoint sidecar file reference (reference: actions.rs:1141):
+    a parquet file under _delta_log/_sidecars holding file actions."""
+
+    path: str
+    size_in_bytes: int = 0
+    modification_time: int = 0
+    tags: dict[str, str] | None = None
+
+    def to_json(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "path": self.path,
+            "sizeInBytes": self.size_in_bytes,
+            "modificationTime": self.modification_time,
+        }
+        if self.tags:
+            d["tags"] = self.tags
+        return {"sidecar": d}
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> Sidecar:
+        return cls(
+            d["path"],
+            d.get("sizeInBytes", 0),
+            d.get("modificationTime", 0),
+            d.get("tags"),
+        )
+
+
+@dataclass
+class CheckpointMetadata:
+    """V2 checkpoint self-description (reference: actions.rs:1154)."""
+
+    version: int
+    tags: dict[str, str] | None = None
+
+    def to_json(self) -> dict[str, Any]:
+        d: dict[str, Any] = {"version": self.version}
+        if self.tags:
+            d["tags"] = self.tags
+        return {"checkpointMetadata": d}
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> CheckpointMetadata:
+        return cls(d["version"], d.get("tags"))
+
+
+@dataclass
 class CommitInfo:
     operation: str
     operation_parameters: dict[str, Any] = field(default_factory=dict)
@@ -265,7 +336,18 @@ class CommitInfo:
         )
 
 
-Action = Protocol | Metadata | Add | Remove | AddCDCFile | Txn | CommitInfo
+Action = (
+    Protocol
+    | Metadata
+    | Add
+    | Remove
+    | AddCDCFile
+    | Txn
+    | CommitInfo
+    | DomainMetadata
+    | Sidecar
+    | CheckpointMetadata
+)
 
 _KEYS = {
     "protocol": Protocol,
@@ -275,6 +357,9 @@ _KEYS = {
     "cdc": AddCDCFile,
     "txn": Txn,
     "commitInfo": CommitInfo,
+    "domainMetadata": DomainMetadata,
+    "sidecar": Sidecar,
+    "checkpointMetadata": CheckpointMetadata,
 }
 
 

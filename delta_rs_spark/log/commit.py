@@ -69,6 +69,10 @@ class ConcurrentTransactionError(CommitFailedError):
     """A concurrent commit advanced the same txn appId watermark."""
 
 
+class ConcurrentDomainMetadataError(CommitFailedError):
+    """A concurrent commit changed a domain this transaction also writes."""
+
+
 @dataclass
 class TransactionInfo:
     """What this transaction read — drives conflict detection."""
@@ -78,6 +82,7 @@ class TransactionInfo:
     blind_append: bool = True  # no reads at all (pure append)
     app_ids: set[str] = field(default_factory=set)
     isolation_level: str = "WriteSerializable"
+    written_domains: set[str] = field(default_factory=set)
 
 
 class LogStore:
@@ -146,6 +151,8 @@ def set_log_store(store: LogStore) -> LogStore:
 
 
 def _check_conflicts(winning: list[Action], txn: TransactionInfo, our_removes: set[str]) -> None:
+    from delta_rs_spark.log.actions import DomainMetadata
+
     for a in winning:
         if isinstance(a, Metadata):
             raise MetadataChangedError("concurrent metadata update")
@@ -153,6 +160,10 @@ def _check_conflicts(winning: list[Action], txn: TransactionInfo, our_removes: s
             raise ProtocolChangedError("concurrent protocol update")
         if isinstance(a, Txn) and a.app_id in txn.app_ids:
             raise ConcurrentTransactionError(f"concurrent transaction for appId {a.app_id}")
+        if isinstance(a, DomainMetadata) and a.domain in txn.written_domains:
+            raise ConcurrentDomainMetadataError(
+                f"concurrent domainMetadata update for {a.domain!r}"
+            )
         if isinstance(a, Remove):
             if a.path in our_removes:
                 raise ConcurrentDeleteDeleteError(f"file removed twice: {a.path}")
@@ -161,6 +172,11 @@ def _check_conflicts(winning: list[Action], txn: TransactionInfo, our_removes: s
         if isinstance(a, Add) and a.data_change:
             if txn.blind_append:
                 continue  # appends never conflict with blind appends
+            if txn.isolation_level == "SnapshotIsolation":
+                # weakest level (reference: conflict_checker.rs isolation
+                # lattice): concurrent appends never invalidate the read
+                # snapshot; only the Remove checks above apply
+                continue
             if txn.isolation_level == "Serializable" or txn.read_whole_table:
                 raise ConcurrentAppendError(f"concurrent append: {a.path}")
             # WriteSerializable with a bounded read set: an added file

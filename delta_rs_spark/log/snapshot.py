@@ -28,10 +28,13 @@ from delta_rs_spark.log.actions import (
     Action,
     Add,
     AddCDCFile,
+    CheckpointMetadata,
     CommitInfo,
+    DomainMetadata,
     Metadata,
     Protocol,
     Remove,
+    Sidecar,
     Txn,
     parse_action,
 )
@@ -210,6 +213,16 @@ _CP_SCHEMA = pa.schema(
                 ]
             ),
         ),
+        pa.field(
+            "domainMetadata",
+            pa.struct(
+                [
+                    pa.field("domain", pa.string()),
+                    pa.field("configuration", pa.string()),
+                    pa.field("removed", pa.bool_()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -255,6 +268,16 @@ def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
         )
     for app_id, txn in snapshot.txns.items():
         rows.append({"txn": {"appId": app_id, "version": txn.version, "lastUpdated": txn.last_updated}})
+    for dm in snapshot.domain_metadata.values():
+        rows.append(
+            {
+                "domainMetadata": {
+                    "domain": dm.domain,
+                    "configuration": dm.configuration,
+                    "removed": dm.removed,
+                }
+            }
+        )
     for rm in snapshot.tombstones:
         rows.append(
             {
@@ -303,8 +326,21 @@ def _dv_dict(raw: dict | None) -> dict[str, Any] | None:
 
 def read_checkpoint(table_path: str, version: int) -> list[Action]:
     table = pq.read_table(checkpoint_file(table_path, version))
+    return _actions_from_parquet_rows(table.to_pylist())
+
+
+def read_sidecar_actions(table_path: str, sidecar_path: str) -> list[Action]:
+    """File actions from a V2-checkpoint sidecar parquet. The path field
+    is a file name under _delta_log/_sidecars/ (or an absolute URI)."""
+    p = sidecar_path.removeprefix("file://")
+    if not os.path.isabs(p):
+        p = os.path.join(log_dir(table_path), "_sidecars", p)
+    return _actions_from_parquet_rows(pq.read_table(p).to_pylist())
+
+
+def _actions_from_parquet_rows(rows: list[dict]) -> list[Action]:
     actions: list[Action] = []
-    for row in table.to_pylist():
+    for row in rows:
         proto = row.get("protocol")
         meta = row.get("metaData")
         if proto and proto.get("minReaderVersion") is not None:
@@ -364,6 +400,12 @@ def read_checkpoint(table_path: str, version: int) -> list[Action]:
                     deletion_vector=_dv_dict(a.get("deletionVector")),
                 )
             )
+        elif row.get("domainMetadata") and row["domainMetadata"].get("domain"):
+            actions.append(DomainMetadata.from_json(row["domainMetadata"]))
+        elif row.get("sidecar") and row["sidecar"].get("path"):
+            actions.append(Sidecar.from_json(row["sidecar"]))
+        elif row.get("checkpointMetadata") and row["checkpointMetadata"].get("version") is not None:
+            actions.append(CheckpointMetadata.from_json(row["checkpointMetadata"]))
     return actions
 
 
@@ -384,6 +426,7 @@ class Snapshot:
     cdc_files: dict[int, list[AddCDCFile]] = field(default_factory=dict)
     commit_infos: dict[int, CommitInfo] = field(default_factory=dict)
     commit_timestamps: dict[int, int] = field(default_factory=dict)  # ms
+    domain_metadata: dict[str, DomainMetadata] = field(default_factory=dict)
 
     def apply(self, action: Action, version: int) -> None:
         if isinstance(action, Protocol):
@@ -401,6 +444,19 @@ class Snapshot:
             self.cdc_files.setdefault(version, []).append(action)
         elif isinstance(action, CommitInfo):
             self.commit_infos[version] = action
+        elif isinstance(action, DomainMetadata):
+            # latest per domain wins; removed tombstones (actions.rs:1128)
+            if action.removed:
+                self.domain_metadata.pop(action.domain, None)
+            else:
+                self.domain_metadata[action.domain] = action
+        elif isinstance(action, Sidecar):
+            # V2 checkpoints split file actions into sidecar parquet files
+            # under _delta_log/_sidecars (Delta protocol, V2 spec)
+            for a in read_sidecar_actions(self.table_path, action.path):
+                self.apply(a, version)
+        elif isinstance(action, CheckpointMetadata):
+            pass  # self-description of the checkpoint; nothing to replay
 
     @property
     def schema_string(self) -> str:

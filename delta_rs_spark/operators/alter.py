@@ -168,3 +168,31 @@ class TableAlterer:
             TransactionInfo(blind_append=False, read_whole_table=True),
         )
         self.dt.refresh()
+
+    def set_domain_metadata(self, domain: str, configuration: str) -> None:
+        """Write a per-domain configuration blob
+        (reference: actions.rs:1128 DomainMetadata)."""
+        from delta_rs_spark.log.actions import DomainMetadata
+
+        snapshot = snap_mod.load_snapshot(self.dt.table_uri)
+        commit_mod.commit(
+            self.dt.table_uri,
+            [DomainMetadata(domain, configuration, False)],
+            CommitInfo("SET DOMAIN METADATA", {"domain": domain}),
+            snapshot.version,
+            TransactionInfo(blind_append=True, written_domains={domain}),
+        )
+        self.dt.refresh()
+
+    def remove_domain_metadata(self, domain: str) -> None:
+        from delta_rs_spark.log.actions import DomainMetadata
+
+        snapshot = snap_mod.load_snapshot(self.dt.table_uri)
+        commit_mod.commit(
+            self.dt.table_uri,
+            [DomainMetadata(domain, "", True)],
+            CommitInfo("REMOVE DOMAIN METADATA", {"domain": domain}),
+            snapshot.version,
+            TransactionInfo(blind_append=True, written_domains={domain}),
+        )
+        self.dt.refresh()

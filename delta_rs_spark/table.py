@@ -354,6 +354,12 @@ class DeltaTable:
             return n
         return self.to_df().count()
 
+    def get_domain_metadata(self, domain: str) -> str | None:
+        """Configuration blob for a metadata domain, or None
+        (reference: DomainMetadata, actions.rs:1128)."""
+        dm = self._snapshot.domain_metadata.get(domain)
+        return dm.configuration if dm else None
+
     def transaction_version(self, app_id: str) -> int | None:
         txn = self._snapshot.txns.get(app_id)
         return txn.version if txn else None

@@ -1,0 +1,268 @@
+"""DomainMetadata replay + API, V2-checkpoint sidecar reading,
+CheckpointMetadata tolerance, SnapshotIsolation conflict semantics."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.log import commit as commit_mod
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.actions import (
+    Add,
+    CheckpointMetadata,
+    CommitInfo,
+    DomainMetadata,
+    Metadata,
+    Protocol,
+    Sidecar,
+    action_to_line,
+    parse_action,
+)
+from delta_rs_spark.log.commit import (
+    ConcurrentAppendError,
+    ConcurrentDomainMetadataError,
+    TransactionInfo,
+)
+
+
+def test_new_action_json_round_trip():
+    for a in [
+        DomainMetadata("delta.clustering", '{"k":"v"}', False),
+        DomainMetadata("gone", removed=True),
+        Sidecar("0001.parquet", 123, 456, {"t": "1"}),
+        CheckpointMetadata(7, {"a": "b"}),
+    ]:
+        assert parse_action(action_to_line(a)) == a
+
+
+def test_domain_metadata_replay_and_api(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    t.alter.set_domain_metadata("app.widget", '{"color":"blue"}')
+    t.alter.set_domain_metadata("other", "x")
+    t.alter.set_domain_metadata("app.widget", '{"color":"red"}')  # latest wins
+    assert t.get_domain_metadata("app.widget") == '{"color":"red"}'
+    assert t.get_domain_metadata("other") == "x"
+    t.alter.remove_domain_metadata("other")
+    assert t.get_domain_metadata("other") is None
+    # survives checkpoint + replay
+    t.create_checkpoint()
+    t2 = DeltaTable(tmp_table)
+    assert t2.get_domain_metadata("app.widget") == '{"color":"red"}'
+    assert t2.get_domain_metadata("other") is None
+
+
+def test_concurrent_domain_metadata_conflict(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    snap = snap_mod.load_snapshot(tmp_table)
+    # winner commits domain X at version snap+1
+    commit_mod.commit(
+        tmp_table,
+        [DomainMetadata("X", "w")],
+        CommitInfo("SET DOMAIN METADATA", {}),
+        snap.version,
+        TransactionInfo(blind_append=True, written_domains={"X"}),
+    )
+    # loser read at snap.version and also writes X -> must conflict on retry
+    with pytest.raises(ConcurrentDomainMetadataError):
+        commit_mod.commit(
+            tmp_table,
+            [DomainMetadata("X", "l")],
+            CommitInfo("SET DOMAIN METADATA", {}),
+            snap.version,
+            TransactionInfo(blind_append=True, written_domains={"X"}),
+        )
+    # a different domain sails through
+    commit_mod.commit(
+        tmp_table,
+        [DomainMetadata("Y", "ok")],
+        CommitInfo("SET DOMAIN METADATA", {}),
+        snap.version,
+        TransactionInfo(blind_append=True, written_domains={"Y"}),
+    )
+
+
+def test_v2_checkpoint_sidecar_read(spark, tmp_path):
+    """A hand-built V2-style checkpoint: the checkpoint parquet holds
+    checkpointMetadata + sidecar pointers; file actions live in sidecar
+    parquet files under _delta_log/_sidecars."""
+    table = str(tmp_path / "v2cp")
+    # data file via a normal v0 commit
+    df = spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1)
+    write_deltalake(table, df)
+    snap = snap_mod.load_snapshot(table)
+    (add,) = snap.files.values()
+
+    # sidecar parquet carrying the add action
+    sidecars = os.path.join(table, "_delta_log", "_sidecars")
+    os.makedirs(sidecars, exist_ok=True)
+    add_struct = {
+        "path": add.path,
+        "partitionValues": [],
+        "size": add.size,
+        "modificationTime": add.modification_time,
+        "dataChange": False,
+        "stats": add.stats,
+    }
+    sc_schema = pa.schema(
+        [
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
+                    ]
+                ),
+            )
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist([{"add": add_struct}], schema=sc_schema),
+        os.path.join(sidecars, "sc-0001.parquet"),
+    )
+
+    # checkpoint parquet at v1 with metadata/protocol + sidecar pointer
+    cp_rows = [
+        {"checkpointMetadata": {"version": 1}},
+        {
+            "protocol": {
+                "minReaderVersion": snap.protocol.min_reader_version,
+                "minWriterVersion": snap.protocol.min_writer_version,
+            }
+        },
+        {
+            "metaData": {
+                "id": snap.metadata.id,
+                "format": {"provider": "parquet", "options": []},
+                "schemaString": snap.metadata.schema_string,
+                "partitionColumns": [],
+                "configuration": [],
+                "createdTime": snap.metadata.created_time,
+            }
+        },
+        {"sidecar": {"path": "sc-0001.parquet", "sizeInBytes": 1}},
+    ]
+    cp_schema = pa.schema(
+        [
+            pa.field("checkpointMetadata", pa.struct([pa.field("version", pa.int64())])),
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field("options", pa.map_(pa.string(), pa.string())),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", pa.map_(pa.string(), pa.string())),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [pa.field("path", pa.string()), pa.field("sizeInBytes", pa.int64())]
+                ),
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(cp_rows, schema=cp_schema),
+        snap_mod.checkpoint_file(table, 1),
+    )
+    # an empty v1 commit so latest version is 1
+    commit_mod.commit(
+        table, [], CommitInfo("OPTIMIZE", {}), 0, TransactionInfo(blind_append=True)
+    )
+    # replay from the V2 checkpoint: file actions come via the sidecar
+    replayed = snap_mod.load_snapshot(table, 1)
+    assert set(replayed.files) == {add.path}
+    assert DeltaTable(table, version=1, spark=spark).to_df().count() == 10
+
+
+def test_snapshot_isolation_allows_concurrent_appends(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    snap = snap_mod.load_snapshot(tmp_table)
+    # winner appends
+    commit_mod.commit(
+        tmp_table,
+        [Add("w.parquet", 1, 0, True, {}, stats='{"numRecords":1}')],
+        CommitInfo("WRITE", {"mode": "Append"}),
+        snap.version,
+        TransactionInfo(blind_append=True),
+    )
+    # a whole-table reader under Serializable fails...
+    with pytest.raises(ConcurrentAppendError):
+        commit_mod.commit(
+            tmp_table,
+            [Add("l.parquet", 1, 0, True, {}, stats='{"numRecords":1}')],
+            CommitInfo("WRITE", {"mode": "Append"}),
+            snap.version,
+            TransactionInfo(
+                blind_append=False, read_whole_table=True, isolation_level="Serializable"
+            ),
+        )
+    # ...but sails through under SnapshotIsolation
+    v = commit_mod.commit(
+        tmp_table,
+        [Add("l.parquet", 1, 0, True, {}, stats='{"numRecords":1}')],
+        CommitInfo("WRITE", {"mode": "Append"}),
+        snap.version,
+        TransactionInfo(
+            blind_append=False,
+            read_whole_table=True,
+            isolation_level="SnapshotIsolation",
+        ),
+    )
+    assert v == snap.version + 2
+
+
+def test_querybuilder_no_reregistration(spark, tmp_table, sample_df, monkeypatch):
+    from delta_rs_spark import QueryBuilder
+
+    write_deltalake(tmp_table, sample_df)
+    qb = QueryBuilder(spark)
+    qb.register("tbl", DeltaTable(tmp_table))
+    assert qb.execute("SELECT count(*) AS n FROM tbl").collect()[0].n == 5
+
+    calls = {"n": 0}
+    import pyspark.sql.classic.dataframe as cdf
+
+    real = cdf.DataFrame.createOrReplaceTempView
+
+    def spy(self, name):
+        calls["n"] += 1
+        return real(self, name)
+
+    monkeypatch.setattr(cdf.DataFrame, "createOrReplaceTempView", spy)
+    qb.execute("SELECT 1")
+    assert calls["n"] == 0  # unchanged registrations are not re-created
+    qb.register("tbl2", DeltaTable(tmp_table))
+    qb.execute("SELECT count(*) FROM tbl2")
+    assert calls["n"] == 1  # only the new registration
