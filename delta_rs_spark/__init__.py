@@ -13,6 +13,14 @@ from delta_rs_spark.table import DeltaTable
 from delta_rs_spark.writer import write_deltalake
 from delta_rs_spark.query import QueryBuilder
 from delta_rs_spark.operators.convert import convert_to_deltalake
+from delta_rs_spark.schema import (
+    ArrayType,
+    Field,
+    MapType,
+    PrimitiveType,
+    Schema,
+    StructType,
+)
 from delta_rs_spark.log.commit import (
     CommitFailedError,
     ConcurrentAppendError,
@@ -30,6 +38,12 @@ __all__ = [
     "write_deltalake",
     "QueryBuilder",
     "convert_to_deltalake",
+    "Schema",
+    "Field",
+    "PrimitiveType",
+    "ArrayType",
+    "MapType",
+    "StructType",
     "DeltaError",
     "CommitFailedError",
     "ConcurrentAppendError",

@@ -235,6 +235,14 @@ class DeltaTable:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self._snapshot.schema_string))
 
+    def delta_schema(self):
+        """The schema as deltalake-compatible mirror classes
+        (reference: python/deltalake/schema.py; dt.schema() here stays a
+        Spark StructType since Spark is the data plane)."""
+        from delta_rs_spark.schema import Schema
+
+        return Schema.from_json(self._snapshot.schema_string)
+
     def metadata(self) -> Metadata:
         return self._snapshot.metadata
 

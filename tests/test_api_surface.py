@@ -145,3 +145,37 @@ def test_to_pyarrow_dataset_pruned(spark, tmp_table):
     got = ds.to_table()
     assert got.num_rows == 2
     assert set(got.column_names) >= {"v", "part"}
+
+
+def test_schema_mirror_classes(spark, tmp_table):
+    from delta_rs_spark import ArrayType, Field, MapType, PrimitiveType, Schema
+    from delta_rs_spark.schema import from_spark, to_spark
+    from pyspark.sql import types as T
+
+    spark_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False, {"delta.columnMapping.id": 1}),
+            T.StructField("d", T.DecimalType(10, 2)),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("kv", T.MapType(T.StringType(), T.DoubleType())),
+            T.StructField(
+                "nested",
+                T.StructType([T.StructField("x", T.IntegerType())]),
+            ),
+        ]
+    )
+    s = from_spark(spark_schema)
+    assert isinstance(s, Schema)
+    assert s.fields[0] == Field("id", PrimitiveType("long"), False, {"delta.columnMapping.id": 1})
+    assert s.fields[1].type == PrimitiveType("decimal(10,2)")
+    assert s.fields[2].type == ArrayType(PrimitiveType("string"))
+    assert s.fields[3].type == MapType(PrimitiveType("string"), PrimitiveType("double"))
+    assert to_spark(s) == spark_schema
+    # JSON round trip (the protocol wire format)
+    assert Schema.from_json(s.to_json()) == s
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    write_deltalake(tmp_table, df)
+    ds = DeltaTable(tmp_table).delta_schema()
+    assert [f.name for f in ds.fields] == ["id", "name"]
+    assert ds.fields[1].type == PrimitiveType("string")
