@@ -129,14 +129,19 @@ class InMemoryCASLogStore(LogStore):
         self._claimed: set[str] = set()
 
     def put_if_absent(self, target: str, content: str) -> None:
+        # claim AND publish under the lock, with an atomic rename, so a
+        # loser that sees FileExistsError can rely on the winning commit
+        # being fully readable (the conflict-replay loop reads it)
         with self._lock:
             if target in self._claimed or os.path.exists(target):
                 raise FileExistsError(target)
+            tmp = f"{target}.{os.getpid()}.cas.tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(content)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, target)
             self._claimed.add(target)
-        with open(target, "w", encoding="utf-8") as f:
-            f.write(content)
-            f.flush()
-            os.fsync(f.fileno())
 
 
 _DEFAULT_LOG_STORE: LogStore = PosixHardLinkLogStore()
@@ -211,7 +216,14 @@ def commit(
         except FileExistsError:
             # replay winning commit(s), check conflicts, then retry on top
             latest = snap_mod.latest_version(table_path)
-            assert latest is not None
+            if latest is None or latest < attempt_version:
+                # the winner claimed the version but its commit is not
+                # visible yet (possible on eventually-visible stores):
+                # back off and retry the same version
+                import time as _time
+
+                _time.sleep(0.01)
+                continue
             for v in range(attempt_version, latest + 1):
                 winning = snap_mod.read_commit_actions(table_path, v)
                 _check_conflicts(winning, txn_info, our_removes)

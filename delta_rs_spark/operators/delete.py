@@ -58,17 +58,24 @@ def plan_predicate_removal(
         removes = [
             Remove(a.path, ts, True, a.partition_values, a.size) for a in matched
         ]
-        n_deleted = sum(a.num_records() or 0 for a in matched)
+        # live rows only: a DV'd file's deleted rows are already gone
+        n_deleted = sum(
+            (a.num_records() or 0)
+            - int((a.deletion_vector or {}).get("cardinality") or 0)
+            for a in matched
+        )
         return removes, [], n_deleted
 
     # tier 3: candidate scan -> touched files -> rewrite
     candidates = prune_files(adds, predicate, part_cols, col_types)
     if not candidates:
         return [], [], 0
-    cand_df = read_snapshot_df(spark, snapshot, table_path, files=candidates)
+    cand_df = read_snapshot_df(
+        spark, snapshot, table_path, files=candidates, file_path_col="__delta_rs_fp"
+    )
     touched_rows = (
         cand_df.filter(F.expr(predicate))
-        .select(F.col("_metadata.file_path").alias("fp"))
+        .select(F.col("__delta_rs_fp").alias("fp"))
         .groupBy("fp")
         .count()
         .collect()

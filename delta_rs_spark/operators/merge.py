@@ -260,10 +260,16 @@ class TableMerger:
         if self.not_matched_by_source:
             rewrite_adds = all_adds
         elif self.matched:
-            cand_df = read_snapshot_df(spark, snapshot, table_path, files=candidates)
-            # bind the hidden file-path column BEFORE aliasing (qualified
-            # references to _metadata do not resolve through an alias)
-            cand_fp = cand_df.withColumn("__delta_rs_fp", F.col("_metadata.file_path"))
+            # the fp column is bound inside the scan (before any
+            # select/union/alias — hidden metadata columns do not survive
+            # those, and DV tables union two branches)
+            cand_fp = read_snapshot_df(
+                spark,
+                snapshot,
+                table_path,
+                files=candidates,
+                file_path_col="__delta_rs_fp",
+            )
             touched_rows = (
                 cand_fp.alias(t)
                 .join(source_df.alias(s), F.expr(self.predicate), "inner")

@@ -67,10 +67,12 @@ def update(
         )
         return metrics
 
-    cand_df = read_snapshot_df(spark, snapshot, table_path, files=candidates)
+    cand_df = read_snapshot_df(
+        spark, snapshot, table_path, files=candidates, file_path_col="__delta_rs_fp"
+    )
     touched_rows = (
         cand_df.filter(cond)
-        .select(F.col("_metadata.file_path").alias("fp"))
+        .select(F.col("__delta_rs_fp").alias("fp"))
         .groupBy("fp")
         .count()
         .collect()

@@ -240,7 +240,30 @@ def dv_file_path(table_path: str, path_or_inline: str) -> str:
 
 
 def load_dv_row_indexes(table_path: str, descriptor: dict) -> list[int]:
-    """Deleted row indexes for one Add's deletionVector descriptor."""
+    """Deleted row indexes for one Add's deletionVector descriptor.
+
+    Decodes are memoized per (table, descriptor): a snapshot's DVs are
+    immutable blobs, so repeated scans (to_df/count/delete in sequence)
+    pay the roaring decode once, not per query. At genuinely large DV
+    cardinalities the decode should move into tasks; the cache bounds
+    the driver cost to one decode per distinct DV."""
+    import json as _json
+
+    key = (table_path, _json.dumps(descriptor, sort_keys=True))
+    hit = _DV_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _load_dv_row_indexes_uncached(table_path, descriptor)
+    if len(_DV_CACHE) > 64:
+        _DV_CACHE.clear()
+    _DV_CACHE[key] = out
+    return out
+
+
+_DV_CACHE: dict = {}
+
+
+def _load_dv_row_indexes_uncached(table_path: str, descriptor: dict) -> list[int]:
     st = descriptor.get("storageType")
     payload = descriptor["pathOrInlineDv"]
     size = descriptor.get("sizeInBytes")

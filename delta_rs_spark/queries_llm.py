@@ -234,14 +234,19 @@ def _ann_index_path(sf_dir: str, kind: str) -> str:
     bucket/list; queries read it through log-based partition pruning.
     (At production scale the index lives next to the corpus and is
     refreshed by the ingest pipeline, not per query.)"""
+    import hashlib
     import os
     import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_ann",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
+    # key by the corpus file's identity (absolute path + mtime + size),
+    # not just the dir name — regenerated or differently-rooted testdata
+    # must never silently reuse a stale index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_ann", tag)
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, kind)
 

@@ -15,7 +15,7 @@ class QueryBuilder:
     def __init__(self, spark: SparkSession | None = None):
         self._spark = spark
         self._tables: dict[str, DeltaTable] = {}
-        self._dirty: set[str] = set()
+        self._registered_version: dict[str, int] = {}
 
     @property
     def spark(self) -> SparkSession:
@@ -30,18 +30,20 @@ class QueryBuilder:
 
     def register(self, table_name: str, delta_table: DeltaTable) -> "QueryBuilder":
         self._tables[table_name] = delta_table
-        self._dirty.add(table_name)
+        self._registered_version.pop(table_name, None)
         return self
 
     def execute(self, sql: str) -> DataFrame:
         """Run SQL over the registered tables; returns a lazy DataFrame
         (the reference returns a RecordBatchReader — same pull semantics).
 
-        Views are (re)created only for tables registered since the last
-        execute — per-execute work stays O(new tables), not O(tables).
-        A handle refreshed via ``update_incremental`` can be re-bound by
-        calling ``register`` again."""
-        for name in self._dirty:
-            self._tables[name].to_df().createOrReplaceTempView(name)
-        self._dirty.clear()
+        A view is (re)created only when its handle's snapshot version
+        changed since the last execute (registration, mutation through
+        the handle, update_incremental) — per-execute work is O(changed
+        tables), not O(tables), without serving stale file lists."""
+        for name, dt in self._tables.items():
+            v = dt.version()
+            if self._registered_version.get(name) != v:
+                dt.to_df().createOrReplaceTempView(name)
+                self._registered_version[name] = v
         return self.spark.sql(sql)

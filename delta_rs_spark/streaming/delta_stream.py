@@ -134,7 +134,14 @@ def _make_stream_reader_cls():
                 try:
                     actions = snap_mod.read_commit_actions(self.table_path, v)
                 except FileNotFoundError:
-                    continue  # checkpointed/compacted away
+                    # silently skipping would drop the version's rows and
+                    # break exactly-once; the stream must fail loudly when
+                    # it lags past metadata cleanup
+                    raise DeltaError(
+                        f"commit {v} was cleaned up before the stream "
+                        "consumed it (delta.logRetentionDuration); restart "
+                        "the stream from a fresh snapshot"
+                    ) from None
                 if not self.ignore_changes and any(
                     isinstance(a, Remove) and a.data_change for a in actions
                 ):

@@ -55,6 +55,13 @@ def _dnf_to_sql(filters: list[PartitionFilter] | list[list[PartitionFilter]] | N
     return " OR ".join(f"({d})" for d in disjuncts) if len(disjuncts) > 1 else disjuncts[0]
 
 
+def _normalize_file_path(c: F.Column) -> F.Column:
+    """Strip the URI scheme from ``_metadata.file_path`` (its rendering —
+    ``file:/abs`` vs ``file:///abs`` — is an undocumented Hadoop detail;
+    normalizing both join sides to ``/abs`` keeps us independent of it)."""
+    return F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/")
+
+
 def read_snapshot_df(
     spark: SparkSession,
     snapshot: Snapshot,
@@ -62,6 +69,7 @@ def read_snapshot_df(
     predicate: str | None = None,
     columns: list[str] | None = None,
     files: list[Add] | None = None,
+    file_path_col: str | None = None,
 ) -> DataFrame:
     """Build the scan DataFrame for a snapshot (with file skipping).
 
@@ -90,21 +98,32 @@ def read_snapshot_df(
     read_schema = cmap.physical_schema(schema) if mapped else schema
 
     def to_logical(part_df: DataFrame) -> DataFrame:
-        return cmap.rename_to_logical(part_df, schema) if mapped else part_df
+        """Physical -> logical names, preserving the bound fp column."""
+        if not mapped:
+            return part_df
+        out = cmap.rename_to_logical(part_df, schema)
+        if file_path_col and file_path_col in part_df.columns:
+            out = out.withColumn(file_path_col, part_df[file_path_col])
+        return out
 
     if not plain and not dv_adds:
         df = spark.createDataFrame([], schema)
+        if file_path_col:
+            df = df.withColumn(file_path_col, F.lit(None).cast("string"))
     else:
         reader = spark.read.schema(read_schema)
         if snapshot.partition_columns:
             reader = reader.option("basePath", table_path)
         parts = []
         if plain:
-            parts.append(
-                to_logical(
-                    reader.parquet(*[os.path.join(table_path, a.path) for a in plain])
+            p_df = reader.parquet(*[os.path.join(table_path, a.path) for a in plain])
+            if file_path_col:
+                # bound BEFORE any select/union — hidden metadata columns
+                # do not survive those
+                p_df = p_df.withColumn(
+                    file_path_col, _normalize_file_path(F.col("_metadata.file_path"))
                 )
-            )
+            parts.append(to_logical(p_df))
         if dv_adds:
             from delta_rs_spark.plans.deletion_vectors import load_dv_row_indexes
 
@@ -112,14 +131,15 @@ def read_snapshot_df(
             for a in dv_adds:
                 abs_path = os.path.join(table_path, a.path)
                 for ri in load_dv_row_indexes(table_path, a.deletion_vector):
-                    # _metadata.file_path renders as file:<abs> (single slash)
-                    deleted_rows.append((f"file:{abs_path}", ri))
+                    deleted_rows.append((abs_path, ri))
             deleted_df = spark.createDataFrame(
                 deleted_rows, "__dv_fp string, __dv_ri long"
             )
             dv_df = (
                 reader.parquet(*[os.path.join(table_path, a.path) for a in dv_adds])
-                .withColumn("__fp", F.col("_metadata.file_path"))
+                .withColumn(
+                    "__fp", _normalize_file_path(F.col("_metadata.file_path"))
+                )
                 .withColumn("__ri", F.col("_metadata.row_index"))
             )
             dv_df = dv_df.join(
@@ -127,10 +147,12 @@ def read_snapshot_df(
                 (F.col("__fp") == F.col("__dv_fp"))
                 & (F.col("__ri") == F.col("__dv_ri")),
                 "left_anti",
-            ).drop("__fp", "__ri")
-            parts.append(
-                to_logical(dv_df.select(*[f.name for f in read_schema.fields]))
             )
+            keep = [f.name for f in read_schema.fields]
+            if file_path_col:
+                dv_df = dv_df.withColumn(file_path_col, F.col("__fp"))
+                keep = keep + [file_path_col]
+            parts.append(to_logical(dv_df.drop("__fp", "__ri").select(*keep)))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -459,7 +481,9 @@ class DeltaTable:
         from delta_rs_spark.log import commit as commit_mod
         from delta_rs_spark.log.actions import Remove, now_ms
         from delta_rs_spark.log.commit import TransactionInfo
+        from delta_rs_spark.plans.column_mapping import ensure_writable
 
+        ensure_writable(self._snapshot.configuration)
         if mode not in ("append", "overwrite"):
             raise ValueError(f"invalid mode {mode!r}")
         if partition_by and partition_by != self._snapshot.partition_columns:

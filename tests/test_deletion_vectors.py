@@ -157,3 +157,77 @@ def test_dv_survives_checkpoint(spark, tmp_path):
     t2 = DeltaTable(table)
     assert t2.count() == 198
     assert t2.to_df().filter("id <= 1").count() == 0
+
+
+def test_mutations_on_dv_table(spark, tmp_path):
+    """DELETE/UPDATE on a table that mixes DV'd and plain files must work
+    (the fp column is bound inside the scan, before the DV union)."""
+    table = str(tmp_path / "dvmut")
+    t = _make_table(spark, table)  # single file, ids 0..199
+    # add a second, plain file
+    from delta_rs_spark import write_deltalake
+    from pyspark.sql import functions as F2
+
+    extra = (
+        spark.range(200, 300)
+        .select(F2.col("id"), (F2.col("id") * 2).alias("v"))
+        .coalesce(1)
+    )
+    write_deltalake(table, extra, mode="append")
+    # tombstone ids 0,1 in the first file via DV
+    ris = _row_index_of_file0(spark, table, [0, 1])
+    _attach_dv_file0(table, DV.inline_dv_descriptor(ris))
+    t.refresh()
+    assert t.count() == 298
+    m = t.delete("id >= 150 AND id < 250")
+    assert m["num_deleted_rows"] == 100
+    t.refresh()
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == list(range(2, 150)) + list(range(250, 300))
+    # update through the DV path too
+    t.update({"v": "v + 1"}, predicate="id = 2")
+    assert t.to_df().filter("id = 2").collect()[0].v == 5
+
+
+def _row_index_of_file0(spark, table_path, ids):
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    snap = snap_mod.load_snapshot(table_path)
+    add = sorted(snap.files.values(), key=lambda a: a.path)[0]
+    # find the file that actually holds the requested ids
+    for a in snap.files.values():
+        abs_path = _os.path.join(table_path, a.path)
+        rows = (
+            spark.read.parquet(abs_path)
+            .select("id", F2.col("_metadata.row_index").alias("ri"))
+            .collect()
+        )
+        by_id = {r.id: r.ri for r in rows}
+        if all(i in by_id for i in ids):
+            return [by_id[i] for i in ids]
+    raise AssertionError("ids not found in any single file")
+
+
+def _attach_dv_file0(table_path, descriptor):
+    import dataclasses as _dc
+    import os as _os
+
+    from pyspark.sql import SparkSession as _S
+
+    snap = snap_mod.load_snapshot(table_path)
+    spark = _S.getActiveSession()
+    for add in snap.files.values():
+        abs_path = _os.path.join(table_path, add.path)
+        ids = {r.id for r in spark.read.parquet(abs_path).select("id").collect()}
+        if 0 in ids:
+            new_add = _dc.replace(add, deletion_vector=descriptor, data_change=True)
+            commit_mod.commit(
+                table_path,
+                [new_add],
+                CommitInfo("DELETE", {"predicate": "synthetic-dv"}),
+                snap.version,
+            )
+            return
+    raise AssertionError("file with id=0 not found")

@@ -266,3 +266,8 @@ def test_querybuilder_no_reregistration(spark, tmp_table, sample_df, monkeypatch
     qb.register("tbl2", DeltaTable(tmp_table))
     qb.execute("SELECT count(*) FROM tbl2")
     assert calls["n"] == 1  # only the new registration
+    # mutation through a registered handle bumps its version -> re-bound
+    dt = qb._tables["tbl"]
+    dt.delete("price >= 4")
+    assert qb.execute("SELECT count(*) AS n FROM tbl").collect()[0].n == 4
+    assert calls["n"] == 2  # tbl re-created, tbl2 untouched
