@@ -148,3 +148,71 @@ def test_session_window_batch(spark):
     s1 = sorted(by_user[1], key=lambda r: r.session_start)
     assert s1[0].n_events == 2 and s1[0].total_value == 3.0
     assert s1[0].session_end == s1[0].session_start + 10 * 60 + 30 * 60
+
+
+def test_stateful_dedup_stream(spark, tmp_path, sample_df):
+    """Cross-micro-batch exact dedup with applyInPandasWithState: a key
+    seen in batch 1 must not be emitted again from batch 2."""
+    from delta_rs_spark.streaming.delta_stream import read_append_stream
+    from delta_rs_spark.streaming.stateful import dedup_stream
+
+    table = str(tmp_path / "dd_src")
+    batch1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "fingerprint string, payload long"
+    )
+    write_deltalake(table, batch1)
+    stream = dedup_stream(read_append_stream(spark, table), "fingerprint")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got1 = {
+        r.fingerprint: r.payload for r in spark.sql("SELECT * FROM dd_out").collect()
+    }
+    assert set(got1) == {"a", "b"}  # one row per key
+    # batch 2: duplicate key 'a' plus brand-new key 'c'
+    batch2 = spark.createDataFrame(
+        [("a", 99), ("c", 4)], "fingerprint string, payload long"
+    )
+    write_deltalake(table, batch2, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM dd_out").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.fingerprint, []).append(r.payload)
+    assert sorted(by_key) == ["a", "b", "c"]
+    assert len(by_key["a"]) == 1  # the batch-2 duplicate was dropped
+    assert by_key["c"] == [4]
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    from delta_rs_spark.streaming.delta_stream import read_append_stream
+    from delta_rs_spark.streaming.stateful import running_counts_stream
+
+    table = str(tmp_path / "rc_src")
+    write_deltalake(
+        table,
+        spark.createDataFrame([("x",), ("x",), ("y",)], "k string"),
+    )
+    stream = running_counts_stream(read_append_stream(spark, table), "k")
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rc_out")
+        .option("checkpointLocation", str(tmp_path / "rc_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    write_deltalake(table, spark.createDataFrame([("x",)], "k string"), mode="append")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM rc_out").collect()
+    latest = {}
+    for r in rows:
+        latest[r.k] = max(latest.get(r.k, 0), r.n_seen)
+    assert latest == {"x": 3, "y": 1}
