@@ -166,6 +166,17 @@ def read_snapshot_df(
 class DeltaTable:
     """Versioned Delta table handle over a local/posix path."""
 
+    #: reader features this engine actually implements; unknown ones in a
+    #: v3 protocol mean the table would be silently misread — refuse
+    #: (reference: kernel protocol checks; Delta PROTOCOL.md table features)
+    SUPPORTED_READER_FEATURES = {
+        "deletionVectors",
+        "columnMapping",
+        "timestampNtz",
+        "v2Checkpoint",
+        "vacuumProtocolCheck",
+    }
+
     def __init__(
         self,
         table_uri: str,
@@ -175,6 +186,23 @@ class DeltaTable:
         self.table_uri = str(table_uri).removeprefix("file://")
         self._spark = spark
         self._snapshot = load_snapshot(self.table_uri, version)
+        self._check_read_protocol()
+
+    def _check_read_protocol(self) -> None:
+        p = self._snapshot.protocol
+        if p is None:
+            return
+        if p.min_reader_version > 3:
+            raise DeltaError(
+                f"table requires minReaderVersion {p.min_reader_version}; "
+                "this engine reads up to 3"
+            )
+        if p.min_reader_version >= 3:
+            unsupported = set(p.reader_features or []) - self.SUPPORTED_READER_FEATURES
+            if unsupported:
+                raise DeltaError(
+                    f"table requires unsupported reader features {sorted(unsupported)}"
+                )
 
     # -- session ----------------------------------------------------------
     @property
@@ -446,6 +474,16 @@ class DeltaTable:
         columns are injected from the Hive paths by pyarrow."""
         import pyarrow.dataset as ds
 
+        if any(a.deletion_vector for a in self._snapshot.files.values()):
+            raise DeltaError(
+                "to_pyarrow_dataset cannot express deletion-vector filtering; "
+                "use to_pyarrow_table() or to_df()"
+            )
+        if self._physical_of():
+            raise DeltaError(
+                "to_pyarrow_dataset would expose physical column names on a "
+                "column-mapped table; use to_pyarrow_table() or to_df()"
+            )
         pf = kwargs.pop("partition_filters", None)
         pred = kwargs.pop("predicate", None)
         uris = self.file_uris(pf)
@@ -647,3 +685,4 @@ class DeltaTable:
 
     def refresh(self) -> None:
         self._snapshot = load_snapshot(self.table_uri)
+        self._check_read_protocol()

@@ -170,3 +170,36 @@ def test_unmapped_tables_unaffected(spark, tmp_table, sample_df):
     t = DeltaTable(tmp_table)
     assert t._physical_of() is None
     assert t.count() == 5
+
+
+def test_unknown_reader_feature_refused(spark, tmp_path):
+    """A v3 protocol with a reader feature we don't implement must refuse
+    to load rather than silently misread."""
+    import json as _json
+
+    from delta_rs_spark.log import commit as commit_mod
+    from delta_rs_spark.log.actions import CommitInfo, Metadata, Protocol
+    from delta_rs_spark.log.commit import TransactionInfo
+
+    p = str(tmp_path / "foreign")
+    schema = _json.dumps(
+        {"type": "struct", "fields": [{"name": "id", "type": "long", "nullable": True, "metadata": {}}]}
+    )
+    commit_mod.commit(
+        p,
+        [
+            Protocol(3, 7, ["futureFeatureX"], ["futureFeatureX"]),
+            Metadata(schema_string=schema),
+        ],
+        CommitInfo("CREATE TABLE", {}),
+        -1,
+        TransactionInfo(blind_append=True),
+    )
+    with pytest.raises(DeltaError, match="futureFeatureX"):
+        DeltaTable(p, spark=spark)
+
+
+def test_dataset_refused_on_mapped_and_dv_tables(spark, mapped, tmp_path):
+    t = DeltaTable(mapped, spark=spark)
+    with pytest.raises(DeltaError, match="column-mapped"):
+        t.to_pyarrow_dataset()

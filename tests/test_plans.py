@@ -1,0 +1,66 @@
+"""Physical-plan audits: the plans we ship are the plans we intend.
+
+These assert the scale-relevant properties .explain() shows — pushed
+filters, pruned read schemas, broadcast joins on dimension tables, and
+shuffle-free single-projection operators — so a regression that silently
+flips a broadcast join to sort-merge or widens a scan fails CI, not a
+production run at 1000x the data.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.queries import registry
+from delta_rs_spark.sources.tpch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    p = plan_of(df)
+    assert "PushedFilters: [" in p and "l_quantity" in p.split("PushedFilters")[1].split("]")[0]
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark):
+    qs = registry()
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"):
+        p = plan_of(qs[name][0](spark, SF), "simple")
+        assert "BroadcastHashJoin" in p, name
+
+
+def test_simhash_is_shuffle_free(spark):
+    from delta_rs_spark.functions.dedup import simhash
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(simhash(docs), "simple")
+    assert "Exchange" not in p  # one narrow projection, no shuffle
+
+
+def test_delta_scan_prunes_read_schema(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    p = plan_of(t.to_df(columns=["id"]))
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "id" in read_schema and "price" not in read_schema
+
+
+def test_delta_predicate_reaches_parquet(spark, tmp_table, sample_df):
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    p = plan_of(t.to_df(predicate="price > 2.0"))
+    assert "PushedFilters: [" in p
+    assert "price" in p.split("PushedFilters")[1].split("]")[0]
