@@ -201,10 +201,17 @@ def ngram_jaccard_pairs(
     )
     # join on the 64-bit hash of the shingle, not the string: smaller
     # shuffle rows and cheaper equality; AQE skew-join splits hot shingles
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(units)).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("tok"))
+    # the token table feeds both self-join aliases AND the size
+    # aggregation; checkpoint it lazily so shingling+hashing runs once,
+    # not once per plan branch (same diamond-DAG treatment as MinHash)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(units)).alias("tok"),
+        )
+        .select("id", F.xxhash64("tok").alias("tok"))
+        .localCheckpoint(eager=False)
+    )
     sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     # carry set sizes on every exploded row: J(A,B) >= t forces
     # min(|A|,|B|) >= t*max(|A|,|B|), so size-incompatible pairs can be
