@@ -1045,3 +1045,75 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q2_minimum_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM costs GROUP BY l_partkey)
+    SELECT c.l_partkey, c.l_suppkey, round(c.unit_cost, 4) AS unit_cost
+    FROM costs c JOIN best b
+      ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+    WHERE c.l_partkey < 200
+    ORDER BY c.l_partkey, c.l_suppkey
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier via a groupwise-min
+    self-join (aggregate -> join back on the group key + min value)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == F.col("bp")) & (costs.unit_cost == F.col("min_cost")),
+        )
+        .filter(F.col("l_partkey") < 200)
+        .select("l_partkey", "l_suppkey", F.round("unit_cost", 4).alias("unit_cost"))
+        .orderBy("l_partkey", "l_suppkey")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_rev, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — an
+    aggregate compared against the max of itself (1-row broadcast),
+    ties preserved."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
