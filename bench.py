@@ -58,8 +58,10 @@ def main() -> None:
         if name in qs:
             try:
                 qs[name](spark, SF_DIR)
-            except Exception:
-                pass
+            except Exception as e:
+                # a failed build means the timed loop re-pays construction
+                # inside the measurement — make that visible, never silent
+                print(f"WARN: ANN index prebuild failed for {name}: {e}", file=sys.stderr)
     times: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.time()

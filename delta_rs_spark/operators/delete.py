@@ -107,7 +107,7 @@ def delete(spark: SparkSession, table_path: str, predicate: str | None) -> dict[
     snapshot = snap_mod.load_snapshot(table_path)
     from delta_rs_spark.plans.column_mapping import ensure_writable
 
-    ensure_writable(snapshot.configuration)
+    ensure_writable(snapshot)
     ts = now_ms()
 
     if not predicate:

@@ -219,7 +219,7 @@ class TableMerger:
         snapshot = snap_mod.load_snapshot(table_path)
         from delta_rs_spark.plans.column_mapping import ensure_writable
 
-        ensure_writable(snapshot.configuration)
+        ensure_writable(snapshot)
         part_cols = snapshot.partition_columns
         schema = self.dt.schema()
         cols = [f.name for f in schema.fields]

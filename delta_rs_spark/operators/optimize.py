@@ -55,7 +55,7 @@ class TableOptimizer:
         snapshot = snap_mod.load_snapshot(table_path)
         from delta_rs_spark.plans.column_mapping import ensure_writable
 
-        ensure_writable(snapshot.configuration)
+        ensure_writable(snapshot)
         part_cols = snapshot.partition_columns
         target = target_size or int(
             snapshot.configuration.get("delta.targetFileSize", DEFAULT_TARGET_SIZE)
@@ -129,7 +129,7 @@ class TableOptimizer:
         snapshot = snap_mod.load_snapshot(table_path)
         from delta_rs_spark.plans.column_mapping import ensure_writable
 
-        ensure_writable(snapshot.configuration)
+        ensure_writable(snapshot)
         part_cols = snapshot.partition_columns
         for c in columns:
             if c in part_cols:

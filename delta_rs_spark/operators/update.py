@@ -40,7 +40,7 @@ def update(
     snapshot = snap_mod.load_snapshot(table_path)
     from delta_rs_spark.plans.column_mapping import ensure_writable
 
-    ensure_writable(snapshot.configuration)
+    ensure_writable(snapshot)
     part_cols = snapshot.partition_columns
     for col in updates:
         if col in part_cols:
@@ -99,7 +99,12 @@ def update(
         ]
     )
     new_adds = write_files(updated_df, table_path, part_cols)
-    n_total = sum(a.num_records() or 0 for a in touched_adds)
+    # live rows only: DV'd files contribute physical rows minus cardinality
+    n_total = sum(
+        (a.num_records() or 0)
+        - int((a.deletion_vector or {}).get("cardinality") or 0)
+        for a in touched_adds
+    )
 
     actions: list = list(new_adds)
     if cdf_enabled(snapshot):

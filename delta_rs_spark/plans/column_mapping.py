@@ -30,17 +30,55 @@ def mapping_mode(configuration: dict[str, str]) -> str:
     return (configuration or {}).get(MODE_KEY, "none")
 
 
-def ensure_writable(configuration: dict[str, str]) -> None:
-    """Mutations would have to write physical-named parquet + mapped
-    stats to stay protocol-correct; until the write path does that,
-    refuse loudly rather than corrupt a foreign table."""
-    if mapping_mode(configuration) != "none":
-        from delta_rs_spark.log.commit import DeltaError
+#: writer features whose obligations this engine actually honors when
+#: committing (constraints/invariants/generated columns are enforced,
+#: CDF rows are written, DV removal-by-rewrite is protocol-legal, ...)
+SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "generatedColumns",
+    "changeDataFeed",
+    "columnMapping",  # blocked separately below until writes emit physical names
+    "timestampNtz",
+    "deletionVectors",
+    "v2Checkpoint",
+    "vacuumProtocolCheck",
+    "domainMetadata",
+}
 
+
+def ensure_writable(configuration_or_snapshot) -> None:
+    """Mutation-path gate: refuse column-mapped tables (writes would
+    have to emit physical-named parquet + mapped stats) and tables whose
+    protocol demands writer features we don't honor (e.g. rowTracking —
+    committing without the feature's obligations corrupts the table for
+    compliant engines). Accepts a Snapshot or a configuration dict."""
+    from delta_rs_spark.log.commit import DeltaError
+
+    snapshot = None
+    cfg = configuration_or_snapshot
+    if hasattr(cfg, "configuration"):
+        snapshot = cfg
+        cfg = snapshot.configuration
+    if mapping_mode(cfg) != "none":
         raise DeltaError(
             "column-mapped tables (delta.columnMapping.mode != none) are "
             "read-only in this engine"
         )
+    proto = snapshot.protocol if snapshot is not None else None
+    if proto is not None:
+        if proto.min_writer_version > 7:
+            raise DeltaError(
+                f"table requires minWriterVersion {proto.min_writer_version}; "
+                "this engine writes up to 7"
+            )
+        if proto.min_writer_version >= 7:
+            unsupported = set(proto.writer_features or []) - SUPPORTED_WRITER_FEATURES
+            if unsupported:
+                raise DeltaError(
+                    f"table requires unsupported writer features {sorted(unsupported)}"
+                )
 
 
 def _physical_name(field: T.StructField) -> str:
@@ -79,9 +117,13 @@ def logical_to_physical(schema: T.StructType) -> dict[str, str]:
     return {f.name: _physical_name(f) for f in schema.fields}
 
 
-def rename_to_logical(df: DataFrame, schema: T.StructType) -> DataFrame:
+def rename_to_logical(
+    df: DataFrame, schema: T.StructType, extra_cols: list[str] | None = None
+) -> DataFrame:
     """Physical-name DataFrame -> logical names, nested fields included
-    (positional struct cast renames interior fields for free)."""
+    (positional struct cast renames interior fields for free).
+    ``extra_cols`` are carried through unchanged (e.g. a bound
+    file-path column)."""
     cols = []
     for f in schema.fields:
         phys = _physical_name(f)
@@ -89,4 +131,6 @@ def rename_to_logical(df: DataFrame, schema: T.StructType) -> DataFrame:
         if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
             c = c.cast(f.dataType)
         cols.append(c.alias(f.name))
+    for name in extra_cols or []:
+        cols.append(F.col(f"`{name}`"))
     return df.select(*cols)

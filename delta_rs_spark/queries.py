@@ -1105,14 +1105,22 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    # global window max instead of a second aggregation sub-plan: the
+    # equality then compares a value against the max of the SAME computed
+    # column (recomputing the sum in two sub-plans could differ in the
+    # last ULP under nondeterministic shuffle-fetch order)
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+        .withColumn("mx", F.max("total_rev").over(W.partitionBy(F.lit(1))))
     )
-    mx = revenue.agg(F.max("total_rev").alias("mx"))
     supp = _t(spark, sf_dir, "supplier")
     return (
         supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
-        .join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
         .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue"))
         .orderBy("s_suppkey")

@@ -130,17 +130,34 @@ def _make_stream_reader_cls():
             from delta_rs_spark.log.actions import Add, Remove
 
             parts = []
+            if start["version"] < 0:
+                # FRESH stream: first batch = the full snapshot at `end`
+                # (initial-snapshot-then-tail, the semantics delta-spark's
+                # source defaults to) — works even when early commit JSONs
+                # were already checkpointed away
+                snap = snap_mod.load_snapshot(self.table_path, end["version"])
+                for a in snap.files.values():
+                    parts.append(
+                        _AddFilePartition(
+                            os.path.join(self.table_path, a.path),
+                            dict(a.partition_values or {}),
+                            self.schema_json,
+                        )
+                    )
+                from pyspark.sql.datasource import InputPartition
+
+                return parts or [InputPartition(0)]
             for v in range(start["version"] + 1, end["version"] + 1):
                 try:
                     actions = snap_mod.read_commit_actions(self.table_path, v)
                 except FileNotFoundError:
+                    # an ESTABLISHED stream lagging past metadata cleanup:
                     # silently skipping would drop the version's rows and
-                    # break exactly-once; the stream must fail loudly when
-                    # it lags past metadata cleanup
+                    # break exactly-once — fail loudly
                     raise DeltaError(
                         f"commit {v} was cleaned up before the stream "
                         "consumed it (delta.logRetentionDuration); restart "
-                        "the stream from a fresh snapshot"
+                        "the stream to resume from a fresh snapshot"
                     ) from None
                 if not self.ignore_changes and any(
                     isinstance(a, Remove) and a.data_change for a in actions
@@ -221,6 +238,11 @@ def read_append_stream(
     if not ignore_changes and any(t.data_change for t in snapshot.tombstones):
         raise DeltaError(
             "table has rewritten files; use CdfFollower or ignore_changes=True"
+        )
+    if any(a.deletion_vector for a in snapshot.files.values()):
+        raise DeltaError(
+            "table has deletion vectors (a rewriting writer); the file-level "
+            "stream source would emit deleted rows — use CdfFollower"
         )
     spark.dataSource.register(_make_stream_reader_cls())
     return (

@@ -56,10 +56,16 @@ def _dnf_to_sql(filters: list[PartitionFilter] | list[list[PartitionFilter]] | N
 
 
 def _normalize_file_path(c: F.Column) -> F.Column:
-    """Strip the URI scheme from ``_metadata.file_path`` (its rendering —
-    ``file:/abs`` vs ``file:///abs`` — is an undocumented Hadoop detail;
-    normalizing both join sides to ``/abs`` keeps us independent of it)."""
-    return F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/")
+    """``_metadata.file_path`` -> comparable raw path: strip the URI
+    scheme (``file:/abs`` vs ``file:///abs`` is an undocumented Hadoop
+    detail) and percent-DECODE (the metadata column is a URI, so spaces
+    and special characters arrive encoded; the python side compares raw
+    filesystem paths). try_url_decode leaves undecodable values as-is."""
+    stripped = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/")
+    # URLDecoder's form semantics turn literal '+' into a space, but URI
+    # paths keep '+' literal — protect it before decoding
+    plus_safe = F.regexp_replace(stripped, r"\+", "%2B")
+    return F.coalesce(F.try_url_decode(plus_safe), stripped)
 
 
 def read_snapshot_df(
@@ -101,10 +107,12 @@ def read_snapshot_df(
         """Physical -> logical names, preserving the bound fp column."""
         if not mapped:
             return part_df
-        out = cmap.rename_to_logical(part_df, schema)
-        if file_path_col and file_path_col in part_df.columns:
-            out = out.withColumn(file_path_col, part_df[file_path_col])
-        return out
+        extra = (
+            [file_path_col]
+            if file_path_col and file_path_col in part_df.columns
+            else None
+        )
+        return cmap.rename_to_logical(part_df, schema, extra_cols=extra)
 
     if not plain and not dv_adds:
         df = spark.createDataFrame([], schema)
@@ -521,7 +529,7 @@ class DeltaTable:
         from delta_rs_spark.log.commit import TransactionInfo
         from delta_rs_spark.plans.column_mapping import ensure_writable
 
-        ensure_writable(self._snapshot.configuration)
+        ensure_writable(self._snapshot)
         if mode not in ("append", "overwrite"):
             raise ValueError(f"invalid mode {mode!r}")
         if partition_by and partition_by != self._snapshot.partition_columns:

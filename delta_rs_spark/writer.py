@@ -272,7 +272,7 @@ def write_deltalake(
     if snapshot is not None:
         from delta_rs_spark.plans.column_mapping import ensure_writable
 
-        ensure_writable(snapshot.configuration)
+        ensure_writable(snapshot)
 
     if exists and mode == "error":
         raise TableExistsError(f"table exists: {table_path} (mode='error')")

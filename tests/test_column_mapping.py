@@ -203,3 +203,51 @@ def test_dataset_refused_on_mapped_and_dv_tables(spark, mapped, tmp_path):
     t = DeltaTable(mapped, spark=spark)
     with pytest.raises(DeltaError, match="column-mapped"):
         t.to_pyarrow_dataset()
+    # DV half of the guard
+    import dataclasses
+
+    from delta_rs_spark import write_deltalake
+    from delta_rs_spark.log import snapshot as snap_mod
+    from delta_rs_spark.plans.deletion_vectors import inline_dv_descriptor
+
+    dv_table = str(tmp_path / "dvds")
+    df = spark.range(10).selectExpr("id").coalesce(1)
+    write_deltalake(dv_table, df)
+    snap = snap_mod.load_snapshot(dv_table)
+    (add,) = snap.files.values()
+    commit_mod.commit(
+        dv_table,
+        [dataclasses.replace(add, deletion_vector=inline_dv_descriptor([0]))],
+        CommitInfo("DELETE", {}),
+        snap.version,
+    )
+    with pytest.raises(DeltaError, match="deletion-vector"):
+        DeltaTable(dv_table, spark=spark).to_pyarrow_dataset()
+
+
+def test_unsupported_writer_feature_refused(spark, tmp_path):
+    """A v7 writer protocol with features we don't honor (rowTracking)
+    must refuse mutations but still allow reads."""
+    import json as _json
+
+    from delta_rs_spark import DeltaTable as DT
+
+    p = str(tmp_path / "wf")
+    schema = _json.dumps(
+        {"type": "struct", "fields": [{"name": "id", "type": "long", "nullable": True, "metadata": {}}]}
+    )
+    commit_mod.commit(
+        p,
+        [Protocol(1, 7, None, ["rowTracking"]), Metadata(schema_string=schema)],
+        CommitInfo("CREATE TABLE", {}),
+        -1,
+        TransactionInfo(blind_append=True),
+    )
+    t = DT(p, spark=spark)
+    assert t.to_df().count() == 0  # reads fine (no reader features needed)
+    with pytest.raises(DeltaError, match="rowTracking"):
+        t.delete("id = 1")
+    with pytest.raises(DeltaError, match="rowTracking"):
+        from delta_rs_spark import write_deltalake
+
+        write_deltalake(p, spark.range(1).selectExpr("id"), mode="append")
