@@ -51,23 +51,37 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document, entirely array expressions — one
-    projection, no shuffle.
+    """MinHash signature per document.
 
     Each shingle STRING is hashed exactly once; the ``num_perm``
     permutations are derived by re-hashing that 8-byte value with the
     permutation index as seed (the standard universal-hashing trick:
     string hashing is the expensive part, so 1 string pass + num_perm
-    integer passes instead of num_perm string passes)."""
+    integer passes instead of num_perm string passes).
+
+    Shape: explode shingle hashes to rows, then ``num_perm`` declarative
+    ``min(xxhash64(h, i))`` aggregates in ONE whole-stage-codegen'd hash
+    aggregate. Map-side partial aggregation means the shuffle carries at
+    most ``num_perm`` longs per (doc x input partition) — shuffle bytes
+    are O(docs), independent of document length, so this holds at 100 TB.
+    The all-array alternative (fold with F.aggregate/zip_with) avoids the
+    shuffle but runs in Spark's interpreted higher-order-function path,
+    ~3x slower; the r01 shape (64 array_min(transform(...)) columns)
+    additionally re-ran the whole shingling subtree per column after
+    projection collapse."""
     sh = shingles(text_col, shingle_size)
-    hs = F.transform(sh, lambda s: F.xxhash64(s))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(hs, lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(num_perm)
-        ]
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("__h"),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    aggs = [
+        F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_perm)
+    ]
+    return (
+        exploded.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("signature"))
+    )
 
 
 def minhash_lsh_candidates(
