@@ -155,13 +155,64 @@ class TableMerger:
 
     def _equi_join_pairs(self) -> list[tuple[str, str]]:
         """(target_col, source_col) pairs from the join predicate's
-        top-level equality conjuncts. Conjunct-wise full matching (not a
-        substring scan): the predicate is split on top-level AND with the
-        same parser file skipping uses, then each WHOLE conjunct must be
-        ``t.col = s.col`` (either order, optional backquotes) to bind —
-        a conjunct like ``upper(s.c) = t.c`` or ``t.a = s.b + 1`` never
-        contributes a pair (reference: merge/filter.rs rewrites the
-        expression tree; this is the equivalent guarantee over conjuncts)."""
+        top-level equality conjuncts, extracted from the Catalyst
+        expression AST (reference: merge/filter.rs rewrites the expression
+        tree the same way).
+
+        The predicate is parsed with the session's SQL parser, the
+        top-level ``And`` chain is flattened, and a conjunct binds a pair
+        only when it is ``EqualTo`` between two 2-part attributes
+        qualified by the two aliases (either order; backquotes,
+        whitespace, and odd casing are the parser's problem, not ours).
+        Anything else — function-wrapped columns, arithmetic,
+        ``EqualNullSafe`` (min/max pruning would drop null-matching
+        rows), OR/NOT *inside* a conjunct — contributes nothing but, per
+        AND semantics, cannot invalidate pairs bound by sibling
+        conjuncts. A predicate whose root is OR yields no conjuncts and
+        therefore no early filter. Falls back to conservative regex
+        matching when the JVM parser is unreachable."""
+        try:
+            root = (
+                self.dt.spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parseExpression(self.predicate)
+            )
+        except Exception:
+            return self._equi_join_pairs_regex()
+        t, s = self._aliases()
+
+        def flatten_and(e):
+            if e.getClass().getSimpleName() == "And":
+                yield from flatten_and(e.left())
+                yield from flatten_and(e.right())
+            else:
+                yield e
+
+        def attr(e) -> tuple[str, str] | None:
+            if e.getClass().getSimpleName() != "UnresolvedAttribute":
+                return None
+            parts = e.nameParts()
+            if parts.size() != 2:
+                return None
+            return str(parts.apply(0)).lower(), str(parts.apply(1))
+
+        pairs = []
+        for conj in flatten_and(root):
+            if conj.getClass().getSimpleName() != "EqualTo":
+                continue
+            a, b = attr(conj.left()), attr(conj.right())
+            if a is None or b is None:
+                continue
+            if a[0] == t.lower() and b[0] == s.lower():
+                pairs.append((a[1], b[1]))
+            elif a[0] == s.lower() and b[0] == t.lower():
+                pairs.append((b[1], a[1]))
+        return pairs
+
+    def _equi_join_pairs_regex(self) -> list[tuple[str, str]]:
+        """Regex fallback (pre-AST formulation): whole-conjunct
+        ``t.col = s.col`` matching, disabled entirely under top-level
+        OR/NOT since textual splitting cannot prove precedence."""
         from delta_rs_spark.plans.skipping import _has_top_level_or_not, split_conjuncts
 
         if _has_top_level_or_not(self.predicate):

@@ -258,3 +258,35 @@ def test_merge_equi_pairs_robust(spark, tmp_table, sample_df):
     assert m3._equi_join_pairs() == []
     m4 = t.merge(src, "target.id = source.id OR target.id = source.id")
     assert m4._equi_join_pairs() == []
+
+
+def test_merge_equi_pairs_ast_precision(spark, tmp_table, sample_df):
+    """AST-based extraction (VERDICT r1 #9): precedence comes from the
+    parser, so an OR nested INSIDE one conjunct no longer disables pairs
+    bound by sibling conjuncts, while null-safe equality and
+    alias-mismatched attributes still never bind."""
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    src = spark.createDataFrame([("1",)], "id string")
+    # OR inside a parenthesized sibling conjunct: (a AND (b OR c)) — the
+    # equi pair from `a` is still binding for every matched row
+    m = t.merge(src, "target.id = source.id AND (target.id = '1' OR source.id = '2')")
+    assert m._equi_join_pairs() == [("id", "id")]
+    # top-level OR → no binding conjuncts at all
+    m2 = t.merge(src, "(target.id = source.id AND target.id = '1') OR source.id = '2'")
+    assert m2._equi_join_pairs() == []
+    # null-safe equality must NOT bind: min/max pruning drops null matches
+    m3 = t.merge(src, "target.id <=> source.id")
+    assert m3._equi_join_pairs() == []
+    # reversed order + odd casing + whitespace
+    m4 = t.merge(src, "  SOURCE.id   =  TARGET.`id`  ")
+    assert m4._equi_join_pairs() == [("id", "id")]
+    # 1-part and 3-part attributes never bind
+    m5 = t.merge(src, "id = source.id AND cat.target.id = source.id")
+    assert m5._equi_join_pairs() == []
+    # regex fallback: parenthesized OR is not top-level (safe to keep
+    # sibling pairs), but an unparenthesized top-level OR disables all
+    m6 = t.merge(src, "target.id = source.id AND (target.id = '1' OR source.id = '2')")
+    assert m6._equi_join_pairs_regex() == [("id", "id")]
+    m7 = t.merge(src, "target.id = source.id OR target.price = source.price")
+    assert m7._equi_join_pairs_regex() == []
