@@ -11,7 +11,7 @@ md5) so the DuckDB oracle can reproduce them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # Language marker lexicons (tiny n-gram-free heuristic; the standard
@@ -130,6 +130,66 @@ def shingles(col: Column | str, n: int = 3) -> Column:
         sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     sh = F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(sh)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-``k`` terms per document by term frequency, with smoothed
+    TF-IDF scores (idf = ln((N+1)/(df+1)) + 1, the sklearn convention).
+
+    Ranking is by (tf DESC, term ASC) — integer + string keys only, so
+    the cut is bit-for-bit reproducible across engines (ranking by the
+    double-valued score itself would make the top-k boundary depend on
+    ULP-level ln() differences between libm and the JVM). Scores are
+    reported, not sorted on.
+
+    Shape: one explode + (doc, term) count, a broadcast-joined term
+    document-frequency table, and a per-doc window — two shuffles total
+    (term counts, window by doc). At 100 TB the df table is the only
+    corpus-global state and it is |vocabulary|-sized."""
+    toks = tokens(text_col)
+    term_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+    )
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+def vocabulary_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top: int = 100
+) -> DataFrame:
+    """Corpus vocabulary profile: the ``top`` terms by document
+    frequency with collection frequency attached. One explode + one
+    groupBy(term) with map-side partial aggregation; ordering by
+    (doc_freq DESC, term ASC) is integer/string-deterministic."""
+    term_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    return (
+        term_rows.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("coll_freq"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(top)
+    )
 
 
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

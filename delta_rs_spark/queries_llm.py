@@ -189,6 +189,57 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs)
 
 
+@query("llm_simhash_near_dup", None)  # xxhash-based: rows-only check
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairs at Hamming <= 3: 4-band blocking (recall
+    1.0 by pigeonhole since bands > max_hamming) + exact bit_count
+    verify; equality to a brute-force Hamming scan pinned in
+    test_llm_ops."""
+    docs = _docs(spark, sf_dir)
+    return D.simhash_near_dup_pairs(docs, max_hamming=3, bands=4)
+
+
+@query(
+    "llm_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+    t2 AS (SELECT doc_id, term FROM toks WHERE term != ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, tf.term ASC) AS rank
+      FROM tf JOIN dfreq USING (term))
+    SELECT doc_id, rank, term, tf,
+           round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS tfidf
+    FROM ranked, n WHERE rank <= 3
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return X.tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "llm_vocabulary_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+    t2 AS (SELECT doc_id, term FROM toks WHERE term != '')
+    SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS coll_freq
+    FROM t2 GROUP BY term
+    ORDER BY doc_freq DESC, term ASC
+    LIMIT 100
+    """,
+)
+def llm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return X.vocabulary_stats(docs, top=100)
+
+
 @query(
     "llm_embedding_near_dup",
     """

@@ -237,3 +237,68 @@ def test_ivf_index_partition_pruned(spark, emb, tmp_path):
     probe = [i for i, _ in ranked[:3]]
     kept = t.files([("list", "in", probe)])
     assert 0 < len(kept) < len(t.files())
+
+
+def test_simhash_near_dup_exact_vs_bruteforce(spark, docs):
+    """Band blocking with bands > max_hamming must return EXACTLY the
+    brute-force Hamming <= k pair set (pigeonhole recall, exact verify)."""
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_dup_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    sigs = D.simhash(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_simhash_near_dup_rejects_bad_bands(spark, docs):
+    with pytest.raises(ValueError):
+        D.simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_tfidf_top_terms_rank_and_scores(spark, docs):
+    out = X.tfidf_top_terms(docs, k=3).cache()
+    # every doc contributes at most k rows, ranks are 1..k contiguous
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx"), F.min("rank").alias("mn")
+    )
+    bad = per_doc.filter(
+        (F.col("n") > 3) | (F.col("mx") != F.col("n")) | (F.col("mn") != 1)
+    )
+    assert bad.count() == 0
+    # rank-1 term's tf must be the doc's max tf
+    tf_all = (
+        docs.select(F.col("doc_id"), F.explode(X.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_tf"))
+    )
+    r1 = out.filter("rank = 1").join(tf_all, "doc_id")
+    assert r1.filter(F.col("tf") != F.col("max_tf")).count() == 0
+    # idf sanity: scores positive, and a term appearing in every doc has
+    # the minimum possible idf so its tfidf <= tf * 1.0 is false only
+    # when idf > 1; smoothed idf >= 1 always
+    assert out.filter(F.col("tfidf") < F.col("tf")).count() == 0
+
+
+def test_vocabulary_stats_counts(spark, docs):
+    out = X.vocabulary_stats(docs, top=10)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    # doc_freq <= coll_freq and sorted by doc_freq desc
+    freqs = [(r.doc_freq, r.coll_freq) for r in rows]
+    assert all(d <= c for d, c in freqs)
+    assert [f[0] for f in freqs] == sorted([f[0] for f in freqs], reverse=True)
