@@ -31,8 +31,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay 32-task scheduling overhead."""
     import os
 
+    # 16 KB per task, not 128 KB: compressed text is ~10x smaller than the
+    # per-row CPU cost it carries (hashing/shingling/regex are the hot
+    # path here, unlike scan-bound relational queries) — sf0.1's 580 KB
+    # file was getting 4 of 32 cores
     size = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
-    n = min(max(1, size // (128 * 1024)), spark.sparkContext.defaultParallelism)
+    n = min(max(1, size // (16 * 1024)), spark.sparkContext.defaultParallelism)
     df = load_table(spark, sf_dir, "documents")
     return df.repartition(int(n)) if n > 1 else df
 
