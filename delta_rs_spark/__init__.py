@@ -21,6 +21,13 @@ from delta_rs_spark.schema import (
     Schema,
     StructType,
 )
+from delta_rs_spark.properties import (
+    BloomFilterProperties,
+    ColumnProperties,
+    CommitProperties,
+    PostCommitHookProperties,
+    WriterProperties,
+)
 from delta_rs_spark.log.commit import (
     CommitFailedError,
     ConcurrentAppendError,
@@ -38,6 +45,11 @@ __all__ = [
     "write_deltalake",
     "QueryBuilder",
     "convert_to_deltalake",
+    "BloomFilterProperties",
+    "ColumnProperties",
+    "CommitProperties",
+    "PostCommitHookProperties",
+    "WriterProperties",
     "Schema",
     "Field",
     "PrimitiveType",

@@ -303,6 +303,9 @@ class CommitInfo:
     engine_info: str = "delta_rs_spark/0.1.0"
     client_version: str = "delta_rs_spark.0.1.0"
     user_metadata: str | None = None
+    #: extra commitInfo keys from CommitProperties.custom_metadata
+    #: (reference transaction/mod.rs merges app_metadata into commitInfo)
+    extra: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -316,11 +319,26 @@ class CommitInfo:
             "engineInfo": self.engine_info,
             "clientVersion": self.client_version,
         }
+        for k, v in self.extra.items():
+            d[k] = v
         if self.read_version is not None:
             d["readVersion"] = self.read_version
         if self.user_metadata is not None:
             d["userMetadata"] = self.user_metadata
         return {"commitInfo": d}
+
+    _KNOWN_KEYS = frozenset(
+        {
+            "operation",
+            "operationParameters",
+            "timestamp",
+            "operationMetrics",
+            "readVersion",
+            "engineInfo",
+            "clientVersion",
+            "userMetadata",
+        }
+    )
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> CommitInfo:
@@ -333,6 +351,7 @@ class CommitInfo:
             engine_info=d.get("engineInfo", ""),
             client_version=d.get("clientVersion", ""),
             user_metadata=d.get("userMetadata"),
+            extra={k: v for k, v in d.items() if k not in cls._KNOWN_KEYS},
         )
 
 

@@ -196,8 +196,33 @@ def commit(
     txn_info: TransactionInfo | None = None,
     max_retries: int = MAX_RETRIES,
     log_store: LogStore | None = None,
+    commit_properties=None,
+    post_commit=None,
 ) -> int:
-    """Write actions as the next commit; returns the committed version."""
+    """Write actions as the next commit; returns the committed version.
+
+    ``commit_properties`` (CommitProperties) merges custom_metadata into
+    the commitInfo (userMetadata promoted to the protocol string field),
+    overrides the retry budget, and appends app-transaction watermarks
+    as ``txn`` actions. ``post_commit`` (PostCommitHookProperties) gates
+    the checkpoint hook and expired-log cleanup (reference
+    transaction.py:26-77, kernel/transaction/mod.rs:356)."""
+    create_checkpoint = True
+    cleanup_logs: bool | None = None
+    if commit_properties is not None:
+        if commit_properties.max_commit_retries is not None:
+            max_retries = commit_properties.max_commit_retries
+        if commit_properties.custom_metadata:
+            extra = dict(commit_properties.custom_metadata)
+            um = extra.pop("userMetadata", None)
+            if um is not None:
+                operation.user_metadata = str(um)
+            operation.extra.update(extra)
+        for app_id, app_version in commit_properties.app_transactions or []:
+            actions = list(actions) + [Txn(app_id=app_id, version=int(app_version))]
+    if post_commit is not None:
+        create_checkpoint = post_commit.create_checkpoint
+        cleanup_logs = post_commit.cleanup_expired_logs
     txn_info = txn_info or TransactionInfo(blind_append=False, read_whole_table=True)
     store = log_store or _DEFAULT_LOG_STORE
     our_removes = {a.path for a in actions if isinstance(a, Remove)}
@@ -211,7 +236,9 @@ def commit(
         target = snap_mod.commit_file(table_path, attempt_version)
         try:
             store.put_if_absent(target, "\n".join(lines) + "\n")
-            _maybe_checkpoint(table_path, attempt_version)
+            if create_checkpoint:
+                _maybe_checkpoint(table_path, attempt_version)
+            _maybe_cleanup_logs(table_path, cleanup_logs)
             return attempt_version
         except FileExistsError:
             # replay winning commit(s), check conflicts, then retry on top
@@ -229,6 +256,28 @@ def commit(
                 _check_conflicts(winning, txn_info, our_removes)
             attempt_version = latest + 1
     raise CommitFailedError(f"exceeded {max_retries} commit retries at {table_path}")
+
+
+def _maybe_cleanup_logs(table_path: str, override: bool | None) -> None:
+    """Post-commit hook: delete expired log files when
+    PostCommitHookProperties.cleanup_expired_logs is True, or when it is
+    None and the table sets delta.enableExpiredLogCleanup (reference
+    transaction.py:33-38 — config decides unless overridden)."""
+    try:
+        enabled = override
+        if enabled is None:
+            snapshot = snap_mod.load_snapshot(table_path)
+            enabled = (
+                snapshot.configuration.get("delta.enableExpiredLogCleanup", "false").lower()
+                == "true"
+            )
+        if enabled:
+            from delta_rs_spark.operators.vacuum import cleanup_metadata
+
+            cleanup_metadata(table_path)
+    except Exception:
+        # log cleanup is an optimization; never fail the commit for it
+        pass
 
 
 def _maybe_checkpoint(table_path: str, version: int) -> None:

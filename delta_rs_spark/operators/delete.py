@@ -103,7 +103,13 @@ def plan_predicate_removal(
     return removes, new_adds, n_deleted
 
 
-def delete(spark: SparkSession, table_path: str, predicate: str | None) -> dict[str, Any]:
+def delete(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str | None,
+    commit_properties=None,
+    post_commithook_properties=None,
+) -> dict[str, Any]:
     snapshot = snap_mod.load_snapshot(table_path)
     from delta_rs_spark.plans.column_mapping import ensure_writable
 
@@ -128,6 +134,8 @@ def delete(spark: SparkSession, table_path: str, predicate: str | None) -> dict[
             op,
             snapshot.version,
             TransactionInfo(blind_append=False, read_whole_table=True),
+            commit_properties=commit_properties,
+            post_commit=post_commithook_properties,
         )
         return metrics
 
@@ -150,5 +158,13 @@ def delete(spark: SparkSession, table_path: str, predicate: str | None) -> dict[
             "delta.isolationLevel", "WriteSerializable"
         ),
     )
-    commit_mod.commit(table_path, list(new_adds) + list(removes), op, snapshot.version, txn)
+    commit_mod.commit(
+        table_path,
+        list(new_adds) + list(removes),
+        op,
+        snapshot.version,
+        txn,
+        commit_properties=commit_properties,
+        post_commit=post_commithook_properties,
+    )
     return metrics

@@ -103,6 +103,8 @@ class TableMerger:
     source_alias: str | None = None
     target_alias: str | None = None
     merge_schema: bool = False  # schema evolution (reference: merge/mod.rs:1047-1080)
+    commit_properties: Any = None  # CommitProperties (reference table.py merge args)
+    post_commithook_properties: Any = None
     matched: list[_Clause] = field(default_factory=list)
     not_matched: list[_Clause] = field(default_factory=list)
     not_matched_by_source: list[_Clause] = field(default_factory=list)
@@ -582,7 +584,15 @@ class TableMerger:
                 "delta.isolationLevel", "WriteSerializable"
             ),
         )
-        commit_mod.commit(table_path, actions, op, snapshot.version, txn)
+        commit_mod.commit(
+            table_path,
+            actions,
+            op,
+            snapshot.version,
+            txn,
+            commit_properties=self.commit_properties,
+            post_commit=self.post_commithook_properties,
+        )
 
         source_df.unpersist()
         if acted is not None:

@@ -31,6 +31,8 @@ def update(
     table_path: str,
     updates: dict[str, str],
     predicate: str | None = None,
+    commit_properties=None,
+    post_commithook_properties=None,
 ) -> dict[str, Any]:
     from delta_rs_spark.table import read_snapshot_df
     from delta_rs_spark.writer import write_files
@@ -63,7 +65,13 @@ def update(
     if not candidates:
         op = CommitInfo("UPDATE", {"predicate": predicate or ""}, operation_metrics=metrics)
         commit_mod.commit(
-            table_path, [], op, snapshot.version, TransactionInfo(blind_append=False)
+            table_path,
+            [],
+            op,
+            snapshot.version,
+            TransactionInfo(blind_append=False),
+            commit_properties=commit_properties,
+            post_commit=post_commithook_properties,
         )
         return metrics
 
@@ -83,7 +91,13 @@ def update(
     if not touched_adds:
         op = CommitInfo("UPDATE", {"predicate": predicate or ""}, operation_metrics=metrics)
         commit_mod.commit(
-            table_path, [], op, snapshot.version, TransactionInfo(blind_append=False)
+            table_path,
+            [],
+            op,
+            snapshot.version,
+            TransactionInfo(blind_append=False),
+            commit_properties=commit_properties,
+            post_commit=post_commithook_properties,
         )
         return metrics
 
@@ -143,5 +157,13 @@ def update(
             "delta.isolationLevel", "WriteSerializable"
         ),
     )
-    commit_mod.commit(table_path, actions, op, snapshot.version, txn)
+    commit_mod.commit(
+        table_path,
+        actions,
+        op,
+        snapshot.version,
+        txn,
+        commit_properties=commit_properties,
+        post_commit=post_commithook_properties,
+    )
     return metrics

@@ -367,17 +367,19 @@ class DeltaTable:
             if ci is None:
                 out.append({"version": v})
                 continue
-            out.append(
-                {
-                    "version": v,
-                    "timestamp": ci.timestamp,
-                    "operation": ci.operation,
-                    "operationParameters": ci.operation_parameters,
-                    "operationMetrics": ci.operation_metrics,
-                    "readVersion": ci.read_version,
-                    "engineInfo": ci.engine_info,
-                }
-            )
+            entry = {
+                "version": v,
+                "timestamp": ci.timestamp,
+                "operation": ci.operation,
+                "operationParameters": ci.operation_parameters,
+                "operationMetrics": ci.operation_metrics,
+                "readVersion": ci.read_version,
+                "engineInfo": ci.engine_info,
+                **ci.extra,
+            }
+            if ci.user_metadata is not None:
+                entry["userMetadata"] = ci.user_metadata
+            out.append(entry)
         return out
 
     def get_add_actions(self, flatten: bool = False):
@@ -574,10 +576,21 @@ class DeltaTable:
         return v
 
     # -- mutations (delegate to operators) --------------------------------
-    def delete(self, predicate: str | None = None) -> dict[str, Any]:
+    def delete(
+        self,
+        predicate: str | None = None,
+        commit_properties=None,
+        post_commithook_properties=None,
+    ) -> dict[str, Any]:
         from delta_rs_spark.operators.delete import delete as _delete
 
-        metrics = _delete(self.spark, self.table_uri, predicate)
+        metrics = _delete(
+            self.spark,
+            self.table_uri,
+            predicate,
+            commit_properties=commit_properties,
+            post_commithook_properties=post_commithook_properties,
+        )
         self._snapshot = load_snapshot(self.table_uri)
         return metrics
 
@@ -585,10 +598,19 @@ class DeltaTable:
         self,
         updates: dict[str, str],
         predicate: str | None = None,
+        commit_properties=None,
+        post_commithook_properties=None,
     ) -> dict[str, Any]:
         from delta_rs_spark.operators.update import update as _update
 
-        metrics = _update(self.spark, self.table_uri, updates, predicate)
+        metrics = _update(
+            self.spark,
+            self.table_uri,
+            updates,
+            predicate,
+            commit_properties=commit_properties,
+            post_commithook_properties=post_commithook_properties,
+        )
         self._snapshot = load_snapshot(self.table_uri)
         return metrics
 
@@ -599,11 +621,20 @@ class DeltaTable:
         source_alias: str | None = None,
         target_alias: str | None = None,
         merge_schema: bool = False,
+        commit_properties=None,
+        post_commithook_properties=None,
     ):
         from delta_rs_spark.operators.merge import TableMerger
 
         return TableMerger(
-            self, source, predicate, source_alias, target_alias, merge_schema
+            self,
+            source,
+            predicate,
+            source_alias,
+            target_alias,
+            merge_schema,
+            commit_properties,
+            post_commithook_properties,
         )
 
     @property

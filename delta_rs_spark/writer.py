@@ -84,13 +84,38 @@ def _encode_partition_value(v: str | None) -> str:
     return urllib.parse.quote(str(v), safe="")
 
 
+def _estimate_rows_for_bytes(df: DataFrame, target_bytes: int) -> int:
+    """Rows per file that land near ``target_bytes`` on disk: serialize a
+    bounded driver-side sample to an in-memory parquet buffer and scale.
+    The sample is <= 1024 rows regardless of table size."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sample = df.limit(1024).toPandas()
+    if sample.empty:
+        return 0
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pandas(sample), buf, compression="snappy")
+    bytes_per_row = max(buf.tell() / len(sample), 1.0)
+    return max(int(target_bytes / bytes_per_row), 1)
+
+
 def write_files(
     df: DataFrame,
     table_path: str,
     partition_by: list[str],
     max_records_per_file: int | None = None,
+    writer_properties=None,
+    target_file_size: int | None = None,
 ) -> list[Add]:
-    """Write df as parquet files into the table directory; return Adds."""
+    """Write df as parquet files into the table directory; return Adds.
+
+    ``target_file_size`` (bytes — reference write_deltalake arg) is
+    honored via maxRecordsPerFile with a sampled bytes/row estimate;
+    ``writer_properties`` maps onto Spark parquet writer options
+    (see properties.WriterProperties.spark_write_options)."""
     stage = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df
     if partition_by:
@@ -99,8 +124,13 @@ def write_files(
         # tasks*partitions files and ~partitions files)
         writer = df.repartition(*partition_by)
     w = writer.write.mode("overwrite")
+    if target_file_size and not max_records_per_file:
+        max_records_per_file = _estimate_rows_for_bytes(df, target_file_size)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if writer_properties is not None:
+        for k, v in writer_properties.spark_write_options().items():
+            w = w.option(k, v)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(stage)
@@ -250,12 +280,27 @@ def write_deltalake(
     max_records_per_file: int | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    target_file_size: int | None = None,
+    writer_properties=None,
+    commit_properties=None,
+    post_commithook_properties=None,
+    storage_options: dict[str, str] | None = None,
 ) -> None:
     """Write a DataFrame (Spark/pandas/arrow) to a Delta table.
 
     Modes: error | ignore | append | overwrite. ``predicate`` is
     transactional replaceWhere (only valid with overwrite).
+
+    ``target_file_size``/``writer_properties``/``commit_properties``/
+    ``post_commithook_properties`` mirror the reference surface
+    (python/deltalake/writer/writer.py:66-111); see
+    delta_rs_spark.properties for the honored subset.
+    ``storage_options`` is accepted for signature parity — this engine
+    reads storage credentials from the Spark/Hadoop configuration, so
+    entries here are validated as strings but otherwise unused.
     """
+    if storage_options is not None and not isinstance(storage_options, dict):
+        raise TypeError("storage_options must be a dict[str, str]")
     table_path = str(table_or_uri).removeprefix("file://")
     df = _to_spark_df(data, spark)
     spark = df.sparkSession
@@ -358,7 +403,19 @@ def write_deltalake(
                     f"CHECK constraint {cname!r} ({cexpr}) violated by incoming data"
                 )
 
-    adds = write_files(df, table_path, part_cols, max_records_per_file)
+    if target_file_size is None and snapshot is not None:
+        # honor the table-level default (reference table/config.rs:149)
+        tfs = snapshot.configuration.get("delta.targetFileSize")
+        if tfs:
+            target_file_size = int(tfs)
+    adds = write_files(
+        df,
+        table_path,
+        part_cols,
+        max_records_per_file,
+        writer_properties=writer_properties,
+        target_file_size=target_file_size,
+    )
     actions.extend(adds)
     n_rows = sum(a.num_records() or 0 for a in adds)
     metrics["numFiles"] = len(adds)
@@ -407,7 +464,15 @@ def write_deltalake(
         },
         operation_metrics=metrics,
     )
-    commit_mod.commit(table_path, actions, op, read_version, txn_info)
+    commit_mod.commit(
+        table_path,
+        actions,
+        op,
+        read_version,
+        txn_info,
+        commit_properties=commit_properties,
+        post_commit=post_commithook_properties,
+    )
 
 
 def _replace_where(

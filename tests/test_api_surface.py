@@ -179,3 +179,122 @@ def test_schema_mirror_classes(spark, tmp_table):
     ds = DeltaTable(tmp_table).delta_schema()
     assert [f.name for f in ds.fields] == ["id", "name"]
     assert ds.fields[1].type == PrimitiveType("string")
+
+
+def test_commit_properties_custom_metadata_and_txn(spark, tmp_path):
+    """CommitProperties parity (reference transaction.py:48-77):
+    custom_metadata lands in commitInfo (userMetadata promoted to the
+    protocol string field), app_transactions append txn watermarks."""
+    import json
+    import os
+
+    from delta_rs_spark import CommitProperties, DeltaTable, write_deltalake
+
+    t = str(tmp_path / "cp")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    cp = CommitProperties(
+        custom_metadata={"userMetadata": "batch-42", "pipelineRun": "r7"},
+        app_transactions=[("etl-app", 42)],
+    )
+    write_deltalake(t, df, commit_properties=cp)
+    commit = [
+        json.loads(line)
+        for line in open(os.path.join(t, "_delta_log", "00000000000000000000.json"))
+    ]
+    ci = next(d["commitInfo"] for d in commit if "commitInfo" in d)
+    assert ci["userMetadata"] == "batch-42"
+    assert ci["pipelineRun"] == "r7"
+    txns = [d["txn"] for d in commit if "txn" in d]
+    assert {(x["appId"], x["version"]) for x in txns} == {("etl-app", 42)}
+    dt = DeltaTable(t)
+    assert dt.transaction_version("etl-app") == 42
+    # history surfaces the metadata
+    h = dt.history(1)[0]
+    assert h.get("userMetadata") == "batch-42"
+
+
+def test_commit_properties_rejects_generated_keys():
+    import pytest as _pytest
+
+    from delta_rs_spark import CommitProperties
+
+    with _pytest.raises(ValueError):
+        CommitProperties(custom_metadata={"timestamp": 1})
+    with _pytest.raises(ValueError):
+        CommitProperties(custom_metadata={"x": float("nan")})
+
+
+def test_writer_properties_compression(spark, tmp_path):
+    """WriterProperties.compression reaches the parquet files on disk."""
+    import pyarrow.parquet as pq
+
+    from delta_rs_spark import DeltaTable, WriterProperties, write_deltalake
+
+    t = str(tmp_path / "wp")
+    df = spark.range(100).selectExpr("id", "concat('v', id) AS s")
+    write_deltalake(t, df, writer_properties=WriterProperties(compression="ZSTD"))
+    dt = DeltaTable(t)
+    f = dt.file_uris()[0]
+    meta = pq.ParquetFile(f).metadata
+    assert meta.row_group(0).column(0).compression == "ZSTD"
+    assert [r.id for r in dt.to_df().select("id").orderBy("id").collect()] == list(range(100))
+
+
+def test_writer_properties_rejects_bad_codec():
+    import pytest as _pytest
+
+    from delta_rs_spark import WriterProperties
+
+    with _pytest.raises(ValueError):
+        WriterProperties(compression="LZMA")
+
+
+def test_target_file_size_splits_output(spark, tmp_path):
+    """target_file_size (bytes) must split a write into multiple files
+    sized in the right ballpark."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    t = str(tmp_path / "tfs")
+    # ~100 KB of incompressible-ish data
+    df = spark.range(2000).selectExpr("id", "sha2(cast(id AS string), 256) AS payload").coalesce(1)
+    write_deltalake(t, df, target_file_size=16 * 1024)
+    dt = DeltaTable(t)
+    files = dt.files()
+    assert len(files) >= 3
+    assert dt.to_df().count() == 2000
+
+
+def test_post_commithook_skip_checkpoint(spark, tmp_path):
+    """create_checkpoint=False suppresses the interval checkpoint hook."""
+    import os
+
+    from delta_rs_spark import DeltaTable, PostCommitHookProperties, write_deltalake
+
+    t = str(tmp_path / "pch")
+    df = spark.range(3).selectExpr("id")
+    write_deltalake(t, df, configuration={"delta.checkpointInterval": "2"})
+    ph = PostCommitHookProperties(create_checkpoint=False)
+    for _ in range(4):
+        write_deltalake(t, df, mode="append", post_commithook_properties=ph)
+    log = os.listdir(os.path.join(t, "_delta_log"))
+    assert not [f for f in log if f.endswith(".checkpoint.parquet")]
+    # and with the default hook a checkpoint appears
+    write_deltalake(t, df, mode="append")
+    write_deltalake(t, df, mode="append")
+    log = os.listdir(os.path.join(t, "_delta_log"))
+    assert [f for f in log if f.endswith(".checkpoint.parquet")]
+    assert DeltaTable(t).to_df().count() == 21
+
+
+def test_delete_with_commit_properties(spark, tmp_path):
+    from delta_rs_spark import CommitProperties, DeltaTable, write_deltalake
+
+    t = str(tmp_path / "delcp")
+    write_deltalake(t, spark.range(10).selectExpr("id", "id % 2 AS k"))
+    dt = DeltaTable(t)
+    dt.delete(
+        "k = 1",
+        commit_properties=CommitProperties(custom_metadata={"userMetadata": "purge"}),
+    )
+    assert dt.history(1)[0].get("userMetadata") == "purge"
+    assert dt.to_df().count() == 5
