@@ -717,6 +717,57 @@ class DeltaTable:
 
         return _compact(self.table_uri, start, end)
 
+    def generate(self, mode: str = "symlink_format_manifest") -> None:
+        """Write a _symlink_format_manifest for Presto/BigQuery readers
+        (reference: python/deltalake/table.py:532-561,
+        operations/generate.rs)."""
+        if mode != "symlink_format_manifest":
+            raise ValueError(f"unsupported generate mode: {mode!r}")
+        from delta_rs_spark.operators.generate import generate_symlink_manifest
+
+        generate_symlink_manifest(self.table_uri)
+
+    def deletion_vectors(self):
+        """Deletion vectors as a pyarrow table with columns
+        ``filepath`` (fully-qualified URI) and ``selection_vector``
+        (list<bool>, True = keep) — only DV-carrying files are returned
+        (reference: python/deltalake/table.py:486-499; masks are
+        materialized in memory, like the reference)."""
+        import pyarrow as pa
+
+        from delta_rs_spark.plans.deletion_vectors import load_dv_row_indexes
+
+        paths: list[str] = []
+        masks: list[list[bool]] = []
+        for a in sorted(self._snapshot.files.values(), key=lambda x: x.path):
+            if not a.deletion_vector:
+                continue
+            deleted = set(load_dv_row_indexes(self.table_uri, a.deletion_vector))
+            n_physical = a.num_records()
+            if n_physical is None:
+                import pyarrow.parquet as pq
+
+                n_physical = pq.ParquetFile(
+                    os.path.join(self.table_uri, a.path)
+                ).metadata.num_rows
+            paths.append("file://" + os.path.join(self.table_uri, a.path))
+            masks.append([i not in deleted for i in range(n_physical)])
+        return pa.table(
+            {
+                "filepath": pa.array(paths, pa.string()),
+                "selection_vector": pa.array(masks, pa.list_(pa.bool_())),
+            }
+        )
+
+    def table_config(self):
+        """Loading-time options tuple (reference: table.py:143-146,:203).
+        This engine always loads file lists eagerly with stats, so the
+        fields report that fixed behavior."""
+        from collections import namedtuple
+
+        cfg = namedtuple("DeltaTableConfig", "without_files log_buffer_size skip_stats")
+        return cfg(without_files=False, log_buffer_size=8, skip_stats=False)
+
     def cleanup_metadata(self, retention_hours: int | None = None) -> int:
         from delta_rs_spark.operators.vacuum import cleanup_metadata as _cleanup
 

@@ -231,3 +231,46 @@ def _attach_dv_file0(table_path, descriptor):
             )
             return
     raise AssertionError("file with id=0 not found")
+
+
+def test_deletion_vectors_accessor(spark, tmp_path):
+    """dt.deletion_vectors() parity (reference table.py:486-499):
+    (filepath, selection_vector) rows for DV-carrying files only,
+    True = keep."""
+    table = str(tmp_path / "dvacc")
+    t = _make_table(spark, table)
+    deleted_ids = [5, 42]
+    ris = _row_index_of(spark, table, deleted_ids)
+    _attach_dv(table, DV.inline_dv_descriptor(ris))
+    t.refresh()
+    tbl = t.deletion_vectors()
+    assert tbl.column_names == ["filepath", "selection_vector"]
+    assert tbl.num_rows == 1
+    assert tbl["filepath"][0].as_py().startswith("file://")
+    mask = tbl["selection_vector"][0].as_py()
+    assert len(mask) == 200
+    assert sum(1 for m in mask if not m) == 2
+    assert all(not mask[ri] for ri in ris)
+
+
+def test_deletion_vectors_accessor_empty(spark, tmp_path):
+    table = str(tmp_path / "dvnone")
+    t = _make_table(spark, table)
+    assert t.deletion_vectors().num_rows == 0
+
+
+def test_generate_method(spark, tmp_path):
+    import pytest as _pytest
+
+    table = str(tmp_path / "genm")
+    t = _make_table(spark, table)
+    t.generate()
+    assert os.path.exists(os.path.join(table, "_symlink_format_manifest", "manifest"))
+    with _pytest.raises(ValueError):
+        t.generate("unknown_mode")
+
+
+def test_table_config_tuple(spark, tmp_path):
+    t = _make_table(spark, str(tmp_path / "tcfg"))
+    cfg = t.table_config()
+    assert cfg.without_files is False and cfg.skip_stats is False
