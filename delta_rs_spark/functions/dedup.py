@@ -98,11 +98,14 @@ def minhash_lsh_candidates(
     Jaccard (fraction of agreeing permutations)."""
     rows_per_band = num_perm // bands
     # the signature table is consumed by 4 plan branches (two band-join
-    # aliases + two est re-attach joins); checkpoint it lazily so the
-    # shingle+hash pass runs ONCE instead of once per branch (sigs are
-    # ~0.5 KB/doc — orders of magnitude smaller than the corpus)
+    # aliases + two est re-attach joins); checkpoint it EAGERLY so the
+    # shingle+hash pass runs ONCE (sigs are ~0.5 KB/doc — orders of
+    # magnitude smaller than the corpus). Lazy checkpoints here proved
+    # nondeterministically slow: AQE schedules sibling join branches as
+    # concurrent jobs, and branches racing to materialize the same
+    # not-yet-checkpointed RDD re-run its whole subtree.
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_size).localCheckpoint(
-        eager=False
+        eager=True
     )
     # the band self-join carries IDS ONLY: combining band index into the
     # bucket hash makes (bucket) the single join key, and the 64-element
@@ -152,50 +155,69 @@ def minhash_lsh_candidates(
     )
 
 
+def _tree_or(terms: list):
+    """Balanced bitwiseOR reduction — keeps expression depth O(log n) so
+    whole-stage codegen never sees a 64-deep operator chain."""
+    while len(terms) > 1:
+        terms = [
+            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc — a single narrow projection, NO shuffle.
+    """64-bit SimHash per doc: hash each distinct token, count set bits
+    per position across the doc's tokens, set output bit b iff the
+    majority of tokens had bit b set (the classic sign-of-sum-of-±1
+    formulation: sum = 2*cnt_b - n > 0).
 
-    Per document: hash each distinct token once, fold the hashes into a
-    ``bits``-element bit-count accumulator with one ``F.aggregate`` pass,
-    then set bit b iff the majority of tokens had bit b set (equivalent
-    to the classic sign-of-sum-of-±1 formulation: sum = 2*cnt_b - n > 0).
+    Shape: explode distinct-token hashes, then ONE hash aggregate with
+    ``bits/2`` packed-lane sums — each agg column accumulates 2 bit
+    positions in 32-bit lanes of a long (``getbit + getbit << 32``), so
+    the whole pipeline is compact whole-stage-codegen'd JVM code.
+    Map-side partial aggregation means the shuffle carries ~33 longs per
+    (doc x input partition) — O(docs), independent of doc length. A lane
+    overflows only past 2^32 distinct tokens in ONE document (a >20 GB
+    doc) — unreachable.
 
-    This replaces the r01 shape (explode -> 64 ``sum(when(...))``
-    aggregates -> 64-deep bitwiseOR chain) whose giant codegen unit and
-    per-token shuffle made it the slowest query in the suite (27 s at
-    sf0.1); higher-order array functions keep the expression tree ~4
-    nodes deep regardless of ``bits`` and the work map-side only.
+    Two prior shapes both lost: r01's 64 separate ``sum(when(...))``
+    aggregates blew past the codegen method limit (27 s at sf0.1,
+    interpreted fallback), and the r02 higher-order-function fold
+    (``F.aggregate``/``zip_with``) ran in Spark's interpreted HOF path
+    at ~0.5 ms/doc with heavy per-token array allocation (2.6 s at
+    sf0.1 and GC-bound). Packed lanes keep both the agg count (32) and
+    the per-row expression small (simple getbit/shift terms).
     """
-    toks = F.array_distinct(tokens(text_col))
-    hs = F.transform(toks, lambda t: F.xxhash64(t))
-    idxs = F.sequence(F.lit(0), F.lit(bits - 1))
-    counts = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc, idxs, lambda c, i: c + F.getbit(h, i).cast("int")
-        ),
-    )
-    n = F.size(hs)
-    # literal 2^b values; b=63 is the long sign bit (1<<63 would overflow)
-    powers = F.array(
-        *[F.lit(1 << b if b < 63 else -(1 << 63)).cast("long") for b in range(bits)]
-    )
-    sim = F.aggregate(
-        F.zip_with(
-            counts,
-            powers,
-            lambda c, p: F.when(c * 2 > n, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    # the r01 explode/groupBy shape dropped zero-token docs; keep that
-    return (
-        df.select(F.col(id_col).alias("id"), sim.alias("simhash"), n.alias("__n"))
-        .filter(F.col("__n") > 0)
-        .drop("__n")
-    )
+    assert bits % 2 == 0
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__t"),
+    ).select("id", F.xxhash64("__t").alias("__h"))
+    # agg column k packs bit positions 2k (low lane) and 2k+1 (high
+    # lane); bits are extracted with shift+mask, NOT F.getbit — getbit
+    # measured 4x slower inside the aggregate (0.6s vs 2.4s at sf0.1)
+    one = F.lit(1).cast("long")
+    lane_aggs = [
+        F.sum(
+            F.shiftrightunsigned("__h", 2 * k).bitwiseAND(one)
+            + F.shiftrightunsigned("__h", 2 * k + 1).bitwiseAND(one) * F.lit(1 << 32)
+        ).alias(f"__a{k}")
+        for k in range(bits // 2)
+    ]
+    grouped = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("__n"), *lane_aggs)
+    n = F.col("__n")
+
+    def bit_term(b: int):
+        cnt = F.shiftrightunsigned(f"__a{b // 2}", 32 * (b % 2)).bitwiseAND(
+            F.lit(0xFFFFFFFF).cast("long")
+        )
+        # b=63 is the long sign bit (1<<63 would overflow signed long)
+        power = F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        return F.when(cnt * 2 > n, power).otherwise(F.lit(0).cast("long"))
+
+    sim = _tree_or([bit_term(b) for b in range(bits)])
+    return grouped.select("id", sim.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -223,7 +245,9 @@ def simhash_near_dup_pairs(
         )
     width = 64 // bands
     mask = F.lit((1 << width) - 1).cast("long")
-    sigs = simhash(df, text_col, id_col).localCheckpoint(eager=False)
+    # eager: see minhash_lsh_candidates — concurrent branch
+    # materialization of a lazy checkpoint re-runs the subtree
+    sigs = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     banded = sigs.select(
         "id",
         "simhash",
@@ -278,15 +302,16 @@ def ngram_jaccard_pairs(
     # join on the 64-bit hash of the shingle, not the string: smaller
     # shuffle rows and cheaper equality; AQE skew-join splits hot shingles
     # the token table feeds both self-join aliases AND the size
-    # aggregation; checkpoint it lazily so shingling+hashing runs once,
-    # not once per plan branch (same diamond-DAG treatment as MinHash)
+    # aggregation; checkpoint it eagerly so shingling+hashing runs once,
+    # not once per plan branch (same diamond-DAG treatment as MinHash —
+    # and the same concurrent-materialization hazard with lazy mode)
     base = (
         df.select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(units)).alias("tok"),
         )
         .select("id", F.xxhash64("tok").alias("tok"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     # carry set sizes on every exploded row: J(A,B) >= t forces
@@ -321,6 +346,82 @@ def ngram_jaccard_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components over the pair graph, labeling every member with the
+    minimum id in its component. This is the step a real dedup pipeline
+    runs after candidate generation (MinHash/SimHash/embedding pairs are
+    edges; one representative per component survives).
+
+    Algorithm: iterated min-label propagation with pointer jumping —
+    each round a node takes the min of (its label, its neighbors'
+    labels, its label's label). The label-of-label hop halves chain
+    depth per round, so convergence is O(log diameter) rounds, each
+    round two hash joins + one aggregate; no vertex state ever sits on
+    the driver (the per-round convergence check is a scalar count).
+    Lineage is cut per round with localCheckpoint so the plan stays
+    O(1)-deep regardless of rounds — the standard Spark iterative-graph
+    shape (same contraction idea as the large-star/small-star algorithm
+    of Kiveris et al., "Connected Components in MapReduce").
+
+    Returns (id, cluster_id) for every id appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        stepped = (
+            labels.join(nb_min, labels["id"] == nb_min["u"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(nb_min["nb_min"], labels["label"])
+                ).alias("label"),
+            )
+        )
+        parent = stepped.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p_id"], "left")
+            .select(
+                stepped["id"],
+                F.least(
+                    stepped["label"], F.coalesce(parent["p_label"], stepped["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(
+                labels.withColumnRenamed("label", "old"), "id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
 
 
 def embedding_near_dup_pairs(

@@ -192,6 +192,98 @@ def vocabulary_stats(
     )
 
 
+def nonblank_lines(col: Column | str) -> Column:
+    """Non-blank trimmed lines as array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition & composition metrics per document —
+    the standard heuristic pre-filters for LLM training corpora
+    (Rae et al. "Scaling Language Models" appendix A1.1; Raffel et al.
+    C4): duplicate-line fraction, mean word length, fraction of words
+    with an alphabetic character, symbol-to-char ratio, and a combined
+    pass/fail gate. All built-in array/regexp expressions (one narrow
+    projection, no shuffle, no Python), reproducible in the oracle.
+    """
+    toks = tokens(text_col)
+    lns = nonblank_lines(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_lines = F.size(lns)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lns)).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    alpha_word_frac = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    n_char = F.length(F.col(text_col)).cast("double")
+    symbol_ratio = F.when(
+        n_char > 0,
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[#{}<>|\\]"), F.lit(0))
+        ).cast("double")
+        / n_char,
+    ).otherwise(F.lit(0.0))
+    passes = (
+        (n_tok >= 5)
+        & (dup_line_frac <= 0.3)
+        & (mean_word_len >= 2)
+        & (mean_word_len <= 12)
+        & (alpha_word_frac >= 0.6)
+        & (symbol_ratio <= 0.05)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        passes.alias("passes_gopher"),
+    )
+
+
+# PII patterns: kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB) — no backreferences or lookaround — so detection and
+# scrubbing are oracle-reproducible byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9 ]{6,}[0-9]"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))),
+    )
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Text with emails/phone numbers replaced by typed placeholders —
+    the masking step a training-data pipeline runs before tokenization.
+    Pure regexp_replace: runs at scan speed, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience projection with all text metrics attached."""
     return df.select(
