@@ -181,6 +181,149 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.2, shingle_size=3)
 
 
+_JACCARD_EDGES_SQL = f"""
+    w AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+    sh AS (SELECT doc_id,
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')) END AS shingles
+      FROM w),
+    toks AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh),
+    sizes AS (SELECT doc_id, count(*) n FROM toks GROUP BY 1),
+    ov AS (SELECT a.doc_id ia, b.doc_id ib, count(*) nc
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    edges AS (SELECT ia AS id_a, ib AS id_b
+              FROM ov JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+              WHERE nc * 1.0 / (sa.n + sb.n - nc) >= 0.2)
+"""
+
+
+@query(
+    "llm_duplicate_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL},
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (SELECT u, v FROM sym
+              UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(c.mv, d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+    """,
+)
+def llm_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair resolution: n-gram Jaccard edges -> connected
+    components (iterated min-label propagation + pointer jumping) ->
+    every doc labeled with the min id of its duplicate cluster
+    (singletons label themselves). The oracle walks the same edge set
+    with a recursive CTE — a full cross-engine check of a distributed
+    iterative graph algorithm."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2, shingle_size=3)
+    comp = D.connected_components(pairs)
+    return docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        F.coalesce(comp["cluster_id"], F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+_LINES_SQL = "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '')"
+_NE_TOKENS_SQL = f"list_filter({_TOKENS_SQL}, t -> t != '')"
+
+
+@query(
+    "llm_doc_repetition",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             {_NE_TOKENS_SQL} AS toks,
+             {_LINES_SQL} AS lns,
+             length(text)::DOUBLE AS n_char,
+             len(regexp_extract_all(text, '[#{{}}<>|\\\\]'))::DOUBLE AS n_sym
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(toks)::DOUBLE AS n_tok,
+             len(lns) AS n_lines,
+             CASE WHEN len(lns) > 0
+                  THEN 1.0 - len(list_distinct(lns))::DOUBLE / len(lns)
+                  ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN len(toks) > 0
+                  THEN list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE / len(toks)
+                  ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS alpha_word_frac,
+             CASE WHEN n_char > 0 THEN n_sym / n_char ELSE 0.0 END AS symbol_ratio
+      FROM m)
+    SELECT doc_id, n_tokens, n_lines,
+           round(dup_line_frac, 6) AS dup_line_frac,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(alpha_word_frac, 6) AS alpha_word_frac,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           (n_tok >= 5 AND dup_line_frac <= 0.3
+            AND mean_word_len >= 2 AND mean_word_len <= 12
+            AND alpha_word_frac >= 0.6 AND symbol_ratio <= 0.05) AS passes_gopher
+    FROM c
+    """,
+)
+def llm_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return X.repetition_stats(docs)
+
+
+@query(
+    "llm_pii_scrub",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call +1 555 0100' ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{X.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '\\+[0-9][0-9 ]{{6,}}[0-9]')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{X.EMAIL_RE}', '<EMAIL>', 'g'),
+                              '\\+[0-9][0-9 ]{{6,}}[0-9]', '<PHONE>', 'g')) AS scrub_fp
+    FROM p
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking over the corpus with deterministically
+    planted emails/phones (the raw synthetic docs contain none, so the
+    plant makes the scrub path actually fire). Pure regexp_replace in
+    both engines; patterns restricted to the Java-regex ∩ RE2 dialect."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call +1 555 0100")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    n_emails, n_phones = X.pii_counts("text")
+    return planted.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(X.scrub_pii("text")).alias("scrub_fp"),
+    )
+
+
 @query("llm_minhash_lsh_candidates", None)  # xxhash-based: rows-only check
 def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)

@@ -302,3 +302,63 @@ def test_vocabulary_stats_counts(spark, docs):
     freqs = [(r.doc_freq, r.coll_freq) for r in rows]
     assert all(d <= c for d, c in freqs)
     assert [f[0] for f in freqs] == sorted([f[0] for f in freqs], reverse=True)
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # a 64-node chain exercises pointer jumping (plain propagation would
+    # need 63 rounds; the jump halves depth each round)
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = D.connected_components(pairs, max_iter=10).collect()
+    assert len(got) == n + 1
+    assert all(r.cluster_id == 0 for r in got)
+
+
+def test_repetition_stats_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat\nthe cat sat\nanother line"),
+            (2, "#### {{{{ }}}} ####"),
+            (3, "a clean simple document with several normal words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in X.repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert r1.n_lines == 3 and abs(r1.dup_line_frac - (1 - 2 / 3)) < 1e-6
+    assert rows[2].symbol_ratio > 0.5 and not rows[2].passes_gopher
+    r3 = rows[3]
+    assert r3.passes_gopher and r3.alpha_word_frac == 1.0
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at alice.smith+work@mail.example.org today"),
+            (2, "call +49 171 1234567 or +1 555 0100 now"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    n_emails, n_phones = X.pii_counts("text")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", n_emails.alias("e"), n_phones.alias("p"), X.scrub_pii("text").alias("s")
+        ).collect()
+    }
+    assert out[1].e == 1 and "<EMAIL>" in out[1].s and "alice" not in out[1].s
+    assert out[2].p == 2 and out[2].s.count("<PHONE>") == 2
+    assert out[3].e == 0 and out[3].p == 0 and out[3].s == "no pii here"
