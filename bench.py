@@ -50,6 +50,17 @@ def main() -> None:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass
+    # Warm the Python/Arrow worker pool on EVERY core: sf0.001 plans run
+    # with 1-2 partitions, so pandas-UDF queries at sf0.1 (32 partitions)
+    # would otherwise cold-start ~30 workers inside their timed run
+    # (measured 7.1s cold vs 0.9s warm on llm_multimodal_features).
+    def _noop_batch(it):
+        yield from it
+
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(n_cores * 4, numPartitions=n_cores).mapInPandas(
+        _noop_batch, "id long"
+    ).write.format("noop").mode("overwrite").save()
     # Index builds are SETUP, not query latency (same split every ANN
     # bench makes, and the same treatment the delta_* scratch builds get
     # by exclusion): materialize the ANN indexes at the target SF once so
@@ -62,8 +73,20 @@ def main() -> None:
                 # a failed build means the timed loop re-pays construction
                 # inside the measurement — make that visible, never silent
                 print(f"WARN: ANN index prebuild failed for {name}: {e}", file=sys.stderr)
+    def drop_persistent_rdds() -> None:
+        """Unpersist every cached/checkpointed RDD left behind by the
+        previous query. Several operators localCheckpoint multi-branch
+        intermediates; without this, dozens of queries' worth of pinned
+        blocks accumulate in the single local-mode heap and later
+        queries pay their GC bill (measured 0.6s -> 7s swings on the
+        same query depending on suite position)."""
+        it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
+
     times: dict[str, float] = {}
     for name, fn in qs.items():
+        drop_persistent_rdds()
         t0 = time.time()
         df = fn(spark, SF_DIR)
         # force full execution without driver materialization

@@ -379,9 +379,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
-    ).localCheckpoint(eager=True)
+    # seed labels with the one-hop minimum (a single groupBy — no join):
+    # equivalent to running the first propagation round for free
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select(F.col("u").alias("id"), F.least("u", "__mv").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nb_min = (
             edges.join(labels, edges["v"] == labels["id"])

@@ -42,7 +42,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g, not the box's full 128g: local-mode driver == executor, and
+        # an oversized G1 heap turned into multi-second GC pauses that
+        # randomly inflated individual bench queries 5-10x (86s vs 56s
+        # suite totals on identical code); at cluster scale the analogue
+        # is right-sizing executor heaps, not maxing them
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # files.maxPartitionBytes default 128m is right for the 100 TB target;
         # local test data is small so open-cost keeps task counts sane.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
