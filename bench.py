@@ -94,6 +94,11 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # newline guard: any interleaved console output (progress bars are off in
+    # session.py, but belt-and-braces) must not share a line with the JSON
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print()
     print(
         json.dumps(
             {
@@ -103,7 +108,8 @@ def main() -> None:
                 "queries": times,
                 "sf": sf_val,
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
+        # stage-progress carriage returns interleave with stdout and clipped
+        # the driver's one-line JSON parse of bench.py (BENCH_r02 parsed:null)
+        .config("spark.ui.showConsoleProgress", "false")
         # 16g, not the box's full 128g: local-mode driver == executor, and
         # an oversized G1 heap turned into multi-second GC pauses that
         # randomly inflated individual bench queries 5-10x (86s vs 56s

@@ -4,11 +4,10 @@ windows (streaming results must equal their batch replay)."""
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 from delta_rs_spark import DeltaTable, write_deltalake
 from delta_rs_spark.log.commit import DeltaError
-from delta_rs_spark.sources.tpch import _EVENTS_SCHEMA, load_table
+from delta_rs_spark.sources.tpch import load_events_stream, load_table
 from delta_rs_spark.streaming.delta_stream import (
     CdfFollower,
     delta_sink_batch,
@@ -21,12 +20,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def _events_stream(spark):
-    return (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF)
-        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    return load_events_stream(spark, SF)
 
 
 def test_streaming_tumbling_equals_batch(spark, tmp_path):
