@@ -23,6 +23,35 @@ from pyspark.sql import functions as F
 from delta_rs_spark.functions.text import fingerprint, shingles, tokens
 
 
+def hash64(hash_fn: str = "xx"):
+    """64-bit hash column factory: ``h(col, seed=None) -> Column``.
+
+    ``"xx"`` (default) is xxhash64 — the fast JVM production hash.
+    ``"md5"`` takes the first 15 hex chars (60 bits) of md5, which DuckDB
+    reproduces exactly as ``('0x' || substr(md5(x),1,15))::BIGINT`` —
+    this is what makes MinHash/SimHash fully oracle-checkable
+    (the reference's analogue is the DAT golden corpus,
+    crates/core/tests/it/dat.rs:13-37: everything checkable is checked).
+    Seeded md5 rehash hashes the decimal string ``"<value>:<seed>"``.
+    """
+    if hash_fn == "xx":
+        def h(col, seed: int | None = None):
+            col = F.col(col) if isinstance(col, str) else col
+            return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+    elif hash_fn == "md5":
+        def h(col, seed: int | None = None):
+            col = F.col(col) if isinstance(col, str) else col
+            s = (
+                col.cast("string")
+                if seed is None
+                else F.concat_ws(":", col.cast("string"), F.lit(str(seed)))
+            )
+            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'xx' or 'md5')")
+    return h
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative per exact (normalized) text.
     One hash-shuffle on the fingerprint; no sort of the full data."""
@@ -50,6 +79,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 64,
     shingle_size: int = 3,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """MinHash signature per document.
 
@@ -69,14 +99,13 @@ def minhash_signatures(
     ~3x slower; the r01 shape (64 array_min(transform(...)) columns)
     additionally re-ran the whole shingling subtree per column after
     projection collapse."""
+    h64 = hash64(hash_fn)
     sh = shingles(text_col, shingle_size)
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("__h"),
+        F.explode(F.transform(sh, lambda s: h64(s))).alias("__h"),
     )
-    aggs = [
-        F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_perm)
-    ]
+    aggs = [F.min(h64("__h", seed=i)).alias(f"__m{i}") for i in range(num_perm)]
     return (
         exploded.groupBy("id")
         .agg(*aggs)
@@ -91,6 +120,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH:
     docs agreeing on any band of ``num_perm/bands`` minhashes collide.
@@ -104,9 +134,9 @@ def minhash_lsh_candidates(
     # nondeterministically slow: AQE schedules sibling join branches as
     # concurrent jobs, and branches racing to materialize the same
     # not-yet-checkpointed RDD re-run its whole subtree.
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_size).localCheckpoint(
-        eager=True
-    )
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_size, hash_fn
+    ).localCheckpoint(eager=True)
     # the band self-join carries IDS ONLY: combining band index into the
     # bucket hash makes (bucket) the single join key, and the 64-element
     # signature arrays never enter the 16x-exploded shuffle (r01 carried
@@ -166,7 +196,13 @@ def _tree_or(terms: list):
     return terms[0]
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xx",
+) -> DataFrame:
     """64-bit SimHash per doc: hash each distinct token, count set bits
     per position across the doc's tokens, set output bit b iff the
     majority of tokens had bit b set (the classic sign-of-sum-of-±1
@@ -190,10 +226,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     the per-row expression small (simple getbit/shift terms).
     """
     assert bits % 2 == 0
+    h64 = hash64(hash_fn)
+    # with hash_fn="md5" the hash is 60-bit, so signature bits 60-63 are
+    # always 0 in BOTH engines — deterministic, just slightly less entropy
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("__t"),
-    ).select("id", F.xxhash64("__t").alias("__h"))
+    ).select("id", h64("__t").alias("__h"))
     # agg column k packs bit positions 2k (low lane) and 2k+1 (high
     # lane); bits are extracted with shift+mask, NOT F.getbit — getbit
     # measured 4x slower inside the aggregate (0.6s vs 2.4s at sf0.1)
@@ -226,6 +265,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Near-duplicate pairs from 64-bit SimHash signatures: band the
     signature into ``bands`` contiguous chunks, bucket-join docs sharing
@@ -247,7 +287,7 @@ def simhash_near_dup_pairs(
     mask = F.lit((1 << width) - 1).cast("long")
     # eager: see minhash_lsh_candidates — concurrent branch
     # materialization of a lazy checkpoint re-runs the subtree
-    sigs = simhash(df, text_col, id_col).localCheckpoint(eager=True)
+    sigs = simhash(df, text_col, id_col, hash_fn=hash_fn).localCheckpoint(eager=True)
     banded = sigs.select(
         "id",
         "simhash",

@@ -324,26 +324,109 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_minhash_lsh_candidates", None)  # xxhash-based: rows-only check
+# cross-engine 64-bit hash (see dedup.hash64 'md5'): DuckDB twin of
+# Spark's conv(substr(md5(x),1,15),16,10)::long — 60 bits of md5
+_H64_SQL = "('0x' || substr(md5({x}),1,15))::BIGINT"
+# DuckDB twin of functions.text.shingles(text, 3): word trigrams, with the
+# whole-doc fallback for docs shorter than 3 tokens (same as the
+# llm_ngram_jaccard_pairs oracle)
+_SHINGLES_SQL = f"""
+    w AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+    sh AS (SELECT doc_id,
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')) END AS shingles
+      FROM w)
+"""
+# MinHash signature pipeline shared by the candidates oracle: explode
+# shingle hashes, take min over 64 seeded rehashes (seeded rehash hashes
+# the decimal string '<h>:<i>' — identical byte stream in both engines)
+_MINHASH_SIG_SQL = f"""
+    {_SHINGLES_SQL},
+    e AS (SELECT doc_id, {_H64_SQL.format(x='s')} AS h
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+    m AS (SELECT doc_id, i,
+                 min({_H64_SQL.format(x="CAST(h AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}) AS mh
+          FROM e CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM m GROUP BY doc_id)
+"""
+
+
+@query(
+    "llm_minhash_lsh_candidates",
+    f"""
+    WITH {_MINHASH_SIG_SQL},
+    banded AS (SELECT doc_id, b, sig[4*b+1:4*b+4] AS bsig
+               FROM sig CROSS JOIN range(16) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM banded a JOIN banded c
+               ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id),
+    est AS (SELECT id_a, id_b,
+                   round(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0, 4) AS est_jaccard
+            FROM cand
+            JOIN sig sa ON id_a = sa.doc_id
+            JOIN sig sb ON id_b = sb.doc_id)
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2
+    """,
+)
 def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_fn='md5' gives the full cross-engine oracle; the operator
+    defaults to xxhash64 in production (same pipeline, faster hash)."""
     docs = _docs(spark, sf_dir)
-    return D.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.2)
+    return D.minhash_lsh_candidates(docs, hash_fn="md5").filter(
+        F.col("est_jaccard") >= 0.2
+    )
 
 
-@query("llm_simhash_signatures", None)  # xxhash-based: rows-only check
+# SimHash signature pipeline shared by both simhash oracles: majority
+# vote per bit over distinct-token hashes (60-bit md5 hash -> bits 60-63
+# are 0 in both engines)
+_SIMHASH_SIG_SQL = f"""
+    tok AS (SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS t FROM documents),
+    th AS (SELECT doc_id, {_H64_SQL.format(x='t')} AS h FROM tok),
+    bits AS (SELECT doc_id, i,
+                    count(*) FILTER ((h >> i) & 1 = 1) AS cnt,
+                    count(*) AS n
+             FROM th CROSS JOIN range(60) r(i) GROUP BY doc_id, i),
+    s AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN 2 * cnt > n THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id)
+"""
+
+
+@query(
+    "llm_simhash_signatures",
+    f"""
+    WITH {_SIMHASH_SIG_SQL}
+    SELECT doc_id AS id, simhash FROM s
+    """,
+)
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_fn='md5' -> full oracle; production default is xxhash64."""
     docs = _docs(spark, sf_dir)
-    return D.simhash(docs)
+    return D.simhash(docs, hash_fn="md5")
 
 
-@query("llm_simhash_near_dup", None)  # xxhash-based: rows-only check
+@query(
+    "llm_simhash_near_dup",
+    f"""
+    WITH {_SIMHASH_SIG_SQL},
+    banded AS (SELECT doc_id, simhash, b, (simhash >> (16 * b)) & 65535 AS bval
+               FROM s CROSS JOIN range(4) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                    bit_count(xor(a.simhash, c.simhash)) AS ham
+             FROM banded a JOIN banded c
+               ON a.b = c.b AND a.bval = c.bval AND a.doc_id < c.doc_id
+             WHERE bit_count(xor(a.simhash, c.simhash)) <= 3)
+    SELECT id_a, id_b, CAST(ham AS INT) AS hamming FROM cand
+    """,
+)
 def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidate pairs at Hamming <= 3: 4-band blocking (recall
     1.0 by pigeonhole since bands > max_hamming) + exact bit_count
     verify; equality to a brute-force Hamming scan pinned in
-    test_llm_ops."""
+    test_llm_ops. hash_fn='md5' -> full oracle."""
     docs = _docs(spark, sf_dir)
-    return D.simhash_near_dup_pairs(docs, max_hamming=3, bands=4)
+    return D.simhash_near_dup_pairs(docs, max_hamming=3, bands=4, hash_fn="md5")
 
 
 @query(
