@@ -401,15 +401,28 @@ def connected_components(
     edges; one representative per component survives).
 
     Algorithm: iterated min-label propagation with pointer jumping —
-    each round a node takes the min of (its label, its neighbors'
-    labels, its label's label). The label-of-label hop halves chain
-    depth per round, so convergence is O(log diameter) rounds, each
-    round two hash joins + one aggregate; no vertex state ever sits on
-    the driver (the per-round convergence check is a scalar count).
-    Lineage is cut per round with localCheckpoint so the plan stays
-    O(1)-deep regardless of rounds — the standard Spark iterative-graph
-    shape (same contraction idea as the large-star/small-star algorithm
-    of Kiveris et al., "Connected Components in MapReduce").
+    each round a node takes the min of (its label, its changed
+    neighbors' labels, its label's label). The label-of-label hop halves
+    chain depth per round, so convergence is O(log diameter) rounds; no
+    vertex state ever sits on the driver. Lineage is cut per round with
+    localCheckpoint so the plan stays O(1)-deep regardless of rounds —
+    the standard Spark iterative-graph shape (same contraction idea as
+    the large-star/small-star algorithm of Kiveris et al., "Connected
+    Components in MapReduce").
+
+    Scale shape (the three costs that would dominate at 100 TB):
+    * edges are hash-partitioned on the probe key ONCE and checkpointed
+      — the per-round neighbor join reuses that partitioning instead of
+      re-shuffling the (dominant) edge set every round;
+    * neighbor propagation is FRONTIER-RESTRICTED: only labels that
+      changed last round are joined against edges. Labels are monotone
+      non-increasing, so an unchanged neighbor's contribution was
+      already folded the round it last changed — and a shrinking
+      frontier turns the edge join into a broadcast probe under AQE.
+      (The pointer-jump join is NOT restricted: a node that just
+      re-pointed to a stable parent still needs that parent's label.)
+    * convergence is read off the round's own checkpointed output
+      (old-vs-new label carried through) — no extra join per round.
 
     Returns (id, cluster_id) for every id appearing in ``pairs``.
     """
@@ -417,6 +430,7 @@ def connected_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
+        .repartition(F.col("v"))  # co-locate for the per-round probe on v
         .localCheckpoint(eager=True)
     )
     # seed labels with the one-hop minimum (a single groupBy — no join):
@@ -427,9 +441,10 @@ def connected_components(
         .select(F.col("u").alias("id"), F.least("u", "__mv").alias("label"))
         .localCheckpoint(eager=True)
     )
+    frontier = labels  # changed-last-round set; round 0: everything
     for _ in range(max_iter):
         nb_min = (
-            edges.join(labels, edges["v"] == labels["id"])
+            edges.join(frontier, edges["v"] == frontier["id"])
             .groupBy("u")
             .agg(F.min("label").alias("nb_min"))
         )
@@ -437,6 +452,7 @@ def connected_components(
             labels.join(nb_min, labels["id"] == nb_min["u"], "left")
             .select(
                 labels["id"],
+                labels["label"].alias("__old"),
                 F.least(
                     labels["label"], F.coalesce(nb_min["nb_min"], labels["label"])
                 ).alias("label"),
@@ -449,22 +465,16 @@ def connected_components(
             stepped.join(parent, stepped["label"] == parent["p_id"], "left")
             .select(
                 stepped["id"],
+                stepped["__old"],
                 F.least(
                     stepped["label"], F.coalesce(parent["p_label"], stepped["label"])
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.join(
-                labels.withColumnRenamed("label", "old"), "id"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        labels = jumped.select("id", "label")
+        frontier = jumped.filter(F.col("label") != F.col("__old")).select("id", "label")
+        if frontier.isEmpty():
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
 
