@@ -17,6 +17,8 @@ no Python in the hot path.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -52,6 +54,28 @@ def hash64(hash_fn: str = "xx"):
     return h
 
 
+# MinHash permutations are arithmetic universal hashes over the 31 low
+# bits of the base shingle hash: perm_i(h) = (a_i*(h & 2^31-1) + b_i) mod
+# (2^31-1), the textbook mod-Mersenne-prime family. Full-range multipliers
+# make the map wrap ~a times (well mixed — a small-`a` mod-2^61 variant
+# measured heavily correlated perms: every perm shared its argmin with h
+# itself, inflating est_jaccard). Products stay < 2^62: 64-bit-safe,
+# identical in Spark and DuckDB, and far cheaper than one hash call per
+# permutation — the base string hash runs once per shingle, the perms are
+# multiply-adds.
+PERM_MOD = (1 << 31) - 1
+_PERM_MASK = (1 << 31) - 1
+
+
+def perm_consts(n: int) -> list[tuple[int, int]]:
+    """Deterministic (multiplier, offset) pairs, embedded as literals in
+    both the Spark plan and the generated DuckDB oracle SQL."""
+    rnd = random.Random(0x5EED)
+    return [
+        (rnd.randrange(1, PERM_MOD), rnd.randrange(0, PERM_MOD)) for _ in range(n)
+    ]
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative per exact (normalized) text.
     One hash-shuffle on the fingerprint; no sort of the full data."""
@@ -84,10 +108,11 @@ def minhash_signatures(
     """MinHash signature per document.
 
     Each shingle STRING is hashed exactly once; the ``num_perm``
-    permutations are derived by re-hashing that 8-byte value with the
-    permutation index as seed (the standard universal-hashing trick:
-    string hashing is the expensive part, so 1 string pass + num_perm
-    integer passes instead of num_perm string passes).
+    permutations are arithmetic universal hashes of that value (see
+    ``perm_consts``): string hashing is the expensive part, so 1 string
+    pass + num_perm multiply-adds instead of num_perm string passes —
+    and the multiply-add form is reproducible in the DuckDB oracle,
+    unlike a seeded xxhash64 rehash.
 
     Shape: explode shingle hashes to rows, then ``num_perm`` declarative
     ``min(xxhash64(h, i))`` aggregates in ONE whole-stage-codegen'd hash
@@ -104,8 +129,12 @@ def minhash_signatures(
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.transform(sh, lambda s: h64(s))).alias("__h"),
-    )
-    aggs = [F.min(h64("__h", seed=i)).alias(f"__m{i}") for i in range(num_perm)]
+    ).select("id", F.col("__h").bitwiseAND(F.lit(_PERM_MASK)).alias("__h"))
+    consts = perm_consts(num_perm)
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(PERM_MOD)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
     return (
         exploded.groupBy("id")
         .agg(*aggs)

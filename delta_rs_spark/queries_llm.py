@@ -338,15 +338,19 @@ _SHINGLES_SQL = f"""
       FROM w)
 """
 # MinHash signature pipeline shared by the candidates oracle: explode
-# shingle hashes, take min over 64 seeded rehashes (seeded rehash hashes
-# the decimal string '<h>:<i>' — identical byte stream in both engines)
+# shingle hashes (md5-derived, masked to 31 bits), take min over the 64
+# arithmetic permutations (a*h + b mod 2^61-1 — same literals as the
+# Spark plan, see dedup.perm_consts)
+_PERM_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.perm_consts(64))
+)
 _MINHASH_SIG_SQL = f"""
     {_SHINGLES_SQL},
-    e AS (SELECT doc_id, {_H64_SQL.format(x='s')} AS h
+    e AS (SELECT doc_id, {_H64_SQL.format(x='s')} & 2147483647 AS h
           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-    m AS (SELECT doc_id, i,
-                 min({_H64_SQL.format(x="CAST(h AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}) AS mh
-          FROM e CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+    perms(i, a, b) AS (SELECT * FROM (VALUES {_PERM_VALUES})),
+    m AS (SELECT doc_id, i, min((a * h + b) % {D.PERM_MOD}) AS mh
+          FROM e CROSS JOIN perms GROUP BY doc_id, i),
     sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM m GROUP BY doc_id)
 """
 
