@@ -20,6 +20,7 @@ from delta_rs_spark.schema import (
     PrimitiveType,
     Schema,
     StructType,
+    VariantType,
 )
 from delta_rs_spark.properties import (
     BloomFilterProperties,
@@ -56,6 +57,7 @@ __all__ = [
     "ArrayType",
     "MapType",
     "StructType",
+    "VariantType",
     "DeltaError",
     "CommitFailedError",
     "ConcurrentAppendError",

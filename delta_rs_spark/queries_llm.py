@@ -492,9 +492,20 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return list(emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+    """1-row probe vector for the ANN queries. Cached per sf_dir: at real
+    scale re-scanning the embeddings table per query call for one row is
+    wasted I/O (the scan itself prunes to the vec_id predicate, but the
+    footer/row-group work repeats)."""
+    if sf_dir not in _QUERY_VEC_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _QUERY_VEC_CACHE[sf_dir] = list(
+            emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        )
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 @query(

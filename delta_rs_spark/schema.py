@@ -56,6 +56,31 @@ class PrimitiveType:
         return f"PrimitiveType({self.type!r})"
 
 
+class VariantType:
+    """The Delta variant type (semi-structured values; reference:
+    python/src/schema.rs:189 VariantType). Serializes as the primitive
+    string ``"variant"`` — the same JSON Spark 4's ``T.VariantType``
+    emits, so Spark conversion stays lossless."""
+
+    def __init__(self):
+        self.type = "variant"
+
+    def to_json(self) -> str:
+        return json.dumps(self.type)
+
+    @staticmethod
+    def from_json(raw: str) -> "VariantType":
+        if json.loads(raw) != "variant":
+            raise ValueError(f"not a variant type: {raw!r}")
+        return VariantType()
+
+    def __eq__(self, other: Any) -> bool:
+        return isinstance(other, VariantType)
+
+    def __repr__(self) -> str:
+        return "VariantType()"
+
+
 class ArrayType:
     def __init__(self, element_type: Any, contains_null: bool = True):
         self.type = "array"
@@ -194,9 +219,13 @@ class Schema(StructType):
 
 
 def _type_to_obj(t: Any) -> Any:
+    if isinstance(t, VariantType):
+        return t.type
     if isinstance(t, PrimitiveType):
         return t.type
     if isinstance(t, str):
+        if t == "variant":
+            return t
         return PrimitiveType(t).type
     if isinstance(t, ArrayType):
         return {
@@ -221,6 +250,8 @@ def _type_to_obj(t: Any) -> Any:
 
 def _type_from_obj(obj: Any) -> Any:
     if isinstance(obj, str):
+        if obj == "variant":
+            return VariantType()
         return PrimitiveType(obj)
     kind = obj.get("type")
     if kind == "array":

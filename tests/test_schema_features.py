@@ -96,3 +96,22 @@ def test_merge_without_schema_evolution_rejects_new_col(spark, tmp_table, sample
     )
     assert "tier" not in [f.name for f in t.schema().fields]
     assert m["num_target_rows_updated"] == 1
+
+
+def test_variant_type_roundtrip():
+    """Variant mirrors the reference's VariantType (python/src/schema.rs:189):
+    serializes as the primitive string "variant" — the same JSON Spark 4's
+    T.VariantType emits — and round-trips through both layers."""
+    from pyspark.sql import types as T
+
+    from delta_rs_spark.schema import Field, PrimitiveType, Schema, VariantType
+
+    assert VariantType() == VariantType()
+    assert VariantType().to_json() == '"variant"'
+    assert VariantType.from_json('"variant"') == VariantType()
+
+    s = Schema([Field("id", PrimitiveType("long")), Field("payload", VariantType())])
+    assert Schema.from_json(s.to_json()) == s
+    sp = s.to_pyspark()
+    assert isinstance(sp["payload"].dataType, T.VariantType)
+    assert Schema.from_pyspark(sp) == s
