@@ -18,6 +18,7 @@ kernel/transaction/conflict_checker.rs:27-90 conflict classes):
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from delta_rs_spark.log.actions import (
@@ -142,6 +143,64 @@ class InMemoryCASLogStore(LogStore):
                 os.fsync(f.fileno())
             os.replace(tmp, target)
             self._claimed.add(target)
+
+
+class S3ConditionalPutLogStore(LogStore):
+    """Commit arbitration on S3 via conditional PUT (``If-None-Match: *``)
+    — the modern production slot the reference fills with
+    ``S3LogStore`` (crates/aws/src/logstore/default_logstore.rs; the
+    DynamoDB-coordinated variant predates S3 conditional writes and
+    remains the legacy alternative).
+
+    The winner's PUT succeeds; every loser gets 412 PreconditionFailed,
+    surfaced as ``FileExistsError`` so the store-agnostic commit loop
+    (conflict replay + retry) takes over — identical control flow to the
+    POSIX store. A boto3-style client can be injected for tests or
+    custom credentials; otherwise boto3 is imported lazily (it is not
+    bundled in this sandbox).
+
+    Scope note: this arbitrates COMMITS. Snapshot/data reads on an
+    object store go through Spark's Hadoop s3a connector; the local
+    snapshot loader in log/snapshot.py reads through the filesystem and
+    would need an fsspec seam for full remote-log reads.
+    """
+
+    def __init__(self, client=None):
+        if client is None:
+            try:
+                import boto3  # not bundled here; production dependency
+            except ImportError as e:  # pragma: no cover
+                raise ImportError(
+                    "S3ConditionalPutLogStore needs boto3 (or pass client=)"
+                ) from e
+            client = boto3.client("s3")
+        self._client = client
+
+    @staticmethod
+    def _parse(target: str) -> tuple[str, str]:
+        m = re.match(r"^s3a?://([^/]+)/(.+)$", target)
+        if not m:
+            raise ValueError(f"not an s3:// or s3a:// URI: {target!r}")
+        return m.group(1), m.group(2)
+
+    def put_if_absent(self, target: str, content: str) -> None:
+        bucket, key = self._parse(target)
+        try:
+            self._client.put_object(
+                Bucket=bucket,
+                Key=key,
+                Body=content.encode("utf-8"),
+                IfNoneMatch="*",
+            )
+        except Exception as e:
+            code = str(
+                getattr(e, "response", {}).get("Error", {}).get("Code", "")
+            )
+            if code in ("PreconditionFailed", "412", "ConditionalRequestConflict"):
+                # someone else holds (or is concurrently writing) the
+                # version file — standard lost-the-race signal
+                raise FileExistsError(target) from e
+            raise
 
 
 _DEFAULT_LOG_STORE: LogStore = PosixHardLinkLogStore()

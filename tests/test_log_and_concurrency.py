@@ -203,3 +203,35 @@ def test_inmemory_cas_rejects_double_claim(tmp_path):
     # a different store instance still sees the on-disk object
     with pytest.raises(FileExistsError):
         InMemoryCASLogStore().put_if_absent(target, "{}\n")
+
+
+class _FakeS3Client:
+    """Minimal boto3-shaped S3 stand-in honoring If-None-Match."""
+
+    def __init__(self):
+        self.objects = {}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        path = f"{Bucket}/{Key}"
+        if IfNoneMatch == "*" and path in self.objects:
+            err = Exception("precondition failed")
+            err.response = {"Error": {"Code": "PreconditionFailed"}}
+            raise err
+        self.objects[path] = Body
+
+
+def test_s3_conditional_put_logstore_contract():
+    from delta_rs_spark.log.commit import S3ConditionalPutLogStore
+
+    client = _FakeS3Client()
+    store = S3ConditionalPutLogStore(client=client)
+    target = "s3://bucket/table/_delta_log/00000000000000000000.json"
+    store.put_if_absent(target, "{}\n")
+    assert client.objects["bucket/table/_delta_log/00000000000000000000.json"] == b"{}\n"
+    # loser sees the standard lost-the-race signal
+    with pytest.raises(FileExistsError):
+        store.put_if_absent(target, "{}\n")
+    # s3a:// scheme (Spark Hadoop connector URIs) parses too
+    store.put_if_absent("s3a://bucket/t/_delta_log/1.json", "{}\n")
+    with pytest.raises(ValueError):
+        store.put_if_absent("/local/path.json", "{}\n")
