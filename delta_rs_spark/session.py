@@ -45,6 +45,11 @@ def get_spark(
         # stage-progress carriage returns interleave with stdout and clipped
         # the driver's one-line JSON parse of bench.py (BENCH_r02 parsed:null)
         .config("spark.ui.showConsoleProgress", "false")
+        # default 100-entry codegen class cache thrashes on a 60+-query
+        # suite: wide aggregates (e.g. the 32-lane SimHash agg) cost
+        # multiple seconds to recompile once evicted; any long-lived
+        # multi-query session wants this far larger
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # 16g, not the box's full 128g: local-mode driver == executor, and
         # an oversized G1 heap turned into multi-second GC pauses that
         # randomly inflated individual bench queries 5-10x (86s vs 56s
