@@ -1,11 +1,13 @@
 """LLM-data-pipeline query suite: dedup / similarity / text analysis /
 multimodal over the ``documents`` and ``embeddings`` tables.
 
-Same registry + oracle conventions as queries.py. Hash-based operators
-(MinHash, SimHash, LSH, IVF) have no cross-engine SQL equivalent
-(xxhash64 is JVM-specific) -> no oracle entry; the driver records a
-rows-only check for those, and tests/test_llm_ops.py pins their
-semantics against the exact operators instead.
+Same registry + oracle conventions as queries.py. Every query here is
+fully oracle-checked: the hash-based operators (MinHash/SimHash) run
+with hash_fn='md5' (cross-engine reproducible, dedup.hash64) plus
+arithmetic permutations, and the ANN paths (LSH/IVF) are deterministic
+(seeded hyperplanes / first-n centroid seeds) so the oracle replays
+bucket assignment in SQL. tests/test_llm_ops.py additionally pins the
+approximate operators' recall against the exact ones.
 """
 
 from __future__ import annotations
@@ -547,7 +549,35 @@ def _ann_index_path(sf_dir: str, kind: str) -> str:
     return os.path.join(base, kind)
 
 
-@query("llm_lsh_topk", None)  # approximate: rows-only; recall pinned in tests
+def _lsh_oracle() -> str:
+    """The LSH index is fully deterministic (LCG hyperplanes, seed 42,
+    dim 64 — similarity._hyperplanes), so the oracle regenerates the SAME
+    plane literals at SQL-build time and replays bucket assignment +
+    hamming<=1 probing in DuckDB."""
+    planes = S._hyperplanes(64, 8, 42)
+    rows = ", ".join(f"({i}, {p!r}::DOUBLE[])" for i, p in enumerate(planes))
+    return f"""
+    WITH planes(i, p) AS (SELECT * FROM (VALUES {rows})),
+    q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT CAST(sum(CASE WHEN list_dot_product(q.v, planes.p) >= 0
+                               THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS b
+           FROM planes, q),
+    probe AS (SELECT b FROM qb
+              UNION ALL
+              SELECT xor(qb.b, (1::BIGINT << r.i)) FROM qb CROSS JOIN range(8) r(i)),
+    bucketed AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], planes.p) >= 0
+                           THEN (1::BIGINT << planes.i) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes GROUP BY e.vec_id, e.embedding)
+    SELECT b.vec_id AS id, round(list_cosine_similarity(b.v, q.v), 4) AS score
+    FROM bucketed b, q
+    WHERE b.bucket IN (SELECT b FROM probe)
+    ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+
+@query("llm_lsh_topk", _lsh_oracle())
 def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_rs_spark.table import DeltaTable
 
@@ -559,7 +589,36 @@ def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk_indexed(spark, idx, _query_vector(spark, sf_dir), k=10)
 
 
-@query("llm_ivf_topk", None)  # approximate: rows-only; recall pinned in tests
+_IVF_ORACLE = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i,
+                     embedding::DOUBLE[] AS c
+              FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+    -- probe ranking uses the ROUND-8 centroids stored in the index
+    -- table's configuration (build_ivf_index), assignment the raw ones
+    rcents AS (SELECT i, list_transform(c, x -> round(x, 8)) AS c FROM cents),
+    scored AS (SELECT e.vec_id, c.i,
+                      list_cosine_similarity(e.embedding::DOUBLE[], c.c) AS s
+               FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vec_id, i AS lst FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+        FROM scored) WHERE rn = 1),
+    probe AS (SELECT i FROM (
+        SELECT c.i,
+               row_number() OVER (
+                 ORDER BY list_dot_product(q.v, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC,
+                          c.i ASC) AS rn
+        FROM rcents c, q) WHERE rn <= 4)
+    SELECT e.vec_id AS id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 4) AS score
+    FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+    WHERE a.lst IN (SELECT i FROM probe)
+    ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+
+@query("llm_ivf_topk", _IVF_ORACLE)
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_rs_spark.table import DeltaTable
 
