@@ -699,3 +699,64 @@ def llm_embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq, 4).alias("sq_norm"),
         F.round(F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 4).alias("max_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget accounting + winnowing fingerprints
+# --------------------------------------------------------------------------
+
+# same alternation, RE2/Java-shared dialect; '' escapes the quote in SQL
+_BPE_RE_SQL = "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+"
+
+
+@query(
+    "llm_bpe_token_stats",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
+           round(length(text)::DOUBLE
+                 / greatest(len(regexp_extract_all(text, '{_BPE_RE_SQL}')), 1), 4)
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def llm_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-style pre-tokenizer regex without
+    lookahead — text.BPE_TOKEN_RE): the deterministic plan-level stand-in
+    for corpus token-budget accounting; a trained BPE vocab would slot in
+    as a pandas_udf over the same column."""
+    docs = _docs(spark, sf_dir)
+    n = X.bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(n, F.lit(1)).cast("double"), 4
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "llm_winnowing_fingerprints",
+    f"""
+    WITH n AS (SELECT doc_id,
+                      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                                i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT) AS hs
+          FROM n),
+    w AS (SELECT doc_id,
+                 list_distinct(
+                   list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                  j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+          FROM g)
+    SELECT doc_id AS id, unnest(fps) AS fp FROM w
+    """,
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints, k=8 char-grams, window 4: the
+    containment/plagiarism-detection primitive (join docs on fp for
+    candidate pairs). hash_fn='md5' -> fully oracle-checked."""
+    docs = _docs(spark, sf_dir)
+    return X.winnowing_fingerprints(docs, k=8, window=4, hash_fn="md5")

@@ -362,3 +362,37 @@ def test_pii_scrub_and_counts(spark):
     assert out[1].e == 1 and "<EMAIL>" in out[1].s and "alice" not in out[1].s
     assert out[2].p == 2 and out[2].s.count("<PHONE>") == 2
     assert out[3].e == 0 and out[3].p == 0 and out[3].s == "no pii here"
+
+
+def test_winnowing_containment_guarantee(spark):
+    """Winnowing guarantee: any shared substring of length >= window+k-1
+    (here 4+8-1=11 chars) produces at least one shared fingerprint."""
+    from delta_rs_spark.functions.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"PREFIX AAA {shared} SUFFIX BBB"),
+        (2, f"zzz completely different opening {shared} qqq"),
+        (3, "nothing in common with anything else here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, k=8, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "docs sharing a 44-char run must share a fp"
+    assert not (by_doc[1] & by_doc[3] & by_doc[2])
+    # sampling: far fewer fingerprints than k-grams
+    n_grams = len(rows[0][1]) - 7
+    assert len(by_doc[1]) < n_grams / 2
+
+
+def test_bpe_token_count(spark):
+    from delta_rs_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "I'll say it's 42 dogs, maybe-more!")], "doc_id long, text string"
+    )
+    n = df.select(bpe_token_count("text").alias("n")).collect()[0].n
+    # I | 'll | say | it | 's | 42 | dogs | , | maybe | - | more | !
+    assert n == 12, n
