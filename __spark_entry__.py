@@ -71,8 +71,15 @@ def _plane_rank(name: str) -> int:
     return 4
 
 
+def _order_key(name: str) -> tuple[int, int]:
+    rank = _plane_rank(name)
+    if rank == 3:  # representatives run in category order, not reg order
+        return (rank, _RELATIONAL_REPRESENTATIVES.index(name))
+    return (rank, 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    names = sorted(registry(), key=_plane_rank)  # stable: keeps reg order per plane
+    names = sorted(registry(), key=_order_key)  # stable: reg order within plane
     reg = registry()
     return {name: reg[name][0] for name in names}
 
