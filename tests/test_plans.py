@@ -68,3 +68,45 @@ def test_delta_predicate_reaches_parquet(spark, tmp_table, sample_df):
     p = plan_of(t.to_df(predicate="price > 2.0"))
     assert "PushedFilters: [" in p
     assert "price" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_winnowing_single_shuffle(spark):
+    """Winnowing shuffles ONCE on doc id; the final distinct reuses that
+    partitioning instead of adding an exchange, and the sliding min is a
+    window frame, not a per-position array slice."""
+    from delta_rs_spark.functions.text import winnowing_fingerprints
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(winnowing_fingerprints(docs), "simple")
+    assert p.count("Exchange") == 1
+    assert "Window" in p
+
+
+def test_minhash_signature_partial_aggregation(spark):
+    """The 64 permutation minima aggregate map-side (partial_min feeds
+    the single exchange), so shuffle bytes are O(docs), independent of
+    document length."""
+    from delta_rs_spark.functions.dedup import minhash_signatures
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(minhash_signatures(docs), "simple")
+    assert p.count("Exchange") == 1
+    assert "partial_min" in p
+
+
+def test_events_scan_native_vectorized(spark):
+    """The events loader must read ts as a native TimestampType through
+    the vectorized parquet reader with timestamp predicates pushed to the
+    scan — the r02 forced-LongType read disabled both (6x slower scans,
+    1970-epoch results)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, SF, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    df = ev.filter(
+        F.col("ts") >= F.lit("2024-01-01").cast("timestamp")
+    ).select("event_id")
+    p = plan_of(df)
+    assert "Batched: true" in p  # vectorized reader engaged
+    assert "PushedFilters" in p
+    assert "ts" in p.split("PushedFilters")[1].split("]")[0]
