@@ -276,3 +276,74 @@ class CdfFollower:
         )
         self.next_version = latest + 1
         return df
+
+
+def delta_upsert_batch(table_path: str, keys: list[str], app_id: str):
+    """foreachBatch callable for an exactly-once streaming UPSERT sink:
+    each micro-batch MERGEs into the table on ``keys`` (matched rows
+    update, new rows insert), with the (app_id, batch_id) idempotency
+    watermark committed ATOMICALLY with the merge via
+    ``CommitProperties.app_transactions`` — a replayed batch after
+    recovery sees its own watermark and no-ops, the same contract the
+    append sink gets from write_deltalake's txn args. In-batch key
+    duplicates collapse via dropDuplicates first (a MERGE source must
+    match each target row at most once)."""
+    from delta_rs_spark.properties import CommitProperties
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        deduped = batch_df.dropDuplicates(keys)
+        if not DeltaTable.is_deltatable(table_path):
+            write_deltalake(
+                table_path,
+                deduped,
+                mode="append",
+                txn_app_id=app_id,
+                txn_version=batch_id,
+            )
+            return
+        t = DeltaTable(table_path, spark=batch_df.sparkSession)
+        last = t.transaction_version(app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already applied
+        cond = " AND ".join(f"target.{k} = source.{k}" for k in keys)
+        (
+            t.merge(
+                deduped,
+                cond,
+                source_alias="source",
+                target_alias="target",
+                commit_properties=CommitProperties(
+                    app_transactions=[(app_id, batch_id)]
+                ),
+            )
+            .when_matched_update_all()
+            .when_not_matched_insert_all()
+            .execute()
+        )
+
+    return sink
+
+
+def write_stream_upsert_to_delta(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint_location: str,
+    app_id: str | None = None,
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Exactly-once streaming upsert (merge) sink — the streaming CDC
+    apply pattern: dedup each micro-batch by key, MERGE into the target,
+    watermark atomically. Use over ``write_stream_to_delta`` when the
+    stream carries updates to existing keys rather than pure appends."""
+    app = app_id or f"upsert-{checkpoint_location}"
+    writer = (
+        stream_df.writeStream.foreachBatch(delta_upsert_batch(table_path, keys, app))
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -210,3 +210,59 @@ def test_stateful_running_counts(spark, tmp_path):
     for r in rows:
         latest[r.k] = max(latest.get(r.k, 0), r.n_seen)
     assert latest == {"x": 3, "y": 1}
+
+
+def test_upsert_sink_replay_and_merge(spark, tmp_path):
+    """Streaming upsert sink: replayed batches no-op (atomic watermark),
+    later batches update matched keys and insert new ones."""
+    from delta_rs_spark.streaming.delta_stream import delta_upsert_batch
+
+    table = str(tmp_path / "upsert_sink")
+    sink = delta_upsert_batch(table, keys=["id"], app_id="cdc")
+    b0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (2, "b", 2.0)], "id long, tag string, v double"
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # replay after recovery: must be a no-op
+    t = DeltaTable(table)
+    assert t.count() == 2  # in-batch dup collapsed, replay ignored
+    b1 = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 3.0)], "id long, tag string, v double"
+    )
+    sink(b1, 1)
+    sink(b1, 1)  # replay again
+    t.refresh()
+    rows = {r.id: (r.tag, r.v) for r in t.to_df().collect()}
+    assert rows == {1: ("a", 1.0), 2: ("B", 20.0), 3: ("c", 3.0)}
+    assert t.transaction_version("cdc") == 1
+
+
+def test_upsert_sink_live_stream(spark, tmp_path, sample_df):
+    from delta_rs_spark.streaming.delta_stream import (
+        read_append_stream,
+        write_stream_upsert_to_delta,
+    )
+
+    src = str(tmp_path / "upsert_src")
+    write_deltalake(src, sample_df)  # ids "1".."5"
+    target = str(tmp_path / "upsert_target")
+    q = write_stream_upsert_to_delta(
+        read_append_stream(spark, src),
+        target,
+        keys=["id"],
+        checkpoint_location=str(tmp_path / "up_ckpt"),
+        app_id="live",
+    )
+    q.processAllAvailable()
+    assert DeltaTable(target).count() == 5
+    # append an update for an existing key + a new key
+    upd = spark.createDataFrame(
+        [("1", 99, 9, False), ("6", 6, 0, False)], sample_df.schema
+    )
+    write_deltalake(src, upd, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    t = DeltaTable(target)
+    rows = {r.id: r.price for r in t.to_df().collect()}
+    assert rows["1"] == 99 and rows["6"] == 6
+    assert t.count() == 6
