@@ -8,13 +8,18 @@ actions/snapshots/OCC/checkpoints per the public Delta protocol — is
 implemented here and Parquet data files are read/written by Spark).
 """
 
+__version__ = "0.3.0"  # round-numbered engine version (not the reference's)
+
 from delta_rs_spark.session import get_spark
 from delta_rs_spark.table import DeltaTable
 from delta_rs_spark.writer import write_deltalake
 from delta_rs_spark.query import QueryBuilder
+from delta_rs_spark.features import TableFeatures
+from delta_rs_spark.log.actions import Metadata
 from delta_rs_spark.operators.convert import convert_to_deltalake
 from delta_rs_spark.schema import (
     ArrayType,
+    DataType,
     Field,
     MapType,
     PrimitiveType,
@@ -27,6 +32,7 @@ from delta_rs_spark.properties import (
     ColumnProperties,
     CommitProperties,
     PostCommitHookProperties,
+    Transaction,
     WriterProperties,
 )
 from delta_rs_spark.log.commit import (
@@ -55,9 +61,14 @@ __all__ = [
     "Field",
     "PrimitiveType",
     "ArrayType",
+    "DataType",
     "MapType",
     "StructType",
     "VariantType",
+    "TableFeatures",
+    "Transaction",
+    "Metadata",
+    "__version__",
     "DeltaError",
     "CommitFailedError",
     "ConcurrentAppendError",

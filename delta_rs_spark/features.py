@@ -1,0 +1,70 @@
+"""Table feature enum mirroring the reference surface
+(python/src/features.rs TableFeatures / _internal.pyi:35), with the
+mapping to the Delta protocol's camelCase feature-name strings that the
+Protocol action's readerFeatures/writerFeatures lists carry.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+
+class TableFeatures(Enum):
+    ColumnMapping = "ColumnMapping"
+    DeletionVectors = "DeletionVectors"
+    TimestampWithoutTimezone = "TimestampWithoutTimezone"
+    V2Checkpoint = "V2Checkpoint"
+    AppendOnly = "AppendOnly"
+    Invariants = "Invariants"
+    CheckConstraints = "CheckConstraints"
+    ChangeDataFeed = "ChangeDataFeed"
+    GeneratedColumns = "GeneratedColumns"
+    IdentityColumns = "IdentityColumns"
+    RowTracking = "RowTracking"
+    DomainMetadata = "DomainMetadata"
+    IcebergCompatV1 = "IcebergCompatV1"
+    VariantType = "VariantType"
+    VariantTypePreview = "VariantTypePreview"
+
+
+# Delta protocol feature-name strings (PROTOCOL.md "Table Features")
+_PROTOCOL_NAMES: dict[TableFeatures, str] = {
+    TableFeatures.ColumnMapping: "columnMapping",
+    TableFeatures.DeletionVectors: "deletionVectors",
+    TableFeatures.TimestampWithoutTimezone: "timestampNtz",
+    TableFeatures.V2Checkpoint: "v2Checkpoint",
+    TableFeatures.AppendOnly: "appendOnly",
+    TableFeatures.Invariants: "invariants",
+    TableFeatures.CheckConstraints: "checkConstraints",
+    TableFeatures.ChangeDataFeed: "changeDataFeed",
+    TableFeatures.GeneratedColumns: "generatedColumns",
+    TableFeatures.IdentityColumns: "identityColumns",
+    TableFeatures.RowTracking: "rowTracking",
+    TableFeatures.DomainMetadata: "domainMetadata",
+    TableFeatures.IcebergCompatV1: "icebergCompatV1",
+    TableFeatures.VariantType: "variantType",
+    TableFeatures.VariantTypePreview: "variantType-preview",
+}
+
+
+def protocol_feature_name(feature: "TableFeatures | str") -> str:
+    """Enum member -> protocol string; raw strings pass through (assumed
+    to already be protocol feature names)."""
+    if isinstance(feature, TableFeatures):
+        return _PROTOCOL_NAMES[feature]
+    return str(feature)
+
+
+# Protocol feature kinds: reader-writer features appear in BOTH
+# readerFeatures and writerFeatures; everything else is writer-only
+# (PROTOCOL.md; kernel's ReaderWriterFeature vs WriterFeature split).
+READER_WRITER_FEATURES: frozenset[str] = frozenset(
+    {
+        "columnMapping",
+        "deletionVectors",
+        "timestampNtz",
+        "v2Checkpoint",
+        "variantType",
+        "variantType-preview",
+    }
+)

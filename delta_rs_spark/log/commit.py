@@ -277,7 +277,12 @@ def commit(
             if um is not None:
                 operation.user_metadata = str(um)
             operation.extra.update(extra)
-        for app_id, app_version in commit_properties.app_transactions or []:
+        for entry in commit_properties.app_transactions or []:
+            # (app_id, version) tuple or a Transaction-shaped object
+            if hasattr(entry, "app_id"):
+                app_id, app_version = entry.app_id, entry.version
+            else:
+                app_id, app_version = entry
             actions = list(actions) + [Txn(app_id=app_id, version=int(app_version))]
     if post_commit is not None:
         create_checkpoint = post_commit.create_checkpoint

@@ -147,16 +147,34 @@ class TableAlterer:
         meta.schema_string = T.StructType(fields).json()
         self._commit_metadata(meta, "UPDATE FIELD METADATA", {"column": column})
 
-    def add_feature(self, features: list[str]) -> None:
-        """Enable table features (reference: operations/add_feature.rs)."""
+    def add_feature(self, features: list) -> None:
+        """Enable table features — protocol name strings or
+        ``TableFeatures`` enum members (reference:
+        operations/add_feature.rs, python/src/features.rs).
+
+        Writer-only features (changeDataFeed, domainMetadata, ...) go in
+        writerFeatures ONLY; putting them in readerFeatures would make
+        the table unreadable for every protocol-compliant reader."""
+        from delta_rs_spark.features import (
+            READER_WRITER_FEATURES,
+            protocol_feature_name,
+        )
+
+        features = [protocol_feature_name(f) for f in features]
+        reader_new = {f for f in features if f in READER_WRITER_FEATURES}
         snapshot = snap_mod.load_snapshot(self.dt.table_uri)
         proto = snapshot.protocol
         from delta_rs_spark.log.actions import Protocol
 
         new = Protocol(
-            min_reader_version=max(proto.min_reader_version, 3),
+            min_reader_version=(
+                max(proto.min_reader_version, 3)
+                if reader_new or (proto.reader_features or [])
+                else proto.min_reader_version
+            ),
             min_writer_version=max(proto.min_writer_version, 7),
-            reader_features=sorted(set(proto.reader_features or []) | set(features)),
+            reader_features=sorted(set(proto.reader_features or []) | reader_new)
+            or None,
             writer_features=sorted(set(proto.writer_features or []) | set(features)),
         )
         op = CommitInfo("ADD FEATURE", {"features": features})

@@ -124,16 +124,28 @@ class PostCommitHookProperties:
 
 
 @dataclass
+class Transaction:
+    """App-id idempotency watermark (reference _internal.pyi:1075
+    Transaction): pass in ``CommitProperties.app_transactions`` to
+    record it atomically with a commit."""
+
+    app_id: str
+    version: int
+    last_updated: int | None = None
+
+
+@dataclass
 class CommitProperties:
     """Commit behaviour controls (reference transaction.py:48-77).
 
-    ``app_transactions`` entries are (app_id, version) idempotency
-    watermarks appended to the commit as ``txn`` actions.
+    ``app_transactions`` entries are (app_id, version) tuples or
+    ``Transaction`` objects — idempotency watermarks appended to the
+    commit as ``txn`` actions.
     """
 
     custom_metadata: dict[str, Any] | None = None
     max_commit_retries: int | None = None
-    app_transactions: list[tuple[str, int]] | None = None
+    app_transactions: list[tuple[str, int] | Transaction] | None = None
 
     def __post_init__(self) -> None:
         if self.custom_metadata:

@@ -12,7 +12,7 @@ converters to/from Spark types so both worlds interoperate.
 from __future__ import annotations
 
 import json
-from typing import Any
+from typing import Any, Union
 
 from pyspark.sql import types as T
 
@@ -288,3 +288,9 @@ def to_spark(t: Schema | StructType) -> T.StructType:
 
 def from_spark(schema: T.StructType) -> Schema:
     return Schema.from_json(schema.json())
+
+
+# reference python/deltalake/schema.py:26 — the union of all delta types
+DataType = Union[
+    "PrimitiveType", "MapType", "StructType", "ArrayType", "VariantType"
+]

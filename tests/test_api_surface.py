@@ -298,3 +298,48 @@ def test_delete_with_commit_properties(spark, tmp_path):
     )
     assert dt.history(1)[0].get("userMetadata") == "purge"
     assert dt.to_df().count() == 5
+
+
+def test_table_features_enum_and_add_feature(spark, tmp_path, sample_df):
+    """TableFeatures mirrors the reference enum (python/src/features.rs);
+    add_feature accepts members and records protocol feature names."""
+    from delta_rs_spark import DeltaTable, TableFeatures, write_deltalake
+
+    assert TableFeatures.DeletionVectors.value == "DeletionVectors"
+    table = str(tmp_path / "feat")
+    write_deltalake(table, sample_df)
+    t = DeltaTable(table)
+    t.alter.add_feature([TableFeatures.ChangeDataFeed, "domainMetadata"])
+    t.refresh()
+    p = t.protocol()
+    assert "changeDataFeed" in (p.writer_features or [])
+    assert "domainMetadata" in (p.writer_features or [])
+
+
+def test_transaction_object_in_commit_properties(spark, tmp_path, sample_df):
+    from delta_rs_spark import (
+        CommitProperties,
+        DeltaTable,
+        Transaction,
+        write_deltalake,
+    )
+
+    table = str(tmp_path / "txnobj")
+    write_deltalake(table, sample_df)
+    t = DeltaTable(table)
+    t.delete(
+        "price = 0",
+        commit_properties=CommitProperties(
+            app_transactions=[Transaction(app_id="etl", version=7)]
+        ),
+    )
+    t.refresh()
+    assert t.transaction_version("etl") == 7
+
+
+def test_version_and_datatype_exports():
+    import delta_rs_spark as d
+
+    assert isinstance(d.__version__, str)
+    assert d.DataType is not None
+    assert isinstance(d.Metadata, type)
