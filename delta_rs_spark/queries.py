@@ -1312,3 +1312,54 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
     )
+
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), (c_mktsegment, o_orderstatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-segment, per-status, and per-(segment, status) aggregates in one
+    pass — Spark expands to a single hash aggregate over the grouping-id
+    column, not three scans."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined.createOrReplaceTempView("__gs_join")
+    return joined.sparkSession.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM __gs_join
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), (c_mktsegment, o_orderstatus))
+        """
+    )
+
+
+@query(
+    "q_multiset_ops",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    SELECT o_custkey, count(*) AS n FROM (
+      SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b
+    ) GROUP BY o_custkey
+    """,
+)
+def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops (EXCEPT ALL bag semantics — each b-occurrence
+    cancels ONE a-occurrence), aggregated for a deterministic result."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.exceptAll(b).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
