@@ -155,3 +155,24 @@ def test_create_table_then_append(spark, tmp_table, sample_df):
     write_deltalake(tmp_table, sample_df, mode="append")
     t.refresh()
     assert t.count() == 5
+
+
+def test_partition_value_encoding_roundtrip(spark, tmp_path):
+    """Partition values with URL-hostile characters (reference
+    test_partition_encoding_rfc3896): every printable-and-beyond char
+    must round-trip through the directory encoding, and partition
+    pruning must still hit the encoded directories."""
+    vals = ["plain", "a b", "a/b", "a=b", "a%b", "a#b?c", "ümlaut", "日本", "a\tb"]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, strings string")
+    table = str(tmp_path / "enc")
+    write_deltalake(table, df, partition_by=["strings"])
+    t = DeltaTable(table)
+    got = {r.strings for r in t.to_df().collect()}
+    assert got == set(vals)
+    # pruned read of one hostile value
+    one = t.to_df(predicate="strings = 'a=b'").collect()
+    assert len(one) == 1 and one[0].id == vals.index("a=b")
+    # partition values in table metadata decode back to the raw strings
+    parts = {p["strings"] for p in t.partitions()}
+    assert parts == set(vals)
