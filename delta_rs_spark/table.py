@@ -190,11 +190,30 @@ class DeltaTable:
         table_uri: str,
         version: int | None = None,
         spark: SparkSession | None = None,
+        storage_options: dict[str, str] | None = None,
+        without_files: bool = False,
+        log_buffer_size: int | None = None,
     ):
+        """``storage_options`` mirror the reference kwarg; on Spark they
+        belong in the Hadoop connector config (e.g. ``fs.s3a.*``), so
+        they are recorded and surfaced, not interpreted here.
+        ``without_files=True`` loads metadata without serving the file
+        list — file-list APIs raise, like the reference's mode.
+        ``log_buffer_size`` is accepted for signature parity (the local
+        log reader streams commits; there is no buffer to size)."""
         self.table_uri = str(table_uri).removeprefix("file://")
         self._spark = spark
+        self._storage_options = dict(storage_options or {})
+        self._without_files = without_files
         self._snapshot = load_snapshot(self.table_uri, version)
         self._check_read_protocol()
+
+    def _require_files(self) -> None:
+        if self._without_files:
+            raise DeltaError(
+                "table was loaded with without_files=True; file-list APIs "
+                "are unavailable"
+            )
 
     def _check_read_protocol(self) -> None:
         p = self._snapshot.protocol
@@ -318,6 +337,7 @@ class DeltaTable:
         return cmap.logical_to_physical(self.schema())
 
     def files(self, partition_filters: list[PartitionFilter] | None = None) -> list[str]:
+        self._require_files()
         pred = _dnf_to_sql(partition_filters)
         adds = list(self._snapshot.files.values())
         if pred:

@@ -3,6 +3,7 @@ pyarrow output, DNF partition filters (reference: python/deltalake API)."""
 
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from delta_rs_spark import DeltaTable, QueryBuilder, write_deltalake
 
@@ -343,3 +344,20 @@ def test_version_and_datatype_exports():
     assert isinstance(d.__version__, str)
     assert d.DataType is not None
     assert isinstance(d.Metadata, type)
+
+
+def test_without_files_mode(spark, tmp_path, sample_df):
+    """Reference parity: DeltaTable(uri, without_files=True) serves
+    metadata but refuses file-list APIs."""
+    from delta_rs_spark.log.commit import DeltaError
+
+    table = str(tmp_path / "nofiles")
+    write_deltalake(table, sample_df)
+    t = DeltaTable(table, without_files=True, storage_options={"k": "v"})
+    assert t.version() == 0
+    assert t.metadata() is not None
+    assert len(t.schema().fields) == 4
+    with pytest.raises(DeltaError):
+        t.files()
+    with pytest.raises(DeltaError):
+        t.file_uris()
