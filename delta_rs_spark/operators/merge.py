@@ -29,7 +29,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from delta_rs_spark.log import commit as commit_mod
@@ -44,8 +44,11 @@ _ACTION = "__delta_rs_action"
 _TMARK = "__delta_rs_t"
 _SMARK = "__delta_rs_s"
 _TID = "__delta_rs_tid"
+_CLS = "__delta_rs_match_cls"
 
 COPY, DELETE = -1, -2
+# duplicate-match participation classes (reference merge/mod.rs:561)
+_CLS_IGNORE, _CLS_NOOP, _CLS_UNCOND_DELETE, _CLS_ACTION = 0, 1, 2, 3
 
 
 class MergeError(DeltaError):
@@ -354,19 +357,6 @@ class TableMerger:
                 joined = t_df.alias(t).join(
                     s_df.alias(s), F.expr(self.predicate), "left_outer"
                 )
-                dup = (
-                    joined.filter(F.col(_SMARK).isNotNull())
-                    .groupBy(_TID)
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .limit(1)
-                    .count()
-                )
-                if dup:
-                    raise MergeError(
-                        "a target row matched multiple source rows with "
-                        "matched update/delete clauses present"
-                    )
             else:
                 # nmbs-only merge: clauses read target columns only, so a
                 # semi/anti split keeps exactly one row per target row — a
@@ -384,28 +374,74 @@ class TableMerger:
 
             matched_cond = F.col(_SMARK).isNotNull()
             action = None
-            branches: list[tuple[Column, int]] = []
+            # (condition, action code, participation class): the class
+            # drives duplicate-match validation (reference
+            # merge/mod.rs:561 MatchParticipationClass + validation.rs):
+            # per target row, >1 ACTION pairs — or an ACTION alongside an
+            # UNCONDITIONAL DELETE — is ambiguous and errors; duplicate
+            # no-ops and duplicate unconditional deletes are deterministic
+            # and collapse to one winner instead.
+            branches: list[tuple[Column, int, int]] = []
             code = 0
             coded_clauses: list[tuple[int, _Clause]] = []
             for cl in self.matched:
                 cond = matched_cond
                 if cl.predicate:
                     cond = cond & F.expr(cl.predicate)
-                branches.append((cond, DELETE if cl.kind == "delete" else code))
+                if cl.kind == "delete":
+                    cls_v = _CLS_UNCOND_DELETE if cl.predicate is None else _CLS_ACTION
+                else:
+                    cls_v = _CLS_ACTION
+                branches.append((cond, DELETE if cl.kind == "delete" else code, cls_v))
                 coded_clauses.append((code, cl))
                 code += 1
             for cl in self.not_matched_by_source:
                 cond = ~matched_cond
                 if cl.predicate:
                     cond = cond & F.expr(cl.predicate)
-                branches.append((cond, DELETE if cl.kind == "delete" else code))
+                # nmbs pairs can't duplicate (one row per unmatched target)
+                branches.append((cond, DELETE if cl.kind == "delete" else code, _CLS_IGNORE))
                 coded_clauses.append((code, cl))
                 code += 1
 
             action = F.lit(COPY)
-            for cond, c in reversed(branches):
+            cls = F.when(matched_cond, F.lit(_CLS_NOOP)).otherwise(F.lit(_CLS_IGNORE))
+            for cond, c, cls_v in reversed(branches):
                 action = F.when(cond, F.lit(c)).otherwise(action)
-            acted = joined.withColumn(_ACTION, action).persist()
+                cls = F.when(cond, F.lit(cls_v)).otherwise(cls)
+            acted = joined.withColumn(_ACTION, action).withColumn(_CLS, cls).persist()
+
+            if self.matched:
+                ambiguous = (
+                    acted.filter(F.col(_CLS) >= _CLS_NOOP)
+                    .groupBy(_TID)
+                    .agg(
+                        F.sum((F.col(_CLS) == _CLS_ACTION).cast("int")).alias("__na"),
+                        F.sum(
+                            (F.col(_CLS) == _CLS_UNCOND_DELETE).cast("int")
+                        ).alias("__nu"),
+                    )
+                    .filter(
+                        (F.col("__na") > 1)
+                        | ((F.col("__na") > 0) & (F.col("__nu") > 0))
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if ambiguous:
+                    raise MergeError(
+                        "MERGE matched a target row with multiple source rows "
+                        "that satisfy duplicate relevant WHEN MATCHED clauses"
+                    )
+                # winner per target row: the acting pair if any, else one
+                # no-op pair (all no-op/unconditional-delete winners
+                # produce identical output rows, so the tie is immaterial)
+                win = W.partitionBy(_TID).orderBy(F.desc(_CLS))
+                acted = (
+                    acted.withColumn("__rn", F.row_number().over(win))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
 
             counts = {r[_ACTION]: r["count"] for r in acted.groupBy(_ACTION).count().collect()}
             n_deleted = sum(

@@ -141,3 +141,50 @@ def test_merge_insert_partial_columns(spark, tmp_table, sample_df):
     )
     row = [r for r in t.to_df().collect() if r.id == "8"][0]
     assert row.price == 80 and row.sold is None and row.deleted is None
+
+
+def test_merge_duplicate_noop_source_row_passes(spark, tmp_table):
+    """Reference test_merge_when_matched_update_duplicate_with_noop_
+    source_row_passes: a duplicate source match that satisfies no matched
+    clause predicate is a no-op, not an ambiguity — the firing row wins."""
+    write_deltalake(
+        tmp_table,
+        spark.createDataFrame([(1, 10, False)], "id long, v long, del boolean"),
+    )
+    t = DeltaTable(tmp_table)
+    src = spark.createDataFrame(
+        [(1, 11, False), (1, 99, True)], "id long, v long, del boolean"
+    )
+    m = (
+        t.merge(src, "target.id = source.id")
+        .when_matched_update({"v": "source.v"}, predicate="source.del = true")
+        .execute()
+    )
+    assert m["num_target_rows_updated"] == 1
+    assert {r.id: r.v for r in t.to_df().collect()} == {1: 99}
+
+
+def test_merge_unconditional_delete_duplicates_pass(spark, tmp_table):
+    """Reference test_merge_when_matched_delete_unconditional_duplicates_
+    pass: duplicate matches against an unconditional DELETE are
+    deterministic (idempotent) and collapse to one delete."""
+    write_deltalake(tmp_table, spark.createDataFrame([(1, 1), (2, 2)], "id long, v long"))
+    t = DeltaTable(tmp_table)
+    src = spark.createDataFrame([(1, 0), (1, 0)], "id long, v long")
+    m = t.merge(src, "target.id = source.id").when_matched_delete().execute()
+    assert m["num_target_rows_deleted"] == 1
+    assert sorted(r.id for r in t.to_df().collect()) == [2]
+
+
+def test_merge_conditional_delete_duplicates_fail(spark, tmp_table):
+    """Reference test_merge_when_matched_delete_conditional_duplicates_
+    fail: two source rows both firing a CONDITIONAL delete is ambiguous."""
+    write_deltalake(tmp_table, spark.createDataFrame([(1, True)], "id long, del boolean"))
+    t = DeltaTable(tmp_table)
+    src = spark.createDataFrame([(1, True), (1, True)], "id long, del boolean")
+    with pytest.raises(MergeError, match="duplicate relevant WHEN MATCHED"):
+        t.merge(src, "target.id = source.id").when_matched_delete(
+            "source.del = true"
+        ).execute()
+    t.refresh()
+    assert t.version() == 0  # nothing committed
