@@ -183,6 +183,8 @@ class DeltaTable:
         "timestampNtz",
         "v2Checkpoint",
         "vacuumProtocolCheck",
+        "variantType",  # Spark 4 reads variant natively
+        "variantType-preview",
     }
 
     def __init__(
@@ -259,10 +261,18 @@ class DeltaTable:
         spark: SparkSession | None = None,
     ) -> "DeltaTable":
         """CREATE [OR REPLACE] TABLE (reference: operations/create.rs;
-        python/deltalake/table.py:221-330)."""
+        python/deltalake/table.py:221-330). ``schema`` may be a Spark
+        StructType or the deltalake-style mirror Schema (the reference's
+        input type)."""
         from delta_rs_spark.log import commit as commit_mod
         from delta_rs_spark.log.actions import Remove, now_ms
         from delta_rs_spark.log.commit import TransactionInfo
+        from delta_rs_spark.schema import Schema as MirrorSchema
+        from delta_rs_spark.schema import StructType as MirrorStruct
+        from delta_rs_spark.schema import to_spark
+
+        if isinstance(schema, (MirrorSchema, MirrorStruct)):
+            schema = to_spark(schema)
 
         path = str(table_uri).removeprefix("file://")
         if mode not in ("error", "ignore", "overwrite"):
@@ -285,7 +295,26 @@ class DeltaTable:
                 for a in prev.files.values()
             )
         os.makedirs(path, exist_ok=True)
-        actions.insert(0, Protocol())
+        # schema/config-driven protocol features (reference create.rs
+        # computes required features the same way): a variant column or
+        # enabled deletion vectors need the table-features protocol
+        feats: set[str] = set()
+        if '"variant"' in schema.json():
+            feats.add("variantType")
+        if (configuration or {}).get(
+            "delta.enableDeletionVectors", ""
+        ).lower() == "true":
+            feats.add("deletionVectors")
+        if feats:
+            proto = Protocol(
+                min_reader_version=3,
+                min_writer_version=7,
+                reader_features=sorted(feats),
+                writer_features=sorted(feats),
+            )
+        else:
+            proto = Protocol()
+        actions.insert(0, proto)
         actions.insert(
             1,
             Metadata(

@@ -361,3 +361,30 @@ def test_without_files_mode(spark, tmp_path, sample_df):
         t.files()
     with pytest.raises(DeltaError):
         t.file_uris()
+
+
+def test_create_with_mirror_schema_and_feature_protocol(spark, tmp_path):
+    """Reference parity (test_create_schema_with_variant_type,
+    test_create_with_deletion_vectors_enabled): create() accepts the
+    deltalake-style mirror Schema, and a variant column / DV config
+    surfaces the required protocol features."""
+    from delta_rs_spark import Field, PrimitiveType, Schema, VariantType
+
+    t1 = str(tmp_path / "variant_tbl")
+    dt = DeltaTable.create(
+        t1, Schema([Field("id", PrimitiveType("long")), Field("payload", VariantType())])
+    )
+    assert isinstance(dt.delta_schema().fields[1].type, VariantType)
+    p = dt.protocol()
+    assert p.min_reader_version == 3 and p.min_writer_version == 7
+    assert "variantType" in p.reader_features
+    # our own reader accepts the variantType feature (Spark 4 native)
+    assert DeltaTable(t1).version() == 0
+
+    t2 = str(tmp_path / "dv_tbl")
+    dt2 = DeltaTable.create(
+        t2,
+        Schema([Field("id", PrimitiveType("long"))]),
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    assert "deletionVectors" in dt2.protocol().reader_features
