@@ -760,3 +760,45 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs). hash_fn='md5' -> fully oracle-checked."""
     docs = _docs(spark, sf_dir)
     return X.winnowing_fingerprints(docs, k=8, window=4, hash_fn="md5")
+
+
+@query(
+    "llm_stratified_sample",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src1','src2') THEN 0.8
+                  WHEN source IN ('src3','src4') THEN 0.3
+                  ELSE 0.05 END AS rate,
+             ('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS bucket
+      FROM documents),
+    sampled AS (SELECT doc_id, source FROM r
+                WHERE bucket < CAST(rate * 1000000 AS BIGINT)),
+    split AS (SELECT doc_id, source,
+                     CASE WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                               % 1000000 < 100000
+                          THEN 'holdout' ELSE 'train' END AS split
+              FROM sampled)
+    SELECT doc_id, source, split FROM split
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing + leakage-safe split: hash-bucket
+    sampling per source (functions/sampling.py), then a 10% holdout tag
+    — both pure functions of (doc_id, salt), so the oracle replays them
+    exactly and reruns at any scale select identical rows."""
+    from delta_rs_spark.functions.sampling import (
+        stratified_sample,
+        train_holdout_split,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    sampled = stratified_sample(
+        docs,
+        rates={"src0": 0.8, "src1": 0.8, "src2": 0.8, "src3": 0.3, "src4": 0.3},
+        default_rate=0.05,
+    )
+    return train_holdout_split(sampled, holdout_frac=0.1).select(
+        "doc_id", "source", "split"
+    )

@@ -396,3 +396,33 @@ def test_bpe_token_count(spark):
     n = df.select(bpe_token_count("text").alias("n")).collect()[0].n
     # I | 'll | say | it | 's | 42 | dogs | , | maybe | - | more | !
     assert n == 12, n
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from delta_rs_spark.functions.sampling import (
+        stratified_sample,
+        train_holdout_split,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    s1 = stratified_sample(df, rates={"a": 0.5, "b": 0.1})
+    got1 = {r.doc_id for r in s1.collect()}
+    # rerun on a repartitioned frame: identical membership
+    got2 = {r.doc_id for r in stratified_sample(df.repartition(7), rates={"a": 0.5, "b": 0.1}).collect()}
+    assert got1 == got2
+    by_src = {r.source: r.n for r in s1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert abs(by_src["a"] / 10000 - 0.5) < 0.03
+    assert abs(by_src["b"] / 10000 - 0.1) < 0.03
+    # different salt -> a genuinely different (but same-size-ish) draw
+    other = {r.doc_id for r in stratified_sample(df, rates={"a": 0.5, "b": 0.1}, salt="v2").collect()}
+    assert other != got1
+
+    split = train_holdout_split(df, holdout_frac=0.1)
+    frac = split.filter("split = 'holdout'").count() / 20000
+    assert abs(frac - 0.1) < 0.02
+    # disjoint + exhaustive
+    assert split.count() == 20000
+    assert split.select("split").distinct().count() == 2
