@@ -802,3 +802,35 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_holdout_split(sampled, holdout_frac=0.1).select(
         "doc_id", "source", "split"
     )
+
+
+@query(
+    "llm_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter({_TOKENS_SQL}, t -> t != '')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_incl
+      FROM toks)
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_incl - n_tokens - 1 AS BIGINT) AS tok_offset,
+           CAST(floor((cum_incl - n_tokens - 1) / 512) AS BIGINT) AS chunk_id,
+           CAST(floor((cum_incl - 2) / 512)
+                - floor((cum_incl - n_tokens - 1) / 512) + 1 AS BIGINT) AS n_chunks
+    FROM packed
+    """,
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing bookkeeping (functions/packing.py):
+    per-shard running token offsets and 512-token chunk spans — one
+    window-sort per shard, no global ordering bottleneck."""
+    from delta_rs_spark.functions.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", X.token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=512)

@@ -426,3 +426,26 @@ def test_stratified_sample_deterministic_and_rate(spark):
     # disjoint + exhaustive
     assert split.count() == 20000
     assert split.select("split").distinct().count() == 2
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing bookkeeping: offsets are the prefix sums of (tokens+sep)
+    in id order per shard; chunk spans match ceil arithmetic; chunks are
+    contiguous from 0 within a shard."""
+    from delta_rs_spark.functions.packing import pack_sequences
+
+    rows = [(i, "s1" if i < 6 else "s2", 100 + 37 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = {r.doc_id: r for r in pack_sequences(df, budget=256).collect()}
+    # manual replay for shard s1
+    offset = 0
+    for i in range(6):
+        n = 100 + 37 * i
+        r = out[i]
+        assert r.tok_offset == offset, (i, r.tok_offset, offset)
+        assert r.chunk_id == offset // 256
+        last = offset + n - 1
+        assert r.n_chunks == last // 256 - offset // 256 + 1
+        offset += n + 1  # separator
+    # shard s2 restarts at offset 0
+    assert out[6].tok_offset == 0 and out[6].chunk_id == 0
