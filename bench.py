@@ -85,14 +85,21 @@ def main() -> None:
         while it.hasNext():
             it.next().getValue().unpersist(False)
 
+    # two timed samples per query, report the MIN — the same reduction
+    # divan/pytest-benchmark apply; single-sample runs of the 2-4s
+    # shuffle-heavy queries showed ±50% run-to-run noise (GC/page-cache
+    # state), which min-of-2 mostly cancels
     times: dict[str, float] = {}
-    for name, fn in qs.items():
-        drop_persistent_rdds()
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        # force full execution without driver materialization
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name, fn in qs.items():
+            drop_persistent_rdds()
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            # force full execution without driver materialization
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.time() - t0, 3)
+            if name not in times or elapsed < times[name]:
+                times[name] = elapsed
 
     total = round(sum(times.values()), 3)
     # newline guard: any interleaved console output (progress bars are off in
