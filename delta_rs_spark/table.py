@@ -645,12 +645,50 @@ class DeltaTable:
 
     def update(
         self,
-        updates: dict[str, str],
+        updates: dict[str, str] | None = None,
+        new_values: dict[str, Any] | None = None,
         predicate: str | None = None,
         commit_properties=None,
         post_commithook_properties=None,
     ) -> dict[str, Any]:
+        """``updates`` maps columns to SQL expression strings;
+        ``new_values`` maps columns to Python literals (reference:
+        python/deltalake/table.py:759-789 — exactly one of the two)."""
         from delta_rs_spark.operators.update import update as _update
+
+        if updates is None and new_values is not None:
+            updates = {}
+            for key, value in new_values.items():
+                if isinstance(value, bool):
+                    updates[key] = "true" if value else "false"
+                elif isinstance(value, (int, float, list)):
+                    updates[key] = str(value)
+                elif isinstance(value, str):
+                    escaped = value.replace("'", "''")
+                    updates[key] = f"'{escaped}'"
+                elif isinstance(value, dt.datetime):
+                    # reference convention: microsecond epoch literal
+                    updates[key] = str(int(value.timestamp() * 1_000_000))
+                else:
+                    raise TypeError(
+                        "Invalid datatype provided in new_values, only int, "
+                        "float, bool, list, str or datetime are accepted."
+                    )
+        elif updates is not None and new_values is not None:
+            raise ValueError(
+                "Passing updates and new_values at same time is not allowed, pick one."
+            )
+        elif updates is None:
+            raise ValueError(
+                "Either updates or new_values need to be passed to update the table."
+            )
+        else:
+            for key, value in updates.items():
+                if not isinstance(key, str) or not isinstance(value, str):
+                    raise TypeError(
+                        "The values of the updates parameter must all be SQL "
+                        "strings. Did you mean to use the new_values parameter?"
+                    )
 
         metrics = _update(
             self.spark,

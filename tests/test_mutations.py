@@ -188,3 +188,26 @@ def test_merge_conditional_delete_duplicates_fail(spark, tmp_table):
         ).execute()
     t.refresh()
     assert t.version() == 0  # nothing committed
+
+
+def test_update_new_values_literals(spark, tmp_table):
+    """Reference parity: update(new_values=...) converts Python literals
+    to SQL; mixing with updates= or passing neither errors."""
+    write_deltalake(
+        tmp_table,
+        spark.createDataFrame([(1, 10, "x", False)], "id long, v long, s string, b boolean"),
+    )
+    t = DeltaTable(tmp_table)
+    m = t.update(new_values={"v": 99, "s": "it's", "b": True}, predicate="id = 1")
+    assert m["num_updated_rows"] == 1
+    t.refresh()
+    r = t.to_df().collect()[0]
+    assert (r.v, r.s, r.b) == (99, "it's", True)
+    with pytest.raises(ValueError):
+        t.update(updates={"v": "1"}, new_values={"v": 2})
+    with pytest.raises(ValueError):
+        t.update()
+    with pytest.raises(TypeError):
+        t.update(updates={"v": 2})  # non-string SQL expr
+    with pytest.raises(TypeError):
+        t.update(new_values={"v": object()})
