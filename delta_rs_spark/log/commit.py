@@ -290,6 +290,24 @@ def commit(
     txn_info = txn_info or TransactionInfo(blind_append=False, read_whole_table=True)
     store = log_store or _DEFAULT_LOG_STORE
     our_removes = {a.path for a in actions if isinstance(a, Remove)}
+    # delta.appendOnly: reject any commit that removes DATA (reference
+    # table/config.rs appendOnly + per-operation checks). Removes with
+    # dataChange=false (OPTIMIZE's rearrangements) stay allowed, as do
+    # table-redefinition commits (CREATE OR REPLACE carries Metadata).
+    if read_version >= 0 and any(
+        isinstance(a, Remove) and a.data_change for a in actions
+    ):
+        redefines = operation.operation.startswith("CREATE")
+        if not redefines:
+            try:
+                cfg = snap_mod.load_snapshot(table_path, read_version).configuration
+            except Exception:
+                cfg = {}
+            if cfg.get("delta.appendOnly", "").lower() == "true":
+                raise DeltaError(
+                    f"table is append-only (delta.appendOnly=true): "
+                    f"{operation.operation} would remove data"
+                )
     os.makedirs(snap_mod.log_dir(table_path), exist_ok=True)
     attempt_version = read_version + 1
 

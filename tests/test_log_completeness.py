@@ -271,3 +271,28 @@ def test_querybuilder_no_reregistration(spark, tmp_table, sample_df, monkeypatch
     dt.delete("price >= 4")
     assert qb.execute("SELECT count(*) AS n FROM tbl").collect()[0].n == 4
     assert calls["n"] == 2  # tbl re-created, tbl2 untouched
+
+
+def test_append_only_table_enforcement(spark, tmp_path, sample_df):
+    """delta.appendOnly=true (reference table/config.rs): appends and
+    OPTIMIZE pass; DELETE/UPDATE/overwrite — anything removing data —
+    fail; CREATE OR REPLACE (table redefinition) stays allowed."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.log.commit import DeltaError
+
+    table = str(tmp_path / "ao")
+    write_deltalake(table, sample_df, configuration={"delta.appendOnly": "true"})
+    write_deltalake(table, sample_df, mode="append")
+    t = DeltaTable(table)
+    assert t.count() == 10
+    with pytest.raises(DeltaError, match="append-only"):
+        t.delete("price = 0")
+    with pytest.raises(DeltaError, match="append-only"):
+        t.update(updates={"price": "price + 1"})
+    with pytest.raises(DeltaError, match="append-only"):
+        write_deltalake(table, sample_df, mode="overwrite")
+    # compaction only rearranges files (dataChange=false): allowed
+    t.refresh()
+    t.optimize.compact()
+    t.refresh()
+    assert t.count() == 10
