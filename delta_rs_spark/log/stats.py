@@ -39,11 +39,21 @@ def _scalar(v: Any) -> Any:
 
 
 def collect_file_stats(
-    file_path: str, num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS
+    file_path: str,
+    num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS,
+    stats_columns: list[str] | None = None,
 ) -> dict[str, Any]:
-    """Aggregate row-group statistics of one parquet file into Delta stats."""
+    """Aggregate row-group statistics of one parquet file into Delta stats.
+
+    ``stats_columns`` (delta.dataSkippingStatsColumns) selects columns by
+    NAME and overrides the positional first-N rule; ``num_indexed_cols``
+    < 0 means all columns (delta.dataSkippingNumIndexedCols=-1)."""
     md = pq.ParquetFile(file_path).metadata
-    ncols = min(md.num_columns, num_indexed_cols)
+    if stats_columns is not None or num_indexed_cols < 0:
+        ncols = md.num_columns
+    else:
+        ncols = min(md.num_columns, num_indexed_cols)
+    selected = set(stats_columns) if stats_columns is not None else None
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
@@ -53,6 +63,9 @@ def collect_file_stats(
             col = md.row_group(rg).column(ci)
             name = col.path_in_schema
             if "." in name:  # nested leaves: skip (top-level cols only)
+                have_stats[ci] = False
+                continue
+            if selected is not None and name not in selected:
                 have_stats[ci] = False
                 continue
             st = col.statistics
@@ -81,13 +94,36 @@ def collect_file_stats(
 
 
 def collect_stats_parallel(
-    paths: list[str], num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS
+    paths: list[str],
+    num_indexed_cols: int = DEFAULT_NUM_INDEXED_COLS,
+    stats_columns: list[str] | None = None,
 ) -> list[dict[str, Any]]:
     if not paths:
         return []
     workers = min(16, max(1, len(paths)), os.cpu_count() or 4)
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(ex.map(lambda p: collect_file_stats(p, num_indexed_cols), paths))
+        return list(
+            ex.map(
+                lambda p: collect_file_stats(p, num_indexed_cols, stats_columns),
+                paths,
+            )
+        )
+
+
+def stats_config(configuration: dict[str, str] | None) -> tuple[int, list[str] | None]:
+    """Resolve the two data-skipping stats knobs from table config
+    (reference table/config.rs: delta.dataSkippingNumIndexedCols,
+    delta.dataSkippingStatsColumns)."""
+    cfg = configuration or {}
+    try:
+        n = int(cfg.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
+    except ValueError:
+        n = DEFAULT_NUM_INDEXED_COLS
+    raw = cfg.get("delta.dataSkippingStatsColumns")
+    cols = None
+    if raw:
+        cols = [c.strip().strip("`") for c in raw.split(",") if c.strip()]
+    return n, cols
 
 
 def stats_json(stats: dict[str, Any]) -> str:

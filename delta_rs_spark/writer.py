@@ -33,7 +33,7 @@ from delta_rs_spark.log import commit as commit_mod
 from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Protocol, Remove, Txn, now_ms
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
-from delta_rs_spark.log.stats import collect_stats_parallel, stats_json
+from delta_rs_spark.log.stats import collect_stats_parallel, stats_config, stats_json
 
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
@@ -109,6 +109,7 @@ def write_files(
     max_records_per_file: int | None = None,
     writer_properties=None,
     target_file_size: int | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> list[Add]:
     """Write df as parquet files into the table directory; return Adds.
 
@@ -157,7 +158,19 @@ def write_files(
             moved.append((dst, rel_path, part_vals))
     shutil.rmtree(stage, ignore_errors=True)
 
-    stats = collect_stats_parallel([m[0] for m in moved])
+    # data-skipping stats knobs come from the caller's configuration
+    # (creating write) or the table's live configuration (everything else)
+    cfg = configuration
+    if cfg is None:
+        try:
+            from delta_rs_spark.log import snapshot as _snap
+
+            if _snap.is_delta_table(table_path):
+                cfg = _snap.load_snapshot(table_path).configuration
+        except Exception:
+            cfg = None
+    n_idx, stats_cols = stats_config(cfg)
+    stats = collect_stats_parallel([m[0] for m in moved], n_idx, stats_cols)
     for (abs_path, rel_path, part_vals), st in zip(moved, stats):
         if st.get("numRecords") == 0:
             os.unlink(abs_path)
@@ -415,6 +428,9 @@ def write_deltalake(
         max_records_per_file,
         writer_properties=writer_properties,
         target_file_size=target_file_size,
+        configuration=(
+            snapshot.configuration if snapshot is not None else configuration
+        ),
     )
     actions.extend(adds)
     n_rows = sum(a.num_records() or 0 for a in adds)

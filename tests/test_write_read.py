@@ -176,3 +176,27 @@ def test_partition_value_encoding_roundtrip(spark, tmp_path):
     # partition values in table metadata decode back to the raw strings
     parts = {p["strings"] for p in t.partitions()}
     assert parts == set(vals)
+
+
+def test_data_skipping_stats_config(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols and delta.dataSkippingStatsColumns
+    control which columns get min/max stats (reference table/config.rs)."""
+    import json as _json
+
+    df = spark.createDataFrame([(1, 2, 3, "x")], "a long, b long, c long, d string")
+
+    t1 = str(tmp_path / "ncols")
+    write_deltalake(t1, df, configuration={"delta.dataSkippingNumIndexedCols": "2"})
+    write_deltalake(t1, df, mode="append")  # config-aware write path
+    for add in DeltaTable(t1)._snapshot.files.values():  # first write too
+        st = _json.loads(add.stats) if isinstance(add.stats, str) else add.stats_dict()
+        assert set(st["minValues"]) == {"a", "b"}
+
+    t2 = str(tmp_path / "statscols")
+    write_deltalake(
+        t2, df, configuration={"delta.dataSkippingStatsColumns": "c, d"}
+    )
+    write_deltalake(t2, df, mode="append")
+    add = list(DeltaTable(t2)._snapshot.files.values())[-1]
+    st = _json.loads(add.stats) if isinstance(add.stats, str) else add.stats_dict()
+    assert set(st["minValues"]) == {"c", "d"}
