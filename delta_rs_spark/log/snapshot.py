@@ -487,11 +487,84 @@ class Snapshot:
         return total
 
 
+def _read_last_checkpoint(table_path: str) -> dict | None:
+    """The _last_checkpoint HINT. An unreadable file degrades to listing
+    (it is only a hint); a readable hint that contradicts the log is
+    corruption and is surfaced by _validate_log."""
+    p = os.path.join(log_dir(table_path), "_last_checkpoint")
+    try:
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _validate_log(
+    table_path: str,
+    commits: list[int],
+    checkpoints: list[int],
+    compacted: dict[int, int],
+) -> None:
+    """Structural log validation (reference: delta-kernel LogSegment
+    rules, exercised by crates/core/tests/it/exotic_tables.rs):
+
+    * commit versions at or above the oldest checkpoint must be
+      contiguous — metadata cleanup only ever removes a PREFIX below a
+      checkpoint, so a hole above one means a lost commit;
+    * without any checkpoint, commits must start at 0 and be contiguous;
+    * a readable _last_checkpoint must point at an existing checkpoint
+      and agree with its action count ("size").
+    """
+    from delta_rs_spark.log.commit import DeltaError
+
+    covered: set[int] = set()
+    for s, e in compacted.items():
+        covered.update(range(s, e + 1))
+    floor = min(checkpoints) if checkpoints else 0
+    if not checkpoints and commits and commits[0] != 0 and not (0 in covered):
+        raise DeltaError(
+            f"log starts at version {commits[0]} with no checkpoint — "
+            "table state is unrecoverable"
+        )
+    present = set(commits) | covered | set(checkpoints)
+    upper = max(present) if present else -1
+    for v in range(floor, upper + 1):
+        if v not in present:
+            raise DeltaError(
+                f"missing commit version {v} in _delta_log (versions above "
+                "a checkpoint must be contiguous)"
+            )
+    lc = _read_last_checkpoint(table_path)
+    if lc is not None and "version" in lc:
+        lc_v = int(lc["version"])
+        if lc.get("parts") is not None:
+            raise DeltaError("multi-part checkpoints are not supported")
+        if lc_v not in checkpoints:
+            raise DeltaError(
+                f"_last_checkpoint points at version {lc_v} but no such "
+                "checkpoint file exists"
+            )
+        declared = lc.get("size")
+        if declared is not None:
+            actions = read_checkpoint(table_path, lc_v)
+            # v2 checkpoints keep file actions in sidecars — the local
+            # row count is legitimately partial there
+            has_sidecars = any(
+                isinstance(a, (CheckpointMetadata, Sidecar)) for a in actions
+            )
+            if not has_sidecars and len(actions) != int(declared):
+                raise DeltaError(
+                    f"checkpoint {lc_v} is corrupt: _last_checkpoint "
+                    f"declares {declared} actions, file has {len(actions)}"
+                )
+
+
 def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
     commits, checkpoints = list_log(table_path)
     compacted_ranges = list_compacted(table_path)
     if not commits and not checkpoints and not compacted_ranges:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
+    _validate_log(table_path, commits, checkpoints, compacted_ranges)
     max_v = max(commits + checkpoints + list(compacted_ranges.values()))
     target = max_v if version is None else version
     if version is not None and version > max_v:

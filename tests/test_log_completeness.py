@@ -296,3 +296,38 @@ def test_append_only_table_enforcement(spark, tmp_path, sample_df):
     t.optimize.compact()
     t.refresh()
     assert t.count() == 10
+
+
+ERR_LOG_CORPUS = "/root/reference/crates/core/tests/data_err_logs"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(ERR_LOG_CORPUS), reason="reference corpus not present"
+)
+def test_malformed_log_corpus_parity():
+    """Structural log validation against the reference's malformed-log
+    corpus (crates/core/tests/it/exotic_tables.rs expectations): commit
+    gaps above a checkpoint, dangling/corrupt _last_checkpoint, and
+    unsupported reader features must all be rejected; cleaned prefixes
+    below a checkpoint must still load."""
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.log.commit import DeltaError
+
+    expect_err = {
+        "table_a": False,
+        "table_b": False,  # missing commit BELOW checkpoint: legal cleanup
+        "table_c": True,   # commit gap above checkpoint
+        "table_d": True,   # corrupt checkpoint (size mismatch)
+        "table_e": True,   # corrupt checkpoint (size mismatch)
+        "table_f": True,   # _last_checkpoint contradicts checkpoint
+        "table_h": True,   # gap between 13 and 9999
+        "table_i": True,
+    }
+    for name, should_err in expect_err.items():
+        path = os.path.join(ERR_LOG_CORPUS, name)
+        if should_err:
+            with pytest.raises(DeltaError):
+                DeltaTable(path)
+        else:
+            t = DeltaTable(path)
+            assert t.version() == 13, name
