@@ -624,8 +624,10 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
 
 
 def version_at_timestamp(table_path: str, ts_ms: int) -> int:
-    """Latest version whose commit timestamp <= ts_ms
-    (reference: table/mod.rs:375 load_with_datetime)."""
+    """Latest version whose commit timestamp <= ts_ms; a timestamp
+    before the first commit clamps to the EARLIEST available version
+    (reference: table/mod.rs:375 load_with_datetime — its time-travel
+    test requests a pre-table timestamp and expects version 0)."""
     commits, _ = list_log(table_path)
     best = None
     for v in commits:
@@ -642,5 +644,7 @@ def version_at_timestamp(table_path: str, ts_ms: int) -> int:
         if cts <= ts_ms:
             best = v
     if best is None:
+        if commits:
+            return commits[0]
         raise ValueError(f"no version at or before timestamp {ts_ms}")
     return best

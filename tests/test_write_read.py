@@ -200,3 +200,15 @@ def test_data_skipping_stats_config(spark, tmp_path):
     add = list(DeltaTable(t2)._snapshot.files.values())[-1]
     st = _json.loads(add.stats) if isinstance(add.stats, str) else add.stats_dict()
     assert set(st["minValues"]) == {"c", "d"}
+
+
+def test_timestamp_time_travel_clamps(spark, tmp_table, sample_df):
+    """Reference time_travel_by_ds: a timestamp before the first commit
+    clamps to the earliest version; one after the last gives latest."""
+    write_deltalake(tmp_table, sample_df)
+    write_deltalake(tmp_table, sample_df, mode="append")
+    t = DeltaTable(tmp_table)
+    t.load_as_version(dt.datetime(2000, 1, 1, tzinfo=dt.timezone.utc))
+    assert t.version() == 0
+    t.load_as_version(dt.datetime(2100, 1, 1, tzinfo=dt.timezone.utc))
+    assert t.version() == 1
