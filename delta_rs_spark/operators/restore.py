@@ -24,6 +24,7 @@ def restore(
     table_path: str,
     target: int | str | dt.datetime,
     ignore_missing_files: bool = False,
+    protocol_downgrade_allowed: bool = False,
 ) -> dict[str, Any]:
     current = snap_mod.load_snapshot(table_path)
     if isinstance(target, str):
@@ -61,6 +62,34 @@ def restore(
             removed += 1
     if old.metadata and current.metadata and old.metadata.schema_string != current.metadata.schema_string:
         actions.append(old.metadata)
+    # protocol restore (reference restore.rs:268-295): by default the
+    # protocol never downgrades (max of old and current versions); with
+    # protocol_downgrade_allowed the restored snapshot's protocol wins
+    op_, cp_ = old.protocol, current.protocol
+    if op_ and cp_ and (
+        op_.min_reader_version != cp_.min_reader_version
+        or op_.min_writer_version != cp_.min_writer_version
+        or (op_.reader_features or []) != (cp_.reader_features or [])
+        or (op_.writer_features or []) != (cp_.writer_features or [])
+    ):
+        from delta_rs_spark.log.actions import Protocol
+
+        if protocol_downgrade_allowed:
+            actions.append(op_)
+        else:
+            merged = Protocol(
+                min_reader_version=max(op_.min_reader_version, cp_.min_reader_version),
+                min_writer_version=max(op_.min_writer_version, cp_.min_writer_version),
+                reader_features=sorted(
+                    set(op_.reader_features or []) | set(cp_.reader_features or [])
+                )
+                or None,
+                writer_features=sorted(
+                    set(op_.writer_features or []) | set(cp_.writer_features or [])
+                )
+                or None,
+            )
+            actions.append(merged)
 
     metrics = {
         "numRestoredFiles": restored,

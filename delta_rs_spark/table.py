@@ -759,10 +759,13 @@ class DeltaTable:
         self,
         target: int | str | dt.datetime,
         ignore_missing_files: bool = False,
+        protocol_downgrade_allowed: bool = False,
     ) -> dict[str, Any]:
         from delta_rs_spark.operators.restore import restore as _restore
 
-        metrics = _restore(self.table_uri, target, ignore_missing_files)
+        metrics = _restore(
+            self.table_uri, target, ignore_missing_files, protocol_downgrade_allowed
+        )
         self._snapshot = load_snapshot(self.table_uri)
         return metrics
 

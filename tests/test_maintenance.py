@@ -153,3 +153,26 @@ def test_is_deltatable(tmp_table, spark, sample_df):
     assert not DeltaTable.is_deltatable(tmp_table)
     write_deltalake(tmp_table, sample_df)
     assert DeltaTable.is_deltatable(tmp_table)
+
+
+def test_restore_protocol_no_downgrade_by_default(spark, tmp_table, sample_df):
+    """Reference restore.rs:268-295: restoring past a feature upgrade
+    keeps the upgraded protocol unless protocol_downgrade_allowed."""
+    from delta_rs_spark import TableFeatures
+
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    t.alter.add_feature([TableFeatures.DomainMetadata])
+    write_deltalake(tmp_table, sample_df, mode="append")
+    t.refresh()
+    t.restore(0)
+    t.refresh()
+    p = t.protocol()
+    assert "domainMetadata" in (p.writer_features or [])  # no silent downgrade
+    assert t.count() == 5
+    # explicit downgrade restores the old protocol
+    t2 = DeltaTable(tmp_table)
+    t2.restore(0, protocol_downgrade_allowed=True)
+    t2.refresh()
+    p2 = t2.protocol()
+    assert not p2.writer_features or "domainMetadata" not in p2.writer_features
