@@ -834,3 +834,32 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", X.token_count("text").alias("n_tokens")
     )
     return pack_sequences(docs, budget=512)
+
+
+@query(
+    "llm_doc_chunks",
+    """
+    WITH w AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1, 1) AS nw
+      FROM documents),
+    e AS (SELECT doc_id, text, unnest(range(0, nw)) AS i FROM w),
+    c AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_no,
+             CAST(i * 150 + 1 AS INT) AS start,
+             substr(text, i * 150 + 1, 200) AS chunk
+      FROM e)
+    SELECT doc_id, chunk_no, start, md5(chunk) AS chunk_fp FROM c
+    """,
+)
+def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-prep chunking through the Python UDTF plane (the JVM
+    expression twin chunk_spans is the 100 TB path; equality of the two
+    is pinned in test_llm_ops)."""
+    from delta_rs_spark.functions.chunking import chunk_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    chunks = chunk_documents(docs)
+    return chunks.select(
+        "doc_id", "chunk_no", "start", F.md5("chunk").alias("chunk_fp")
+    )

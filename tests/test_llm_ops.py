@@ -449,3 +449,22 @@ def test_pack_sequences_invariants(spark):
         offset += n + 1  # separator
     # shard s2 restarts at offset 0
     assert out[6].tok_offset == 0 and out[6].chunk_id == 0
+
+
+def test_chunking_udtf_matches_expression_twin(spark):
+    """The Python UDTF and the JVM expression form produce identical
+    chunk sets (the expression form is the 100 TB path)."""
+    from delta_rs_spark.functions.chunking import chunk_documents, chunk_spans
+
+    rows = [(1, "a" * 450), (2, "short"), (3, "b" * 200), (4, "c" * 201)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_udtf = {
+        (r.doc_id, r.chunk_no, r.start, r.chunk) for r in chunk_documents(df).collect()
+    }
+    via_expr = {
+        (r.doc_id, r.chunk_no, r.start, r.chunk) for r in chunk_spans(df).collect()
+    }
+    assert via_udtf == via_expr
+    # overlap property: consecutive windows share size-stride chars
+    d1 = sorted((r for r in via_udtf if r[0] == 1), key=lambda r: r[1])
+    assert len(d1) == 3 and d1[1][2] == 151
