@@ -266,3 +266,72 @@ def test_upsert_sink_live_stream(spark, tmp_path, sample_df):
     rows = {r.id: r.price for r in t.to_df().collect()}
     assert rows["1"] == 99 and rows["6"] == 6
     assert t.count() == 6
+
+
+def test_watermark_append_mode_closes_windows(spark, tmp_path):
+    """Append-mode windowed aggregation only emits windows the watermark
+    has closed; late rows beyond the watermark are dropped. (complete
+    mode is covered by test_streaming_tumbling_equals_batch)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.streaming.delta_stream import read_append_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "wm_src")
+    b1 = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=m), 1.0) for m in (5, 20, 65)],
+        "ts_ts timestamp, value double",
+    )
+    write_deltalake(src, b1)
+    stream = (
+        read_append_stream(spark, src)
+        .withWatermark("ts_ts", "10 minutes")
+        .groupBy(F.window("ts_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    emitted1 = {r.ws: r.n for r in spark.sql("SELECT * FROM wm_out").collect()}
+    # watermark = 01:05 - 10m = 00:55 -> hour-0 window [00:00,01:00) not
+    # yet closed in THIS batch; emission happens on the next batch
+    b2 = spark.createDataFrame(
+        [
+            (base + dt.timedelta(minutes=130), 1.0),  # advances watermark to 02:00
+            # watermark is 00:55 entering this batch, but window
+            # [00:00,01:00) is still OPEN (end > watermark): row counts
+            (base + dt.timedelta(minutes=7), 9.0),
+        ],
+        "ts_ts timestamp, value double",
+    )
+    write_deltalake(src, b2, mode="append")
+    q.processAllAvailable()
+    emitted2 = {r.ws: r.n for r in spark.sql("SELECT * FROM wm_out").collect()}
+    h0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert h0 in emitted2, emitted2
+    assert emitted2[h0] == 3  # hour-0 closed with both on-time rows + the in-grace row
+    # batch 3: a row for the now-CLOSED hour-0 window must be dropped,
+    # not re-emitted; the 03:30 row closes hour-2
+    b3 = spark.createDataFrame(
+        [
+            (base + dt.timedelta(minutes=30), 5.0),   # beyond watermark AND closed window
+            (base + dt.timedelta(minutes=210), 1.0),
+        ],
+        "ts_ts timestamp, value double",
+    )
+    write_deltalake(src, b3, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM wm_out").collect()
+    assert sum(1 for r in rows if r.ws == h0) == 1  # no re-emission
+    h2 = h0 + 2 * 3600
+    emitted3 = {r.ws: r.n for r in rows}
+    assert emitted3.get(h2) == 1  # the dropped row never reopened state
