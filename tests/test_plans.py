@@ -110,3 +110,34 @@ def test_events_scan_native_vectorized(spark):
     assert "Batched: true" in p  # vectorized reader engaged
     assert "PushedFilters" in p
     assert "ts" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_events_ns_fallback_roundtrip(spark, tmp_path):
+    """If the driver regenerates events.parquet as TIMESTAMP(NANOS)
+    again (the r1-2 layout Spark 4 can't read natively), the loader's
+    footer branch must force int64-ns and still yield the same µs
+    TimestampType contract."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [dt.datetime(2024, 1, 1, h, 30) for h in range(4)]
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["click"] * 4),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            "props": pa.array(['{"k":1}'] * 4),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"), store_schema=False)
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, str(tmp_path), "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    rows = sorted((r.event_id, str(r.ts)) for r in ev.collect())
+    assert rows[0] == (1, "2024-01-01 00:30:00")
+    assert rows[3] == (4, "2024-01-01 03:30:00")
