@@ -84,6 +84,10 @@ class TransactionInfo:
     app_ids: set[str] = field(default_factory=set)
     isolation_level: str = "WriteSerializable"
     written_domains: set[str] = field(default_factory=set)
+    # table configuration as of the read snapshot, when the operator
+    # already holds it — saves commit() a full log replay for the
+    # append-only check (None = commit loads it on demand)
+    table_config: dict[str, str] | None = None
 
 
 class LogStore:
@@ -299,10 +303,12 @@ def commit(
     ):
         redefines = operation.operation.startswith("CREATE")
         if not redefines:
-            try:
-                cfg = snap_mod.load_snapshot(table_path, read_version).configuration
-            except Exception:
-                cfg = {}
+            cfg = txn_info.table_config if txn_info is not None else None
+            if cfg is None:
+                try:
+                    cfg = snap_mod.load_snapshot(table_path, read_version).configuration
+                except Exception:
+                    cfg = {}
             if cfg.get("delta.appendOnly", "").lower() == "true":
                 raise DeltaError(
                     f"table is append-only (delta.appendOnly=true): "

@@ -133,7 +133,11 @@ def delete(
             removes,
             op,
             snapshot.version,
-            TransactionInfo(blind_append=False, read_whole_table=True),
+            TransactionInfo(
+                blind_append=False,
+                read_whole_table=True,
+                table_config=snapshot.configuration,
+            ),
             commit_properties=commit_properties,
             post_commit=post_commithook_properties,
         )
@@ -154,6 +158,7 @@ def delete(
         blind_append=False,
         read_files={r.path for r in removes},
         read_whole_table=False,
+        table_config=snapshot.configuration,
         isolation_level=snapshot.configuration.get(
             "delta.isolationLevel", "WriteSerializable"
         ),

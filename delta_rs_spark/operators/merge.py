@@ -616,6 +616,7 @@ class TableMerger:
             blind_append=False,
             read_files={a.path for a in candidates},
             read_whole_table=(early is None or bool(self.not_matched_by_source)),
+            table_config=snapshot.configuration,
             isolation_level=snapshot.configuration.get(
                 "delta.isolationLevel", "WriteSerializable"
             ),

@@ -102,6 +102,10 @@ def restore(
         actions,
         op,
         current.version,
-        TransactionInfo(blind_append=False, read_whole_table=True),
+        TransactionInfo(
+            blind_append=False,
+            read_whole_table=True,
+            table_config=current.configuration,
+        ),
     )
     return metrics

@@ -153,6 +153,7 @@ def update(
     txn = TransactionInfo(
         blind_append=False,
         read_files={r.path for r in removes},
+        table_config=snapshot.configuration,
         isolation_level=snapshot.configuration.get(
             "delta.isolationLevel", "WriteSerializable"
         ),

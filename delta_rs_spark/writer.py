@@ -439,7 +439,11 @@ def write_deltalake(
     metrics["numOutputBytes"] = sum(a.size for a in adds)
 
     if snapshot is not None and mode == "overwrite":
-        txn_info = TransactionInfo(blind_append=False, read_whole_table=True)
+        txn_info = TransactionInfo(
+            blind_append=False,
+            read_whole_table=True,
+            table_config=snapshot.configuration,
+        )
         if predicate:
             removes, extra_adds, n_removed = _replace_where(
                 spark, snapshot, table_path, df, predicate, table_schema, part_cols
