@@ -708,6 +708,11 @@ class DeltaTable:
         source_alias: str | None = None,
         target_alias: str | None = None,
         merge_schema: bool = False,
+        error_on_type_mismatch: bool = True,  # accepted for signature parity
+        writer_properties=None,  # parquet writer options for rewrite files
+        streamed_exec: bool = True,  # Spark plans are always lazy/streamed
+        max_spill_size: int | None = None,  # Spark manages spill itself
+        max_temp_directory_size: int | None = None,
         commit_properties=None,
         post_commithook_properties=None,
     ):
