@@ -628,6 +628,7 @@ class DeltaTable:
     def delete(
         self,
         predicate: str | None = None,
+        writer_properties=None,  # accepted for signature parity
         commit_properties=None,
         post_commithook_properties=None,
     ) -> dict[str, Any]:
@@ -748,6 +749,8 @@ class DeltaTable:
         enforce_retention_duration: bool = True,
         full: bool = False,
         keep_versions: list[int] | None = None,
+        commit_properties=None,  # accepted for signature parity
+        post_commithook_properties=None,
     ) -> list[str]:
         from delta_rs_spark.operators.vacuum import vacuum as _vacuum
 
@@ -774,7 +777,12 @@ class DeltaTable:
         self._snapshot = load_snapshot(self.table_uri)
         return metrics
 
-    def repair(self, dry_run: bool = False) -> dict[str, Any]:
+    def repair(
+        self,
+        dry_run: bool = False,
+        commit_properties=None,  # accepted for signature parity
+        post_commithook_properties=None,
+    ) -> dict[str, Any]:
         from delta_rs_spark.operators.fsck import repair as _repair
 
         metrics = _repair(self.table_uri, dry_run)
