@@ -87,28 +87,71 @@ class TableOptimizer:
         if not to_compact:
             return metrics
 
-        total_bytes = sum(a.size for a in to_compact)
-        total_rows = sum(a.num_records() or 0 for a in to_compact)
-        rows_per_file = (
-            max(1, int(total_rows * target / total_bytes)) if total_bytes and total_rows else None
-        )
-        df = read_snapshot_df(spark, snapshot, table_path, files=to_compact)
-        new_adds = write_files(df, table_path, part_cols, max_records_per_file=rows_per_file)
-        for a in new_adds:
-            a.data_change = False
-        ts = now_ms()
-        removes = [
-            Remove(a.path, ts, False, a.partition_values, a.size) for a in to_compact
-        ]
-        metrics["numFilesAdded"] = len(new_adds)
-        metrics["numFilesRemoved"] = len(removes)
-        op = CommitInfo(
-            "OPTIMIZE",
-            {"targetSize": target, **({"predicate": pred} if pred else {})},
-            operation_metrics=metrics,
-        )
-        txn = TransactionInfo(blind_append=False, read_files={r.path for r in removes})
-        commit_mod.commit(table_path, list(new_adds) + removes, op, snapshot.version, txn)
+        def compact_files(files: list) -> tuple[list, list]:
+            tb = sum(a.size for a in files)
+            tr = sum(a.num_records() or 0 for a in files)
+            rows_per_file = max(1, int(tr * target / tb)) if tb and tr else None
+            df = read_snapshot_df(spark, snapshot, table_path, files=files)
+            new_adds = write_files(
+                df, table_path, part_cols, max_records_per_file=rows_per_file
+            )
+            for a in new_adds:
+                a.data_change = False
+            ts = now_ms()
+            removes = [
+                Remove(a.path, ts, False, a.partition_values, a.size) for a in files
+            ]
+            return new_adds, removes
+
+        def commit_batch(new_adds: list, removes: list, read_version: int) -> int:
+            batch_metrics = {
+                **metrics,
+                "numFilesAdded": len(new_adds),
+                "numFilesRemoved": len(removes),
+            }
+            op = CommitInfo(
+                "OPTIMIZE",
+                {"targetSize": target, **({"predicate": pred} if pred else {})},
+                operation_metrics=batch_metrics,
+            )
+            txn = TransactionInfo(
+                blind_append=False,
+                read_files={r.path for r in removes},
+                table_config=snapshot.configuration,
+            )
+            return commit_mod.commit(
+                table_path, list(new_adds) + removes, op, read_version, txn
+            )
+
+        if min_commit_interval is None:
+            new_adds, removes = compact_files(to_compact)
+            metrics["numFilesAdded"] = len(new_adds)
+            metrics["numFilesRemoved"] = len(removes)
+            commit_batch(new_adds, removes, snapshot.version)
+        else:
+            # incremental commits (reference optimize.rs min_commit_interval):
+            # long compactions publish progress every `interval` seconds, one
+            # partition bin at a time, so a crash loses at most one interval
+            # of work and concurrent readers see files shrink progressively
+            import time as _time
+
+            groups = [g for g in by_part.values() if len(g) > 1]
+            read_version = snapshot.version
+            pend_adds: list = []
+            pend_removes: list = []
+            t_last = _time.time()
+            for g in groups:
+                a, r = compact_files(g)
+                pend_adds.extend(a)
+                pend_removes.extend(r)
+                metrics["numFilesAdded"] += len(a)
+                metrics["numFilesRemoved"] += len(r)
+                if _time.time() - t_last >= min_commit_interval:
+                    read_version = commit_batch(pend_adds, pend_removes, read_version)
+                    pend_adds, pend_removes = [], []
+                    t_last = _time.time()
+            if pend_adds or pend_removes:
+                commit_batch(pend_adds, pend_removes, read_version)
         self.dt.refresh()
         return metrics
 

@@ -176,3 +176,24 @@ def test_restore_protocol_no_downgrade_by_default(spark, tmp_table, sample_df):
     t2.refresh()
     p2 = t2.protocol()
     assert not p2.writer_features or "domainMetadata" not in p2.writer_features
+
+
+def test_optimize_min_commit_interval_incremental(spark, tmp_table):
+    """min_commit_interval=0 commits per partition bin (reference
+    optimize.rs incremental commits): two compactable partitions produce
+    two OPTIMIZE commits, and the data survives intact."""
+    both = spark.createDataFrame(
+        [(i, "a") for i in range(4)] + [(i, "b") for i in range(4)],
+        "id long, p string",
+    )
+    for _ in range(2):  # 2 appends x 2 partitions = 4 small files
+        write_deltalake(tmp_table, both, mode="append", partition_by=["p"])
+    t = DeltaTable(tmp_table)
+    assert len(t.files()) >= 4
+    m = t.optimize.compact(min_commit_interval=0)
+    t.refresh()
+    assert m["numFilesRemoved"] >= 4
+    ops = [h["operation"] for h in t.history()]
+    assert ops.count("OPTIMIZE") == 2  # one commit per partition bin
+    assert t.count() == 16  # 2 appends x 8 rows
+    assert len(t.files()) == 2
