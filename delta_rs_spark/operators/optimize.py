@@ -44,7 +44,11 @@ class TableOptimizer:
         self,
         partition_filters: list | None = None,
         target_size: int | None = None,
+        max_concurrent_tasks: int | None = None,  # Spark schedules tasks itself
         min_commit_interval: int | None = None,
+        writer_properties=None,
+        commit_properties=None,
+        post_commithook_properties=None,
     ) -> dict[str, Any]:
         from delta_rs_spark.table import _dnf_to_sql, read_snapshot_df
         from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
@@ -160,6 +164,12 @@ class TableOptimizer:
         columns: list[str],
         partition_filters: list | None = None,
         target_size: int | None = None,
+        max_concurrent_tasks: int | None = None,  # Spark schedules tasks itself
+        max_spill_size: int | None = None,
+        min_commit_interval: int | None = None,  # accepted; z-order is one rewrite
+        writer_properties=None,
+        commit_properties=None,
+        post_commithook_properties=None,
     ) -> dict[str, Any]:
         from delta_rs_spark.table import _dnf_to_sql, read_snapshot_df
         from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
