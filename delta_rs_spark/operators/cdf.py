@@ -70,7 +70,9 @@ def load_cdf(
     # snapshot reconstruction per version (reference: load_cdf.rs streams
     # the log the same way)
     if starting_version > 0:
-        snap = snap_mod.load_snapshot(table_path, starting_version - 1)
+        # clamp: an allowed out-of-range start skips the loop entirely and
+        # returns the empty change feed below
+        snap = snap_mod.load_snapshot(table_path, min(starting_version - 1, latest))
     else:
         snap = snap_mod.Snapshot(table_path=table_path)
 

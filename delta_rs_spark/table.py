@@ -798,6 +798,7 @@ class DeltaTable:
         ending_timestamp: str | None = None,
         columns: list[str] | None = None,
         predicate: str | None = None,
+        allow_out_of_range: bool = False,
     ) -> DataFrame:
         from delta_rs_spark.operators.cdf import load_cdf as _load_cdf
 
@@ -810,6 +811,7 @@ class DeltaTable:
             ending_timestamp,
             columns,
             predicate,
+            allow_out_of_range,
         )
 
     def create_checkpoint(self) -> None:

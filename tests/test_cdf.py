@@ -1,6 +1,9 @@
 """Change Data Feed (reference test model: python/tests/test_cdf.py)."""
 
+import pytest
+
 from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.log.commit import DeltaError
 
 
 CDF_CONF = {"delta.enableChangeDataFeed": "true"}
@@ -50,3 +53,13 @@ def test_cdf_predicate_and_columns(spark, tmp_table, sample_df):
     ).collect()
     assert len(rows) == 2
     assert set(rows[0].asDict()) == {"id", "_change_type"}
+
+
+def test_cdf_allow_out_of_range(spark, tmp_table, sample_df):
+    write_deltalake(
+        tmp_table, sample_df, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    t = DeltaTable(tmp_table)
+    with pytest.raises(DeltaError):
+        t.load_cdf(starting_version=99)
+    assert t.load_cdf(starting_version=99, allow_out_of_range=True).count() == 0
