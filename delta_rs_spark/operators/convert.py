@@ -29,13 +29,27 @@ _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 def convert_to_deltalake(
     uri: str,
     spark: SparkSession | None = None,
+    mode: str = "error",
     partition_by: T.StructType | list[str] | None = None,
+    partition_strategy: str | None = None,
     name: str | None = None,
     description: str | None = None,
     configuration: dict[str, str] | None = None,
+    storage_options: dict[str, str] | None = None,
+    commit_properties=None,
+    post_commithook_properties=None,
 ) -> None:
+    """(reference: python/deltalake/writer/convert_to.py:23-33 — 'hive'
+    is the only partition strategy there too; mode='ignore' no-ops on an
+    existing Delta table instead of erroring.)"""
+    if partition_strategy not in (None, "hive"):
+        raise ValueError(f"unsupported partition strategy {partition_strategy!r}")
+    if mode not in ("error", "ignore"):
+        raise ValueError(f"invalid convert mode {mode!r}")
     path = str(uri).removeprefix("file://")
     if snap_mod.is_delta_table(path):
+        if mode == "ignore":
+            return
         raise DeltaError(f"already a Delta table: {path}")
     if spark is None:
         from delta_rs_spark.session import get_spark
