@@ -322,6 +322,8 @@ def write_deltalake(
     partition_by = partition_by or []
     if mode not in ("error", "ignore", "append", "overwrite"):
         raise ValueError(f"invalid mode {mode!r}")
+    if schema_mode not in (None, "merge", "overwrite"):
+        raise ValueError(f"invalid schema_mode {schema_mode!r}")
     if predicate and mode != "overwrite":
         raise ValueError("predicate (replaceWhere) requires mode='overwrite'")
 
