@@ -39,13 +39,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # bounded window (~50 entries per round). Order the planes so every SURVEY
 # §2 component gets a witness before redundant query shapes: Delta table
 # ops (§2A) -> streaming/event-time -> one relational representative per
-# §2B category -> LLM-pipeline ops (newest/least-witnessed first; the
-# handful that were oracle-green in BOTH prior rounds defer to the window
-# tail) -> the remaining TPC-H shapes (the most redundant block: ~26
-# queries over 12 already-witnessed categories).
+# §2B category -> never-witnessed queries -> LLM-pipeline ops -> the
+# multi-round-green tail (category variants, stable LLM entries, and the
+# most redundant block: ~23 TPC-H shapes over 12 already-witnessed
+# categories).
+#
+# INVARIANT (keep true under the driver's observed 50-51 budget): the
+# top-47 positions must contain all delta_* ops, all events/streaming
+# queries, >=1 representative per §2B category, and EVERY query that has
+# never had a green oracle row. Any NEW query enters inside the top-47 by
+# adding it to _FIRST_WITNESS_NEEDED, displacing multi-round-green entries
+# into the tail. Once green, move it out of _FIRST_WITNESS_NEEDED; once
+# green in >=2 rounds it may move to a _*_STABLE set.
 _RELATIONAL_REPRESENTATIVES = (
     # one distinct §2B category per entry first, so even a clipped window
-    # witnesses every category; same-category variants trail
+    # witnesses every category; same-category variants live in
+    # _RELATIONAL_STABLE (each thrice-green r01-r03)
     "q1_pricing_summary",        # scan + agg
     "q3_shipping_priority",      # join + sort/limit
     "q_top3_suppliers_per_nation",  # window functions
@@ -55,11 +64,25 @@ _RELATIONAL_REPRESENTATIVES = (
     "q_distinct_counts",         # distinct aggregation
     "q_pivot_status_by_segment",  # pivot-style agg
     "q_rollup_segment_status",   # rollup (agg variant)
+)
+
+# Registered queries with NO green oracle row in any prior round: these
+# take window positions immediately after the category representatives.
+_FIRST_WITNESS_NEEDED = (
+    "q_grouping_sets",   # agg variant (category witnessed by q1/rollup)
+    "q_multiset_ops",    # set-ops variant (witnessed by q_setops)
+    "llm_doc_chunks",    # UDTF/chunking plane
+)
+
+# Thrice-green (r01+r02+r03) category variants whose §2B categories are
+# already witnessed by in-window representatives: head of the tail, so
+# they still re-witness whenever the window stretches past the top-49.
+_RELATIONAL_STABLE = (
+    "llm_duplicate_clusters",    # green r02+r03 (connected components)
     "q_date_parts",              # scalar fns (variant)
     "q_exact_percentiles",       # scalar fns (variant)
     "q_cross_join_coverage",     # joins (variant)
 )
-
 
 # r01+r02 oracle-green and structurally simple: these give up their
 # window slot to never-witnessed entries
@@ -83,15 +106,23 @@ def _plane_rank(name: str) -> int:
         return 1
     if name in _RELATIONAL_REPRESENTATIVES:
         return 2
+    if name in _FIRST_WITNESS_NEEDED:
+        return 3
+    if name in _RELATIONAL_STABLE:
+        return 5
     if name.startswith("llm_"):
-        return 3 if name not in _LLM_STABLE else 4
-    return 5
+        return 4 if name not in _LLM_STABLE else 6
+    return 7
 
 
 def _order_key(name: str) -> tuple[int, int]:
     rank = _plane_rank(name)
     if rank == 2:  # representatives run in category order, not reg order
         return (rank, _RELATIONAL_REPRESENTATIVES.index(name))
+    if rank == 3:
+        return (rank, _FIRST_WITNESS_NEEDED.index(name))
+    if rank == 5:
+        return (rank, _RELATIONAL_STABLE.index(name))
     return (rank, 0)
 
 

@@ -1,9 +1,16 @@
 """Benchmark harness (driver-run per round -> BENCH_r{N}.json).
 
 Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: the FINAL stdout line is a compact (<200 byte) JSON
+object {"metric": "headline_suite_total", "value": total_sec,
+"unit": "sec", "sf": ..., "n_queries": ...} so it survives the
+driver's bounded tail window. The full per-query timing dict is
+emitted as its own EARLIER stdout line and also written to
+BENCH_DETAIL.json next to this script (r02/r03 both lost their bench
+record because the ~70-query dict pushed the head of the one-line JSON
+past a 2,000-char tail window).
 
 A warm-up query amortizes JVM/session startup (BASELINE.md: at sf0.1
 Spark fixed overhead dominates; the reference is an in-process library).
@@ -102,23 +109,40 @@ def main() -> None:
                 times[name] = elapsed
 
     total = round(sum(times.values()), 3)
+    detail = {
+        "metric": "headline_suite_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    # Durable copy of the per-query breakdown (stdout tails get clipped).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"WARN: could not write {detail_path}: {e}", file=sys.stderr)
     # newline guard: any interleaved console output (progress bars are off in
     # session.py, but belt-and-braces) must not share a line with the JSON
     sys.stdout.flush()
     sys.stderr.flush()
     print()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_val,
-            }
-        ),
-        flush=True,
-    )
+    print(json.dumps(detail), flush=True)
+    # FINAL line: compact, <200 bytes, survives any tail window >=200 chars.
+    summary = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(times),
+    }
+    line = json.dumps(summary)
+    assert len(line) < 200, f"summary line grew to {len(line)} bytes"
+    print()
+    print(line, flush=True)
     spark.stop()
 
 

@@ -388,3 +388,51 @@ def test_create_with_mirror_schema_and_feature_protocol(spark, tmp_path):
         configuration={"delta.enableDeletionVectors": "true"},
     )
     assert "deletionVectors" in dt2.protocol().reader_features
+
+
+def test_reference_all_subset_of_exports():
+    """Every name in the reference's public __all__
+    (python/deltalake/__init__.py:140-161) must exist in this package
+    (get_spark and the richer schema/error surface are allowed extras)."""
+    import delta_rs_spark as pkg
+
+    reference_all = [
+        "BloomFilterProperties",
+        "ColumnProperties",
+        "CommitProperties",
+        "DataType",
+        "DeltaTable",
+        "Field",
+        "Metadata",
+        "PostCommitHookProperties",
+        "QueryBuilder",
+        "Schema",
+        "TableFeatures",
+        "Transaction",
+        "VariantType",
+        "WriterProperties",
+        "__version__",
+        "convert_to_deltalake",
+        "enable_nanosecond_timestamps",
+        "init_tracing",
+        "rust_core_version",
+        "write_deltalake",
+    ]
+    missing = [n for n in reference_all if not hasattr(pkg, n)]
+    assert missing == []
+    assert set(reference_all) - {"DataType", "__version__"} <= set(pkg.__all__)
+
+
+def test_runtime_stub_semantics():
+    import delta_rs_spark as pkg
+
+    assert pkg.rust_core_version().startswith("pyspark-")
+    pkg.init_tracing()  # no-op
+    pkg.init_tracing("http://localhost:4318/v1/traces")
+    with pytest.raises(TypeError):
+        pkg.init_tracing(123)
+    # Spark SQL is µs-precision: the toggle must refuse, like the
+    # reference's non-nanos build does, and the probe must stay False.
+    with pytest.raises(RuntimeError):
+        pkg.enable_nanosecond_timestamps()
+    assert pkg._nanosecond_timestamps_enabled() is False
