@@ -74,6 +74,17 @@ class ConcurrentDomainMetadataError(CommitFailedError):
     """A concurrent commit changed a domain this transaction also writes."""
 
 
+class TableNotFoundError(DeltaError, FileNotFoundError):
+    """No ``_delta_log`` at the given path (reference:
+    python/deltalake/exceptions.py TableNotFoundError). Doubles as
+    FileNotFoundError for callers that predate delta_rs_spark.exceptions."""
+
+
+class DeltaProtocolError(DeltaError):
+    """Table requires reader/writer versions or features this engine does
+    not support (reference: DeltaProtocolError)."""
+
+
 @dataclass
 class TransactionInfo:
     """What this transaction read — drives conflict detection."""

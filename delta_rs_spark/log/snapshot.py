@@ -563,7 +563,9 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
     commits, checkpoints = list_log(table_path)
     compacted_ranges = list_compacted(table_path)
     if not commits and not checkpoints and not compacted_ranges:
-        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
+        from delta_rs_spark.log.commit import TableNotFoundError
+
+        raise TableNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
     _validate_log(table_path, commits, checkpoints, compacted_ranges)
     max_v = max(commits + checkpoints + list(compacted_ranges.values()))
     target = max_v if version is None else version

@@ -221,15 +221,17 @@ class DeltaTable:
         p = self._snapshot.protocol
         if p is None:
             return
+        from delta_rs_spark.log.commit import DeltaProtocolError
+
         if p.min_reader_version > 3:
-            raise DeltaError(
+            raise DeltaProtocolError(
                 f"table requires minReaderVersion {p.min_reader_version}; "
                 "this engine reads up to 3"
             )
         if p.min_reader_version >= 3:
             unsupported = set(p.reader_features or []) - self.SUPPORTED_READER_FEATURES
             if unsupported:
-                raise DeltaError(
+                raise DeltaProtocolError(
                     f"table requires unsupported reader features {sorted(unsupported)}"
                 )
 

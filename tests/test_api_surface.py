@@ -436,3 +436,61 @@ def test_runtime_stub_semantics():
     with pytest.raises(RuntimeError):
         pkg.enable_nanosecond_timestamps()
     assert pkg._nanosecond_timestamps_enabled() is False
+
+
+def test_exceptions_module_parity(spark, tmp_path):
+    """deltalake.exceptions parity: module path, names, and live raise
+    sites (reference python/deltalake/exceptions.py)."""
+    from delta_rs_spark import exceptions as exc
+
+    for n in ("CommitFailedError", "DeltaError", "DeltaProtocolError",
+              "SchemaMismatchError", "TableNotFoundError"):
+        assert hasattr(exc, n), n
+    # live site: missing table raises TableNotFoundError (and stays
+    # catchable as FileNotFoundError for pre-module callers)
+    with pytest.raises(exc.TableNotFoundError):
+        DeltaTable(str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError):
+        DeltaTable(str(tmp_path / "nope"))
+    # live site: unreadable protocol raises DeltaProtocolError
+    import json, os
+    p = str(tmp_path / "hi_proto")
+    write_deltalake(p, pd.DataFrame({"id": [1]}))
+    log = os.path.join(p, "_delta_log", "00000000000000000001.json")
+    with open(log, "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 9, "minWriterVersion": 9}}) + "\n")
+    with pytest.raises(exc.DeltaProtocolError):
+        DeltaTable(p)
+
+    from delta_rs_spark.warnings import ExperimentalWarning
+    assert issubclass(ExperimentalWarning, Warning)
+
+
+def test_delta_storage_handler(spark, tmp_path, sample_df):
+    """deltalake.fs.DeltaStorageHandler parity: a pyarrow PyFileSystem
+    over the table root reads the snapshot's files by relative path."""
+    import pyarrow.parquet as pqt
+    from pyarrow.fs import PyFileSystem, FileType
+
+    from delta_rs_spark.fs import DeltaStorageHandler
+
+    p = str(tmp_path / "fstab")
+    write_deltalake(p, sample_df)
+    t = DeltaTable(p)
+    fs = PyFileSystem(DeltaStorageHandler(p))
+    total = 0
+    for rel in t.files():  # add.path entries, relative to table root
+        info = fs.get_file_info([rel])[0]
+        assert info.type == FileType.File and info.size > 0
+        total += pqt.read_table(rel, filesystem=fs).num_rows
+    assert total == t.count()
+    # known_sizes short-circuits the stat call, like the reference
+    fs2 = PyFileSystem(DeltaStorageHandler(p, known_sizes={"ghost.parquet": 7}))
+    assert fs2.get_file_info(["ghost.parquet"])[0].size == 7
+    # from_table + selector listing
+    h = DeltaStorageHandler.from_table(t)
+    names = [i.base_name for i in PyFileSystem(h).get_file_info(
+        __import__("pyarrow").fs.FileSelector(p, recursive=True))]
+    assert any(n.endswith(".parquet") for n in names)
+    with pytest.raises(NotImplementedError):
+        h.open_append_stream("x", {})
