@@ -853,13 +853,15 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval-prep chunking through the Python UDTF plane (the JVM
-    expression twin chunk_spans is the 100 TB path; equality of the two
-    is pinned in test_llm_ops)."""
-    from delta_rs_spark.functions.chunking import chunk_documents
+    """Retrieval-prep chunking through the JVM expression path
+    (chunk_spans) — the 100 TB shape, so the gate times the plan a
+    cluster would run. The Python-UDTF twin chunk_documents stays the
+    API-parity surface; UDTF==expression equality is pinned in
+    test_llm_ops, which keeps the UDTF plane witnessed."""
+    from delta_rs_spark.functions.chunking import chunk_spans
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    chunks = chunk_documents(docs)
+    chunks = chunk_spans(docs)
     return chunks.select(
         "doc_id", "chunk_no", "start", F.md5("chunk").alias("chunk_fp")
     )
