@@ -71,7 +71,11 @@ _RELATIONAL_REPRESENTATIVES = (
 _FIRST_WITNESS_NEEDED = (
     "q_grouping_sets",   # agg variant (category witnessed by q1/rollup)
     "q_multiset_ops",    # set-ops variant (witnessed by q_setops)
-    "llm_doc_chunks",    # UDTF/chunking plane
+    "llm_doc_chunks",    # chunking plane (JVM chunk_spans path)
+    # new in r04:
+    "llm_benchmark_contamination",  # winnowing containment / decontam
+    "llm_unigram_logprob",          # corpus-LM quality scoring
+    "llm_source_mix",               # data-mix composition report
 )
 
 # Thrice-green (r01+r02+r03) category variants whose §2B categories are

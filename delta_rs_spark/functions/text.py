@@ -372,3 +372,109 @@ def winnowing_fingerprints(
         .select("id", F.col("__wm").alias("fp"))
         .distinct()
     )
+
+
+def containment_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.5,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Benchmark decontamination: for every (corpus doc, benchmark doc)
+    pair sharing winnowing fingerprints, the containment score
+    |shared fps| / |benchmark fps| — the fraction of the benchmark doc's
+    fingerprint set present in the training doc. Pairs at or above
+    ``threshold`` are the contamination report a pretraining pipeline
+    acts on (cf. the winnowing guarantee: any shared passage of length
+    >= window + k - 1 contributes a shared fingerprint, so containment
+    degrades gracefully with partial overlap rather than needing exact
+    match).
+
+    Scale shape: the benchmark side is tiny by definition (eval suites,
+    not corpora), so its fingerprint set and per-doc sizes are BROADCAST
+    — the 100 TB corpus side streams through scan -> fingerprint ->
+    broadcast-hash-join -> one groupBy on (corpus_id, bench_id), whose
+    cardinality is bounded by candidate pairs, not the corpus. No
+    corpus-side shuffle beyond the fingerprint window (one, on doc id).
+    """
+    fps_c = winnowing_fingerprints(corpus, text_col, id_col, k, window, hash_fn)
+    fps_b = winnowing_fingerprints(benchmark, text_col, id_col, k, window, hash_fn)
+    sizes_b = fps_b.groupBy("id").agg(F.count(F.lit(1)).alias("__bn"))
+    bench = fps_b.withColumnRenamed("id", "bench_id").join(
+        sizes_b.withColumnRenamed("id", "bench_id"), "bench_id"
+    )
+    shared = fps_c.withColumnRenamed("id", "corpus_id").join(
+        F.broadcast(bench), "fp"
+    )
+    return (
+        shared.groupBy("corpus_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("__bn").alias("__bn"),
+        )
+        .withColumn(
+            "containment", F.round(F.col("n_shared") / F.col("__bn"), 4)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("corpus_id", "bench_id", "n_shared", "containment")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    MLE unigram model — the classic cheap LM-quality signal (gibberish
+    and boilerplate score low; fluent text built from common tokens
+    scores high). p(t) = count(t) / total_tokens over the corpus; score
+    = mean over the doc's tokens of ln p(t). No smoothing needed: the
+    model is fit on the corpus being scored, so every token has count
+    >= 1.
+
+    Scale shape: one explode + groupBy(term) builds the count table
+    (map-side partial agg makes it |vocab|-sized); it is broadcast back
+    onto the exploded tokens, then one groupBy(doc) takes the mean. At
+    100 TB the vocab table is the only corpus-global state; if the raw
+    vocab outgrew the broadcast ceiling the standard move is frequency
+    pruning with an OOV floor probability, which changes this function's
+    model, not its plan.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt")).collect()[0][0]  # one scalar, driver-held like tfidf's n_docs
+    scored = toks.join(F.broadcast(counts), "term")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 4).alias(
+            "mean_logprob"
+        ),
+    )
+
+
+def source_mix(df: DataFrame, text_col: str = "text", source_col: str = "source") -> DataFrame:
+    """Corpus composition report per source: doc/token/char totals and
+    each source's share of the corpus token budget — the table a data-mix
+    decision (upsample source X, cap source Y) reads from.
+
+    Scale shape: one groupBy(source) with map-side partial aggregation
+    reduces the corpus to |sources| rows; the share is a second,
+    |sources|-sized aggregation — corpus size only enters the first
+    pass."""
+    per_source = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+        F.sum(char_count(text_col)).alias("n_chars"),
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        F.round(F.col("n_tokens") / F.col("n_docs"), 2).alias("tokens_per_doc"),
+    )

@@ -865,3 +865,92 @@ def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select(
         "doc_id", "chunk_no", "start", F.md5("chunk").alias("chunk_fp")
     )
+
+
+# Winnowing fingerprint rows (doc_id, fp), shared by the contamination
+# oracle — identical pipeline to the llm_winnowing_fingerprints oracle.
+_WINNOW_FPS_SQL = """
+    wn AS (SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+           FROM documents),
+    wg AS (SELECT doc_id,
+                  list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                                 i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT) AS hs
+           FROM wn),
+    ww AS (SELECT doc_id,
+                  list_distinct(
+                    list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                   j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+           FROM wg),
+    wf AS (SELECT doc_id, unnest(fps) AS fp FROM ww)
+"""
+
+
+@query(
+    "llm_benchmark_contamination",
+    f"""
+    WITH {_WINNOW_FPS_SQL},
+    b AS (SELECT doc_id AS bench_id, fp FROM wf WHERE doc_id % 20 = 0),
+    bs AS (SELECT bench_id, count(*) AS bn FROM b GROUP BY 1),
+    sh AS (SELECT wf.doc_id AS corpus_id, b.bench_id, count(*) AS n_shared
+           FROM wf JOIN b USING (fp) GROUP BY 1, 2)
+    SELECT corpus_id, bench_id, n_shared,
+           round(n_shared * 1.0 / bn, 4) AS containment
+    FROM sh JOIN bs USING (bench_id)
+    WHERE round(n_shared * 1.0 / bn, 4) >= 0.5
+    """,
+)
+def llm_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via winnowing containment: benchmark
+    stand-in = every 20th doc (deterministic), report corpus docs whose
+    fingerprints cover >= 50% of a benchmark doc's fingerprint set. The
+    benchmark side is broadcast — the corpus side's only shuffle is the
+    fingerprint window (text.containment_scores docstring has the 100 TB
+    argument). hash_fn='md5' -> full cross-engine oracle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return X.containment_scores(
+        docs, bench, threshold=0.5, hash_fn="md5"
+    )
+
+
+@query(
+    "llm_unigram_logprob",
+    f"""
+    WITH tk AS (SELECT doc_id, unnest({_NE_TOKENS_SQL}) AS term FROM documents),
+    c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM c)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(cnt / total)), 4) AS mean_logprob
+    FROM tk JOIN c USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap LM-quality signal: mean ln p(token) under the corpus's own
+    MLE unigram model (text.unigram_logprob). Vocab count table is the
+    only corpus-global state; broadcast back onto the token stream."""
+    docs = _docs(spark, sf_dir)
+    return X.unigram_logprob(docs)
+
+
+@query(
+    "llm_source_mix",
+    f"""
+    WITH s AS (SELECT source, count(*) AS n_docs,
+                      sum(len({_NE_TOKENS_SQL})) AS n_tokens,
+                      sum(length(text)) AS n_chars
+               FROM documents GROUP BY 1),
+    t AS (SELECT sum(n_tokens) AS tot FROM s)
+    SELECT source, n_docs, n_tokens, n_chars,
+           round(n_tokens * 1.0 / tot, 6) AS token_share,
+           round(n_tokens * 1.0 / n_docs, 2) AS tokens_per_doc
+    FROM s CROSS JOIN t
+    """,
+)
+def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per source — the data-mix table
+    (text.source_mix): corpus reduces to |sources| rows in one partial
+    agg; token share is a second |sources|-sized pass."""
+    docs = _docs(spark, sf_dir)
+    return X.source_mix(docs)

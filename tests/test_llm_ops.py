@@ -468,3 +468,59 @@ def test_chunking_udtf_matches_expression_twin(spark):
     # overlap property: consecutive windows share size-stride chars
     d1 = sorted((r for r in via_udtf if r[0] == 1), key=lambda r: r[1])
     assert len(d1) == 3 and d1[1][2] == 151
+
+
+def test_containment_self_is_one(spark, docs):
+    """Every benchmark doc is in the corpus, so its self-pair must score
+    containment exactly 1.0, and no score can exceed 1."""
+    corpus = docs.select("doc_id", "text")
+    bench = corpus.filter(F.col("doc_id") % 20 == 0)
+    out = X.containment_scores(corpus, bench, threshold=0.5).cache()
+    n_bench = bench.count()
+    self_rows = out.filter(
+        (F.col("corpus_id") == F.col("bench_id")) & (F.col("containment") == 1.0)
+    ).count()
+    assert self_rows == n_bench
+    assert out.filter(F.col("containment") > 1.0).count() == 0
+    out.unpersist()
+
+
+def test_containment_detects_planted_superset(spark):
+    """A training doc that embeds a benchmark doc verbatim inside extra
+    text must be flagged with containment 1.0 (winnowing guarantee:
+    every benchmark window survives inside the superset)."""
+    bench_text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"PREFIX PADDING {bench_text} SUFFIX PADDING MORE"),
+            (2, "completely unrelated content with no overlap whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    rows = {
+        r.corpus_id: r.containment
+        for r in X.containment_scores(corpus, bench, threshold=0.5).collect()
+    }
+    assert rows.get(1) == 1.0
+    assert 2 not in rows
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    """Docs made of corpus-frequent tokens must outscore docs of rare
+    tokens; n_tokens must match the tokenizer."""
+    rows = [(i, "common words common words") for i in range(9)] + [(9, "zzqx unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.unigram_logprob(df).collect()}
+    assert out[0].n_tokens == 4
+    assert out[0].mean_logprob > out[9].mean_logprob
+    assert all(r.mean_logprob < 0 for r in out.values())
+
+
+def test_source_mix_shares_sum_to_one(spark, docs):
+    out = X.source_mix(docs).cache()
+    share = out.agg(F.sum("token_share")).collect()[0][0]
+    assert abs(share - 1.0) < 1e-4
+    n = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert n == docs.count()
+    out.unpersist()
