@@ -76,6 +76,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_benchmark_contamination",  # winnowing containment / decontam
     "llm_unigram_logprob",          # corpus-LM quality scoring
     "llm_source_mix",               # data-mix composition report
+    "llm_semantic_dedup",           # SemDeDup (IVF-clustered embedding dedup)
 )
 
 # Thrice-green (r01+r02+r03) category variants whose §2B categories are

@@ -954,3 +954,37 @@ def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg; token share is a second |sources|-sized pass."""
     docs = _docs(spark, sf_dir)
     return X.source_mix(docs)
+
+
+@query(
+    "llm_semantic_dedup",
+    """
+    WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i,
+                          embedding::DOUBLE[] AS c
+                   FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+    scored AS (SELECT e.vec_id, c.i,
+                      list_cosine_similarity(e.embedding::DOUBLE[], c.c) AS s
+               FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vec_id, i AS list_id FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+        FROM scored) WHERE rn = 1),
+    p AS (SELECT b.vec_id AS id_b
+          FROM assign a JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                             eb.embedding::DOUBLE[]), 4) >= 0.4),
+    d AS (SELECT DISTINCT id_b FROM p)
+    SELECT a.vec_id, a.list_id, (d.id_b IS NULL) AS keep
+    FROM assign a LEFT JOIN d ON a.vec_id = d.id_b
+    """,
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: IVF coarse clusters bound the
+    within-cluster quadratic; drop any vector with a lower-id clustermate
+    at cosine >= 0.4 (similarity.semantic_dedup docstring has the scale
+    argument). Deterministic centroid seeds -> the oracle replays
+    assignment, pairing, and the keep rule exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.4, n_lists=16)

@@ -524,3 +524,22 @@ def test_source_mix_shares_sum_to_one(spark, docs):
     n = out.agg(F.sum("n_docs")).collect()[0][0]
     assert n == docs.count()
     out.unpersist()
+
+
+def test_semantic_dedup_drops_planted_dups(spark, emb):
+    """A shifted exact copy of every vector must be dropped (cos==1.0 to
+    its lower-id original in the same list), originals' keep flags
+    unchanged; output is one row per input."""
+    base = emb.select("vec_id", "embedding")
+    doubled = base.union(
+        base.select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    )
+    out = S.semantic_dedup(doubled, threshold=0.4, n_lists=8).cache()
+    assert out.count() == 2 * base.count()
+    # every copy (id >= 100k) has its original in the same list at cos 1.0
+    copies = out.filter(F.col("vec_id") >= 100_000)
+    assert copies.filter(F.col("keep")).count() == 0
+    # determinism: second run produces the identical keep-set
+    again = S.semantic_dedup(doubled, threshold=0.4, n_lists=8)
+    assert out.exceptAll(again).count() == 0
+    out.unpersist()
