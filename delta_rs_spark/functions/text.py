@@ -443,15 +443,29 @@ def unigram_logprob(
     pruning with an OOV floor probability, which changes this function's
     model, not its plan.
     """
-    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # Reduce to per-doc term frequencies FIRST and materialize them once:
+    # tf feeds both the vocab count-table and the scoring join, and the
+    # raw exploded token stream (the expensive regex/split pass over
+    # every doc) should be paid once, not once per consumer. The mean
+    # over tokens is the tf-weighted mean over distinct (doc, term) rows.
+    # At cluster scale this localCheckpoint is persist(DISK) of the tf
+    # table — the standard two-pass LM-scoring shape.
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = counts.agg(F.sum("cnt")).collect()[0][0]  # one scalar, driver-held like tfidf's n_docs
-    scored = toks.join(F.broadcast(counts), "term")
+    scored = tf.join(F.broadcast(counts), "term")
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 4).alias(
-            "mean_logprob"
-        ),
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("tf") * F.log(F.col("cnt") / F.lit(float(total))))
+            / F.sum("tf"),
+            4,
+        ).alias("mean_logprob"),
     )
 
 

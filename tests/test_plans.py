@@ -141,3 +141,38 @@ def test_events_ns_fallback_roundtrip(spark, tmp_path):
     rows = sorted((r.event_id, str(r.ts)) for r in ev.collect())
     assert rows[0] == (1, "2024-01-01 00:30:00")
     assert rows[3] == (4, "2024-01-01 03:30:00")
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    from delta_rs_spark.functions.text import containment_scores
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    p = plan_of(containment_scores(docs, bench), "simple")
+    # the benchmark fingerprint set must ride a broadcast, never a
+    # corpus-side sort-merge shuffle
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_semantic_dedup_one_pairing_shuffle(spark):
+    from delta_rs_spark.functions.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    out = semantic_dedup(emb, threshold=0.4, n_lists=8)
+    p = plan_of(out, "simple")
+    # downstream of the checkpointed assignment: one hash exchange for
+    # the per-list applyInPandas pairing (plus the keep join's own
+    # exchanges at most); no cartesian or sort-merge self-join
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_unigram_vocab_join_is_broadcast(spark):
+    from delta_rs_spark.functions.text import unigram_logprob
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(unigram_logprob(docs), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
