@@ -77,6 +77,9 @@ _FIRST_WITNESS_NEEDED = (
     "llm_unigram_logprob",          # corpus-LM quality scoring
     "llm_source_mix",               # data-mix composition report
     "llm_semantic_dedup",           # SemDeDup (IVF-clustered embedding dedup)
+    "llm_line_dedup",               # line-level boilerplate removal
+    "llm_temperature_mix",          # temperature-based source rebalancing
+    "llm_random_projection",        # JL embedding compression
 )
 
 # Thrice-green (r01+r02+r03) category variants whose §2B categories are

@@ -65,3 +65,46 @@ def train_holdout_split(
         _hash_bucket(F.col(id_col), salt) < F.lit(cut), F.lit("holdout")
     ).otherwise(F.lit("train"))
     return df.withColumn("split", split)
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "tmix-v1",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Temperature-based source rebalancing (the multilingual-LM mixing
+    rule): target shares p_i ~ share_i**alpha, realized by downsampling
+    only (no upsampling) -- each source keeps rate_i = share_i**(alpha-1)
+    normalized so the most-upweighted source keeps everything. alpha=1
+    is a no-op, alpha=0 flattens toward uniform doc counts. Membership
+    is the same md5 id-hash as stratified_sample: deterministic,
+    engine-reproducible, audit-friendly.
+
+    Returns (sampled rows + rate_ppm column, {source: rate_ppm}).
+
+    Scale shape: pass 1 is one groupBy(source) reduced to |sources| rows
+    on the driver (the only global state, like tfidf's n_docs); pass 2
+    is a pure scan-filter with the rate map inlined as a literal CASE --
+    no join, no shuffle. At 100 TB pass 1 would read the data-mix report
+    table (source_mix) instead of rescanning.
+    """
+    counts = {
+        r["source"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = float(sum(counts.values()))
+    raw = {s: (n / total) ** (alpha - 1.0) for s, n in counts.items()}
+    m = max(raw.values())
+    cuts = {s: int(round(raw[s] * _BUCKETS / m)) for s in sorted(raw)}
+    rate = F.lit(None).cast("long")
+    for s in sorted(cuts):  # sorted: plan text stable across runs
+        rate = F.when(F.col(source_col) == s, F.lit(cuts[s])).otherwise(rate)
+    out = (
+        df.withColumn("rate_ppm", rate)
+        .filter(_hash_bucket(F.col(id_col), salt) < F.col("rate_ppm"))
+    )
+    return out, cuts

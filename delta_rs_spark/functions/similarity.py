@@ -415,3 +415,40 @@ def semantic_dedup(
         "list_id",
         F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress embeddings to
+    ``out_dim`` dims by dotting with deterministic unit pseudo-random
+    planes (same LCG generator as the LSH hyperplanes, so any engine can
+    regenerate the matrix). The JL guarantee makes the projected space a
+    drop-in for coarse similarity work -- candidate generation, cheap
+    clustering, index keys -- at out_dim/dim the memory and shuffle
+    width.
+
+    Output is long-form (vec_id, j, val): one row per projected
+    coordinate, val rounded to 4 places.
+
+    Scale shape: pure map -- the projection matrix is a plan literal
+    (out_dim x dim doubles, kilobytes), each row's out_dim dot products
+    run inside whole-stage codegen, no shuffle, no Python. At 100 TB
+    this is scan-bound, exactly like a SELECT of arithmetic columns.
+    """
+    planes = _hyperplanes(dim, out_dim, seed)
+    projs = F.array(
+        *[
+            F.round(dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])), 4)
+            for p in planes
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(projs).alias("j", "val"),
+    )

@@ -492,3 +492,59 @@ def source_mix(df: DataFrame, text_col: str = "text", source_col: str = "source"
         F.round(F.col("n_tokens") / total, 6).alias("token_share"),
         F.round(F.col("n_tokens") / F.col("n_docs"), 2).alias("tokens_per_doc"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Line-level exact dedup across the corpus (the RefinedWeb/CCNet
+    boilerplate pass): any normalized line of >= ``min_chars`` chars that
+    appears in >= ``min_docs`` distinct documents (nav bars, cookie
+    banners, license footers) is removed from EVERY document; short lines
+    are never candidates. Returns one row per input doc:
+    (doc_id, n_lines, n_removed, clean_text) with surviving lines
+    rejoined in original order.
+
+    Scale shape: explode is map-side; the duplicated-line table is ONE
+    groupBy(norm) with map-side partial agg (count-distinct over doc ids
+    per line); membership is a join back on norm — left as a shuffle
+    join so AQE can broadcast it when small and skew-split the
+    boilerplate norms when not (exactly the keys this op exists to
+    find); reassembly is one groupBy(doc_id). Three shuffles total, all
+    on keys the operator is defined over. The line table is never
+    collected to the driver.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        )
+        .withColumn("norm", norm)
+    )
+    dup = (
+        lines.filter(F.length("norm") >= min_chars)
+        .groupBy("norm")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("norm", F.lit(True).alias("is_dup"))
+    )
+    marked = lines.join(dup, "norm", "left").withColumn(
+        "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("is_dup"), F.struct("line_no", "line"))
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(kept_sorted, lambda s: s["line"]), "\n"
+        ).alias("clean_text"),
+    )

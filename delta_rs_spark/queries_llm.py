@@ -988,3 +988,89 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, pairing, and the keep rule exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, threshold=0.4, n_lists=16)
+
+
+# Re-line the synthetic token-stream docs (newline every 8 tokens) so the
+# line plane has structure to work on: same rewrite in both engines, so
+# the oracle sees the identical corpus. $1/\1 are the engines' respective
+# backref spellings of the same group.
+_RELINE_SPARK = (r"((\S+ ){7}\S+) ", "$1\n")
+_RELINE_SQL = r"regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g')"
+
+
+@query(
+    "llm_line_dedup",
+    f"""
+    WITH relined AS (SELECT doc_id, {_RELINE_SQL} AS text FROM documents),
+    l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM relined),
+    l AS (SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS i FROM l0),
+    n AS (SELECT doc_id, i, line,
+                 regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS norm
+          FROM l),
+    d AS (SELECT norm, TRUE AS is_dup FROM n WHERE length(norm) >= 10
+          GROUP BY norm HAVING count(DISTINCT doc_id) >= 2)
+    SELECT n.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN d.is_dup IS NULL THEN n.line END,
+                               chr(10) ORDER BY n.i), '') AS clean_text
+    FROM n LEFT JOIN d USING (norm)
+    GROUP BY n.doc_id
+    """,
+)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup (text.line_dedup): boilerplate lines
+    appearing in >= 2 docs are stripped from every doc, survivors
+    rejoined in order. The oracle replays normalization, the dup-line
+    table, and reassembly exactly."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace(F.col("text"), *_RELINE_SPARK)
+    )
+    return X.line_dedup(docs, min_docs=2, min_chars=10)
+
+
+@query(
+    "llm_temperature_mix",
+    """
+    WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT sum(n) AS tot FROM s),
+    r AS (SELECT lang, pow(n * 1.0 / tot, -0.5) AS raw FROM s CROSS JOIN t),
+    c AS (SELECT lang, CAST(round(raw * 1000000.0 / max(raw) OVER ()) AS BIGINT)
+                   AS rate_ppm FROM r)
+    SELECT d.doc_id, d.lang, c.rate_ppm
+    FROM documents d JOIN c USING (lang)
+    WHERE ('0x' || substr(md5('tmix-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < c.rate_ppm
+    """,
+)
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing at alpha=0.5
+    (sampling.temperature_sample): the dominant language is downsampled
+    toward uniform, rarest keeps rate 1.0. Rates are derived from corpus
+    counts and membership from the md5 id-hash, so the oracle recomputes
+    both from scratch and must select the identical rows."""
+    from delta_rs_spark.functions.sampling import temperature_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    out, _cuts = temperature_sample(docs, alpha=0.5, source_col="lang")
+    return out
+
+
+def _projection_oracle() -> str:
+    planes = S._hyperplanes(64, 16, 7)
+    rows = ", ".join(f"({j}, {p!r}::DOUBLE[])" for j, p in enumerate(planes))
+    return f"""
+    WITH planes(j, p) AS (SELECT * FROM (VALUES {rows}))
+    SELECT e.vec_id, planes.j,
+           round(list_dot_product(e.embedding::DOUBLE[], planes.p), 4) AS val
+    FROM embeddings e CROSS JOIN planes
+    """
+
+
+@query("llm_random_projection", _projection_oracle())
+def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64d -> 16d compression
+    (similarity.random_projection): deterministic LCG planes regenerated
+    as SQL literals by the oracle, long-form (vec_id, j, val) output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.random_projection(emb, dim=64, out_dim=16, seed=7)

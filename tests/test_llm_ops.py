@@ -543,3 +543,78 @@ def test_semantic_dedup_drops_planted_dups(spark, emb):
     again = S.semantic_dedup(doubled, threshold=0.4, n_lists=8)
     assert out.exceptAll(again).count() == 0
     out.unpersist()
+
+
+def test_line_dedup_removes_shared_lines(spark):
+    rows = [
+        (1, "unique first line here\nshared boilerplate line text\nanother unique"),
+        (2, "different opener line\nshared boilerplate line text"),
+        (3, "totally distinct document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in X.line_dedup(df).collect()}
+    assert out[1].n_lines == 3 and out[1].n_removed == 1
+    assert out[1].clean_text == "unique first line here\nanother unique"
+    assert out[2].n_lines == 2 and out[2].n_removed == 1
+    assert out[2].clean_text == "different opener line"
+    assert out[3].n_removed == 0 and out[3].clean_text == rows[2][1]
+
+
+def test_line_dedup_short_lines_never_removed(spark):
+    rows = [(1, "hi\nlong enough shared line"), (2, "hi\nlong enough shared line")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in X.line_dedup(df, min_chars=10).collect()}
+    # "hi" repeats in both docs but is under min_chars -> kept
+    assert out[1].clean_text == "hi" and out[1].n_removed == 1
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from delta_rs_spark.functions.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out, cuts = temperature_sample(df, alpha=0.5)
+    assert cuts["small"] == 1_000_000  # rarest source keeps everything
+    # big keeps sqrt(0.1/0.9) ~ 1/3 of its previous share advantage
+    assert 0 < cuts["big"] < 1_000_000
+    kept = out.groupBy("source").count().collect()
+    k = {r["source"]: r["count"] for r in kept}
+    assert k["small"] == 100  # rate 1.0 -> all kept
+    assert abs(k["big"] / 900 - cuts["big"] / 1_000_000) < 0.05
+    # deterministic: rerun selects identical rows
+    out2, _ = temperature_sample(df, alpha=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+    # alpha=1 is a no-op
+    out3, cuts3 = temperature_sample(df, alpha=1.0)
+    assert all(c == 1_000_000 for c in cuts3.values())
+    assert out3.count() == 1000
+
+
+def test_random_projection_preserves_relative_distance(spark, emb):
+    import math
+
+    proj = S.random_projection(emb, dim=64, out_dim=16, seed=7)
+    assert proj.columns == ["vec_id", "j", "val"]
+    n = emb.count()
+    assert proj.count() == n * 16
+    # JL sanity on a sample: projected distances correlate with original
+    rows = emb.orderBy("vec_id").limit(6).collect()
+    pr = proj.filter(F.col("vec_id") < 6).collect()
+    pv = {}
+    for r in pr:
+        pv.setdefault(r.vec_id, [0.0] * 16)[r.j] = r.val
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+    orig = {r.vec_id: list(r.embedding) for r in rows}
+    ids = sorted(orig)
+    pairs = [(a, b) for a in ids for b in ids if a < b]
+    do = [d(orig[a], orig[b]) for a, b in pairs]
+    dp = [d(pv[a], pv[b]) for a, b in pairs]
+    # rank correlation: closest original pair should not map to the
+    # farthest projected pair (weak but deterministic JL sanity)
+    import statistics
+    mo, mp = statistics.mean(do), statistics.mean(dp)
+    cov = sum((x - mo) * (y - mp) for x, y in zip(do, dp))
+    assert cov > 0
