@@ -80,6 +80,9 @@ _FIRST_WITNESS_NEEDED = (
     "llm_line_dedup",               # line-level boilerplate removal
     "llm_temperature_mix",          # temperature-based source rebalancing
     "llm_random_projection",        # JL embedding compression
+    "llm_pq_encode",                # product-quantization codes
+    "llm_pq_topk",                  # ADC top-k over PQ codes
+    "llm_corpus_pipeline",          # composed ingest gate (dedup+lang+quality+length)
 )
 
 # Thrice-green (r01+r02+r03) category variants whose §2B categories are

@@ -436,19 +436,139 @@ def random_projection(
     Output is long-form (vec_id, j, val): one row per projected
     coordinate, val rounded to 4 places.
 
-    Scale shape: pure map -- the projection matrix is a plan literal
-    (out_dim x dim doubles, kilobytes), each row's out_dim dot products
-    run inside whole-stage codegen, no shuffle, no Python. At 100 TB
-    this is scan-bound, exactly like a SELECT of arithmetic columns.
+    Scale shape: pure map, no shuffle. The projection is one
+    (batch x dim) @ (dim x out_dim) numpy matmul per Arrow batch in a
+    pandas_udf with the plane matrix riding in the closure (kilobytes)
+    -- the expression formulation (out_dim zip_with/aggregate dots per
+    row) hit Spark's interpreted-lambda path and measured 1.4s for 2k
+    vectors at sf0.1; the matmul is milliseconds. BLAS-vs-sequential fp
+    reassociation is ~1e-13, absorbed by the 1e-4 rounding grid.
     """
-    planes = _hyperplanes(dim, out_dim, seed)
-    projs = F.array(
-        *[
-            F.round(dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])), 4)
-            for p in planes
-        ]
-    )
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(_hyperplanes(dim, out_dim, seed), dtype=np.float64).T
+
+    @pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series(list(np.round(V @ P, 4)))
+
     return df.select(
         F.col(id_col).alias("vec_id"),
-        F.posexplode(projs).alias("j", "val"),
+        F.posexplode(_proj(F.col(vec_col))).alias("j", "val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's storage half): 64d float (512 B) -> m
+# uint8 codes (8 B), a 64x memory/shuffle compression with table-lookup
+# (ADC) distance. At 100 TB the encoded corpus + codebooks fit where raw
+# vectors cannot: codes ride every shuffle, raw vectors stay in cold
+# storage, and a re-rank pass fetches raw vectors for the candidate set
+# only.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks from a deterministic corpus sample: the
+    first ``n_codes`` vectors (by id), sliced into ``m`` equal subspaces
+    — same seeding rule as ivf_assign, so any engine (and the DuckDB
+    oracle) regenerates the identical codebooks. Returns
+    codebooks[sub][code] = centroid subvector. A k-means refinement
+    would drop in here without changing encode/query plans."""
+    seeds = (
+        df.orderBy(F.col(id_col).asc()).limit(n_codes).select(vec_col).collect()
+    )
+    dim = len(seeds[0][0])
+    d_sub = dim // m
+    return [
+        [list(r[0][s * d_sub : (s + 1) * d_sub]) for r in seeds]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest codebook entry
+    (squared L2, ties to the lowest code index). Long-form output
+    (vec_id, sub, code) — one tiny int per subspace.
+
+    Scale shape: pure map, no shuffle. The argmin is a per-Arrow-batch
+    numpy matmul in a pandas_udf (the interpreted-lambda formulation
+    would evaluate m*n_codes*d_sub closures per ROW — the same pathology
+    ivf_assign's docstring measured); codebooks ride in the UDF closure
+    (m * n_codes * d_sub floats, kilobytes)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    C = np.array(codebooks, dtype=np.float64)  # (m, n_codes, d_sub)
+    Csq = (C * C).sum(axis=2)  # (m, n_codes)
+
+    @pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        n = V.shape[0]
+        Vs = V.reshape(n, m, d_sub)
+        # dist2[n, m, n_codes] = ||v||^2 - 2 v.c + ||c||^2 ; argmin over
+        # codes picks the FIRST (lowest) index on exact ties, matching
+        # the oracle's ORDER BY d, cidx
+        cross = np.einsum("nmd,mkd->nmk", Vs, C)
+        d2 = (Vs * Vs).sum(axis=2)[:, :, None] - 2.0 * cross + Csq[None, :, :]
+        codes = d2.argmin(axis=2).astype("int32")
+        return pd.Series(list(codes))
+
+    return df.select(
+        F.col(id_col).alias("vec_id"), _enc(F.col(vec_col)).alias("__codes")
+    ).select("vec_id", F.posexplode("__codes").alias("sub", "code"))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation: the query's
+    per-(subspace, code) squared-L2 table is computed once driver-side
+    (m * n_codes doubles) and inlined as plan literals; each encoded
+    vector's distance is m array lookups + adds, no vector math at scan
+    time. Output (id, approx_dist) ascending.
+
+    Scale shape: encode is the pure-map pass above; the lookup-sum runs
+    in whole-stage codegen over literal arrays; top-k is Spark's
+    TakeOrdered. At 100 TB the encoded table would be the materialized
+    Delta artifact (like build_ivf_index) and raw-vector re-rank would
+    read only these k ids."""
+    cbs = pq_codebooks(df, vec_col, id_col, m, n_codes)
+    d_sub = len(cbs[0][0])
+    qsub = [query_vec[s * d_sub : (s + 1) * d_sub] for s in range(m)]
+    table = [
+        [sum((x - y) ** 2 for x, y in zip(qsub[s], c)) for c in cbs[s]]
+        for s in range(m)
+    ]
+    enc = pq_encode(df, cbs, vec_col, id_col)
+    lut = F.array(*[F.array(*[F.lit(d) for d in row]) for row in table])
+    dist = F.element_at(F.element_at(lut, F.col("sub") + 1), F.col("code") + 1)
+    return (
+        enc.withColumn("__d", dist)
+        .groupBy(F.col("vec_id").alias("id"))
+        .agg(F.round(F.sum("__d"), 4).alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc("id"))
+        .limit(k)
     )

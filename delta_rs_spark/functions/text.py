@@ -548,3 +548,51 @@ def line_dedup(
             F.transform(kept_sorted, lambda s: s["line"]), "\n"
         ).alias("clean_text"),
     )
+
+
+def corpus_filter_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """The composed pretraining-ingest gate: exact-dedup canonical
+    election + language filter + quality floor + Gopher-style length
+    bounds, reported per doc with the FIRST failing reason (the order
+    real pipelines apply them: dedup before content filters so dup
+    groups are charged once). Returns every input doc —
+    (doc_id, lang_pred, quality, n_tokens, is_canonical, reason) — so
+    downstream can both select `reason = 'kept'` and audit the funnel.
+
+    Scale shape: every signal (lang counts, quality ratios, token count,
+    fingerprint) is one codegen'd scan pass; canonical election is a
+    min(doc_id) window over fingerprint — the single shuffle, on the
+    dedup key. No joins, no driver state.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        lang_id(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("quality"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        fingerprint(text_col).alias("__fp"),
+    )
+    keep_id = F.min("doc_id").over(W.partitionBy("__fp"))
+    reason = (
+        F.when(F.col("doc_id") != keep_id, F.lit("duplicate"))
+        .when(F.col("lang_pred") != lang, F.lit("lang"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .otherwise(F.lit("kept"))
+    )
+    return base.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        "n_tokens",
+        (F.col("doc_id") == keep_id).alias("is_canonical"),
+        reason.alias("reason"),
+    )

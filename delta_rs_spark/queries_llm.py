@@ -1074,3 +1074,121 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     as SQL literals by the oracle, long-form (vec_id, j, val) output."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.random_projection(emb, dim=64, out_dim=16, seed=7)
+
+
+_PQ_CB_SQL = r"""
+    seeds AS (SELECT * FROM (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cidx,
+                        embedding::DOUBLE[] AS v
+                 FROM embeddings ORDER BY vec_id ASC LIMIT 16)),
+    subs AS (SELECT unnest(range(0, 8)) AS sub),
+    cb AS (SELECT s.sub, seeds.cidx, seeds.v[s.sub*8 + 1 : s.sub*8 + 8] AS c
+           FROM seeds CROSS JOIN subs s),
+    ev AS (SELECT vec_id, s.sub, (embedding::DOUBLE[])[s.sub*8 + 1 : s.sub*8 + 8] AS vs
+           FROM embeddings CROSS JOIN subs s),
+    d AS (SELECT ev.vec_id, ev.sub, cb.cidx,
+                 list_sum(list_transform(range(1, 9),
+                          i -> (ev.vs[i] - cb.c[i]) * (ev.vs[i] - cb.c[i]))) AS d
+          FROM ev JOIN cb USING (sub)),
+    enc AS (SELECT vec_id, sub, cidx AS code FROM (
+              SELECT vec_id, sub, cidx,
+                     row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cidx) AS rn
+              FROM d) WHERE rn = 1)
+"""
+
+
+@query(
+    "llm_pq_encode",
+    f"WITH {_PQ_CB_SQL} SELECT vec_id, sub, code FROM enc",
+)
+def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (similarity.pq_encode): 64d float ->
+    8 codes from per-subspace codebooks seeded by the first 16 vectors
+    (deterministic, so the oracle regenerates codebooks, slices, and the
+    argmin - ties to lowest code - entirely in SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = S.pq_codebooks(emb, m=8, n_codes=16)
+    return S.pq_encode(emb, cbs)
+
+
+@query(
+    "llm_pq_topk",
+    f"""
+    WITH {_PQ_CB_SQL},
+    q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    qs AS (SELECT s.sub, (SELECT v FROM q)[s.sub*8 + 1 : s.sub*8 + 8] AS vs FROM subs s),
+    qd AS (SELECT cb.sub, cb.cidx,
+                  list_sum(list_transform(range(1, 9),
+                           i -> (qs.vs[i] - cb.c[i]) * (qs.vs[i] - cb.c[i]))) AS d
+           FROM cb JOIN qs USING (sub))
+    SELECT enc.vec_id AS id, round(sum(qd.d), 4) AS approx_dist
+    FROM enc JOIN qd ON enc.sub = qd.sub AND enc.code = qd.cidx
+    GROUP BY enc.vec_id
+    ORDER BY approx_dist ASC, id ASC
+    LIMIT 10
+    """,
+)
+def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (similarity.pq_topk):
+    the query's (subspace, code) distance table is inlined as plan
+    literals; per-vector distance is 8 lookups + adds in codegen.
+    Deterministic seeding lets the oracle replay encode, the lookup
+    table, and the ranked sum exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, _query_vector(spark, sf_dir), k=10, m=8, n_codes=16)
+
+
+def _pipeline_oracle() -> str:
+    count_exprs = []
+    for lg, markers in X.LANG_MARKER_TOKENS.items():
+        lits = ", ".join(f"'{mk}'" for mk in markers)
+        count_exprs.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ({lits}))) AS c_{lg}"
+        )
+    count_exprs.append(f"len(regexp_extract_all(text, '{X.ZH_CHAR_RE}')) AS c_zh")
+    counts = ",\n             ".join(count_exprs)
+    langs = sorted([*X.LANG_MARKER_TOKENS, "zh"])
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    whens = " ".join(
+        f"WHEN c_{lg} > 0 AND c_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             {counts},
+             len({_TOKENS_SQL})::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}'))::DOUBLE AS sw,
+             len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS pn,
+             {_FP_SQL} AS fp
+      FROM documents),
+    s AS (SELECT doc_id,
+                 CASE {whens} ELSE 'und' END AS lang_pred,
+                 round(0.5 * least(n_tok / 64.0, 1.0)
+                     + 0.5 * least(sw / greatest(n_tok, 1.0) * 4.0, 1.0)
+                     - 0.25 * least(pn / greatest(n_char, 1.0) * 10.0, 1.0), 6) AS quality,
+                 CAST(n_tok AS BIGINT) AS n_tokens, fp
+          FROM m),
+    c AS (SELECT fp, min(doc_id) AS keep_id FROM s GROUP BY fp)
+    SELECT s.doc_id, s.lang_pred, s.quality, s.n_tokens,
+           (s.doc_id = c.keep_id) AS is_canonical,
+           CASE WHEN s.doc_id != c.keep_id THEN 'duplicate'
+                WHEN s.lang_pred != 'en' THEN 'lang'
+                WHEN s.quality < 0.5 THEN 'low_quality'
+                WHEN s.n_tokens < 20 THEN 'too_short'
+                WHEN s.n_tokens > 100000 THEN 'too_long'
+                ELSE 'kept' END AS reason
+    FROM s JOIN c USING (fp)
+    """
+
+
+@query("llm_corpus_pipeline", _pipeline_oracle())
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ingest gate (text.corpus_filter_report): dedup
+    canonical election -> lang filter -> quality floor -> length bounds,
+    one row per doc with the first failing reason. All signals are one
+    codegen scan; the only shuffle is the min-id window on the
+    fingerprint."""
+    docs = _docs(spark, sf_dir)
+    return X.corpus_filter_report(
+        docs, lang="en", min_quality=0.5, min_tokens=20, max_tokens=100_000
+    )

@@ -618,3 +618,45 @@ def test_random_projection_preserves_relative_distance(spark, emb):
     mo, mp = statistics.mean(do), statistics.mean(dp)
     cov = sum((x - mo) * (y - mp) for x, y in zip(do, dp))
     assert cov > 0
+
+
+def test_pq_encode_shapes_and_seed_self_assignment(spark, emb):
+    cbs = S.pq_codebooks(emb, m=8, n_codes=16)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    enc = S.pq_encode(emb, cbs)
+    n = emb.count()
+    assert enc.count() == n * 8
+    # seed vector i IS codebook entry i in every subspace -> encodes to i
+    seeds = {r.vec_id: i for i, r in enumerate(
+        emb.orderBy("vec_id").limit(16).collect())}
+    for r in enc.filter(F.col("vec_id").isin(list(seeds))).collect():
+        assert r.code == seeds[r.vec_id], (r.vec_id, r.sub, r.code)
+
+
+def test_pq_topk_query_vector_ranks_first(spark, emb):
+    qrow = emb.orderBy("vec_id").first()
+    q = list(qrow.embedding)
+    top = S.pq_topk(emb, q, k=10, m=8, n_codes=16).collect()
+    assert top[0].id == qrow.vec_id and top[0].approx_dist == 0.0
+    # ADC distances are squared-L2 approximations: non-negative, ascending
+    dists = [r.approx_dist for r in top]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+
+
+def test_corpus_filter_report_reason_precedence(spark):
+    rows = [
+        (1, "the and of to is was that with " * 10),        # en, kept
+        (2, "the and of to is was that with " * 10),        # exact dup of 1
+        (3, "der die das und ist nicht ein mit " * 10),     # de -> lang
+        (4, "the of"),                                      # en but too short
+        (5, "zz qq xx " * 30),                              # und -> lang
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in X.corpus_filter_report(df).collect()}
+    assert out[1].reason == "kept" and out[1].is_canonical
+    assert out[2].reason == "duplicate" and not out[2].is_canonical
+    assert out[3].reason == "lang"
+    assert out[5].reason == "lang"
+    # doc 4: en, short -> first failing reason after lang checks
+    assert out[4].reason in ("too_short", "low_quality")
+    assert set(out) == {1, 2, 3, 4, 5}
