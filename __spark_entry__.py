@@ -83,6 +83,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_pq_encode",                # product-quantization codes
     "llm_pq_topk",                  # ADC top-k over PQ codes
     "llm_corpus_pipeline",          # composed ingest gate (dedup+lang+quality+length)
+    "llm_shard_stats",              # training-export shard assignment
 )
 
 # Thrice-green (r01+r02+r03) category variants whose §2B categories are

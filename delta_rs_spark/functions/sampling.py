@@ -108,3 +108,48 @@ def temperature_sample(
         .filter(_hash_bucket(F.col(id_col), salt) < F.col("rate_ppm"))
     )
     return out, cuts
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic shard assignment for training-data export: shard =
+    md5-bucket(id) % n_shards. A pure function of (id, salt, n_shards),
+    so re-exports place every doc in the same shard, any engine can
+    recompute the mapping, and expected shard sizes are uniform
+    regardless of id distribution (sequential ids, snowflakes, uuids
+    all hash flat)."""
+    return df.withColumn(
+        "shard", (_hash_bucket(F.col(id_col), salt) % F.lit(n_shards)).cast("int")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "shard-v1",
+    mode: str = "overwrite",
+):
+    """Materialize the training corpus as a Delta table partitioned by
+    shard: downstream trainers read shard = i through partition pruning
+    (one loader rank per shard), and the table's transaction log gives
+    the export exactly-once semantics and a version to pin in the
+    training config.
+
+    Scale shape: one repartition ON the shard column (so each shard's
+    rows land in the writer tasks for that partition — no
+    small-files-per-task explosion: tasks x shards files otherwise),
+    then a partitioned Delta write. Returns the DeltaTable.
+    """
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    sharded = assign_shards(df, n_shards, id_col, salt).repartition(
+        F.col("shard")
+    )
+    write_deltalake(path, sharded, mode=mode, partition_by=["shard"])
+    return DeltaTable(path)

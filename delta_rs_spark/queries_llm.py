@@ -1192,3 +1192,36 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.corpus_filter_report(
         docs, lang="en", min_quality=0.5, min_tokens=20, max_tokens=100_000
     )
+
+
+@query(
+    "llm_shard_stats",
+    f"""
+    WITH a AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 1000000 % 16 AS INTEGER) AS shard,
+                      len({_TOKENS_SQL}) AS n_tok
+               FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM a GROUP BY shard
+    """,
+)
+def llm_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard assignment (sampling.assign_shards): md5
+    id-hash mod n_shards, reported as per-shard doc/token totals. The
+    mapping is a pure function of (id, salt, n_shards) so the oracle
+    recomputes it; write_training_shards materializes the same
+    assignment as a shard-partitioned Delta table (pytest-covered:
+    partition pruning + determinism)."""
+    from delta_rs_spark.functions.sampling import assign_shards
+
+    docs = _docs(spark, sf_dir)
+    return (
+        assign_shards(docs, n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(X.token_count("text")).cast("long").alias("n_tokens"),
+        )
+    )

@@ -660,3 +660,32 @@ def test_corpus_filter_report_reason_precedence(spark):
     # doc 4: en, short -> first failing reason after lang checks
     assert out[4].reason in ("too_short", "low_quality")
     assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_write_training_shards_prunes_and_is_deterministic(spark, tmp_path):
+    from delta_rs_spark.functions.sampling import (
+        assign_shards,
+        write_training_shards,
+    )
+    from delta_rs_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "shards")
+    dt = write_training_shards(docs, path, n_shards=8)
+    out = dt.to_spark()
+    assert out.count() == docs.count()
+    # partition pruning: reading one shard touches only that partition's files
+    files = dt.files()
+    assert all("shard=" in f for f in files)
+    one = out.filter(F.col("shard") == 3)
+    expected = assign_shards(docs, 8).filter(F.col("shard") == 3)
+    assert sorted(r.doc_id for r in one.collect()) == sorted(
+        r.doc_id for r in expected.collect()
+    )
+    # deterministic: re-export maps every doc to the same shard
+    m1 = {r.doc_id: r.shard for r in assign_shards(docs, 8).collect()}
+    m2 = {r.doc_id: r.shard for r in assign_shards(docs, 8).collect()}
+    assert m1 == m2
+    # shards are roughly balanced (md5-uniform): no shard 3x the mean
+    sizes = [c for _, c in out.groupBy("shard").count().collect()]
+    assert max(sizes) < 3 * (sum(sizes) / len(sizes))

@@ -176,3 +176,33 @@ def test_unigram_vocab_join_is_broadcast(spark):
     p = plan_of(unigram_logprob(docs), "simple")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    from delta_rs_spark.functions.similarity import pq_codebooks, pq_encode
+
+    emb = load_table(spark, SF, "embeddings")
+    cbs = pq_codebooks(emb, m=8, n_codes=16)
+    p = plan_of(pq_encode(emb, cbs), "simple")
+    assert "Exchange" not in p  # pure map: scan -> pandas eval -> explode
+
+
+def test_temperature_mix_is_join_free(spark):
+    from delta_rs_spark.functions.sampling import temperature_sample
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    out, _ = temperature_sample(docs, alpha=0.5, source_col="lang")
+    p = plan_of(out, "simple")
+    # rates are inlined as a literal CASE: the sampled scan has no join
+    # and no exchange (pass 1's count aggregate ran at build time)
+    assert "Join" not in p and "Exchange" not in p
+
+
+def test_corpus_pipeline_single_shuffle(spark):
+    from delta_rs_spark.functions.text import corpus_filter_report
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(corpus_filter_report(docs), "simple")
+    # one hash exchange for the fingerprint window; no joins
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
