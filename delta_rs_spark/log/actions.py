@@ -153,6 +153,10 @@ class Remove:
     data_change: bool = True
     partition_values: dict[str, str | None] | None = None
     size: int | None = None
+    # when a DV update tombstones the previous (path, DV) pairing, the
+    # remove carries the OLD descriptor (Delta PROTOCOL.md: file identity
+    # under deletionVectors is the (path, dvId) pair)
+    deletion_vector: dict[str, Any] | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -164,6 +168,8 @@ class Remove:
             d["partitionValues"] = self.partition_values
         if self.size is not None:
             d["size"] = self.size
+        if self.deletion_vector:
+            d["deletionVector"] = self.deletion_vector
         return {"remove": d}
 
     @classmethod
@@ -174,6 +180,7 @@ class Remove:
             data_change=d.get("dataChange", True),
             partition_values=d.get("partitionValues"),
             size=d.get("size"),
+            deletion_vector=d.get("deletionVector"),
         )
 
 

@@ -28,7 +28,7 @@ from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import Add, CommitInfo, Remove, now_ms
 from delta_rs_spark.log.commit import TransactionInfo
 from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
-from delta_rs_spark.operators.util import match_touched_files
+from delta_rs_spark.operators.util import _rel_candidates, match_touched_files
 from delta_rs_spark.plans.skipping import (
     col_types_from_schema_json,
     partition_only_predicate,
@@ -103,6 +103,125 @@ def plan_predicate_removal(
     return removes, new_adds, n_deleted
 
 
+# inline DVs above this serialized size go to a deletion_vector_*.bin
+# sidecar instead of bloating every future log/checkpoint read
+_DV_INLINE_MAX_BYTES = 16 * 1024
+
+
+def dv_write_enabled(snapshot: snap_mod.Snapshot) -> bool:
+    return (
+        snapshot.configuration.get("delta.enableDeletionVectors", "").lower()
+        == "true"
+    )
+
+
+def plan_dv_delete(
+    spark: SparkSession,
+    snapshot: snap_mod.Snapshot,
+    table_path: str,
+    predicate: str,
+    candidates: list[Add],
+) -> tuple[list[Remove], list[Add], int]:
+    """Soft-delete tier for DV-enabled tables: instead of rewriting the
+    surviving rows of every touched file, mark the matched rows in a
+    deletion vector and re-add the file with the merged DV (Delta
+    PROTOCOL.md "Deletion Vectors"; the remove tombstones the previous
+    (path, DV) pairing and carries the old descriptor). Full-file
+    matches still become plain removes — a fully-dead file needs no DV.
+
+    Scale: the scan collects only (file, row_index) pairs for NEWLY
+    matched rows — O(rows deleted this commit), the quantity DVs exist
+    to keep small (bulk deletes should rewrite; that path stays the
+    default for tables without the feature). Merging with an existing
+    DV unions row-index sets driver-side for the touched files only.
+    """
+    from delta_rs_spark.plans.deletion_vectors import (
+        encode_bitmap_array,
+        inline_dv_descriptor,
+        load_dv_row_indexes,
+        write_dv_file,
+    )
+    from delta_rs_spark.table import read_snapshot_df
+
+    ts = now_ms()
+    # read_snapshot_df applies existing DVs, so already-deleted rows
+    # cannot be re-matched (their indexes are anti-joined out)
+    df = read_snapshot_df(
+        spark,
+        snapshot,
+        table_path,
+        files=candidates,
+        file_path_col="__delta_rs_fp",
+        row_index_col="__delta_rs_ri",
+    )
+    matched = (
+        df.filter(F.expr(predicate))
+        .groupBy(F.col("__delta_rs_fp").alias("fp"))
+        .agg(F.collect_list("__delta_rs_ri").alias("ris"))
+        .collect()
+    )
+    if not matched:
+        return [], [], 0
+
+    by_rel: dict[str, list[int]] = {}
+    known = {a.path: a for a in candidates}
+    for r in matched:
+        raw, unq = _rel_candidates(r["fp"], table_path)
+        rel = raw if raw in known else unq
+        if rel not in known:
+            raise RuntimeError(
+                f"scanned file {r['fp']} not found among snapshot adds under {table_path}"
+            )
+        by_rel.setdefault(rel, []).extend(int(i) for i in r["ris"])
+
+    removes: list[Remove] = []
+    new_adds: list[Add] = []
+    n_deleted = 0
+    for rel, new_rows in by_rel.items():
+        a = known[rel]
+        n_deleted += len(new_rows)
+        old_dv = a.deletion_vector
+        old_rows = load_dv_row_indexes(table_path, old_dv) if old_dv else []
+        all_rows = sorted(set(old_rows) | set(new_rows))
+        live = (a.num_records() or 0) - len(all_rows)
+        removes.append(
+            Remove(
+                a.path,
+                ts,
+                True,
+                a.partition_values,
+                a.size,
+                deletion_vector=old_dv,
+            )
+        )
+        if live <= 0 and a.num_records() is not None:
+            continue  # fully dead: plain remove, no re-add
+        data = encode_bitmap_array(all_rows)
+        if len(data) <= _DV_INLINE_MAX_BYTES:
+            desc = inline_dv_descriptor(all_rows)
+        else:
+            desc = write_dv_file(table_path, all_rows)
+        new_adds.append(
+            Add(
+                path=a.path,
+                size=a.size,
+                modification_time=ts,
+                data_change=True,
+                partition_values=a.partition_values,
+                stats=a.stats,
+                tags=a.tags,
+                deletion_vector=desc,
+            )
+        )
+
+    if cdf_enabled(snapshot):
+        deleted_df = df.filter(F.expr(predicate)).drop(
+            "__delta_rs_fp", "__delta_rs_ri"
+        ).withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+        new_adds = new_adds + write_change_data(deleted_df, table_path)  # type: ignore[operator]
+    return removes, new_adds, n_deleted
+
+
 def delete(
     spark: SparkSession,
     table_path: str,
@@ -143,16 +262,40 @@ def delete(
         )
         return metrics
 
-    removes, new_adds, n_deleted = plan_predicate_removal(
-        spark, snapshot, table_path, predicate
+    col_types = col_types_from_schema_json(json.loads(snapshot.schema_string))
+    use_dv = dv_write_enabled(snapshot) and not partition_only_predicate(
+        predicate, snapshot.partition_columns, col_types
     )
-    n_copied = sum(a.num_records() or 0 for a in new_adds if isinstance(a, Add))
+    if use_dv:
+        candidates = prune_files(
+            list(snapshot.files.values()),
+            predicate,
+            snapshot.partition_columns,
+            col_types,
+        )
+        removes, new_adds, n_deleted = plan_dv_delete(
+            spark, snapshot, table_path, predicate, candidates
+        )
+    else:
+        removes, new_adds, n_deleted = plan_predicate_removal(
+            spark, snapshot, table_path, predicate
+        )
+    dv_adds = sum(
+        1 for a in new_adds if isinstance(a, Add) and a.deletion_vector
+    )
+    n_copied = (
+        0
+        if use_dv
+        else sum(a.num_records() or 0 for a in new_adds if isinstance(a, Add))
+    )
     metrics = {
         "num_removed_files": len(removes),
         "num_added_files": sum(1 for a in new_adds if isinstance(a, Add)),
         "num_deleted_rows": n_deleted,
         "num_copied_rows": n_copied,
     }
+    if use_dv:
+        metrics["num_deletion_vectors_added"] = dv_adds
     op = CommitInfo("DELETE", {"predicate": predicate}, operation_metrics=metrics)
     txn = TransactionInfo(
         blind_append=False,
@@ -163,9 +306,13 @@ def delete(
             "delta.isolationLevel", "WriteSerializable"
         ),
     )
+    # removes FIRST: a DV update tombstones and re-adds the SAME path in
+    # one commit, and snapshot replay is sequential — add-then-remove
+    # would drop the re-added file (rewrite deletes have disjoint paths,
+    # so the order is free there)
     commit_mod.commit(
         table_path,
-        list(new_adds) + list(removes),
+        list(removes) + list(new_adds),
         op,
         snapshot.version,
         txn,

@@ -48,18 +48,34 @@ def restore(
         raise DeltaError(f"{len(missing)} files of version {version} are missing (vacuumed?)")
 
     ts = now_ms()
-    actions: list = []
+    re_adds: list = []
+    removes: list = []
     restored = 0
     for path, add in old.files.items():
-        if path not in current.files and path not in missing:
+        cur = current.files.get(path)
+        # file identity under deletionVectors is (path, DV): a path whose
+        # descriptor changed since the target version (a DV delete) must
+        # be tombstoned at its current pairing and re-added at the old one
+        if path in missing:
+            continue
+        if cur is None or cur.deletion_vector != add.deletion_vector:
+            if cur is not None:
+                removes.append(
+                    Remove(
+                        path, ts, True, cur.partition_values, cur.size,
+                        deletion_vector=cur.deletion_vector,
+                    )
+                )
             add.data_change = True
-            actions.append(add)
+            re_adds.append(add)
             restored += 1
     removed = 0
     for path, add in current.files.items():
         if path not in old.files:
-            actions.append(Remove(path, ts, True, add.partition_values, add.size))
+            removes.append(Remove(path, ts, True, add.partition_values, add.size))
             removed += 1
+    # removes first: same-path tombstone + re-add pairs replay in order
+    actions: list = removes + re_adds
     if old.metadata and current.metadata and old.metadata.schema_string != current.metadata.schema_string:
         actions.append(old.metadata)
     # protocol restore (reference restore.rs:268-295): by default the

@@ -74,12 +74,29 @@ def vacuum(
         )
     cutoff_ms = (time.time() - retention_hours * 3600) * 1000
 
-    active = set(snapshot.files.keys())
+    def referenced(snap) -> set[str]:
+        """Data files plus any DV sidecars their adds point at — a
+        referenced deletion_vector_*.bin is part of the live table."""
+        out = set(snap.files.keys())
+        for a in snap.files.values():
+            dv = a.deletion_vector
+            if dv and dv.get("storageType") in ("u", "p"):
+                from delta_rs_spark.plans.deletion_vectors import dv_file_path
+
+                p = (
+                    dv_file_path(table_path, dv["pathOrInlineDv"])
+                    if dv["storageType"] == "u"
+                    else dv["pathOrInlineDv"].removeprefix("file://")
+                )
+                out.add(os.path.relpath(p, table_path))
+        return out
+
+    active = referenced(snapshot)
     # keep_versions: every file referenced by a protected historical
     # version survives, so time travel to it stays intact
     # (reference: python/deltalake/table.py:607-684 keep_versions)
     for kv in keep_versions or []:
-        active |= set(snap_mod.load_snapshot(table_path, kv).files.keys())
+        active |= referenced(snap_mod.load_snapshot(table_path, kv))
     tombstoned = {r.path: r.deletion_timestamp for r in snapshot.tombstones}
     candidates: list[str] = []
     for rel in _walk_data_files(table_path):

@@ -418,3 +418,40 @@ def delta_dv_read_op(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap.version,
     )
     return DeltaTable(path, spark=spark).to_df()
+
+
+@query(
+    "delta_dv_write_op",
+    f"""
+    SELECT {_LI_COLS} FROM lineitem
+    WHERE l_orderkey < 1500
+      AND NOT coalesce(l_quantity > 40, false)
+      AND NOT coalesce(l_discount >= 0.09, false)
+    """,
+)
+def delta_dv_write_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-PRODUCING delete (soft delete): on a
+    delta.enableDeletionVectors=true table, two successive predicate
+    DELETEs emit/merge deletion vectors instead of rewriting files
+    (operators/delete.py plan_dv_delete; Delta PROTOCOL.md "Deletion
+    Vectors"). The scan then applies the merged DV through the
+    row_index anti-join — so this query witnesses encode, descriptor
+    commit, (path, DV) tombstoning, and DV-aware read end-to-end. A
+    guard asserts no data file was rewritten."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("dv_write_op", sf_dir)
+    write_deltalake(
+        path,
+        _li_subset(spark, sf_dir),
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    dt = DeltaTable(path, spark=spark)
+    files_before = set(dt.files())
+    dt.delete("l_quantity > 40")
+    dt.refresh()
+    dt.delete("l_discount >= 0.09")  # merges into the first commit's DVs
+    dt.refresh()
+    kept_files = set(dt.files())
+    assert kept_files <= files_before, "DV delete must not rewrite files"
+    return dt.to_df(columns=[c.strip() for c in _LI_COLS.split(",")])

@@ -76,6 +76,7 @@ def read_snapshot_df(
     columns: list[str] | None = None,
     files: list[Add] | None = None,
     file_path_col: str | None = None,
+    row_index_col: str | None = None,
 ) -> DataFrame:
     """Build the scan DataFrame for a snapshot (with file skipping).
 
@@ -104,20 +105,22 @@ def read_snapshot_df(
     read_schema = cmap.physical_schema(schema) if mapped else schema
 
     def to_logical(part_df: DataFrame) -> DataFrame:
-        """Physical -> logical names, preserving the bound fp column."""
+        """Physical -> logical names, preserving bound fp/ri columns."""
         if not mapped:
             return part_df
-        extra = (
-            [file_path_col]
-            if file_path_col and file_path_col in part_df.columns
-            else None
-        )
+        extra = [
+            c
+            for c in (file_path_col, row_index_col)
+            if c and c in part_df.columns
+        ] or None
         return cmap.rename_to_logical(part_df, schema, extra_cols=extra)
 
     if not plain and not dv_adds:
         df = spark.createDataFrame([], schema)
         if file_path_col:
             df = df.withColumn(file_path_col, F.lit(None).cast("string"))
+        if row_index_col:
+            df = df.withColumn(row_index_col, F.lit(None).cast("long"))
     else:
         reader = spark.read.schema(read_schema)
         if snapshot.partition_columns:
@@ -131,6 +134,8 @@ def read_snapshot_df(
                 p_df = p_df.withColumn(
                     file_path_col, _normalize_file_path(F.col("_metadata.file_path"))
                 )
+            if row_index_col:
+                p_df = p_df.withColumn(row_index_col, F.col("_metadata.row_index"))
             parts.append(to_logical(p_df))
         if dv_adds:
             from delta_rs_spark.plans.deletion_vectors import load_dv_row_indexes
@@ -160,6 +165,9 @@ def read_snapshot_df(
             if file_path_col:
                 dv_df = dv_df.withColumn(file_path_col, F.col("__fp"))
                 keep = keep + [file_path_col]
+            if row_index_col:
+                dv_df = dv_df.withColumn(row_index_col, F.col("__ri"))
+                keep = keep + [row_index_col]
             parts.append(to_logical(dv_df.drop("__fp", "__ri").select(*keep)))
         df = parts[0]
         for p in parts[1:]:

@@ -274,3 +274,150 @@ def test_table_config_tuple(spark, tmp_path):
     t = _make_table(spark, str(tmp_path / "tcfg"))
     cfg = t.table_config()
     assert cfg.without_files is False and cfg.skip_stats is False
+
+
+# ---------------------------------------------------------------------------
+# DV PRODUCTION: DELETE on delta.enableDeletionVectors=true tables
+# ---------------------------------------------------------------------------
+
+
+def _make_dv_table(spark, path, n=200, n_files=2):
+    df = (
+        spark.range(n)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .repartition(n_files)
+    )
+    write_deltalake(
+        path, df, configuration={"delta.enableDeletionVectors": "true"}
+    )
+    return DeltaTable(path)
+
+
+def test_dv_delete_soft_deletes_without_rewrite(spark, tmp_path):
+    table = str(tmp_path / "dvw")
+    t = _make_dv_table(spark, table)
+    files_before = set(t.files())
+    m = t.delete("id % 10 = 3")  # 20 rows spread over both files
+    assert m["num_deleted_rows"] == 20
+    assert m["num_copied_rows"] == 0  # nothing rewritten
+    assert m["num_deletion_vectors_added"] == 2
+    t.refresh()
+    # same physical files, now carrying DVs
+    assert set(t.files()) == files_before
+    snap = snap_mod.load_snapshot(table)
+    assert all(a.deletion_vector for a in snap.files.values())
+    assert (
+        sum(a.deletion_vector["cardinality"] for a in snap.files.values()) == 20
+    )
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in range(200) if i % 10 != 3]
+    # protocol: the remove tombstoned the old (path, no-DV) pairing
+    assert t.count() == 180
+
+
+def test_dv_delete_merges_with_existing_dv(spark, tmp_path):
+    table = str(tmp_path / "dvw2")
+    t = _make_dv_table(spark, table)
+    t.delete("id < 10")
+    t.refresh()
+    m = t.delete("id >= 10 AND id < 15")  # second DV delete on same files
+    assert m["num_deleted_rows"] == 5
+    t.refresh()
+    snap = snap_mod.load_snapshot(table)
+    total_card = sum(
+        (a.deletion_vector or {}).get("cardinality", 0)
+        for a in snap.files.values()
+    )
+    assert total_card == 15  # merged, not double-counted
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == list(range(15, 200))
+    # deleting already-deleted rows is a no-op (scan excludes them)
+    m2 = t.delete("id < 15")
+    assert m2["num_deleted_rows"] == 0
+
+
+def test_dv_delete_full_file_becomes_plain_remove(spark, tmp_path):
+    table = str(tmp_path / "dvw3")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).alias("part")
+    )
+    write_deltalake(
+        table,
+        df.repartition(2, "part"),
+        partition_by=["part"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(table)
+    n_files = len(t.files())
+    # non-partition predicate that happens to kill every row of part=1
+    m = t.delete("id % 2 = 1")
+    assert m["num_deleted_rows"] == 50
+    t.refresh()
+    snap = snap_mod.load_snapshot(table)
+    # the fully-dead file(s) are removed outright, not re-added with a DV
+    assert len(snap.files) < n_files
+    assert all(
+        (a.deletion_vector or {}).get("cardinality", 0) == 0
+        for a in snap.files.values()
+    )
+    assert sorted(r.id for r in t.to_df().collect()) == list(range(0, 100, 2))
+
+
+def test_dv_delete_time_travel_and_restore(spark, tmp_path):
+    table = str(tmp_path / "dvw4")
+    t = _make_dv_table(spark, table)
+    t.delete("id < 50")
+    t.refresh()
+    assert t.count() == 150
+    # v0 still reads all rows (DV add only lives in v1)
+    t0 = DeltaTable(table, version=0)
+    assert t0.count() == 200
+    t.restore(0)
+    t.refresh()
+    assert t.count() == 200
+
+
+def test_dv_delete_emits_cdf(spark, tmp_path):
+    table = str(tmp_path / "dvw5")
+    df = spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_deltalake(
+        table,
+        df.coalesce(1),
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    t = DeltaTable(table)
+    t.delete("id < 5")
+    changes = t.load_cdf(starting_version=1).collect()
+    deleted = sorted(r.id for r in changes if r._change_type == "delete")
+    assert deleted == [0, 1, 2, 3, 4]
+
+
+def test_dv_delete_large_goes_to_sidecar_and_vacuum_keeps_it(spark, tmp_path):
+    import delta_rs_spark.operators.delete as del_mod
+
+    table = str(tmp_path / "dvw6")
+    t = _make_dv_table(spark, table, n=2000, n_files=1)
+    old = del_mod._DV_INLINE_MAX_BYTES
+    del_mod._DV_INLINE_MAX_BYTES = 8  # force the file path
+    try:
+        t.delete("id % 3 = 0")
+    finally:
+        del_mod._DV_INLINE_MAX_BYTES = old
+    t.refresh()
+    snap = snap_mod.load_snapshot(table)
+    descs = [a.deletion_vector for a in snap.files.values() if a.deletion_vector]
+    assert descs and all(d["storageType"] == "u" for d in descs)
+    assert t.count() == 2000 - 667
+    # vacuum (even FULL at 0h) must not reap the referenced DV sidecar
+    from delta_rs_spark.operators.vacuum import vacuum
+
+    reaped = vacuum(
+        table, retention_hours=0, dry_run=False,
+        enforce_retention_duration=False, full=True,
+    )
+    assert not any("deletion_vector_" in p for p in reaped)
+    t.refresh()
+    assert t.count() == 2000 - 667
