@@ -115,56 +115,12 @@ def dv_write_enabled(snapshot: snap_mod.Snapshot) -> bool:
     )
 
 
-def plan_dv_delete(
-    spark: SparkSession,
-    snapshot: snap_mod.Snapshot,
-    table_path: str,
-    predicate: str,
-    candidates: list[Add],
-) -> tuple[list[Remove], list[Add], int]:
-    """Soft-delete tier for DV-enabled tables: instead of rewriting the
-    surviving rows of every touched file, mark the matched rows in a
-    deletion vector and re-add the file with the merged DV (Delta
-    PROTOCOL.md "Deletion Vectors"; the remove tombstones the previous
-    (path, DV) pairing and carries the old descriptor). Full-file
-    matches still become plain removes — a fully-dead file needs no DV.
-
-    Scale: the scan collects only (file, row_index) pairs for NEWLY
-    matched rows — O(rows deleted this commit), the quantity DVs exist
-    to keep small (bulk deletes should rewrite; that path stays the
-    default for tables without the feature). Merging with an existing
-    DV unions row-index sets driver-side for the touched files only.
-    """
-    from delta_rs_spark.plans.deletion_vectors import (
-        encode_bitmap_array,
-        inline_dv_descriptor,
-        load_dv_row_indexes,
-        write_dv_file,
-    )
-    from delta_rs_spark.table import read_snapshot_df
-
-    ts = now_ms()
-    # read_snapshot_df applies existing DVs, so already-deleted rows
-    # cannot be re-matched (their indexes are anti-joined out)
-    df = read_snapshot_df(
-        spark,
-        snapshot,
-        table_path,
-        files=candidates,
-        file_path_col="__delta_rs_fp",
-        row_index_col="__delta_rs_ri",
-    )
-    matched = (
-        df.filter(F.expr(predicate))
-        .groupBy(F.col("__delta_rs_fp").alias("fp"))
-        .agg(F.collect_list("__delta_rs_ri").alias("ris"))
-        .collect()
-    )
-    if not matched:
-        return [], [], 0
-
+def group_rows_by_file(
+    matched: list, table_path: str, candidates: list[Add]
+) -> dict[str, list[int]]:
+    """(fp, [row_index]) collect() rows -> {Add.path: row indexes}."""
+    known = {a.path for a in candidates}
     by_rel: dict[str, list[int]] = {}
-    known = {a.path: a for a in candidates}
     for r in matched:
         raw, unq = _rel_candidates(r["fp"], table_path)
         rel = raw if raw in known else unq
@@ -173,13 +129,34 @@ def plan_dv_delete(
                 f"scanned file {r['fp']} not found among snapshot adds under {table_path}"
             )
         by_rel.setdefault(rel, []).extend(int(i) for i in r["ris"])
+    return by_rel
 
+
+def dv_mark_rows(
+    table_path: str,
+    by_rel: dict[str, list[int]],
+    candidates: list[Add],
+    ts: int,
+) -> tuple[list[Remove], list[Add], int]:
+    """Mark rows dead via deletion vectors: for each file, merge the new
+    row indexes into its existing DV and emit the (remove old pairing,
+    add new pairing) action pair; files left with no live rows become
+    plain removes. Shared by DELETE (matched rows die) and UPDATE
+    (matched rows die here and are re-written with new values)."""
+    from delta_rs_spark.plans.deletion_vectors import (
+        encode_bitmap_array,
+        inline_dv_descriptor,
+        load_dv_row_indexes,
+        write_dv_file,
+    )
+
+    known = {a.path: a for a in candidates}
     removes: list[Remove] = []
     new_adds: list[Add] = []
-    n_deleted = 0
+    n_marked = 0
     for rel, new_rows in by_rel.items():
         a = known[rel]
-        n_deleted += len(new_rows)
+        n_marked += len(new_rows)
         old_dv = a.deletion_vector
         old_rows = load_dv_row_indexes(table_path, old_dv) if old_dv else []
         all_rows = sorted(set(old_rows) | set(new_rows))
@@ -213,6 +190,53 @@ def plan_dv_delete(
                 deletion_vector=desc,
             )
         )
+    return removes, new_adds, n_marked
+
+
+def plan_dv_delete(
+    spark: SparkSession,
+    snapshot: snap_mod.Snapshot,
+    table_path: str,
+    predicate: str,
+    candidates: list[Add],
+) -> tuple[list[Remove], list[Add], int]:
+    """Soft-delete tier for DV-enabled tables: instead of rewriting the
+    surviving rows of every touched file, mark the matched rows in a
+    deletion vector and re-add the file with the merged DV (Delta
+    PROTOCOL.md "Deletion Vectors"; the remove tombstones the previous
+    (path, DV) pairing and carries the old descriptor). Full-file
+    matches still become plain removes — a fully-dead file needs no DV.
+
+    Scale: the scan collects only (file, row_index) pairs for NEWLY
+    matched rows — O(rows deleted this commit), the quantity DVs exist
+    to keep small (bulk deletes should rewrite; that path stays the
+    default for tables without the feature). Merging with an existing
+    DV unions row-index sets driver-side for the touched files only.
+    """
+    from delta_rs_spark.table import read_snapshot_df
+
+    ts = now_ms()
+    # read_snapshot_df applies existing DVs, so already-deleted rows
+    # cannot be re-matched (their indexes are anti-joined out)
+    df = read_snapshot_df(
+        spark,
+        snapshot,
+        table_path,
+        files=candidates,
+        file_path_col="__delta_rs_fp",
+        row_index_col="__delta_rs_ri",
+    )
+    matched = (
+        df.filter(F.expr(predicate))
+        .groupBy(F.col("__delta_rs_fp").alias("fp"))
+        .agg(F.collect_list("__delta_rs_ri").alias("ris"))
+        .collect()
+    )
+    if not matched:
+        return [], [], 0
+
+    by_rel = group_rows_by_file(matched, table_path, candidates)
+    removes, new_adds, n_deleted = dv_mark_rows(table_path, by_rel, candidates, ts)
 
     if cdf_enabled(snapshot):
         deleted_df = df.filter(F.expr(predicate)).drop(

