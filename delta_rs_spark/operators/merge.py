@@ -340,12 +340,32 @@ class TableMerger:
             rewrite_adds = []
 
         # ---- job B: rewrite path ----------------------------------------
+        # DV mode (delta.enableDeletionVectors=true): acted target rows
+        # (updated/deleted) are DV-marked dead in place and only updated
+        # rows are re-written; COPY rows stay in their files untouched —
+        # write amplification O(rows acted on), not O(rows in touched
+        # files). The reference rewrites whole files for merge.
+        from delta_rs_spark.operators.delete import (
+            dv_mark_rows,
+            dv_write_enabled,
+            group_rows_by_file,
+        )
+
+        dv_mode = dv_write_enabled(snapshot)
         out_parts: list[DataFrame] = []
         metrics_rows: dict[int, int] = {}
         n_updated = n_deleted = n_copied = n_nmbs_updated = 0
         acted = None
+        acted_pairs: list = []
         if rewrite_adds:
-            t_df = read_snapshot_df(spark, snapshot, table_path, files=rewrite_adds)
+            t_df = read_snapshot_df(
+                spark,
+                snapshot,
+                table_path,
+                files=rewrite_adds,
+                file_path_col="__delta_rs_fp" if dv_mode else None,
+                row_index_col="__delta_rs_ri" if dv_mode else None,
+            )
             for f in schema.fields:  # evolved columns read as NULL from old files
                 if f.name not in t_df.columns:
                     t_df = t_df.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -443,6 +463,15 @@ class TableMerger:
                     .drop("__rn")
                 )
 
+            if dv_mode:
+                # rows the merge acts on die in place; collect their
+                # physical addresses for DV marking (O(rows acted on))
+                acted_pairs = (
+                    acted.filter(F.col(_ACTION) != COPY)
+                    .groupBy(F.col("__delta_rs_fp").alias("fp"))
+                    .agg(F.collect_list("__delta_rs_ri").alias("ris"))
+                    .collect()
+                )
             counts = {r[_ACTION]: r["count"] for r in acted.groupBy(_ACTION).count().collect()}
             n_deleted = sum(
                 v for k, v in counts.items() if k == DELETE
@@ -464,7 +493,10 @@ class TableMerger:
                                 F.col(_ACTION) == code_i, F.expr(upd[c])
                             ).otherwise(col_expr)
                 proj.append(col_expr.cast(schema[c].dataType).alias(c))
-            rewritten = acted.filter(F.col(_ACTION) != DELETE).select(
+            out_flt = F.col(_ACTION) != DELETE
+            if dv_mode:  # COPY rows stay in their (DV'd) files
+                out_flt = out_flt & (F.col(_ACTION) != COPY)
+            rewritten = acted.filter(out_flt).select(
                 *proj, F.col(_ACTION)
             )
             rewritten = _recompute_generated(
@@ -571,10 +603,21 @@ class TableMerger:
             actions.extend(write_change_data(cdf_all, table_path))
 
         ts = now_ms()
-        removes = [
-            Remove(a.path, ts, True, a.partition_values, a.size) for a in rewrite_adds
-        ]
-        actions.extend(removes)
+        if dv_mode:
+            # only files with acted rows change; remove tombstones the old
+            # (path, DV) pairing, the re-add carries the merged DV —
+            # remove precedes its re-add (sequential replay)
+            by_rel = group_rows_by_file(acted_pairs, table_path, rewrite_adds)
+            removes, dv_readds, _ = dv_mark_rows(table_path, by_rel, rewrite_adds, ts)
+            actions.extend(removes)
+            actions.extend(dv_readds)
+            n_copied = 0  # nothing is rewritten in DV mode
+        else:
+            removes = [
+                Remove(a.path, ts, True, a.partition_values, a.size)
+                for a in rewrite_adds
+            ]
+            actions.extend(removes)
 
         metrics = {
             "num_source_rows": num_source_rows,
@@ -587,6 +630,10 @@ class TableMerger:
             "num_target_files_removed": len(removes),
             "num_output_rows": int(sum(a.num_records() or 0 for a in new_adds)),
         }
+        if dv_mode:
+            metrics["num_deletion_vectors_added"] = sum(
+                1 for a in actions if isinstance(a, Add) and a.deletion_vector
+            )
         op = CommitInfo(
             "MERGE",
             {

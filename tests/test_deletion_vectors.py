@@ -477,3 +477,71 @@ def test_dv_update_emits_cdf_pairs(spark, tmp_path):
     post = sorted((r.id, r.v) for r in changes if r._change_type == "update_postimage")
     assert pre == [(0, 0), (1, 2), (2, 4)]
     assert post == [(0, 1), (1, 3), (2, 5)]
+
+
+def test_dv_merge_upsert_and_delete(spark, tmp_path):
+    table = str(tmp_path / "dvm1")
+    t = _make_dv_table(spark, table)  # ids 0..199, v = id*2
+    files_before = set(t.files())
+    src = spark.createDataFrame(
+        [(0, 111), (5, 555), (300, 300)], ["id", "v"]
+    )
+    m = (
+        t.merge(src, "t.id = s.id", source_alias="s", target_alias="t")
+        .when_matched_update({"v": "s.v"})
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    assert m["num_target_rows_updated"] == 2
+    assert m["num_target_rows_inserted"] == 1
+    assert m["num_target_rows_copied"] == 0  # DV mode: no rewrite
+    assert m["num_deletion_vectors_added"] >= 1
+    t.refresh()
+    assert files_before <= set(t.files())  # originals survive with DVs
+    got = {r.id: r.v for r in t.to_df().collect()}
+    assert len(got) == 201
+    assert got[0] == 111 and got[5] == 555 and got[300] == 300
+    assert got[7] == 14
+    # merge-delete through DVs too
+    m2 = (
+        t.merge(
+            spark.createDataFrame([(1,), (2,)], ["id"]),
+            "t.id = s.id",
+            source_alias="s",
+            target_alias="t",
+        )
+        .when_matched_delete()
+        .execute()
+    )
+    assert m2["num_target_rows_deleted"] == 2
+    t.refresh()
+    assert t.count() == 199
+    assert sorted(r.id for r in t.to_df().filter("id < 5").collect()) == [0, 3, 4]
+
+
+def test_dv_merge_nmbs_and_cdf(spark, tmp_path):
+    table = str(tmp_path / "dvm2")
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_deltalake(
+        table,
+        df.coalesce(1),
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    t = DeltaTable(table)
+    src = spark.createDataFrame([(1, 0), (3, 0)], ["id", "v"])
+    (
+        t.merge(src, "t.id = s.id", source_alias="s", target_alias="t")
+        .when_matched_update({"v": "s.v"})
+        .when_not_matched_by_source_delete("t.id >= 8")
+        .execute()
+    )
+    t.refresh()
+    got = {r.id: r.v for r in t.to_df().collect()}
+    assert set(got) == set(range(8)) and got[1] == 0 and got[3] == 0
+    changes = t.load_cdf(starting_version=1).collect()
+    kinds = sorted({r._change_type for r in changes})
+    assert kinds == ["delete", "update_postimage", "update_preimage"]
+    assert sorted(r.id for r in changes if r._change_type == "delete") == [8, 9]
