@@ -545,3 +545,34 @@ def test_dv_merge_nmbs_and_cdf(spark, tmp_path):
     kinds = sorted({r._change_type for r in changes})
     assert kinds == ["delete", "update_postimage", "update_preimage"]
     assert sorted(r.id for r in changes if r._change_type == "delete") == [8, 9]
+
+
+def test_optimize_compact_purges_dvs(spark, tmp_path):
+    table = str(tmp_path / "dvo1")
+    t = _make_dv_table(spark, table)
+    t.delete("id % 5 = 0")
+    t.refresh()
+    assert any(
+        a.deletion_vector for a in snap_mod.load_snapshot(table).files.values()
+    )
+    t.optimize.compact()
+    t.refresh()
+    snap = snap_mod.load_snapshot(table)
+    # compaction materializes the DVs away: fresh files, no descriptors,
+    # dead rows NOT resurrected
+    assert all(a.deletion_vector is None for a in snap.files.values())
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in range(200) if i % 5 != 0]
+
+
+def test_dv_write_survives_checkpoint(spark, tmp_path):
+    table = str(tmp_path / "dvc1")
+    t = _make_dv_table(spark, table)
+    t.delete("id < 25")
+    t.refresh()
+    snap = snap_mod.load_snapshot(table)
+    snap_mod.write_checkpoint(table, snap)
+    # replay from the checkpoint alone must keep the DV
+    t2 = DeltaTable(table)
+    assert t2.count() == 175
+    assert sorted(r.id for r in t2.to_df().collect()) == list(range(25, 200))
