@@ -576,3 +576,25 @@ def test_dv_write_survives_checkpoint(spark, tmp_path):
     t2 = DeltaTable(table)
     assert t2.count() == 175
     assert sorted(r.id for r in t2.to_df().collect()) == list(range(25, 200))
+
+
+def test_dv_merge_with_schema_evolution(spark, tmp_path):
+    table = str(tmp_path / "dvse")
+    t = _make_dv_table(spark, table)  # schema (id, v)
+    src = spark.createDataFrame([(0, 1, "x"), (500, 2, "y")], ["id", "v", "tag"])
+    (
+        t.merge(
+            src, "t.id = s.id", source_alias="s", target_alias="t",
+            merge_schema=True,
+        )
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    t.refresh()
+    # old files survive with DVs on the OLD physical schema; evolved
+    # column reads as NULL from them
+    got = {r.id: (r.v, r.tag) for r in t.to_df().collect()}
+    assert len(got) == 201
+    assert got[0] == (1, "x") and got[500] == (2, "y")
+    assert got[17] == (34, None)
