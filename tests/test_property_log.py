@@ -156,3 +156,45 @@ def test_metadata_roundtrip(cfg, parts):
     back = parse_action(action_to_line(m))
     assert isinstance(back, Metadata)
     assert back.configuration == cfg and back.partition_columns == parts
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector roaring codec: encode/decode is the identity on any
+# row-index set (the write path now PRODUCES these bitmaps, so codec
+# corruption would silently resurrect or lose rows)
+# ---------------------------------------------------------------------------
+
+_ri = st.one_of(
+    st.integers(min_value=0, max_value=1 << 20),          # dense low range
+    st.integers(min_value=0, max_value=(1 << 33)),        # crosses 32-bit keys
+    st.builds(lambda k, lo: (k << 16) + lo,               # container edges
+              st.integers(0, 8), st.sampled_from([0, 1, 4095, 4096, 65535])),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=st.sets(_ri, min_size=0, max_size=300))
+def test_dv_bitmap_round_trip_property(rows):
+    from delta_rs_spark.plans.deletion_vectors import (
+        decode_bitmap_array,
+        encode_bitmap_array,
+    )
+
+    if not rows:
+        return
+    assert decode_bitmap_array(encode_bitmap_array(sorted(rows))) == sorted(rows)
+
+
+@settings(max_examples=100, deadline=None)
+@given(rows=st.sets(st.integers(0, 1 << 20), min_size=1, max_size=200))
+def test_dv_inline_descriptor_round_trip_property(rows):
+    from delta_rs_spark.plans.deletion_vectors import (
+        decode_bitmap_array,
+        inline_dv_descriptor,
+        z85_decode,
+    )
+
+    d = inline_dv_descriptor(sorted(rows))
+    data = z85_decode(d["pathOrInlineDv"])[: d["sizeInBytes"]]
+    assert decode_bitmap_array(data) == sorted(rows)
+    assert d["cardinality"] == len(rows)
