@@ -347,6 +347,79 @@ def ivf_topk_indexed(
     )
 
 
+def update_lsh_index(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally index new vectors: bucket them with the SAME planes
+    the index was built with (read back from table config, so ingest and
+    query can never drift) and append. The append touches only the
+    buckets the new vectors land in; existing partitions' files are
+    untouched, and a concurrent query either sees the old or the new
+    snapshot atomically - the index freshness story a streaming corpus
+    needs (run from foreachBatch for continuous ingest)."""
+    import json as _json
+
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    t = DeltaTable(index_path, spark=spark)
+    params = _json.loads(t.metadata().configuration[_LSH_PLANES_KEY])
+    planes = _hyperplanes(params["dim"], params["n_planes"], params["seed"])
+    indexed = new_df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    write_deltalake(index_path, indexed, mode="append", partition_by=["bucket"])
+
+
+def update_ivf_index(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally index new vectors into an IVF index: assign against
+    the FROZEN centroids stored in the table config and append to the
+    matching list partitions. Centroids staying fixed is the standard
+    IVF maintenance contract (FAISS add-after-train): recall degrades
+    only as the data distribution drifts, at which point build_ivf_index
+    re-trains into a fresh version of the same table - time travel keeps
+    the old index readable during the swap."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    t = DeltaTable(index_path, spark=spark)
+    centroids = _json.loads(t.metadata().configuration[_IVF_CENTROIDS_KEY])
+    C = np.array([c for _, c in centroids], dtype=np.float64)
+    Cn = (C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)).T
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        s = Vn @ Cn
+        rev = s[:, ::-1].argmax(axis=1)
+        return pd.Series((s.shape[1] - 1 - rev).astype("int32"))
+
+    indexed = new_df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _assign(F.col(vec_col)).alias("list"),
+    )
+    write_deltalake(index_path, indexed, mode="append", partition_by=["list"])
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.4,

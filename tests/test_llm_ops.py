@@ -689,3 +689,42 @@ def test_write_training_shards_prunes_and_is_deterministic(spark, tmp_path):
     # shards are roughly balanced (md5-uniform): no shard 3x the mean
     sizes = [c for _, c in out.groupBy("shard").count().collect()]
     assert max(sizes) < 3 * (sum(sizes) / len(sizes))
+
+
+def test_update_ivf_index_appends_to_frozen_lists(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfidx")
+    base = emb.filter(F.col("vec_id") < 80)
+    S.build_ivf_index(base, path, n_lists=8)
+    from delta_rs_spark import DeltaTable
+
+    before = DeltaTable(path, spark=spark)
+    v_before = before.version()
+    new = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+    S.update_ivf_index(spark, path, new)
+    t = DeltaTable(path, spark=spark)
+    assert t.version() == v_before + 1
+    assert t.count() == 100
+    # a new vector is findable through the pruned probe path
+    target = emb.filter(F.col("vec_id") == 90).first()
+    top = S.ivf_topk_indexed(spark, path, list(target.embedding), k=5, n_probe=8)
+    assert 90 in [r.id for r in top.collect()]
+    # assignment used the FROZEN centroids from the table config
+    import json as _json
+
+    cents = _json.loads(t.metadata().configuration[S._IVF_CENTROIDS_KEY])
+    assert len(cents) == 8
+
+
+def test_update_lsh_index_appends(spark, emb, tmp_path):
+    path = str(tmp_path / "lshidx")
+    base = emb.filter(F.col("vec_id") < 80)
+    S.build_lsh_index(base, path, n_planes=6)
+    new = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+    S.update_lsh_index(spark, path, new)
+    from delta_rs_spark import DeltaTable
+
+    t = DeltaTable(path, spark=spark)
+    assert t.count() == 100
+    target = emb.filter(F.col("vec_id") == 85).first()
+    top = S.lsh_topk_indexed(spark, path, list(target.embedding), k=5)
+    assert 85 in [r.id for r in top.collect()]
