@@ -598,3 +598,38 @@ def test_dv_merge_with_schema_evolution(spark, tmp_path):
     assert len(got) == 201
     assert got[0] == (1, "x") and got[500] == (2, "y")
     assert got[17] == (34, None)
+
+
+def test_dv_delete_racing_writers_conflict(spark, tmp_path):
+    """Two DV deletes planned against the same base version touch the
+    same (path, DV) pairing; the loser MUST conflict — committing it
+    would install a descriptor that forgets the winner's tombstones and
+    silently resurrect rows."""
+    from delta_rs_spark.log.commit import (
+        ConcurrentDeleteDeleteError,
+        TransactionInfo,
+    )
+    from delta_rs_spark.operators.delete import plan_dv_delete
+
+    table = str(tmp_path / "dvrace")
+    t = _make_dv_table(spark, table, n_files=1)
+    snap0 = snap_mod.load_snapshot(table)
+    candidates = list(snap0.files.values())
+    # loser plans against snap0 BEFORE the winner commits
+    removes, adds, _ = plan_dv_delete(
+        spark, snap0, table, "id >= 5 AND id < 8", candidates
+    )
+    t.delete("id < 5")  # winner
+    with pytest.raises(ConcurrentDeleteDeleteError):
+        commit_mod.commit(
+            table,
+            list(removes) + list(adds),
+            CommitInfo("DELETE", {"predicate": "loser"}),
+            snap0.version,
+            TransactionInfo(
+                blind_append=False, read_files={r.path for r in removes}
+            ),
+        )
+    # table state is the winner's alone
+    t.refresh()
+    assert sorted(r.id for r in t.to_df().collect()) == list(range(5, 200))
