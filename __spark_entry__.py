@@ -45,12 +45,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # categories).
 #
 # INVARIANT (keep true under the driver's observed 50-51 budget): the
-# top-47 positions must contain all delta_* ops, all events/streaming
+# top-48 positions must contain all delta_* ops, all events/streaming
 # queries, >=1 representative per §2B category, and EVERY query that has
-# never had a green oracle row. Any NEW query enters inside the top-47 by
+# never had a green oracle row. Any NEW query enters inside that prefix by
 # adding it to _FIRST_WITNESS_NEEDED, displacing multi-round-green entries
 # into the tail. Once green, move it out of _FIRST_WITNESS_NEEDED; once
-# green in >=2 rounds it may move to a _*_STABLE set.
+# green in >=2 rounds it may move to a _*_STABLE set. r04 note: the
+# prefix is at 48 of the observed 50 — the r05 session MUST move this
+# round's freshly-witnessed entries out of _FIRST_WITNESS_NEEDED before
+# adding anything new.
 _RELATIONAL_REPRESENTATIVES = (
     # one distinct §2B category per entry first, so even a clipped window
     # witnesses every category; same-category variants live in
@@ -84,6 +87,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_pq_topk",                  # ADC top-k over PQ codes
     "llm_corpus_pipeline",          # composed ingest gate (dedup+lang+quality+length)
     "llm_shard_stats",              # training-export shard assignment
+    "llm_bigram_logprob",           # bigram-LM quality scoring
 )
 
 # Thrice-green (r01+r02+r03) category variants whose §2B categories are

@@ -596,3 +596,51 @@ def corpus_filter_report(
         (F.col("doc_id") == keep_id).alias("is_canonical"),
         reason.alias("reason"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    MLE bigram model: p(w2|w1) = c(w1,w2) / c_ctx(w1), score = mean over
+    the doc's bigrams of ln p. One model order above unigram_logprob
+    and the cheapest signal that catches scrambled-but-common-word text
+    (high unigram score, low bigram score). No smoothing needed: the
+    model is fit on the corpus being scored. Docs with < 2 tokens have
+    no bigrams and drop out, like the reference behavior of any n-gram
+    scorer.
+
+    Scale shape: bigram pairs come straight off the token ARRAY
+    (zip_with against its own tail — no positional self-join); the rest
+    is the unigram plan one order up: per-doc tf reduced first and
+    materialized once, count tables built from tf with map-side partial
+    agg, broadcast back, one groupBy(doc) for the mean. The bigram
+    vocab is the only corpus-global state; at 100 TB it gets frequency
+    pruning + an OOV floor, changing the model, not the plan.
+    """
+    arr = tokens(text_col)
+    pairs = F.filter(
+        F.zip_with(
+            arr,
+            F.slice(arr, 2, F.greatest(F.size(arr), F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("cc"))
+    scored = tf.join(F.broadcast(c2), ["w1", "w2"]).join(F.broadcast(c1), "w1")
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("tf") * F.log(F.col("c") / F.col("cc"))) / F.sum("tf"),
+            4,
+        ).alias("mean_logprob"),
+    )

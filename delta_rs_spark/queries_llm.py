@@ -1225,3 +1225,28 @@ def llm_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(X.token_count("text")).cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "llm_bigram_logprob",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NE_TOKENS_SQL} AS a FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(a), 1)), i -> a[i])) AS w1,
+                  unnest(list_transform(range(1, greatest(len(a), 1)), i -> a[i + 1])) AS w2
+           FROM tk),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c) AS cc FROM c2 GROUP BY 1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln(c * 1.0 / cc)), 4) AS mean_logprob
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (text.bigram_logprob): p(w2|w1) MLE fit
+    on the corpus itself, bigrams off the token array (no positional
+    self-join), broadcast count tables. Catches scrambled word salads
+    that unigram scoring cannot."""
+    docs = _docs(spark, sf_dir)
+    return X.bigram_logprob(docs)

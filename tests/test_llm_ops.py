@@ -728,3 +728,20 @@ def test_update_lsh_index_appends(spark, emb, tmp_path):
     target = emb.filter(F.col("vec_id") == 85).first()
     top = S.lsh_topk_indexed(spark, path, list(target.embedding), k=5)
     assert 85 in [r.id for r in top.collect()]
+
+
+def test_bigram_logprob_catches_scrambled_text(spark):
+    import math
+
+    fluent = "the cat sat on the mat and the cat sat on the mat again"
+    scrambled = "mat the on cat again sat the mat on and the sat cat the"
+    rows = [(i, fluent) for i in range(8)] + [(100, scrambled)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in X.bigram_logprob(df).collect()}
+    # same unigram distribution, but the scrambled doc's bigrams are rare
+    assert out[100].mean_logprob < out[0].mean_logprob
+    assert out[0].n_bigrams == len(fluent.split()) - 1
+    # single-token docs drop out (no bigrams)
+    one = spark.createDataFrame([(1, "hello"), (2, "a b")], ["doc_id", "text"])
+    got = {r.doc_id for r in X.bigram_logprob(one).collect()}
+    assert got == {2}
