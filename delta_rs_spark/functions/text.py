@@ -483,13 +483,16 @@ def source_mix(df: DataFrame, text_col: str = "text", source_col: str = "source"
         F.sum(token_count(text_col)).alias("n_tokens"),
         F.sum(char_count(text_col)).alias("n_chars"),
     )
-    total = F.sum("n_tokens").over(W.partitionBy())
-    return per_source.select(
+    # share denominator as a broadcast 1-row cross join, not an
+    # unpartitioned window (same result; no single-partition exchange of
+    # the per-source table, and no WindowExec warning noise)
+    total = per_source.agg(F.sum("n_tokens").alias("__tot"))
+    return per_source.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "n_tokens",
         "n_chars",
-        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        F.round(F.col("n_tokens") / F.col("__tot"), 6).alias("token_share"),
         F.round(F.col("n_tokens") / F.col("n_docs"), 2).alias("tokens_per_doc"),
     )
 

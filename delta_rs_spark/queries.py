@@ -329,10 +329,11 @@ def q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     agg = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
-    return agg.select(
+    total = agg.agg(F.sum("n_orders").alias("__tot"))  # broadcast 1-row denominator
+    return agg.crossJoin(F.broadcast(total)).select(
         "o_orderpriority",
         "n_orders",
-        F.round(F.col("n_orders") / F.sum("n_orders").over(W.partitionBy()), 6).alias("share"),
+        F.round(F.col("n_orders") / F.col("__tot"), 6).alias("share"),
     )
 
 
