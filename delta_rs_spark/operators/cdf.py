@@ -108,6 +108,66 @@ def load_cdf(
             df = spark.read.schema(cdc_schema).parquet(*paths)
         else:
             pieces = []
+            # DV update pairs (same path removed+added in one commit, e.g.
+            # a soft DELETE without CDF enabled): the change set is the
+            # DIFF of the two deletion vectors — synthesizing from the
+            # raw add/remove would wrongly report every surviving row as
+            # inserted and every pre-image row as deleted
+            add_by_path = {a.path: a for a in adds}
+            pair_paths = {r.path for r in removes if r.path in add_by_path}
+            if pair_paths:
+                from delta_rs_spark.plans.deletion_vectors import (
+                    load_dv_row_indexes,
+                )
+
+                rm_by_path = {r.path: r for r in removes}
+                dead_pairs = []  # (abs_path, row_index)
+                for path in sorted(pair_paths):
+                    a = add_by_path[path]
+                    r = rm_by_path[path]
+                    new_rows = (
+                        set(load_dv_row_indexes(table_path, a.deletion_vector))
+                        if a.deletion_vector
+                        else set()
+                    )
+                    old_rows = (
+                        set(load_dv_row_indexes(table_path, r.deletion_vector))
+                        if r.deletion_vector
+                        else set()
+                    )
+                    abs_path = os.path.join(table_path, path)
+                    dead_pairs += [(abs_path, ri) for ri in sorted(new_rows - old_rows)]
+                if dead_pairs:
+                    from delta_rs_spark.table import _normalize_file_path
+
+                    reader = spark.read.schema(schema)
+                    if snap.partition_columns:
+                        reader = reader.option("basePath", table_path)
+                    dead_df = spark.createDataFrame(
+                        dead_pairs, "__fp string, __ri long"
+                    )
+                    rows = (
+                        reader.parquet(
+                            *[os.path.join(table_path, p) for p in sorted(pair_paths)]
+                        )
+                        .withColumn(
+                            "__sfp",
+                            _normalize_file_path(F.col("_metadata.file_path")),
+                        )
+                        .withColumn("__sri", F.col("_metadata.row_index"))
+                        .join(
+                            F.broadcast(dead_df),
+                            (F.col("__sfp") == F.col("__fp"))
+                            & (F.col("__sri") == F.col("__ri")),
+                            "inner",
+                        )
+                        .drop("__sfp", "__sri", "__fp", "__ri")
+                    )
+                    pieces.append(
+                        rows.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                    )
+                adds = [a for a in adds if a.path not in pair_paths]
+                removes = [r for r in removes if r.path not in pair_paths]
             if adds:
                 ins = read_snapshot_df(spark, snap, table_path, files=adds)
                 pieces.append(ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")))

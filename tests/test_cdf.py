@@ -63,3 +63,30 @@ def test_cdf_allow_out_of_range(spark, tmp_table, sample_df):
     with pytest.raises(DeltaError):
         t.load_cdf(starting_version=99)
     assert t.load_cdf(starting_version=99, allow_out_of_range=True).count() == 0
+
+
+def test_cdf_synthesis_on_dv_commit_is_the_dv_diff(spark, tmp_path):
+    """A DV soft delete WITHOUT ChangeDataFeed enabled must synthesize
+    exactly the newly-dead rows as deletes — not delete-all of the
+    pre-image plus insert-all of the survivors."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    table = str(tmp_path / "dvsynth")
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_deltalake(
+        table,
+        df.coalesce(1),
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(table)
+    t.delete("id < 7")
+    t.refresh()
+    t.delete("id >= 7 AND id < 10")  # second commit merges the DV
+    changes = t.load_cdf(starting_version=1).collect()
+    assert all(r._change_type == "delete" for r in changes)
+    v1 = sorted(r.id for r in changes if r._commit_version == 1)
+    v2 = sorted(r.id for r in changes if r._commit_version == 2)
+    assert v1 == list(range(7))
+    assert v2 == [7, 8, 9]
