@@ -15,6 +15,23 @@ from delta_rs_spark.log.actions import CommitInfo, Remove, now_ms
 from delta_rs_spark.log.commit import TransactionInfo
 
 
+def _dv_sidecar_missing(table_path: str, add) -> bool:
+    """An add whose DV sidecar is gone is unreadable in its correct form
+    (dropping just the descriptor would resurrect its deleted rows), so
+    FSCK treats it like a missing data file."""
+    dv = add.deletion_vector
+    if not dv or dv.get("storageType") == "i":
+        return False
+    from delta_rs_spark.plans.deletion_vectors import dv_file_path
+
+    p = (
+        dv_file_path(table_path, dv["pathOrInlineDv"])
+        if dv["storageType"] == "u"
+        else dv["pathOrInlineDv"].removeprefix("file://")
+    )
+    return not os.path.exists(p)
+
+
 def repair(table_path: str, dry_run: bool = False) -> dict[str, Any]:
     snapshot = snap_mod.load_snapshot(table_path)
     ts = now_ms()
@@ -22,6 +39,7 @@ def repair(table_path: str, dry_run: bool = False) -> dict[str, Any]:
         add
         for add in snapshot.files.values()
         if not os.path.exists(os.path.join(table_path, add.path))
+        or _dv_sidecar_missing(table_path, add)
     ]
     result = {
         "dry_run": dry_run,
@@ -29,7 +47,13 @@ def repair(table_path: str, dry_run: bool = False) -> dict[str, Any]:
     }
     if dry_run or not missing:
         return result
-    removes = [Remove(a.path, ts, True, a.partition_values, a.size) for a in missing]
+    removes = [
+        Remove(
+            a.path, ts, True, a.partition_values, a.size,
+            deletion_vector=a.deletion_vector,
+        )
+        for a in missing
+    ]
     op = CommitInfo(
         "FSCK",
         {"dryRun": dry_run},

@@ -633,3 +633,32 @@ def test_dv_delete_racing_writers_conflict(spark, tmp_path):
     # table state is the winner's alone
     t.refresh()
     assert sorted(r.id for r in t.to_df().collect()) == list(range(5, 200))
+
+
+def test_fsck_removes_add_with_missing_dv_sidecar(spark, tmp_path):
+    import delta_rs_spark.operators.delete as del_mod
+    from delta_rs_spark.operators.fsck import repair
+    from delta_rs_spark.plans import deletion_vectors as DVmod
+
+    table = str(tmp_path / "dvfsck")
+    t = _make_dv_table(spark, table, n=400, n_files=2)
+    old = del_mod._DV_INLINE_MAX_BYTES
+    del_mod._DV_INLINE_MAX_BYTES = 8  # force sidecar files
+    try:
+        t.delete("id % 4 = 0")
+    finally:
+        del_mod._DV_INLINE_MAX_BYTES = old
+    snap = snap_mod.load_snapshot(table)
+    victim = next(a for a in snap.files.values() if a.deletion_vector)
+    os.remove(DVmod.dv_file_path(table, victim.deletion_vector["pathOrInlineDv"]))
+    DVmod._DV_CACHE.clear()  # forget the decoded bitmap of the deleted file
+    r = repair(table, dry_run=True)
+    assert r["files_removed"] == [victim.path]
+    repair(table)
+    t.refresh()
+    # table readable again; the broken file's rows are gone entirely
+    assert all(
+        a.path != victim.path
+        for a in snap_mod.load_snapshot(table).files.values()
+    )
+    t.to_df().count()
