@@ -88,10 +88,19 @@ class _AddFilePartition(_InputPartition):
     """One committed data file to read in a micro-batch (pickled to the
     Python worker that executes ``read``)."""
 
-    def __init__(self, abs_path: str, partition_values: dict, schema_json: str):
+    def __init__(
+        self,
+        abs_path: str,
+        partition_values: dict,
+        schema_json: str,
+        dead_rows: tuple = (),
+    ):
         self.abs_path = abs_path
         self.partition_values = partition_values
         self.schema_json = schema_json
+        # deletion-vector row indexes (file positions) to drop at read
+        # time — the file's LOGICAL content excludes them
+        self.dead_rows = dead_rows
 
 
 def _make_stream_reader_cls():
@@ -142,6 +151,7 @@ def _make_stream_reader_cls():
                             os.path.join(self.table_path, a.path),
                             dict(a.partition_values or {}),
                             self.schema_json,
+                            dead_rows=self._dead_rows(a),
                         )
                     )
                 from pyspark.sql.datasource import InputPartition
@@ -173,9 +183,23 @@ def _make_stream_reader_cls():
                                 os.path.join(self.table_path, a.path),
                                 dict(a.partition_values or {}),
                                 self.schema_json,
+                                dead_rows=self._dead_rows(a),
                             )
                         )
             return parts or [InputPartition(0)]
+
+        def _dead_rows(self, add) -> tuple:
+            """A DV'd add's logical content excludes its deletion-vector
+            rows — decode once driver-side (memoized) so the re-emitted
+            file (initial snapshot, or ignore_changes tail) never
+            resurrects soft-deleted rows."""
+            if not add.deletion_vector:
+                return ()
+            from delta_rs_spark.plans.deletion_vectors import (
+                load_dv_row_indexes,
+            )
+
+            return tuple(load_dv_row_indexes(self.table_path, add.deletion_vector))
 
         def read(self, partition):
             if not isinstance(partition, _AddFilePartition):
@@ -187,6 +211,12 @@ def _make_stream_reader_cls():
             spark_schema = T.StructType.fromJson(json.loads(partition.schema_json))
             arrow_schema = to_arrow_schema(spark_schema)
             tbl = pq.read_table(partition.abs_path)
+            if partition.dead_rows:
+                import numpy as np
+
+                mask = np.ones(len(tbl), dtype=bool)
+                mask[np.asarray(partition.dead_rows, dtype=np.int64)] = False
+                tbl = tbl.filter(pa.array(mask))
             n = len(tbl)
             cols = []
             for f in arrow_schema:
@@ -235,14 +265,16 @@ def read_append_stream(
     shows rewriting commits, and the source itself re-checks every new
     commit mid-stream."""
     snapshot = snap_mod.load_snapshot(table_path)
-    if not ignore_changes and any(t.data_change for t in snapshot.tombstones):
+    # historical DV soft mutations are fine: their tombstoned paths are
+    # still live (re-added with a descriptor) and the source applies the
+    # DV at read time; a tombstone whose path truly left the table means
+    # a rewriting writer, which file-level streaming can't represent
+    live = set(snapshot.files)
+    if not ignore_changes and any(
+        t.data_change and t.path not in live for t in snapshot.tombstones
+    ):
         raise DeltaError(
             "table has rewritten files; use CdfFollower or ignore_changes=True"
-        )
-    if any(a.deletion_vector for a in snapshot.files.values()):
-        raise DeltaError(
-            "table has deletion vectors (a rewriting writer); the file-level "
-            "stream source would emit deleted rows — use CdfFollower"
         )
     spark.dataSource.register(_make_stream_reader_cls())
     return (

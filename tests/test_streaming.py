@@ -335,3 +335,32 @@ def test_watermark_append_mode_closes_windows(spark, tmp_path):
     h2 = h0 + 2 * 3600
     emitted3 = {r.ws: r.n for r in rows}
     assert emitted3.get(h2) == 1  # the dropped row never reopened state
+
+
+def test_read_stream_initial_snapshot_respects_dvs(spark, tmp_path):
+    """A fresh stream over a table with a DV soft delete must NOT
+    resurrect the deleted rows in the initial-snapshot batch."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "dvstream")
+    df = spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_deltalake(
+        table,
+        df.coalesce(1),
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    DeltaTable(table).delete("id < 10")  # DV soft delete
+    stream = read_append_stream(spark, table)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dv_tail_out")
+        .option("checkpointLocation", str(tmp_path / "ckptdv"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id for r in spark.sql("SELECT id FROM dv_tail_out").collect()
+    )
+    assert got == list(range(10, 50))
