@@ -662,3 +662,16 @@ def test_fsck_removes_add_with_missing_dv_sidecar(spark, tmp_path):
         for a in snap_mod.load_snapshot(table).files.values()
     )
     t.to_df().count()
+
+
+def test_optimize_zorder_purges_dvs(spark, tmp_path):
+    table = str(tmp_path / "dvz")
+    t = _make_dv_table(spark, table)
+    t.delete("id % 3 = 1")
+    t.refresh()
+    t.optimize.z_order(["v"])
+    t.refresh()
+    snap = snap_mod.load_snapshot(table)
+    assert all(a.deletion_vector is None for a in snap.files.values())
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in range(200) if i % 3 != 1]
