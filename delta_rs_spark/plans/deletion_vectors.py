@@ -19,9 +19,10 @@ built from the protocol spec, not ported):
   RoaringFormatSpec-serialized 32-bit roaring bitmap (array / bitmap /
   run containers all supported).
 
-Encoding helpers exist so tests can build protocol-correct fixture
-tables; the write path never emits DVs (documented gap — reads are the
-interop requirement).
+The encode helpers here are used by BOTH test fixtures and the write
+path: DELETE/UPDATE/MERGE on ``delta.enableDeletionVectors=true``
+tables produce descriptors via ``inline_dv_descriptor`` /
+``write_dv_file`` (operators/delete.py ``dv_mark_rows``).
 """
 
 from __future__ import annotations
@@ -294,8 +295,9 @@ def _load_dv_row_indexes_uncached(table_path: str, descriptor: dict) -> list[int
 def write_dv_file(
     table_path: str, row_indexes: list[int], prefix: str = ""
 ) -> dict:
-    """Write a protocol-shaped DV file; returns the 'u' descriptor.
-    (Test/fixture helper; the write path does not emit DVs yet.)"""
+    """Write a protocol-shaped DV sidecar file; returns the 'u'
+    descriptor. Used by dv_mark_rows for bitmaps above the inline
+    threshold, and by tests to build fixture tables."""
     u = uuid_mod.uuid4()
     data = encode_bitmap_array(row_indexes)
     name = f"deletion_vector_{u}.bin"
