@@ -645,3 +645,44 @@ def pq_topk(
         .orderBy(F.asc("approx_dist"), F.asc("id"))
         .limit(k)
     )
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 40,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The production ANN shape: PQ/ADC produces a cheap ``shortlist``
+    of candidates (8 table lookups per vector, no vector math), then
+    ONLY those rows' raw vectors are re-scored with exact cosine. Recall
+    approaches exact top-k as shortlist/k grows while the full-precision
+    work stays O(shortlist), not O(corpus).
+
+    Scale shape: stage 1 is pq_topk over the encoded corpus (codes are
+    64x smaller than the vectors, so at 100 TB the shortlist scan reads
+    the compact encoded table, cf. build_ivf_index's materialization
+    pattern); stage 2 is a semi-join of the raw vectors against
+    ``shortlist`` ids — a broadcast of k*few ids — followed by exact
+    scoring of that handful. Output matches cosine_topk's
+    (id, score) contract."""
+    cand = pq_topk(
+        df, query_vec, k=shortlist, m=m, n_codes=n_codes,
+        vec_col=vec_col, id_col=id_col,
+    ).select(F.col("id").alias("__cand_id"))
+    q = _query_vec_column(query_vec)
+    return (
+        df.join(
+            F.broadcast(cand), F.col(id_col) == F.col("__cand_id"), "inner"
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col), q), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )

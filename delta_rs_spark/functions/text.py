@@ -647,3 +647,49 @@ def bigram_logprob(
             4,
         ).alias("mean_logprob"),
     )
+
+
+def corpus_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The dataset-card summary table: one (metric, value) row per
+    corpus-level statistic — doc/token/char totals, token-count
+    quantiles, mean quality, exact-duplicate rate. The numbers a data
+    release publishes and a pipeline regression-checks between ingests.
+
+    Scale shape: one full-scan aggregate computes every per-doc-derived
+    metric (percentile_approx for the quantiles — the only approximate
+    member, by design at 100 TB), plus one fingerprint distinct-count
+    for the dup rate; two jobs total, outputs are O(1) rows.
+    """
+    stats = df.select(
+        token_count(text_col).cast("double").alias("__tok"),
+        char_count(text_col).cast("double").alias("__chr"),
+        quality_score(text_col).alias("__q"),
+        fingerprint(text_col).alias("__fp"),
+    )
+    agg = stats.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("__tok").alias("total_tokens"),
+        F.sum("__chr").alias("total_chars"),
+        F.percentile_approx("__tok", 0.5).cast("double").alias("tokens_p50"),
+        F.percentile_approx("__tok", 0.9).cast("double").alias("tokens_p90"),
+        F.percentile_approx("__tok", 0.99).cast("double").alias("tokens_p99"),
+        F.round(F.avg("__q"), 6).alias("mean_quality"),
+        F.countDistinct("__fp").cast("double").alias("n_unique_fp"),
+    ).withColumn(
+        "dup_rate",
+        F.round((F.col("n_docs") - F.col("n_unique_fp")) / F.col("n_docs"), 6),
+    )
+    metrics = [
+        "n_docs", "total_tokens", "total_chars", "tokens_p50", "tokens_p90",
+        "tokens_p99", "mean_quality", "dup_rate",
+    ]
+    return agg.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(m) for m in metrics]),
+                F.array(*[F.col(m) for m in metrics]),
+            )
+        ).alias("metric", "value")
+    )

@@ -745,3 +745,31 @@ def test_bigram_logprob_catches_scrambled_text(spark):
     one = spark.createDataFrame([(1, "hello"), (2, "a b")], ["doc_id", "text"])
     got = {r.doc_id for r in X.bigram_logprob(one).collect()}
     assert got == {2}
+
+
+def test_pq_rerank_recall_beats_raw_pq(spark, emb):
+    q = list(emb.orderBy("vec_id").limit(20).collect()[7].embedding)
+    exact = [r.id for r in S.cosine_topk(emb, q, k=10).collect()]
+    rerank = [r.id for r in S.pq_topk_rerank(emb, q, k=10, shortlist=60).collect()]
+    # the reranked shortlist recovers most of the exact top-10, and its
+    # scores are exact cosine (so any overlap is ranked identically)
+    overlap = len(set(exact) & set(rerank))
+    assert overlap >= 6, (overlap, exact, rerank)
+    exact_scores = {r.id: r.score for r in S.cosine_topk(emb, q, k=10).collect()}
+    for r in S.pq_topk_rerank(emb, q, k=10, shortlist=60).collect():
+        if r.id in exact_scores:
+            assert r.score == exact_scores[r.id]
+
+
+def test_corpus_profile_metrics(spark):
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "x y"), (4, "p q r s t u")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    prof = {r.metric: r.value for r in X.corpus_profile(df).collect()}
+    assert prof["n_docs"] == 4.0
+    assert prof["total_tokens"] == 4 + 4 + 2 + 6
+    assert prof["dup_rate"] == 0.25  # docs 1 and 2 share a fingerprint
+    assert prof["tokens_p50"] in (4.0,)
+    assert set(prof) == {
+        "n_docs", "total_tokens", "total_chars", "tokens_p50", "tokens_p90",
+        "tokens_p99", "mean_quality", "dup_rate",
+    }
