@@ -159,6 +159,103 @@ class TableOptimizer:
         self.dt.refresh()
         return metrics
 
+    def reorg_purge(
+        self,
+        partition_filters: list | None = None,
+        dv_ratio: float = 0.0,
+        commit_properties=None,
+        post_commithook_properties=None,
+    ) -> dict[str, Any]:
+        """REORG TABLE ... APPLY (PURGE): rewrite ONLY files carrying
+        deletion vectors (optionally only those whose DV cardinality
+        fraction >= ``dv_ratio``), materializing accumulated soft
+        deletes into clean files and dropping the descriptors. The
+        periodic maintenance companion of the DV write path: DELETEs
+        stay O(rows deleted) at mutation time, and purge amortizes the
+        physical cleanup across whole files at a schedule the table
+        owner picks (like delta-spark's REORG; the reference has no DV
+        writes to purge). Rows do not change logically, so adds/removes
+        commit with dataChange=false (appendOnly tables stay writable,
+        like OPTIMIZE)."""
+        from delta_rs_spark.plans.skipping import (
+            col_types_from_schema_json,
+            prune_files,
+        )
+        from delta_rs_spark.table import _dnf_to_sql, read_snapshot_df
+        from delta_rs_spark.writer import write_files
+
+        spark = self.dt.spark
+        table_path = self.dt.table_uri
+        snapshot = snap_mod.load_snapshot(table_path)
+        from delta_rs_spark.plans.column_mapping import ensure_writable
+
+        ensure_writable(snapshot)
+        part_cols = snapshot.partition_columns
+        adds = list(snapshot.files.values())
+        pred = _dnf_to_sql(partition_filters)
+        if pred:
+            adds = prune_files(
+                adds,
+                pred,
+                part_cols,
+                col_types_from_schema_json(
+                    __import__("json").loads(snapshot.schema_string)
+                ),
+            )
+
+        def ratio(a) -> float:
+            n = a.num_records() or 0
+            card = int((a.deletion_vector or {}).get("cardinality") or 0)
+            return (card / n) if n else 1.0
+
+        targets = [
+            a for a in adds if a.deletion_vector and ratio(a) >= dv_ratio
+        ]
+        metrics = {
+            "numFilesAdded": 0,
+            "numFilesRemoved": 0,
+            "numDeletionVectorsRemoved": len(targets),
+            "totalConsideredFiles": len(adds),
+        }
+        if not targets:
+            return metrics
+        # read through the scan: DVs applied, dead rows do not survive
+        df = read_snapshot_df(spark, snapshot, table_path, files=targets)
+        new_adds = write_files(df, table_path, part_cols)
+        ts = now_ms()
+        for a in new_adds:
+            a.data_change = False
+        removes = [
+            Remove(
+                a.path, ts, False, a.partition_values, a.size,
+                deletion_vector=a.deletion_vector,
+            )
+            for a in targets
+        ]
+        metrics["numFilesAdded"] = len(new_adds)
+        metrics["numFilesRemoved"] = len(removes)
+        op = CommitInfo(
+            "REORG",
+            {"applyPurge": True, **({"predicate": pred} if pred else {})},
+            operation_metrics=metrics,
+        )
+        txn = TransactionInfo(
+            blind_append=False,
+            read_files={r.path for r in removes},
+            table_config=snapshot.configuration,
+        )
+        commit_mod.commit(
+            table_path,
+            list(removes) + list(new_adds),
+            op,
+            snapshot.version,
+            txn,
+            commit_properties=commit_properties,
+            post_commit=post_commithook_properties,
+        )
+        self.dt.refresh()
+        return metrics
+
     def z_order(
         self,
         columns: list[str],

@@ -675,3 +675,44 @@ def test_optimize_zorder_purges_dvs(spark, tmp_path):
     assert all(a.deletion_vector is None for a in snap.files.values())
     got = sorted(r.id for r in t.to_df().collect())
     assert got == [i for i in range(200) if i % 3 != 1]
+
+
+def test_reorg_purge_materializes_dvs(spark, tmp_path):
+    table = str(tmp_path / "dvpurge")
+    t = _make_dv_table(spark, table)
+    t.delete("id % 4 = 0")
+    t.refresh()
+    before = sorted(r.id for r in t.to_df().collect())
+    m = t.optimize.reorg_purge()
+    assert m["numDeletionVectorsRemoved"] == 2
+    assert m["numFilesRemoved"] == 2
+    t.refresh()
+    snap = snap_mod.load_snapshot(table)
+    assert all(a.deletion_vector is None for a in snap.files.values())
+    assert sorted(r.id for r in t.to_df().collect()) == before
+    # idempotent: nothing left to purge
+    assert t.optimize.reorg_purge()["numFilesRemoved"] == 0
+
+
+def test_reorg_purge_dv_ratio_threshold(spark, tmp_path):
+    table = str(tmp_path / "dvpurge2")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 2).alias("part"))
+    write_deltalake(
+        table,
+        df.repartition(2, "part"),
+        partition_by=["part"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(table)
+    # part=0 loses 40% of its rows, part=1 only 4%
+    t.delete("part = 0 AND id < 40")
+    t.refresh()
+    t.delete("part = 1 AND id = 1")
+    t.refresh()
+    m = t.optimize.reorg_purge(dv_ratio=0.2)
+    assert m["numFilesRemoved"] == 1  # only the 40%-dead file
+    t.refresh()
+    snap = snap_mod.load_snapshot(table)
+    remaining_dvs = [a for a in snap.files.values() if a.deletion_vector]
+    assert len(remaining_dvs) == 1  # the 4% file keeps its DV
+    assert t.count() == 100 - 20 - 1
