@@ -364,3 +364,38 @@ def test_read_stream_initial_snapshot_respects_dvs(spark, tmp_path):
         r.id for r in spark.sql("SELECT id FROM dv_tail_out").collect()
     )
     assert got == list(range(10, 50))
+
+
+def test_read_stream_ignore_changes_tail_applies_dvs(spark, tmp_path):
+    """A DV commit consumed MID-STREAM with ignore_changes re-emits the
+    re-added file's logical content (survivors only) — duplicates are
+    the documented ignore_changes semantics, resurrected rows are not."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "dvtail")
+    df = spark.range(40).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_deltalake(
+        table,
+        df.coalesce(1),
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    stream = read_append_stream(spark, table, ignore_changes=True)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dv_tail2")
+        .option("checkpointLocation", str(tmp_path / "ckpttail"))
+        .start()
+    )
+    q.processAllAvailable()  # batch 0: initial snapshot, 40 rows
+    DeltaTable(table).delete("id < 15")  # DV soft delete mid-stream
+    q.processAllAvailable()  # batch 1: re-emitted file minus dead rows
+    q.stop()
+    got = [r.id for r in spark.sql("SELECT id FROM dv_tail2").collect()]
+    assert len(got) == 40 + 25  # snapshot + survivors (dupes expected)
+    # no resurrected rows in the tail batch: ids < 15 appear exactly once
+    from collections import Counter
+
+    c = Counter(got)
+    assert all(c[i] == 1 for i in range(15))
+    assert all(c[i] == 2 for i in range(15, 40))
