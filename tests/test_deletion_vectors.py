@@ -716,3 +716,54 @@ def test_reorg_purge_dv_ratio_threshold(spark, tmp_path):
     remaining_dvs = [a for a in snap.files.values() if a.deletion_vector]
     assert len(remaining_dvs) == 1  # the 4% file keeps its DV
     assert t.count() == 100 - 20 - 1
+
+
+def test_dv_vs_rewrite_differential_random_sequences(spark, tmp_path):
+    """Differential oracle for the whole DV write plane: the SAME random
+    mutation sequence applied to a DV-enabled table and a plain table
+    must leave identical logical state after every step — the rewrite
+    path is the reference implementation for the soft path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    def mk(path, dv):
+        df = spark.range(300).select(
+            F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 3).alias("v")
+        )
+        cfg = {"delta.enableDeletionVectors": "true"} if dv else {}
+        write_deltalake(path, df.repartition(3), configuration=cfg)
+        return DeltaTable(path)
+
+    def state(t):
+        t.refresh()
+        return sorted((r.id, r.g, r.v) for r in t.to_df().collect())
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        a = mk(str(tmp_path / f"plain{seed}"), dv=False)
+        b = mk(str(tmp_path / f"dv{seed}"), dv=True)
+        for step in range(4):
+            kind = rng.choice(["delete", "update", "merge"])
+            if kind == "delete":
+                lo = rng.randrange(0, 250)
+                pred = f"id >= {lo} AND id < {lo + rng.randrange(5, 40)}"
+                a.delete(pred)
+                b.delete(pred)
+            elif kind == "update":
+                g = rng.randrange(0, 7)
+                a.update({"v": "v + 1000"}, predicate=f"g = {g}")
+                b.update({"v": "v + 1000"}, predicate=f"g = {g}")
+            else:
+                ids = rng.sample(range(0, 320), 6)
+                src = spark.createDataFrame(
+                    [(i, i % 7, -i) for i in ids], ["id", "g", "v"]
+                )
+                for t in (a, b):
+                    (
+                        t.merge(src, "t.id = s.id", source_alias="s", target_alias="t")
+                        .when_matched_update({"v": "s.v"})
+                        .when_not_matched_insert_all()
+                        .execute()
+                    )
+            assert state(a) == state(b), (seed, step, kind)
