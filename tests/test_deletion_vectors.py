@@ -767,3 +767,23 @@ def test_dv_vs_rewrite_differential_random_sequences(spark, tmp_path):
                         .execute()
                     )
             assert state(a) == state(b), (seed, step, kind)
+
+
+def test_dv_delete_respects_append_only(spark, tmp_path):
+    from delta_rs_spark.log.commit import DeltaError
+
+    table = str(tmp_path / "dvao")
+    df = spark.range(30).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_deltalake(
+        table,
+        df.coalesce(1),
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.appendOnly": "true",
+        },
+    )
+    t = DeltaTable(table)
+    with pytest.raises(DeltaError, match="append-only"):
+        t.delete("id < 5")  # a soft delete still REMOVES data logically
+    t.refresh()
+    assert t.count() == 30
