@@ -579,3 +579,203 @@ def embedding_near_dup_pairs(
     return replicated.groupBy("pi", "pj").applyInPandas(
         compute, "id_a long, id_b long, cos double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a PERSISTED index — the continuous-ingest
+# shape: daily batches dedup against all history by probing a Delta
+# index table (exact fingerprints, and MinHash band buckets for
+# near-dups) instead of rescanning the full corpus. Same pattern as the
+# materialized ANN indexes: parameters live in the table config so
+# ingest and probe can never drift, appends are atomic snapshots.
+# ---------------------------------------------------------------------------
+
+_DEDUP_PARAMS_KEY = "spark_graft.dedup.params"
+
+
+def build_fingerprint_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+):
+    """Materialize the exact-dedup index: one (id, fp) row per doc,
+    fp = md5 of normalized text (text.fingerprint)."""
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.functions.text import fingerprint
+    from delta_rs_spark.writer import write_deltalake
+
+    rows = df.select(
+        F.col(id_col).alias("id"), fingerprint(text_col).alias("fp")
+    )
+    write_deltalake(
+        index_path,
+        rows,
+        mode=mode,
+        configuration={_DEDUP_PARAMS_KEY: '{"kind": "fp"}'},
+    )
+    return DeltaTable(index_path)
+
+
+def dedup_against_fingerprint_index(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of a new batch vs ALL history: drop docs whose
+    fingerprint is already in the index, then keep-first (min id) within
+    the batch itself.
+
+    Scale shape: the probe is a left-anti join of the (small) batch
+    against the index on fp — the batch side broadcasts when it fits,
+    and the index is never rewritten or rescanned beyond this join. The
+    within-batch pass is one fp window. History size only enters
+    through the one join."""
+    from delta_rs_spark.functions.text import fingerprint
+    from delta_rs_spark.table import DeltaTable
+
+    idx = DeltaTable(index_path, spark=spark).to_df(columns=["fp"])
+    batch = new_df.withColumn("__fp", fingerprint(text_col))
+    fresh = batch.join(
+        idx.withColumnRenamed("fp", "__fp"), "__fp", "left_anti"
+    )
+    keep = F.min(id_col).over(W.partitionBy("__fp"))
+    return (
+        fresh.withColumn("__keep", keep)
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+def update_fingerprint_index(spark, index_path: str, new_df: DataFrame,
+                             text_col: str = "text", id_col: str = "doc_id"):
+    """Append the (typically already-deduped) batch's fingerprints."""
+    from delta_rs_spark.functions.text import fingerprint
+    from delta_rs_spark.writer import write_deltalake
+
+    rows = new_df.select(
+        F.col(id_col).alias("id"), fingerprint(text_col).alias("fp")
+    )
+    write_deltalake(index_path, rows, mode="append")
+
+
+def _band_buckets(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    rows_per_band = num_perm // bands
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col("signature")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def build_band_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    hash_fn: str = "xx",
+    mode: str = "overwrite",
+):
+    """Materialize the near-dup index: (id, band, bucket) rows from the
+    MinHash band hashes, partitioned by band; LSH parameters ride in the
+    table config."""
+    import json as _json
+
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_size, hash_fn)
+    rows = _band_buckets(sigs, num_perm, bands)
+    write_deltalake(
+        index_path,
+        rows,
+        mode=mode,
+        partition_by=["band"],
+        configuration={
+            _DEDUP_PARAMS_KEY: _json.dumps(
+                {
+                    "kind": "minhash-bands",
+                    "num_perm": num_perm,
+                    "bands": bands,
+                    "shingle_size": shingle_size,
+                    "hash_fn": hash_fn,
+                }
+            )
+        },
+    )
+    return DeltaTable(index_path)
+
+
+def near_dup_candidates_against_index(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs (new_id, index_id) between a new batch
+    and ALL history: the batch's band buckets (computed with the
+    parameters frozen in the index config) join the index on
+    (band, bucket). One banded join against the compact index — never a
+    rescan of historical text.
+
+    Scale shape: the probe side is |batch| x bands rows of three longs;
+    it broadcasts under AQE when small, and the index side is read
+    band-partition-parallel. Verification (exact Jaccard on the
+    candidate pairs) stays a downstream step, exactly as in
+    minhash_lsh_candidates."""
+    import json as _json
+
+    from delta_rs_spark.table import DeltaTable
+
+    t = DeltaTable(index_path, spark=spark)
+    p = _json.loads(t.metadata().configuration[_DEDUP_PARAMS_KEY])
+    sigs = minhash_signatures(
+        new_df, text_col, id_col, p["num_perm"], p["shingle_size"], p["hash_fn"]
+    )
+    probe = _band_buckets(sigs, p["num_perm"], p["bands"]).select(
+        F.col("id").alias("new_id"), "band", "bucket"
+    )
+    idx = t.to_df().select(F.col("id").alias("index_id"), "band", "bucket")
+    return (
+        probe.join(idx, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
+        .dropDuplicates(["new_id", "index_id"])
+    )
+
+
+def update_band_index(spark, index_path: str, new_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Append a new batch's band buckets with the index's own frozen
+    parameters."""
+    import json as _json
+
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    t = DeltaTable(index_path, spark=spark)
+    p = _json.loads(t.metadata().configuration[_DEDUP_PARAMS_KEY])
+    sigs = minhash_signatures(
+        new_df, text_col, id_col, p["num_perm"], p["shingle_size"], p["hash_fn"]
+    )
+    rows = _band_buckets(sigs, p["num_perm"], p["bands"])
+    write_deltalake(index_path, rows, mode="append", partition_by=["band"])

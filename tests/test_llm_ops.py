@@ -773,3 +773,52 @@ def test_corpus_profile_metrics(spark):
         "n_docs", "total_tokens", "total_chars", "tokens_p50", "tokens_p90",
         "tokens_p99", "mean_quality", "dup_rate",
     }
+
+
+def test_incremental_fingerprint_index_dedup(spark, docs, tmp_path):
+    path = str(tmp_path / "fpidx")
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 30)
+    D.build_fingerprint_index(base, path)
+    # new batch: 10 docs copied from history (shifted ids) + 5 fresh
+    dup = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    fresh = docs.select("doc_id", "text").filter(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 35)
+    )
+    batch = dup.union(fresh)
+    surv = D.dedup_against_fingerprint_index(spark, path, batch)
+    ids = sorted(r.doc_id for r in surv.collect())
+    assert ids == [30, 31, 32, 33, 34]
+    # update + re-probe: the fresh docs are now history too
+    D.update_fingerprint_index(spark, path, surv)
+    again = D.dedup_against_fingerprint_index(spark, path, batch)
+    assert again.count() == 0
+    # within-batch keep-first: two copies of one new text -> one survivor
+    twice = fresh.union(
+        fresh.select((F.col("doc_id") + 2000).alias("doc_id"), "text")
+    )
+    from delta_rs_spark import DeltaTable  # rebuild clean index
+    D.build_fingerprint_index(base, path)
+    s2 = D.dedup_against_fingerprint_index(spark, path, twice)
+    assert sorted(r.doc_id for r in s2.collect()) == [30, 31, 32, 33, 34]
+
+
+def test_incremental_band_index_near_dup(spark, docs, tmp_path):
+    path = str(tmp_path / "bandidx")
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 40)
+    D.build_band_index(base, path, num_perm=32, bands=8, hash_fn="md5")
+    # a batch containing an exact copy of doc 3 must collide with it
+    batch = base.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    cand = D.near_dup_candidates_against_index(spark, path, batch)
+    pairs = {(r.new_id, r.index_id) for r in cand.collect()}
+    assert (5003, 3) in pairs
+    # update appends with the frozen params; the batch then self-collides
+    D.update_band_index(spark, path, batch)
+    cand2 = D.near_dup_candidates_against_index(spark, path, batch)
+    assert {(r.new_id, r.index_id) for r in cand2.collect()} >= {(5003, 3), (5003, 5003)} - {(5003, 5003)}
+    from delta_rs_spark import DeltaTable
+
+    assert DeltaTable(path).metadata().configuration[D._DEDUP_PARAMS_KEY]
