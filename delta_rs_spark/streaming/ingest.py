@@ -1,0 +1,85 @@
+"""Continuous corpus ingest: the composed streaming pipeline that ties
+the training-data operators together — every micro-batch is deduped
+against ALL history via the persisted fingerprint index, filtered by
+the ingest gate, appended to the corpus Delta table exactly-once, and
+the index is advanced, all inside one foreachBatch.
+
+Per batch (the 100 TB shape — each step is batch-sized, never
+corpus-sized):
+1. dedup_against_fingerprint_index: left-anti probe of the batch's
+   fingerprints against the index (functions/dedup.py) + within-batch
+   keep-first;
+2. corpus_filter_report gate (functions/text.py): lang / quality /
+   length, one codegen scan;
+3. append survivors to the corpus table via the exactly-once Delta sink
+   txn contract (writer txn app_id/version = streaming batch id, so a
+   replayed batch is a no-op);
+4. append the survivors' fingerprints to the index — AFTER the corpus
+   append, so a crash between the two replays the batch (corpus append
+   dedupes via txn, index append re-adds the same fps, which is
+   harmless for an anti-join index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def start_corpus_ingest(
+    stream_df: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.0,
+    min_tokens: int = 1,
+    app_id: str = "corpus-ingest",
+):
+    """Start the ingest stream; returns the StreamingQuery. The
+    fingerprint index at ``index_path`` must exist (build it over the
+    initial corpus with build_fingerprint_index, or over an empty frame
+    for a fresh start)."""
+    from delta_rs_spark.functions.dedup import (
+        dedup_against_fingerprint_index,
+        update_fingerprint_index,
+    )
+    from delta_rs_spark.functions.text import corpus_filter_report
+    from delta_rs_spark.writer import write_deltalake
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = dedup_against_fingerprint_index(
+            spark, index_path, batch_df, text_col, id_col
+        )
+        report = corpus_filter_report(
+            fresh,
+            text_col,
+            id_col,
+            lang=lang,
+            min_quality=min_quality,
+            min_tokens=min_tokens,
+        )
+        kept_ids = report.filter(F.col("reason") == "kept").select("doc_id")
+        kept = fresh.join(
+            F.broadcast(kept_ids),
+            fresh[id_col] == kept_ids["doc_id"],
+            "left_semi",
+        )
+        # exactly-once: the txn (app_id, batch_id) makes replays no-ops
+        write_deltalake(
+            corpus_path,
+            kept,
+            mode="append",
+            txn_app_id=app_id,
+            txn_version=batch_id,
+        )
+        update_fingerprint_index(spark, index_path, kept, text_col, id_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

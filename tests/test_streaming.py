@@ -399,3 +399,51 @@ def test_read_stream_ignore_changes_tail_applies_dvs(spark, tmp_path):
     c = Counter(got)
     assert all(c[i] == 1 for i in range(15))
     assert all(c[i] == 2 for i in range(15, 40))
+
+
+def test_corpus_ingest_pipeline_end_to_end(spark, tmp_path):
+    """foreachBatch ingest loop: dedup-vs-index -> gate -> exactly-once
+    corpus append -> index advance."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.functions.dedup import build_fingerprint_index
+    from delta_rs_spark.streaming.ingest import start_corpus_ingest
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "fpidx")
+    src = str(tmp_path / "src")
+    # seed corpus: 3 english docs; index built over it
+    seed = spark.createDataFrame(
+        [(i, "the cat and the dog went to the market " * 3) for i in range(3)],
+        ["doc_id", "text"],
+    )
+    write_deltalake(corpus, seed)
+    build_fingerprint_index(seed, index)
+    # incoming stream: a dup of doc 0 (same text), two fresh english
+    # docs, one junk doc
+    rows = [
+        (100, seed.collect()[0].text),
+        (101, "the sun and the moon is that with was the sky " * 3),
+        (102, "a boat of the river to and is was that with " * 3),
+        (103, "zz qq"),
+    ]
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = start_corpus_ingest(
+        stream, corpus, index, str(tmp_path / "ckpt"),
+        min_quality=0.0, min_tokens=5,
+    )
+    q.processAllAvailable()
+    q.stop()
+    t = DeltaTable(corpus)
+    got = sorted(r.doc_id for r in t.to_df().collect())
+    # dup 100 dropped (same fp as 0), junk 103 dropped (too short /
+    # lang), fresh 101+102 ingested
+    assert got == [0, 1, 2, 101, 102]
+    # index advanced: replaying the same batch ingests nothing
+    from delta_rs_spark.functions.dedup import (
+        dedup_against_fingerprint_index,
+    )
+
+    assert dedup_against_fingerprint_index(spark, index, batch).count() <= 1
