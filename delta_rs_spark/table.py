@@ -456,6 +456,15 @@ class DeltaTable:
                 "data_change": a.data_change,
                 "num_records": st.get("numRecords"),
             }
+            if a.deletion_vector:
+                # mirrored from the reference's add-actions view, which
+                # carries a deletionVector column (kernel/snapshot tests)
+                row["deletion_vector.cardinality"] = int(
+                    a.deletion_vector.get("cardinality") or 0
+                )
+                row["deletion_vector.storage_type"] = a.deletion_vector.get(
+                    "storageType"
+                )
             if flatten:
                 for k, v in (a.partition_values or {}).items():
                     row[f"partition.{k}"] = v

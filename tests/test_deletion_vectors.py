@@ -787,3 +787,14 @@ def test_dv_delete_respects_append_only(spark, tmp_path):
         t.delete("id < 5")  # a soft delete still REMOVES data logically
     t.refresh()
     assert t.count() == 30
+
+
+def test_get_add_actions_exposes_dv_columns(spark, tmp_path):
+    table = str(tmp_path / "dvaa")
+    t = _make_dv_table(spark, table)
+    t.delete("id < 5")
+    t.refresh()
+    aa = t.get_add_actions().to_pylist()
+    dv_rows = [r for r in aa if r.get("deletion_vector.cardinality")]
+    assert dv_rows and sum(r["deletion_vector.cardinality"] for r in dv_rows) == 5
+    assert all(r["deletion_vector.storage_type"] == "i" for r in dv_rows)
