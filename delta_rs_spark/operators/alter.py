@@ -100,7 +100,10 @@ class TableAlterer:
     def add_columns(self, fields: list[T.StructField]) -> None:
         """ALTER TABLE ADD COLUMNS — new nullable columns appended
         (reference: operations/add_column.rs)."""
+        from delta_rs_spark.plans.column_mapping import ensure_schema_static
+
         meta = self._meta_copy()
+        ensure_schema_static(meta.configuration)
         schema = T.StructType.fromJson(json.loads(meta.schema_string))
         names = {f.name for f in schema.fields}
         for f in fields:

@@ -32,7 +32,36 @@ def cdf_enabled(snapshot: Snapshot) -> bool:
 
 
 def write_change_data(change_df: DataFrame, table_path: str) -> list[AddCDCFile]:
-    """Write rows (must already carry _change_type) under _change_data/."""
+    """Write rows (must already carry _change_type) under _change_data/.
+    On column-mapped tables CDC files carry PHYSICAL column names like
+    the data files (Delta protocol: change data follows the table's
+    column mapping); load_cdf renames back."""
+    from delta_rs_spark.plans import column_mapping as cmap
+
+    try:
+        from delta_rs_spark.log import snapshot as snap_mod
+
+        cfg = snap_mod.load_snapshot(table_path).configuration
+        if cmap.mapping_mode(cfg) != "none":
+            import json as _json
+
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(
+                _json.loads(snap_mod.load_snapshot(table_path).schema_string)
+            )
+            # rename the table columns, carry _change_type through as-is
+            cols = []
+            for f in schema.fields:
+                c = F.col(f"`{f.name}`")
+                pt = cmap._physical_type(f.dataType)
+                if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                    c = c.cast(pt)
+                cols.append(c.alias(cmap._physical_name(f)))
+            change_df = change_df.select(*cols, F.col(CHANGE_TYPE_COL))
+    except Exception:
+        pass
     stage = os.path.join(table_path, f"_staging_cdc_{uuid.uuid4().hex}")
     change_df.write.mode("overwrite").parquet(stage)
     out_dir = os.path.join(table_path, CDC_DIR)

@@ -101,11 +101,20 @@ def load_cdf(
         removes = [a for a in actions if isinstance(a, Remove) and a.data_change]
 
         if cdc:
+            from delta_rs_spark.plans import column_mapping as cmap
+
+            mapped = cmap.mapping_mode(snap.configuration) != "none"
+            read_schema = cmap.physical_schema(schema) if mapped else schema
             cdc_schema = T.StructType(
-                list(schema.fields) + [T.StructField(CHANGE_TYPE_COL, T.StringType(), True)]
+                list(read_schema.fields)
+                + [T.StructField(CHANGE_TYPE_COL, T.StringType(), True)]
             )
             paths = [os.path.join(table_path, c.path) for c in cdc]
             df = spark.read.schema(cdc_schema).parquet(*paths)
+            if mapped:
+                df = cmap.rename_to_logical(
+                    df, schema, extra_cols=[CHANGE_TYPE_COL]
+                )
         else:
             pieces = []
             # DV update pairs (same path removed+added in one commit, e.g.

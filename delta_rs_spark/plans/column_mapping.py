@@ -39,7 +39,7 @@ SUPPORTED_WRITER_FEATURES = {
     "checkConstraints",
     "generatedColumns",
     "changeDataFeed",
-    "columnMapping",  # blocked separately below until writes emit physical names
+    "columnMapping",  # writes emit physical names via rename_to_physical
     "timestampNtz",
     "deletionVectors",
     "v2Checkpoint",
@@ -49,11 +49,14 @@ SUPPORTED_WRITER_FEATURES = {
 
 
 def ensure_writable(configuration_or_snapshot) -> None:
-    """Mutation-path gate: refuse column-mapped tables (writes would
-    have to emit physical-named parquet + mapped stats) and tables whose
-    protocol demands writer features we don't honor (e.g. rowTracking —
-    committing without the feature's obligations corrupts the table for
-    compliant engines). Accepts a Snapshot or a configuration dict."""
+    """Mutation-path gate: refuse tables whose protocol demands writer
+    features we don't honor (e.g. rowTracking — committing without the
+    feature's obligations corrupts the table for compliant engines).
+    Column-mapped tables ARE writable: write_files renames to physical
+    columns and the stats/partitionValues keys come out physical (the
+    reference writes column-mapped tables too, blocking only schema
+    evolution — operations/write/mod.rs:410). Accepts a Snapshot or a
+    configuration dict."""
     from delta_rs_spark.log.commit import DeltaError
 
     snapshot = None
@@ -61,11 +64,6 @@ def ensure_writable(configuration_or_snapshot) -> None:
     if hasattr(cfg, "configuration"):
         snapshot = cfg
         cfg = snapshot.configuration
-    if mapping_mode(cfg) != "none":
-        raise DeltaError(
-            "column-mapped tables (delta.columnMapping.mode != none) are "
-            "read-only in this engine"
-        )
     proto = snapshot.protocol if snapshot is not None else None
     if proto is not None:
         if proto.min_writer_version > 7:
@@ -133,4 +131,35 @@ def rename_to_logical(
         cols.append(c.alias(f.name))
     for name in extra_cols or []:
         cols.append(F.col(f"`{name}`"))
+    return df.select(*cols)
+
+
+def ensure_schema_static(configuration_or_snapshot) -> None:
+    """Schema-changing paths (schema_mode merge/overwrite, add_columns)
+    call this: new fields on a column-mapped table need fresh
+    columnMapping ids/physicalNames, which this engine does not assign
+    (same restriction as the reference:
+    crates/core/src/operations/write/mod.rs:410-415)."""
+    from delta_rs_spark.log.commit import DeltaError
+
+    cfg = configuration_or_snapshot
+    if hasattr(cfg, "configuration"):
+        cfg = cfg.configuration
+    if mapping_mode(cfg) != "none":
+        raise DeltaError(
+            "schema evolution on column-mapped tables is not supported"
+        )
+
+
+def rename_to_physical(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Logical-name DataFrame -> physical names at every level (the
+    write-side inverse of rename_to_logical): nested renames ride the
+    positional struct cast."""
+    cols = []
+    for f in schema.fields:
+        c = F.col(f"`{f.name}`")
+        pt = _physical_type(f.dataType)
+        if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            c = c.cast(pt)
+        cols.append(c.alias(_physical_name(f)))
     return df.select(*cols)

@@ -117,6 +117,32 @@ def write_files(
     honored via maxRecordsPerFile with a sampled bytes/row estimate;
     ``writer_properties`` maps onto Spark parquet writer options
     (see properties.WriterProperties.spark_write_options)."""
+    from delta_rs_spark.plans import column_mapping as cmap
+
+    # resolve table config up front: column-mapped tables write PHYSICAL
+    # column names into parquet, partition dirs, and (via the footers)
+    # stats keys — every writer (append, delete/update/merge rewrites,
+    # optimize) flows through here, so the rename happens exactly once
+    cfg = configuration
+    table_schema = None
+    try:
+        from delta_rs_spark.log import snapshot as _snap0
+
+        if _snap0.is_delta_table(table_path):
+            _s = _snap0.load_snapshot(table_path)
+            if cfg is None:
+                cfg = _s.configuration
+            table_schema = _s.schema_string
+    except Exception:
+        pass
+    if cmap.mapping_mode(cfg or {}) != "none" and table_schema is not None:
+        import json as _json
+
+        schema = T.StructType.fromJson(_json.loads(table_schema))
+        df = cmap.rename_to_physical(df, schema)
+        phys = cmap.logical_to_physical(schema)
+        partition_by = [phys.get(c, c) for c in partition_by]
+
     stage = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df
     if partition_by:
@@ -158,18 +184,16 @@ def write_files(
             moved.append((dst, rel_path, part_vals))
     shutil.rmtree(stage, ignore_errors=True)
 
-    # data-skipping stats knobs come from the caller's configuration
-    # (creating write) or the table's live configuration (everything else)
-    cfg = configuration
-    if cfg is None:
-        try:
-            from delta_rs_spark.log import snapshot as _snap
-
-            if _snap.is_delta_table(table_path):
-                cfg = _snap.load_snapshot(table_path).configuration
-        except Exception:
-            cfg = None
+    # data-skipping stats knobs come from the same resolved configuration;
+    # under column mapping the name-based selection is translated to the
+    # physical names the footers carry
     n_idx, stats_cols = stats_config(cfg)
+    if stats_cols and cmap.mapping_mode(cfg or {}) != "none" and table_schema is not None:
+        import json as _json
+
+        schema = T.StructType.fromJson(_json.loads(table_schema))
+        phys = cmap.logical_to_physical(schema)
+        stats_cols = [phys.get(c, c) for c in stats_cols]
     stats = collect_stats_parallel([m[0] for m in moved], n_idx, stats_cols)
     for (abs_path, rel_path, part_vals), st in zip(moved, stats):
         if st.get("numRecords") == 0:
@@ -330,9 +354,24 @@ def write_deltalake(
     exists = snap_mod.is_delta_table(table_path)
     snapshot = snap_mod.load_snapshot(table_path) if exists else None
     if snapshot is not None:
-        from delta_rs_spark.plans.column_mapping import ensure_writable
+        from delta_rs_spark.plans.column_mapping import (
+            ensure_schema_static,
+            ensure_writable,
+        )
 
         ensure_writable(snapshot)
+        if schema_mode is not None:
+            # same restriction as the reference (write/mod.rs:410-415):
+            # evolved fields would need fresh columnMapping ids
+            ensure_schema_static(snapshot)
+    if not exists and (configuration or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        raise DeltaError(
+            "creating a column-mapped table is not supported (no "
+            "columnMapping id/physicalName assignment); appending to and "
+            "mutating foreign-created column-mapped tables is"
+        )
 
     if exists and mode == "error":
         raise TableExistsError(f"table exists: {table_path} (mode='error')")

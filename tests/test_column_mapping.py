@@ -149,18 +149,94 @@ def test_mapped_projection(spark, mapped):
     assert {r.name for r in got} == {"n1", "n2", "n3", "n10", "n20"}
 
 
-def test_mapped_tables_are_read_only(spark, mapped):
-    t = DeltaTable(mapped, spark=spark)
-    with pytest.raises(DeltaError, match="read-only"):
-        t.delete("id = 1")
-    with pytest.raises(DeltaError, match="read-only"):
-        t.update({"name": "'x'"})
-    with pytest.raises(DeltaError, match="read-only"):
-        from delta_rs_spark import write_deltalake
+def test_mapped_append_writes_physical_names(spark, mapped):
+    import pyarrow.parquet as pq2
 
-        write_deltalake(mapped, t.to_df(), mode="append")
-    with pytest.raises(DeltaError, match="read-only"):
-        t.optimize.compact()
+    from delta_rs_spark import write_deltalake
+    from delta_rs_spark.log import snapshot as snap_mod
+
+    t = DeltaTable(mapped, spark=spark)
+    new_rows = spark.createDataFrame(
+        [(100, "n100", "a", (7,)), (200, "n200", "c", (8,))],
+        "id long, name string, cat string, point struct<x: long>",
+    )
+    write_deltalake(mapped, new_rows, mode="append")
+    t.refresh()
+    got = {r.id: (r.name, r.cat, r.point.x) for r in t.to_df().collect()}
+    assert got[100] == ("n100", "a", 7) and got[200] == ("n200", "c", 8)
+    assert len(got) == 7
+    # the new files and their metadata speak PHYSICAL names
+    snap = snap_mod.load_snapshot(mapped)
+    new_adds = [a for a in snap.files.values() if "part-" in a.path and a.modification_time]
+    assert new_adds
+    for a in new_adds:
+        assert set(a.partition_values) == {P_CAT}
+        st = a.stats_dict()
+        assert P_ID in (st.get("minValues") or {}), st
+        cols = pq2.read_schema(os.path.join(mapped, a.path)).names
+        assert P_ID in cols and "id" not in cols
+    # partition pruning still works through the logical predicate
+    assert t.to_df(predicate="cat = 'c'").count() == 1
+
+
+def test_mapped_delete_update_merge(spark, mapped):
+    t = DeltaTable(mapped, spark=spark)
+    m = t.delete("id = 1")
+    assert m["num_deleted_rows"] == 1
+    t.refresh()
+    assert sorted(r.id for r in t.to_df().collect()) == [2, 3, 10, 20]
+    t.update({"name": "'upd'"}, predicate="id = 2")
+    t.refresh()
+    assert t.to_df(predicate="id = 2").collect()[0].name == "upd"
+    src = spark.createDataFrame(
+        [(20, "merged", "b", (9,)), (500, "new", "a", (1,))],
+        "id long, name string, cat string, point struct<x: long>",
+    )
+    (
+        t.merge(src, "t.id = s.id", source_alias="s", target_alias="t")
+        .when_matched_update({"name": "s.name"})
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    t.refresh()
+    got = {r.id: r.name for r in t.to_df().collect()}
+    assert got[20] == "merged" and got[500] == "new"
+    # everything still reads through the logical schema after 3 mutations
+    assert set(t.to_df().columns) == {"id", "name", "cat", "point"}
+
+
+def test_mapped_optimize_compact(spark, mapped):
+    t = DeltaTable(mapped, spark=spark)
+    before = sorted((r.id, r.cat) for r in t.to_df().collect())
+    t.optimize.compact()
+    t.refresh()
+    assert sorted((r.id, r.cat) for r in t.to_df().collect()) == before
+
+
+def test_mapped_schema_changes_blocked(spark, mapped):
+    from pyspark.sql import types as T2
+
+    from delta_rs_spark import write_deltalake
+
+    t = DeltaTable(mapped, spark=spark)
+    base = t.to_df()
+    wide = base.withColumn("extra", base["id"] * 2)
+    with pytest.raises(DeltaError, match="schema evolution"):
+        write_deltalake(mapped, wide, mode="append", schema_mode="merge")
+    with pytest.raises(DeltaError, match="schema evolution"):
+        t.alter.add_columns([T2.StructField("extra", T2.LongType())])
+
+
+def test_mapped_create_blocked(spark, tmp_path):
+    from delta_rs_spark import write_deltalake
+
+    df = spark.range(3)
+    with pytest.raises(DeltaError, match="column-mapped"):
+        write_deltalake(
+            str(tmp_path / "newmapped"),
+            df,
+            configuration={"delta.columnMapping.mode": "name"},
+        )
 
 
 def test_unmapped_tables_unaffected(spark, tmp_table, sample_df):
