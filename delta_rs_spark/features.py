@@ -68,3 +68,32 @@ READER_WRITER_FEATURES: frozenset[str] = frozenset(
         "variantType-preview",
     }
 )
+
+
+def required_protocol(schema_json: str, configuration: dict | None):
+    """Protocol action implied by a create's schema + configuration
+    (reference create.rs derives required features the same way):
+    variant columns, deletion vectors, column mapping, and CDF each
+    demand their table feature; reader-writer features land in both
+    lists, writer-only ones in writerFeatures alone."""
+    from delta_rs_spark.log.actions import Protocol
+
+    cfg = configuration or {}
+    feats: set[str] = set()
+    if '"variant"' in schema_json:
+        feats.add("variantType")
+    if cfg.get("delta.enableDeletionVectors", "").lower() == "true":
+        feats.add("deletionVectors")
+    if cfg.get("delta.columnMapping.mode", "none") != "none":
+        feats.add("columnMapping")
+    if cfg.get("delta.enableChangeDataFeed", "").lower() == "true":
+        feats.add("changeDataFeed")
+    if not feats:
+        return Protocol()
+    reader = sorted(feats & READER_WRITER_FEATURES)
+    return Protocol(
+        min_reader_version=3 if reader else 1,
+        min_writer_version=7,
+        reader_features=reader or None,
+        writer_features=sorted(feats),
+    )

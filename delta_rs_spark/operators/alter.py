@@ -100,16 +100,27 @@ class TableAlterer:
     def add_columns(self, fields: list[T.StructField]) -> None:
         """ALTER TABLE ADD COLUMNS — new nullable columns appended
         (reference: operations/add_column.rs)."""
-        from delta_rs_spark.plans.column_mapping import ensure_schema_static
+        from delta_rs_spark.plans import column_mapping as cmap
 
         meta = self._meta_copy()
-        ensure_schema_static(meta.configuration)
+        mapped = cmap.mapping_mode(meta.configuration) != "none"
+        max_id = int(meta.configuration.get("delta.columnMapping.maxColumnId", 0))
         schema = T.StructType.fromJson(json.loads(meta.schema_string))
         names = {f.name for f in schema.fields}
         for f in fields:
             if f.name in names:
                 raise DeltaError(f"column {f.name!r} already exists")
-            schema = schema.add(T.StructField(f.name, f.dataType, True, f.metadata))
+            new_field = T.StructField(f.name, f.dataType, True, f.metadata)
+            if mapped:
+                # new fields need fresh columnMapping ids + physical names
+                # (delta-spark ALTER behavior; ids continue maxColumnId)
+                annotated, max_id = cmap.assign_mapping_metadata(
+                    T.StructType([new_field]), start_id=max_id
+                )
+                new_field = annotated.fields[0]
+            schema = schema.add(new_field)
+        if mapped:
+            meta.configuration["delta.columnMapping.maxColumnId"] = str(max_id)
         meta.schema_string = schema.json()
         self._commit_metadata(
             meta, "ADD COLUMNS", {"columns": [f.name for f in fields]}

@@ -163,3 +163,59 @@ def rename_to_physical(df: DataFrame, schema: T.StructType) -> DataFrame:
             c = c.cast(pt)
         cols.append(c.alias(_physical_name(f)))
     return df.select(*cols)
+
+
+def assign_mapping_metadata(
+    schema: T.StructType, start_id: int = 0
+) -> tuple[T.StructType, int]:
+    """Assign fresh columnMapping ids + ``col-<uuid>`` physical names to
+    every field at every nesting level (what delta-spark does when a
+    table is created with column mapping enabled). Returns the annotated
+    schema and the new maxColumnId for the table configuration."""
+    import uuid as _uuid
+
+    next_id = start_id
+
+    def walk_type(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return walk_struct(dt)
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(walk_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                walk_type(dt.keyType), walk_type(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    def walk_struct(st: T.StructType) -> T.StructType:
+        nonlocal next_id
+        fields = []
+        for f in st.fields:
+            next_id += 1
+            md = dict(f.metadata or {})
+            md[COLUMN_ID_KEY] = next_id
+            md[PHYSICAL_NAME_KEY] = f"col-{_uuid.uuid4()}"
+            fields.append(
+                T.StructField(f.name, walk_type(f.dataType), f.nullable, md)
+            )
+        return T.StructType(fields)
+
+    return walk_struct(schema), next_id
+
+
+def prepare_mapped_create(
+    schema: T.StructType, configuration: dict[str, str] | None
+) -> tuple[T.StructType, dict[str, str]]:
+    """If the create configuration enables column mapping and the schema
+    does not already carry physical names (foreign schema), annotate it
+    and record maxColumnId."""
+    cfg = dict(configuration or {})
+    if mapping_mode(cfg) == "none":
+        return schema, cfg
+    already = all(
+        PHYSICAL_NAME_KEY in (f.metadata or {}) for f in schema.fields
+    )
+    if not already:
+        schema, max_id = assign_mapping_metadata(schema)
+        cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+    return schema, cfg

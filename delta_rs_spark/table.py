@@ -305,25 +305,14 @@ class DeltaTable:
                 for a in prev.files.values()
             )
         os.makedirs(path, exist_ok=True)
-        # schema/config-driven protocol features (reference create.rs
-        # computes required features the same way): a variant column or
-        # enabled deletion vectors need the table-features protocol
-        feats: set[str] = set()
-        if '"variant"' in schema.json():
-            feats.add("variantType")
-        if (configuration or {}).get(
-            "delta.enableDeletionVectors", ""
-        ).lower() == "true":
-            feats.add("deletionVectors")
-        if feats:
-            proto = Protocol(
-                min_reader_version=3,
-                min_writer_version=7,
-                reader_features=sorted(feats),
-                writer_features=sorted(feats),
-            )
-        else:
-            proto = Protocol()
+        # column mapping on create: assign ids + physical names
+        # (delta-spark behavior); protocol features derive from
+        # schema + configuration (reference create.rs does the same)
+        from delta_rs_spark.features import required_protocol
+        from delta_rs_spark.plans.column_mapping import prepare_mapped_create
+
+        schema, configuration = prepare_mapped_create(schema, configuration)
+        proto = required_protocol(schema.json(), configuration)
         actions.insert(0, proto)
         actions.insert(
             1,

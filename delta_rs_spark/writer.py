@@ -110,6 +110,7 @@ def write_files(
     writer_properties=None,
     target_file_size: int | None = None,
     configuration: dict[str, str] | None = None,
+    table_schema_json: str | None = None,
 ) -> list[Add]:
     """Write df as parquet files into the table directory; return Adds.
 
@@ -124,17 +125,19 @@ def write_files(
     # stats keys — every writer (append, delete/update/merge rewrites,
     # optimize) flows through here, so the rename happens exactly once
     cfg = configuration
-    table_schema = None
-    try:
-        from delta_rs_spark.log import snapshot as _snap0
+    table_schema = table_schema_json
+    if table_schema is None or cfg is None:
+        try:
+            from delta_rs_spark.log import snapshot as _snap0
 
-        if _snap0.is_delta_table(table_path):
-            _s = _snap0.load_snapshot(table_path)
-            if cfg is None:
-                cfg = _s.configuration
-            table_schema = _s.schema_string
-    except Exception:
-        pass
+            if _snap0.is_delta_table(table_path):
+                _s = _snap0.load_snapshot(table_path)
+                if cfg is None:
+                    cfg = _s.configuration
+                if table_schema is None:
+                    table_schema = _s.schema_string
+        except Exception:
+            pass
     if cmap.mapping_mode(cfg or {}) != "none" and table_schema is not None:
         import json as _json
 
@@ -364,14 +367,6 @@ def write_deltalake(
             # same restriction as the reference (write/mod.rs:410-415):
             # evolved fields would need fresh columnMapping ids
             ensure_schema_static(snapshot)
-    if not exists and (configuration or {}).get(
-        "delta.columnMapping.mode", "none"
-    ) != "none":
-        raise DeltaError(
-            "creating a column-mapped table is not supported (no "
-            "columnMapping id/physicalName assignment); appending to and "
-            "mutating foreign-created column-mapped tables is"
-        )
 
     if exists and mode == "error":
         raise TableExistsError(f"table exists: {table_path} (mode='error')")
@@ -389,7 +384,12 @@ def write_deltalake(
     txn_info = TransactionInfo(blind_append=True)
 
     if snapshot is None:
-        schema = df.schema
+        from delta_rs_spark.features import required_protocol
+        from delta_rs_spark.plans.column_mapping import prepare_mapped_create
+
+        # column mapping on create: assign ids + physical names; protocol
+        # features derive from schema + configuration (as in create.rs)
+        schema, configuration = prepare_mapped_create(df.schema, configuration)
         metadata = Metadata(
             schema_string=schema.json(),
             partition_columns=partition_by,
@@ -397,7 +397,7 @@ def write_deltalake(
             name=name,
             description=description,
         )
-        actions.append(Protocol())
+        actions.append(required_protocol(schema.json(), configuration))
         actions.append(metadata)
         read_version = -1
         table_schema = schema
@@ -472,6 +472,7 @@ def write_deltalake(
         configuration=(
             snapshot.configuration if snapshot is not None else configuration
         ),
+        table_schema_json=table_schema.json(),
     )
     actions.extend(adds)
     n_rows = sum(a.num_records() or 0 for a in adds)

@@ -213,30 +213,61 @@ def test_mapped_optimize_compact(spark, mapped):
     assert sorted((r.id, r.cat) for r in t.to_df().collect()) == before
 
 
-def test_mapped_schema_changes_blocked(spark, mapped):
+def test_mapped_write_schema_mode_blocked_but_alter_works(spark, mapped):
     from pyspark.sql import types as T2
 
     from delta_rs_spark import write_deltalake
+    from delta_rs_spark.plans.column_mapping import PHYSICAL_NAME_KEY
 
     t = DeltaTable(mapped, spark=spark)
     base = t.to_df()
     wide = base.withColumn("extra", base["id"] * 2)
+    # write-path schema evolution stays blocked (the reference's own
+    # restriction, write/mod.rs:410)
     with pytest.raises(DeltaError, match="schema evolution"):
         write_deltalake(mapped, wide, mode="append", schema_mode="merge")
-    with pytest.raises(DeltaError, match="schema evolution"):
-        t.alter.add_columns([T2.StructField("extra", T2.LongType())])
+    # explicit ALTER assigns fresh ids/physical names (delta-spark style)
+    t.alter.add_columns([T2.StructField("extra", T2.LongType())])
+    t.refresh()
+    f = [f for f in t.schema().fields if f.name == "extra"][0]
+    assert PHYSICAL_NAME_KEY in (f.metadata or {})
+    assert f.metadata[PHYSICAL_NAME_KEY].startswith("col-")
+    snap_cfg = t.metadata().configuration
+    assert int(snap_cfg["delta.columnMapping.maxColumnId"]) >= 6
+    # old files read the evolved column as NULL; writes fill it
+    assert all(r.extra is None for r in t.to_df().collect())
 
 
-def test_mapped_create_blocked(spark, tmp_path):
+def test_mapped_create_assigns_ids(spark, tmp_path):
+    import pyarrow.parquet as pq2
+
     from delta_rs_spark import write_deltalake
+    from delta_rs_spark.log import snapshot as snap_mod
+    from delta_rs_spark.plans.column_mapping import PHYSICAL_NAME_KEY
 
-    df = spark.range(3)
-    with pytest.raises(DeltaError, match="column-mapped"):
-        write_deltalake(
-            str(tmp_path / "newmapped"),
-            df,
-            configuration={"delta.columnMapping.mode": "name"},
-        )
+    path = str(tmp_path / "newmapped")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    write_deltalake(
+        path, df, configuration={"delta.columnMapping.mode": "name"}
+    )
+    t = DeltaTable(path, spark=spark)
+    # every field got an id + col-<uuid> physical name; maxColumnId set
+    for f in t.schema().fields:
+        assert f.metadata[PHYSICAL_NAME_KEY].startswith("col-")
+    assert t.metadata().configuration["delta.columnMapping.maxColumnId"] == "2"
+    # protocol carries the columnMapping feature
+    proto = t.protocol()
+    assert "columnMapping" in (proto.reader_features or [])
+    # parquet files speak physical names; reads are logical
+    snap = snap_mod.load_snapshot(path)
+    for a in snap.files.values():
+        cols = pq2.read_schema(os.path.join(path, a.path)).names
+        assert all(c.startswith("col-") for c in cols)
+    assert sorted((r.id, r.name) for r in t.to_df().collect()) == [(1, "a"), (2, "b")]
+    # round-trip mutations on the self-created mapped table
+    t.delete("id = 1")
+    t.refresh()
+    assert [(r.id, r.name) for r in t.to_df().collect()] == [(2, "b")]
 
 
 def test_unmapped_tables_unaffected(spark, tmp_table, sample_df):
