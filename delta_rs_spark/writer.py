@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from delta_rs_spark.log import commit as commit_mod
 from delta_rs_spark.log import snapshot as snap_mod
-from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Protocol, Remove, Txn, now_ms
+from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Remove, Txn, now_ms
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
 from delta_rs_spark.log.stats import collect_stats_parallel, stats_config, stats_json
 
