@@ -358,3 +358,42 @@ def test_unsupported_writer_feature_refused(spark, tmp_path):
         from delta_rs_spark import write_deltalake
 
         write_deltalake(p, spark.range(1).selectExpr("id"), mode="append")
+
+
+def test_mapped_table_with_deletion_vectors(spark, tmp_path):
+    """Column mapping + deletionVectors together: soft delete marks rows
+    in the physical-named file and the scan applies the DV through the
+    logical rename."""
+    from delta_rs_spark import write_deltalake
+    from delta_rs_spark.log import snapshot as snap_mod
+
+    path = str(tmp_path / "mapped_dv")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(40)], "id long, name string"
+    )
+    write_deltalake(
+        path,
+        df.coalesce(1),
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    t = DeltaTable(path, spark=spark)
+    proto = t.protocol()
+    assert {"columnMapping", "deletionVectors"} <= set(proto.reader_features or [])
+    m = t.delete("id % 4 = 1")
+    assert m["num_deleted_rows"] == 10 and m["num_copied_rows"] == 0
+    t.refresh()
+    snap = snap_mod.load_snapshot(path)
+    assert any(a.deletion_vector for a in snap.files.values())
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in range(40) if i % 4 != 1]
+    # purge materializes through the same physical write path
+    t.optimize.reorg_purge()
+    t.refresh()
+    assert sorted(r.id for r in t.to_df().collect()) == got
+    assert all(
+        a.deletion_vector is None
+        for a in snap_mod.load_snapshot(path).files.values()
+    )
