@@ -206,3 +206,29 @@ def test_corpus_pipeline_single_shuffle(spark):
     # one hash exchange for the fingerprint window; no joins
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_bigram_count_joins_are_broadcast(spark):
+    from delta_rs_spark.functions.text import bigram_logprob
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(bigram_logprob(docs), "simple")
+    # both count tables (bigram + context) ride broadcasts back onto the
+    # tf table; no sort-merge join anywhere in the scoring path
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_shard_stats_single_aggregation(spark):
+    from delta_rs_spark.functions.sampling import assign_shards
+
+    docs = load_table(spark, SF, "documents")
+    from delta_rs_spark.functions.text import token_count
+
+    out = assign_shards(docs, 16).groupBy("shard").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    p = plan_of(out, "simple")
+    # one hash aggregate pair around one exchange; no joins
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
