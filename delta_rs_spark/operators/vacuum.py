@@ -98,6 +98,22 @@ def vacuum(
     for kv in keep_versions or []:
         active |= referenced(snap_mod.load_snapshot(table_path, kv))
     tombstoned = {r.path: r.deletion_timestamp for r in snapshot.tombstones}
+    # a remove that tombstones a (path, DV) pairing retires that DV
+    # sidecar: each DV merge writes a fresh uuid file, so superseded
+    # sidecars are reclaimable like any tombstoned data file (unless a
+    # protected version still references them — `active` covers that)
+    dv_tombstoned: dict[str, int] = {}
+    for r in snapshot.tombstones:
+        dv = getattr(r, "deletion_vector", None)
+        if dv and dv.get("storageType") in ("u", "p"):
+            from delta_rs_spark.plans.deletion_vectors import dv_file_path
+
+            p = (
+                dv_file_path(table_path, dv["pathOrInlineDv"])
+                if dv["storageType"] == "u"
+                else dv["pathOrInlineDv"].removeprefix("file://")
+            )
+            dv_tombstoned[os.path.relpath(p, table_path)] = r.deletion_timestamp
     candidates: list[str] = []
     for rel in _walk_data_files(table_path):
         if rel in active:
@@ -112,6 +128,9 @@ def vacuum(
             continue
         if rel in tombstoned:
             if tombstoned[rel] <= cutoff_ms:
+                candidates.append(rel)
+        elif rel in dv_tombstoned:
+            if dv_tombstoned[rel] <= cutoff_ms:
                 candidates.append(rel)
         elif full:
             # orphan not referenced by any log entry (VACUUM FULL)

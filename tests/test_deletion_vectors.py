@@ -798,3 +798,32 @@ def test_get_add_actions_exposes_dv_columns(spark, tmp_path):
     dv_rows = [r for r in aa if r.get("deletion_vector.cardinality")]
     assert dv_rows and sum(r["deletion_vector.cardinality"] for r in dv_rows) == 5
     assert all(r["deletion_vector.storage_type"] == "i" for r in dv_rows)
+
+
+def test_vacuum_reclaims_superseded_dv_sidecars(spark, tmp_path):
+    import glob
+
+    import delta_rs_spark.operators.delete as del_mod
+    from delta_rs_spark.operators.vacuum import vacuum
+
+    table = str(tmp_path / "dvvac")
+    t = _make_dv_table(spark, table, n=1000, n_files=1)
+    old = del_mod._DV_INLINE_MAX_BYTES
+    del_mod._DV_INLINE_MAX_BYTES = 8  # force sidecar files
+    try:
+        t.delete("id % 5 = 0")  # sidecar v1
+        t.refresh()
+        t.delete("id % 7 = 0")  # merged DV -> sidecar v2; v1 tombstoned
+    finally:
+        del_mod._DV_INLINE_MAX_BYTES = old
+    sidecars = glob.glob(os.path.join(table, "deletion_vector_*.bin"))
+    assert len(sidecars) == 2
+    reaped = vacuum(
+        table, retention_hours=0, dry_run=False,
+        enforce_retention_duration=False,
+    )
+    assert sum("deletion_vector_" in p for p in reaped) == 1  # v1 only
+    assert len(glob.glob(os.path.join(table, "deletion_vector_*.bin"))) == 1
+    t.refresh()
+    expected = [i for i in range(1000) if i % 5 != 0 and i % 7 != 0]
+    assert sorted(r.id for r in t.to_df().collect()) == expected
