@@ -166,6 +166,9 @@ _CP_SCHEMA = pa.schema(
                     pa.field("extendedFileMetadata", pa.bool_()),
                     pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
                     pa.field("size", pa.int64()),
+                    # retired (path, DV) pairing — vacuum reclaims the
+                    # superseded sidecar from this after a checkpoint
+                    pa.field("deletionVector", _DV_STRUCT),
                 ]
             ),
         ),
@@ -292,6 +295,7 @@ def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
                         else None
                     ),
                     "size": rm.size,
+                    "deletionVector": rm.deletion_vector,
                 }
             }
         )
@@ -384,6 +388,7 @@ def _actions_from_parquet_rows(rows: list[dict]) -> list[Action]:
                         else None
                     ),
                     size=r.get("size"),
+                    deletion_vector=_dv_dict(r.get("deletionVector")),
                 )
             )
         elif row.get("add") and row["add"].get("path"):

@@ -827,3 +827,41 @@ def test_vacuum_reclaims_superseded_dv_sidecars(spark, tmp_path):
     t.refresh()
     expected = [i for i in range(1000) if i % 5 != 0 and i % 7 != 0]
     assert sorted(r.id for r in t.to_df().collect()) == expected
+
+
+def test_superseded_sidecar_reclaim_survives_checkpoint(spark, tmp_path):
+    """The retired (path, DV) pairing must round-trip through a parquet
+    checkpoint so vacuum can still reclaim the superseded sidecar after
+    log cleanup."""
+    import glob
+
+    import delta_rs_spark.operators.delete as del_mod
+    from delta_rs_spark.operators.vacuum import vacuum
+
+    table = str(tmp_path / "dvckvac")
+    t = _make_dv_table(spark, table, n=1000, n_files=1)
+    old = del_mod._DV_INLINE_MAX_BYTES
+    del_mod._DV_INLINE_MAX_BYTES = 8
+    try:
+        t.delete("id % 5 = 0")
+        t.refresh()
+        t.delete("id % 7 = 0")
+    finally:
+        del_mod._DV_INLINE_MAX_BYTES = old
+    snap = snap_mod.load_snapshot(table)
+    snap_mod.write_checkpoint(table, snap)
+    # replay from the checkpoint: the tombstone still carries the old DV
+    snap2 = snap_mod.load_snapshot(table)
+    assert any(
+        getattr(r, "deletion_vector", None) for r in snap2.tombstones
+    )
+    reaped = vacuum(
+        table, retention_hours=0, dry_run=False,
+        enforce_retention_duration=False,
+    )
+    assert sum("deletion_vector_" in p for p in reaped) == 1
+    assert len(glob.glob(os.path.join(table, "deletion_vector_*.bin"))) == 1
+    t.refresh()
+    assert t.count() == sum(
+        1 for i in range(1000) if i % 5 != 0 and i % 7 != 0
+    )
