@@ -88,6 +88,8 @@ def required_protocol(schema_json: str, configuration: dict | None):
         feats.add("columnMapping")
     if cfg.get("delta.enableChangeDataFeed", "").lower() == "true":
         feats.add("changeDataFeed")
+    if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
+        feats.add("inCommitTimestamp")
     if not feats:
         return Protocol()
     reader = sorted(feats & READER_WRITER_FEATURES)

@@ -328,9 +328,39 @@ def commit(
     os.makedirs(snap_mod.log_dir(table_path), exist_ok=True)
     attempt_version = read_version + 1
 
+    # in-commit timestamps (Delta PROTOCOL.md "In-Commit Timestamps"):
+    # when enabled, the commit's own inCommitTimestamp is the table's
+    # clock — monotonically increasing regardless of filesystem mtimes,
+    # so timestamp time travel survives log copies/restores
+    ict_enabled = (
+        (txn_info.table_config or {}).get(
+            "delta.enableInCommitTimestamps", ""
+        ).lower()
+        == "true"
+        if txn_info is not None and txn_info.table_config
+        else False
+    )
+
+    def _prev_ict(version: int) -> int | None:
+        if version < 0:
+            return None
+        try:
+            for a in snap_mod.read_commit_actions(table_path, version):
+                if isinstance(a, CommitInfo):
+                    v = a.extra.get("inCommitTimestamp") or a.timestamp
+                    return int(v) if v else None
+        except Exception:
+            return None
+        return None
+
     for _attempt in range(max_retries + 1):
         operation.timestamp = now_ms()
         operation.read_version = read_version if read_version >= 0 else None
+        if ict_enabled:
+            prev = _prev_ict(attempt_version - 1)
+            ict = max(operation.timestamp, (prev or 0) + 1)
+            operation.extra["inCommitTimestamp"] = ict
+            operation.timestamp = ict
         lines = [action_to_line(operation)] + [action_to_line(a) for a in actions]
         target = snap_mod.commit_file(table_path, attempt_version)
         try:

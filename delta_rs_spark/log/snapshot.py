@@ -641,7 +641,13 @@ def version_at_timestamp(table_path: str, ts_ms: int) -> int:
         try:
             actions = read_commit_actions(table_path, v)
             cts = next(
-                (a.timestamp for a in actions if isinstance(a, CommitInfo) and a.timestamp),
+                (
+                    # in-commit timestamp wins when present: it is the
+                    # table's own monotonic clock (PROTOCOL.md ICT)
+                    int(a.extra.get("inCommitTimestamp") or a.timestamp)
+                    for a in actions
+                    if isinstance(a, CommitInfo) and a.timestamp
+                ),
                 None,
             )
         except FileNotFoundError:

@@ -45,6 +45,7 @@ SUPPORTED_WRITER_FEATURES = {
     "v2Checkpoint",
     "vacuumProtocolCheck",
     "domainMetadata",
+    "inCommitTimestamp",  # commit path stamps monotonic ICTs when enabled
 }
 
 

@@ -381,7 +381,12 @@ def write_deltalake(
 
     actions: list = []
     metrics: dict[str, Any] = {}
-    txn_info = TransactionInfo(blind_append=True)
+    txn_info = TransactionInfo(
+        blind_append=True,
+        table_config=(
+            snapshot.configuration if snapshot is not None else configuration
+        ),
+    )
 
     if snapshot is None:
         from delta_rs_spark.features import required_protocol

@@ -331,3 +331,43 @@ def test_malformed_log_corpus_parity():
         else:
             t = DeltaTable(path)
             assert t.version() == 13, name
+
+
+def test_in_commit_timestamps(spark, tmp_path):
+    """delta.enableInCommitTimestamps: commits carry a monotonic
+    inCommitTimestamp that time travel prefers over file mtimes."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.log import snapshot as snap_mod
+    from delta_rs_spark.log.actions import CommitInfo
+
+    table = str(tmp_path / "ict")
+    df = spark.range(5).select(F.col("id"))
+    write_deltalake(
+        table, df, configuration={"delta.enableInCommitTimestamps": "true"}
+    )
+    t = DeltaTable(table)
+    assert "inCommitTimestamp" in (t.protocol().writer_features or [])
+    write_deltalake(table, df, mode="append")
+    time.sleep(0.05)
+    t.refresh()
+    t.delete("id = 0")
+    icts = []
+    for v in range(0, 3):
+        for a in snap_mod.read_commit_actions(table, v):
+            if isinstance(a, CommitInfo):
+                icts.append(a.extra.get("inCommitTimestamp"))
+    assert all(i is not None for i in icts)
+    assert icts == sorted(icts) and len(set(icts)) == 3  # strictly monotonic
+    # scramble file mtimes: ICT time travel must be unaffected
+    for v in range(0, 3):
+        p = snap_mod.commit_file(table, v)
+        os.utime(p, (1, 1))
+    mid = (icts[1] + icts[2]) // 2 if icts[2] - icts[1] > 1 else icts[1]
+    assert snap_mod.version_at_timestamp(table, mid) == 1
+    assert snap_mod.version_at_timestamp(table, icts[2]) == 2
+    assert snap_mod.version_at_timestamp(table, icts[0]) == 0
