@@ -368,6 +368,7 @@ def commit(
             if create_checkpoint:
                 _maybe_checkpoint(table_path, attempt_version)
             _maybe_cleanup_logs(table_path, cleanup_logs)
+            _maybe_autocompact(table_path, operation)
             return attempt_version
         except FileExistsError:
             # replay winning commit(s), check conflicts, then retry on top
@@ -421,4 +422,44 @@ def _maybe_checkpoint(table_path: str, version: int) -> None:
             snap_mod.write_checkpoint(table_path, snapshot)
     except Exception:
         # checkpointing is an optimization; never fail the commit for it
+        pass
+
+
+#: auto-compact fires once at least this many small files accumulate
+AUTOCOMPACT_MIN_FILES = 16
+
+
+def _maybe_autocompact(table_path: str, operation: CommitInfo) -> None:
+    """Post-commit hook: delta.autoOptimize.autoCompact=true compacts
+    small files right after the write that crossed the threshold — the
+    steady-state answer to streaming/micro-batch ingest fragmenting a
+    table (delta-spark's Auto Compaction semantics). Guarded against
+    recursion via the operation name; needs an active SparkSession
+    (driver-side hooks run where writes run)."""
+    if operation.operation in ("OPTIMIZE", "REORG") or operation.operation.startswith(
+        "VACUUM"
+    ):
+        return
+    try:
+        snapshot = snap_mod.load_snapshot(table_path)
+        cfg = snapshot.configuration
+        if cfg.get("delta.autoOptimize.autoCompact", "").lower() != "true":
+            return
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        target = int(cfg.get("delta.targetFileSize", 128 * 1024 * 1024))
+        min_files = int(
+            cfg.get("delta.autoOptimize.minNumFiles", AUTOCOMPACT_MIN_FILES)
+        )
+        small = [a for a in snapshot.files.values() if a.size < target]
+        if len(small) < min_files:
+            return
+        from delta_rs_spark.table import DeltaTable
+
+        DeltaTable(table_path, spark=spark).optimize.compact()
+    except Exception:
+        # auto-compaction is an optimization; never fail the commit
         pass

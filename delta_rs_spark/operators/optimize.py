@@ -92,10 +92,19 @@ class TableOptimizer:
             return metrics
 
         def compact_files(files: list) -> tuple[list, list]:
+            import math as _math
+
             tb = sum(a.size for a in files)
             tr = sum(a.num_records() or 0 for a in files)
             rows_per_file = max(1, int(tr * target / tb)) if tb and tr else None
             df = read_snapshot_df(spark, snapshot, table_path, files=files)
+            # maxRecordsPerFile only SPLITS task outputs — it never merges
+            # them, and an unpartitioned write has one task per input
+            # file, so without this coalesce "compaction" reproduced the
+            # input file count 1:1. Shrink to the target-size bin count.
+            n_out = max(1, _math.ceil(tb / target)) if tb else 1
+            if n_out < len(files):
+                df = df.coalesce(n_out)
             new_adds = write_files(
                 df, table_path, part_cols, max_records_per_file=rows_per_file
             )

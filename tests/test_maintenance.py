@@ -197,3 +197,36 @@ def test_optimize_min_commit_interval_incremental(spark, tmp_table):
     assert ops.count("OPTIMIZE") == 2  # one commit per partition bin
     assert t.count() == 16  # 2 appends x 8 rows
     assert len(t.files()) == 2
+
+
+def test_auto_compact_post_commit(spark, tmp_path):
+    """delta.autoOptimize.autoCompact: once small files accumulate past
+    minNumFiles, the write that crosses the threshold triggers a
+    compaction commit automatically."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    table = str(tmp_path / "autocompact")
+    df = spark.range(10).select(F.col("id"))
+    write_deltalake(
+        table,
+        df.coalesce(1),
+        configuration={
+            "delta.autoOptimize.autoCompact": "true",
+            "delta.autoOptimize.minNumFiles": "6",
+        },
+    )
+    for i in range(1, 7):
+        write_deltalake(
+            table,
+            spark.range(10 * i, 10 * i + 10).select(F.col("id")).coalesce(1),
+            mode="append",
+        )
+    t = DeltaTable(table)
+    # the threshold-crossing append auto-compacted: far fewer live files
+    # than the 7 written, history shows an OPTIMIZE commit, data intact
+    assert len(t.files()) < 6
+    ops = [h["operation"] for h in t.history()]
+    assert "OPTIMIZE" in ops
+    assert sorted(r.id for r in t.to_df().collect()) == list(range(70))
