@@ -361,7 +361,11 @@ class TableOptimizer:
             .sortWithinPartitions(*sort_keys)
             .drop("__zkey")
         )
-        new_adds = write_files(rewritten, table_path, part_cols)
+        # preserve_layout: the range partitioning + within-partition sort
+        # IS the z-clustering; write_files' hash repartition would undo it
+        new_adds = write_files(
+            rewritten, table_path, part_cols, preserve_layout=True
+        )
         for a in new_adds:
             a.data_change = False
         ts = now_ms()

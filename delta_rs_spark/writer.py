@@ -111,6 +111,7 @@ def write_files(
     target_file_size: int | None = None,
     configuration: dict[str, str] | None = None,
     table_schema_json: str | None = None,
+    preserve_layout: bool = False,
 ) -> list[Add]:
     """Write df as parquet files into the table directory; return Adds.
 
@@ -148,10 +149,12 @@ def write_files(
 
     stage = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df
-    if partition_by:
+    if partition_by and not preserve_layout:
         # co-locate rows of one partition into few tasks (map-side file count
         # control; at cluster scale this is the difference between
-        # tasks*partitions files and ~partitions files)
+        # tasks*partitions files and ~partitions files). preserve_layout
+        # callers (z-order) arranged their own partitioning+sort — a hash
+        # repartition here would destroy the clustering they just built.
         writer = df.repartition(*partition_by)
     w = writer.write.mode("overwrite")
     if target_file_size and not max_records_per_file:

@@ -230,3 +230,40 @@ def test_auto_compact_post_commit(spark, tmp_path):
     ops = [h["operation"] for h in t.history()]
     assert "OPTIMIZE" in ops
     assert sorted(r.id for r in t.to_df().collect()) == list(range(70))
+
+
+def test_zorder_on_partitioned_table_preserves_clustering(spark, tmp_path):
+    """Z-order on a PARTITIONED table must keep its clustering through
+    the write: per output file, the z-ordered column's min/max ranges
+    should be narrow (write_files' hash repartition used to shuffle the
+    carefully range-partitioned rows back together)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.log import snapshot as snap_mod
+
+    table = str(tmp_path / "zpart")
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (F.col("id") % 2).alias("part"),
+        (F.col("id") * 37 % 10_000).alias("v"),
+    )
+    write_deltalake(table, df.repartition(8), partition_by=["part"])
+    t = DeltaTable(table)
+    t.optimize.z_order(["v"], target_size=64 * 1024)
+    t.refresh()
+    snap = snap_mod.load_snapshot(table)
+    files = [a for a in snap.files.values()]
+    assert len(files) >= 4
+    # clustering quality: average per-file v-range must be far below the
+    # global range (a hash-shuffled write gives every file ~full range)
+    spans = []
+    for a in files:
+        st = a.stats_dict()
+        lo, hi = st["minValues"].get("v"), st["maxValues"].get("v")
+        if lo is not None and hi is not None:
+            spans.append(int(hi) - int(lo))
+    assert spans and sum(spans) / len(spans) < 10_000 * 0.6, spans
+    assert t.count() == 20_000
