@@ -112,7 +112,11 @@ class TableOptimizer:
                 a.data_change = False
             ts = now_ms()
             removes = [
-                Remove(a.path, ts, False, a.partition_values, a.size) for a in files
+                Remove(
+                    a.path, ts, False, a.partition_values, a.size,
+                    deletion_vector=a.deletion_vector,
+                )
+                for a in files
             ]
             return new_adds, removes
 
@@ -369,7 +373,13 @@ class TableOptimizer:
         for a in new_adds:
             a.data_change = False
         ts = now_ms()
-        removes = [Remove(a.path, ts, False, a.partition_values, a.size) for a in adds]
+        removes = [
+            Remove(
+                a.path, ts, False, a.partition_values, a.size,
+                deletion_vector=a.deletion_vector,
+            )
+            for a in adds
+        ]
         metrics = {"numFilesAdded": len(new_adds), "numFilesRemoved": len(removes)}
         op = CommitInfo(
             "OPTIMIZE",
