@@ -56,7 +56,7 @@ def plan_predicate_removal(
     if partition_only_predicate(predicate, part_cols, col_types):
         matched = prune_files(adds, predicate, part_cols, col_types)
         removes = [
-            Remove(a.path, ts, True, a.partition_values, a.size) for a in matched
+            Remove(a.path, ts, True, a.partition_values, a.size, deletion_vector=a.deletion_vector) for a in matched
         ]
         # live rows only: a DV'd file's deleted rows are already gone
         n_deleted = sum(
@@ -98,7 +98,7 @@ def plan_predicate_removal(
         new_adds = new_adds + cdc_actions  # type: ignore[operator]
 
     removes = [
-        Remove(a.path, ts, True, a.partition_values, a.size) for a in touched_adds
+        Remove(a.path, ts, True, a.partition_values, a.size, deletion_vector=a.deletion_vector) for a in touched_adds
     ]
     return removes, new_adds, n_deleted
 
@@ -262,7 +262,7 @@ def delete(
     if not predicate:
         # tier 1: metadata-only remove-all (reference: delete.rs:439-455)
         adds = list(snapshot.files.values())
-        removes = [Remove(a.path, ts, True, a.partition_values, a.size) for a in adds]
+        removes = [Remove(a.path, ts, True, a.partition_values, a.size, deletion_vector=a.deletion_vector) for a in adds]
         n_deleted = snapshot.num_records()
         metrics = {
             "num_removed_files": len(removes),

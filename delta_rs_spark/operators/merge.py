@@ -614,7 +614,7 @@ class TableMerger:
             n_copied = 0  # nothing is rewritten in DV mode
         else:
             removes = [
-                Remove(a.path, ts, True, a.partition_values, a.size)
+                Remove(a.path, ts, True, a.partition_values, a.size, deletion_vector=a.deletion_vector)
                 for a in rewrite_adds
             ]
             actions.extend(removes)

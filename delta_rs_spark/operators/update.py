@@ -153,7 +153,7 @@ def update(
         )
         actions.extend(write_change_data(pre.unionByName(post), table_path))
 
-    removes = [Remove(a.path, ts, True, a.partition_values, a.size) for a in touched_adds]
+    removes = [Remove(a.path, ts, True, a.partition_values, a.size, deletion_vector=a.deletion_vector) for a in touched_adds]
     actions.extend(removes)
     metrics.update(
         {

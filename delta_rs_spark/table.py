@@ -301,7 +301,7 @@ class DeltaTable:
             read_version = prev.version
             ts = now_ms()
             actions.extend(
-                Remove(a.path, ts, True, a.partition_values, a.size)
+                Remove(a.path, ts, True, a.partition_values, a.size, deletion_vector=a.deletion_vector)
                 for a in prev.files.values()
             )
         os.makedirs(path, exist_ok=True)
