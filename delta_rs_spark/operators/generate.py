@@ -18,6 +18,15 @@ def generate_symlink_manifest(table_path: str) -> list[str]:
     """Write one ``manifest`` text file of absolute file URIs per
     partition directory (or at the root for unpartitioned tables)."""
     snapshot = snap_mod.load_snapshot(table_path)
+    if any(a.deletion_vector for a in snapshot.files.values()):
+        # a symlink manifest lists raw files; an external reader following
+        # it would resurrect DV-deleted rows (delta-spark refuses too)
+        from delta_rs_spark.log.commit import DeltaError
+
+        raise DeltaError(
+            "cannot generate a symlink manifest for a table with deletion "
+            "vectors; run optimize.reorg_purge() first"
+        )
     out_root = os.path.join(table_path, MANIFEST_DIR)
     shutil.rmtree(out_root, ignore_errors=True)
     groups: dict[str, list[str]] = {}

@@ -865,3 +865,18 @@ def test_superseded_sidecar_reclaim_survives_checkpoint(spark, tmp_path):
     assert t.count() == sum(
         1 for i in range(1000) if i % 5 != 0 and i % 7 != 0
     )
+
+
+def test_generate_manifest_refuses_dv_tables(spark, tmp_path):
+    from delta_rs_spark.log.commit import DeltaError
+
+    table = str(tmp_path / "dvman")
+    t = _make_dv_table(spark, table)
+    t.delete("id < 5")
+    t.refresh()
+    with pytest.raises(DeltaError, match="deletion"):
+        t.generate("symlink_format_manifest")
+    # purge clears the obstruction
+    t.optimize.reorg_purge()
+    t.refresh()
+    t.generate("symlink_format_manifest")
