@@ -39,12 +39,18 @@ class TableAlterer:
     def __init__(self, dt: Any):
         self.dt = dt
 
-    def _commit_metadata(self, meta: Metadata, operation: str, params: dict) -> None:
+    def _commit_metadata(
+        self,
+        meta: Metadata,
+        operation: str,
+        params: dict,
+        extra_actions: list | None = None,
+    ) -> None:
         snapshot = snap_mod.load_snapshot(self.dt.table_uri)
         op = CommitInfo(operation, params)
         commit_mod.commit(
             self.dt.table_uri,
-            [meta],
+            list(extra_actions or []) + [meta],
             op,
             snapshot.version,
             TransactionInfo(blind_append=False, read_whole_table=True),
@@ -129,7 +135,48 @@ class TableAlterer:
     def set_table_properties(self, properties: dict[str, str], raise_if_not_exists: bool = True) -> None:
         meta = self._meta_copy()
         meta.configuration.update(properties)
-        self._commit_metadata(meta, "SET TBLPROPERTIES", {"properties": properties})
+        # enabling a feature-gated property mid-life (DV / CDF / ICT /
+        # column mapping) must upgrade the protocol in the SAME commit —
+        # otherwise the next write emits feature actions a compliant
+        # reader has no contract for
+        from delta_rs_spark.features import required_protocol
+        from delta_rs_spark.log.actions import Protocol
+
+        extra_actions: list = []
+        wanted = required_protocol(meta.schema_string, meta.configuration)
+        cur = self.dt.protocol()
+        if wanted.min_writer_version >= 7:
+            merged = Protocol(
+                min_reader_version=max(
+                    wanted.min_reader_version, cur.min_reader_version
+                ),
+                min_writer_version=max(
+                    wanted.min_writer_version, cur.min_writer_version
+                ),
+                reader_features=sorted(
+                    set(wanted.reader_features or [])
+                    | set(cur.reader_features or [])
+                )
+                or None,
+                writer_features=sorted(
+                    set(wanted.writer_features or [])
+                    | set(cur.writer_features or [])
+                )
+                or None,
+            )
+            if (
+                merged.min_reader_version != cur.min_reader_version
+                or merged.min_writer_version != cur.min_writer_version
+                or (merged.reader_features or []) != (cur.reader_features or [])
+                or (merged.writer_features or []) != (cur.writer_features or [])
+            ):
+                extra_actions.append(merged)
+        self._commit_metadata(
+            meta,
+            "SET TBLPROPERTIES",
+            {"properties": properties},
+            extra_actions=extra_actions,
+        )
 
     def set_table_name(self, name: str) -> None:
         meta = self._meta_copy()

@@ -880,3 +880,24 @@ def test_generate_manifest_refuses_dv_tables(spark, tmp_path):
     t.optimize.reorg_purge()
     t.refresh()
     t.generate("symlink_format_manifest")
+
+
+def test_enabling_dv_mid_life_upgrades_protocol(spark, tmp_path):
+    """SET TBLPROPERTIES delta.enableDeletionVectors=true on a plain
+    table must lift the protocol to table features in the same commit,
+    and subsequent deletes take the DV path."""
+    table = str(tmp_path / "dvupgrade")
+    df = spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_deltalake(table, df.coalesce(1))
+    t = DeltaTable(table)
+    assert (t.protocol().writer_features or []) == []
+    t.alter.set_table_properties({"delta.enableDeletionVectors": "true"})
+    t.refresh()
+    proto = t.protocol()
+    assert proto.min_writer_version == 7
+    assert "deletionVectors" in (proto.writer_features or [])
+    assert "deletionVectors" in (proto.reader_features or [])
+    m = t.delete("id < 5")
+    assert m.get("num_deletion_vectors_added") == 1
+    t.refresh()
+    assert t.count() == 45
