@@ -105,8 +105,10 @@ def convert_to_deltalake(
         )
         for (absf, rel, part_vals), st in zip(files, stats)
     ]
+    from delta_rs_spark.features import required_protocol
+
     actions: list = [
-        Protocol(),
+        required_protocol(schema.json(), configuration),
         Metadata(
             schema_string=schema.json(),
             partition_columns=part_col_names,
