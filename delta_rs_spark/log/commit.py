@@ -368,7 +368,7 @@ def commit(
             if create_checkpoint:
                 _maybe_checkpoint(table_path, attempt_version)
             _maybe_cleanup_logs(table_path, cleanup_logs)
-            _maybe_autocompact(table_path, operation)
+            _maybe_autocompact(table_path, operation, txn_info)
             return attempt_version
         except FileExistsError:
             # replay winning commit(s), check conflicts, then retry on top
@@ -429,7 +429,9 @@ def _maybe_checkpoint(table_path: str, version: int) -> None:
 AUTOCOMPACT_MIN_FILES = 16
 
 
-def _maybe_autocompact(table_path: str, operation: CommitInfo) -> None:
+def _maybe_autocompact(
+    table_path: str, operation: CommitInfo, txn_info: "TransactionInfo | None" = None
+) -> None:
     """Post-commit hook: delta.autoOptimize.autoCompact=true compacts
     small files right after the write that crossed the threshold — the
     steady-state answer to streaming/micro-batch ingest fragmenting a
@@ -438,6 +440,14 @@ def _maybe_autocompact(table_path: str, operation: CommitInfo) -> None:
     (driver-side hooks run where writes run)."""
     if operation.operation in ("OPTIMIZE", "REORG") or operation.operation.startswith(
         "VACUUM"
+    ):
+        return
+    # cheap pre-check from the transaction's own config snapshot: the
+    # default (disabled) path must not pay a full log replay per commit
+    pre_cfg = txn_info.table_config if txn_info is not None else None
+    if (
+        pre_cfg is not None
+        and pre_cfg.get("delta.autoOptimize.autoCompact", "").lower() != "true"
     ):
         return
     try:
