@@ -371,3 +371,36 @@ def test_in_commit_timestamps(spark, tmp_path):
     assert snap_mod.version_at_timestamp(table, mid) == 1
     assert snap_mod.version_at_timestamp(table, icts[2]) == 2
     assert snap_mod.version_at_timestamp(table, icts[0]) == 0
+
+
+def test_required_protocol_feature_split():
+    """Feature derivation: reader-writer features land in both lists,
+    writer-only ones in writerFeatures alone; nothing -> legacy (1,2)."""
+    from delta_rs_spark.features import required_protocol
+
+    p = required_protocol('{"fields": []}', None)
+    assert (p.min_reader_version, p.min_writer_version) == (1, 2)
+    assert not p.reader_features and not p.writer_features
+
+    p = required_protocol(
+        '{"fields": []}',
+        {"delta.enableChangeDataFeed": "true"},
+    )
+    assert p.min_writer_version == 7
+    assert p.writer_features == ["changeDataFeed"]
+    assert not p.reader_features  # writer-only feature
+    assert p.min_reader_version == 1
+
+    p = required_protocol(
+        '{"fields": []}',
+        {
+            "delta.enableDeletionVectors": "true",
+            "delta.columnMapping.mode": "name",
+            "delta.enableInCommitTimestamps": "true",
+        },
+    )
+    assert (p.min_reader_version, p.min_writer_version) == (3, 7)
+    assert p.reader_features == ["columnMapping", "deletionVectors"]
+    assert p.writer_features == [
+        "columnMapping", "deletionVectors", "inCommitTimestamp",
+    ]
