@@ -653,7 +653,10 @@ def version_at_timestamp(table_path: str, ts_ms: int) -> int:
         except FileNotFoundError:
             cts = None
         if cts is None:
-            cts = int(os.path.getmtime(commit_file(table_path, v)) * 1000)
+            try:
+                cts = int(os.path.getmtime(commit_file(table_path, v)) * 1000)
+            except OSError:
+                continue  # cleaned up mid-listing: not addressable by time
         if cts <= ts_ms:
             best = v
     if best is None:
