@@ -938,8 +938,8 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_source_mix",
     f"""
     WITH s AS (SELECT source, count(*) AS n_docs,
-                      sum(len({_NE_TOKENS_SQL})) AS n_tokens,
-                      sum(length(text)) AS n_chars
+                      CAST(sum(len({_NE_TOKENS_SQL})) AS BIGINT) AS n_tokens,
+                      CAST(sum(length(text)) AS BIGINT) AS n_chars
                FROM documents GROUP BY 1),
     t AS (SELECT sum(n_tokens) AS tot FROM s)
     SELECT source, n_docs, n_tokens, n_chars,

@@ -98,6 +98,25 @@ def main() -> int:
             n_fail += 1
             continue
         ok, msg = rows_equal(canon(sdf), canon(odf))
+        if ok:
+            # Driver hashes raw values, so an int64 Spark column vs a
+            # float64 oracle column (DuckDB sum(INTEGER) -> HUGEINT ->
+            # float64 in fetchdf) hashes `8570` vs `8570.0` and fails
+            # even when canon()'s numeric compare passes. This exact
+            # class produced the q12 (r02) and llm_source_mix (r04) red
+            # rows, so treat dtype-kind divergence as a failure here.
+            for c in set(sdf.columns) & set(odf.columns):
+                sk, ok_ = sdf[c].dtype.kind, odf[c].dtype.kind
+                int_kinds, float_kinds = {"i", "u"}, {"f"}
+                if (sk in int_kinds and ok_ in float_kinds) or (
+                    sk in float_kinds and ok_ in int_kinds
+                ):
+                    ok = False
+                    msg = (
+                        f"dtype divergence col {c}: spark {sdf[c].dtype}"
+                        f" vs oracle {odf[c].dtype} (driver hash would differ)"
+                    )
+                    break
         status = "PASS" if ok else "FAIL"
         if ok:
             n_pass += 1
