@@ -39,21 +39,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # bounded window (~50 entries per round). Order the planes so every SURVEY
 # §2 component gets a witness before redundant query shapes: Delta table
 # ops (§2A) -> streaming/event-time -> one relational representative per
-# §2B category -> never-witnessed queries -> LLM-pipeline ops -> the
-# multi-round-green tail (category variants, stable LLM entries, and the
-# most redundant block: ~23 TPC-H shapes over 12 already-witnessed
-# categories).
+# §2B category -> never-witnessed queries -> the staleness-rotated tail.
 #
 # INVARIANT (keep true under the driver's observed 50-51 budget): the
 # top-48 positions must contain all delta_* ops, all events/streaming
 # queries, >=1 representative per §2B category, and EVERY query that has
 # never had a green oracle row. Any NEW query enters inside that prefix by
-# adding it to _FIRST_WITNESS_NEEDED, displacing multi-round-green entries
-# into the tail. Once green, move it out of _FIRST_WITNESS_NEEDED; once
-# green in >=2 rounds it may move to a _*_STABLE set. r04 note: the
-# prefix is at 48 of the observed 50 — the r05 session MUST move this
-# round's freshly-witnessed entries out of _FIRST_WITNESS_NEEDED before
-# adding anything new.
+# adding it to _FIRST_WITNESS_NEEDED; once it has a green CORRECTNESS row
+# it may leave (the rotation below takes over re-witnessing it).
+#
+# STALENESS ROTATION (r05): every entry outside the fixed prefix is
+# ordered by the round of its most recent green CORRECTNESS_r*.json row
+# (oldest first, registration order as tiebreak), computed at import time
+# from the repo's own per-round records. Consequences: (a) the window
+# slots left after the mandatory prefix always go to the longest-unseen
+# entries, so every registry entry is re-witnessed within
+# ceil(pool / free_slots) rounds (~64 / ~11 => <= 6 rounds); (b) an entry
+# that loses its green row — or a brand-new entry missing from
+# _FIRST_WITNESS_NEEDED — has last_green 0 and sorts to the FRONT of the
+# tail, directly after the first-witness block, so a red can no longer
+# hide in the tail indefinitely (the q12 r02-r04 failure mode). The
+# sub-window net for everything else is scripts/check_correctness.py,
+# which runs ALL entries dtype-strict before each round's close.
 _RELATIONAL_REPRESENTATIVES = (
     # one distinct §2B category per entry first, so even a clipped window
     # witnesses every category; same-category variants live in
@@ -71,48 +78,51 @@ _RELATIONAL_REPRESENTATIVES = (
 
 # Registered queries with NO green oracle row in any prior round: these
 # take window positions immediately after the category representatives.
+# (r04's 14 first-witness entries all went green and moved to the
+# rotated tail.)
 _FIRST_WITNESS_NEEDED = (
-    "q_grouping_sets",   # agg variant (category witnessed by q1/rollup)
-    "q_multiset_ops",    # set-ops variant (witnessed by q_setops)
-    "llm_doc_chunks",    # chunking plane (JVM chunk_spans path)
-    # new in r04:
-    "llm_benchmark_contamination",  # winnowing containment / decontam
-    "llm_unigram_logprob",          # corpus-LM quality scoring
-    "llm_source_mix",               # data-mix composition report
-    "llm_semantic_dedup",           # SemDeDup (IVF-clustered embedding dedup)
-    "llm_line_dedup",               # line-level boilerplate removal
-    "llm_temperature_mix",          # temperature-based source rebalancing
-    "llm_random_projection",        # JL embedding compression
-    "llm_pq_encode",                # product-quantization codes
-    "llm_pq_topk",                  # ADC top-k over PQ codes
-    "llm_corpus_pipeline",          # composed ingest gate (dedup+lang+quality+length)
-    "llm_shard_stats",              # training-export shard assignment
-    "llm_bigram_logprob",           # bigram-LM quality scoring
+    "llm_source_mix",    # red r04 (oracle HUGEINT dtype — cast fixed r05)
+    "q12_priority_shipping_bands",  # red r02, oracle fixed r02, never re-witnessed
+    # new in r05 (previously pytest-only operators):
+    "llm_pq_topk_rerank",   # PQ shortlist + exact cosine rerank
+    "llm_corpus_profile",   # dataset-card summary table
+    "llm_fp_index_probe",   # incremental exact-dedup index probe
+    "llm_band_index_probe",  # incremental near-dup (MinHash band) index probe
 )
 
-# Thrice-green (r01+r02+r03) category variants whose §2B categories are
-# already witnessed by in-window representatives: head of the tail, so
-# they still re-witness whenever the window stretches past the top-49.
-_RELATIONAL_STABLE = (
-    "llm_duplicate_clusters",    # green r02+r03 (connected components)
-    "q_date_parts",              # scalar fns (variant)
-    "q_exact_percentiles",       # scalar fns (variant)
-    "q_cross_join_coverage",     # joins (variant)
-)
 
-# r01+r02 oracle-green and structurally simple: these give up their
-# window slot to never-witnessed entries
-_LLM_STABLE = {
-    "llm_doc_token_stats",
-    "llm_doc_quality",
-    "llm_lang_id",
-    "llm_doc_repetition",
-    "llm_pii_scrub",
-    "llm_dedup_exact",
-    "llm_duplicate_groups",
-    "llm_ngram_jaccard_pairs",
-    "llm_cosine_topk",
-}
+def _last_green() -> dict[str, int]:
+    """Most recent round with a fully-green driver row, per query, read
+    from the repo's own CORRECTNESS_r*.json records. Missing/unreadable
+    files degrade to {} (everything ties at 0 -> registration order)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+_LAST_GREEN = _last_green()
 
 
 def _plane_rank(name: str) -> int:
@@ -124,11 +134,7 @@ def _plane_rank(name: str) -> int:
         return 2
     if name in _FIRST_WITNESS_NEEDED:
         return 3
-    if name in _RELATIONAL_STABLE:
-        return 5
-    if name.startswith("llm_"):
-        return 4 if name not in _LLM_STABLE else 6
-    return 7
+    return 4  # staleness-rotated tail
 
 
 def _order_key(name: str) -> tuple[int, int]:
@@ -137,8 +143,8 @@ def _order_key(name: str) -> tuple[int, int]:
         return (rank, _RELATIONAL_REPRESENTATIVES.index(name))
     if rank == 3:
         return (rank, _FIRST_WITNESS_NEEDED.index(name))
-    if rank == 5:
-        return (rank, _RELATIONAL_STABLE.index(name))
+    if rank == 4:  # oldest green first; never-green (0) leads the tail
+        return (rank, _LAST_GREEN.get(name, 0))
     return (rank, 0)
 
 

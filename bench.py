@@ -125,6 +125,24 @@ def main() -> None:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"WARN: could not write {detail_path}: {e}", file=sys.stderr)
+    # Per-round archive so future rounds can diff full per-query vectors:
+    # the current round is 1 + the highest BENCH_r{N}.json the driver has
+    # recorded (the driver writes that AFTER running us).
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = max(rounds, default=0) + 1
+        with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"WARN: could not archive bench detail: {e}", file=sys.stderr)
     # newline guard: any interleaved console output (progress bars are off in
     # session.py, but belt-and-braces) must not share a line with the JSON
     sys.stdout.flush()

@@ -340,6 +340,26 @@ def commit(
         if txn_info is not None and txn_info.table_config
         else False
     )
+    # mid-life enablement (PROTOCOL.md "In-Commit Timestamps"): when this
+    # very commit's Metadata flips the property on a table that did not
+    # have it, the SAME commit must record the enablement version and
+    # timestamp — readers use them to know where the mtime clock ends and
+    # the ICT clock begins. (A table created with ICT never sets these.)
+    enabling_meta = None
+    if not ict_enabled:
+        from delta_rs_spark.log.actions import Metadata as _Metadata
+
+        for a in actions:
+            if (
+                isinstance(a, _Metadata)
+                and (a.configuration or {})
+                .get("delta.enableInCommitTimestamps", "")
+                .lower()
+                == "true"
+            ):
+                enabling_meta = a
+                ict_enabled = True
+                break
 
     def _prev_ict(version: int) -> int | None:
         if version < 0:
@@ -361,6 +381,13 @@ def commit(
             ict = max(operation.timestamp, (prev or 0) + 1)
             operation.extra["inCommitTimestamp"] = ict
             operation.timestamp = ict
+            if enabling_meta is not None and attempt_version > 0:
+                enabling_meta.configuration[
+                    "delta.inCommitTimestampEnablementVersion"
+                ] = str(attempt_version)
+                enabling_meta.configuration[
+                    "delta.inCommitTimestampEnablementTimestamp"
+                ] = str(ict)
         lines = [action_to_line(operation)] + [action_to_line(a) for a in actions]
         target = snap_mod.commit_file(table_path, attempt_version)
         try:

@@ -634,32 +634,63 @@ def version_at_timestamp(table_path: str, ts_ms: int) -> int:
     """Latest version whose commit timestamp <= ts_ms; a timestamp
     before the first commit clamps to the EARLIEST available version
     (reference: table/mod.rs:375 load_with_datetime — its time-travel
-    test requests a pre-table timestamp and expects version 0)."""
+    test requests a pre-table timestamp and expects version 0).
+
+    Mid-life ICT enablement (PROTOCOL.md): commits before
+    inCommitTimestampEnablementVersion tick on the pre-ICT clock
+    (CommitInfo timestamp / file mtime) and commits at-or-after it on
+    the ICT clock; the two regimes are searched separately so a
+    pre-enablement wall clock running ahead of the ICT clock cannot
+    shadow post-enablement versions (or vice versa)."""
     commits, _ = list_log(table_path)
-    best = None
+    enable_v: int | None = None
+    enable_ts: int | None = None
+    seen: list[tuple[int, int]] = []  # (version, commit timestamp)
     for v in commits:
         try:
             actions = read_commit_actions(table_path, v)
-            cts = next(
-                (
-                    # in-commit timestamp wins when present: it is the
-                    # table's own monotonic clock (PROTOCOL.md ICT)
-                    int(a.extra.get("inCommitTimestamp") or a.timestamp)
-                    for a in actions
-                    if isinstance(a, CommitInfo) and a.timestamp
-                ),
-                None,
-            )
         except FileNotFoundError:
-            cts = None
+            actions = []
+        for a in actions:
+            if isinstance(a, Metadata):
+                cfg = a.configuration or {}
+                if "delta.inCommitTimestampEnablementVersion" in cfg:
+                    enable_v = int(cfg["delta.inCommitTimestampEnablementVersion"])
+                    enable_ts = int(
+                        cfg.get("delta.inCommitTimestampEnablementTimestamp", 0)
+                    )
+        cts = next(
+            (
+                # in-commit timestamp wins when present: it is the
+                # table's own monotonic clock (PROTOCOL.md ICT)
+                int(a.extra.get("inCommitTimestamp") or a.timestamp)
+                for a in actions
+                if isinstance(a, CommitInfo) and a.timestamp
+            ),
+            None,
+        )
         if cts is None:
             try:
                 cts = int(os.path.getmtime(commit_file(table_path, v)) * 1000)
             except OSError:
                 continue  # cleaned up mid-listing: not addressable by time
+        seen.append((v, cts))
+    if enable_v is not None and enable_ts is not None:
+        if ts_ms >= enable_ts:
+            pool = [(v, t) for v, t in seen if v >= enable_v]
+        else:
+            pool = [(v, t) for v, t in seen if v < enable_v]
+            if not pool:  # ts before enablement on a truncated log
+                pool = seen
+    else:
+        pool = seen
+    best = None
+    for v, cts in pool:
         if cts <= ts_ms:
             best = v
     if best is None:
+        if pool:
+            return pool[0][0]
         if commits:
             return commits[0]
         raise ValueError(f"no version at or before timestamp {ts_ms}")

@@ -133,8 +133,35 @@ class TableAlterer:
         )
 
     def set_table_properties(self, properties: dict[str, str], raise_if_not_exists: bool = True) -> None:
+        from delta_rs_spark.plans import column_mapping as cmap
+
         meta = self._meta_copy()
+        old_mode = cmap.mapping_mode(meta.configuration)
         meta.configuration.update(properties)
+        new_mode = cmap.mapping_mode(meta.configuration)
+        if new_mode != old_mode:
+            # none -> name/id enablement on a LIVE table: the protocol
+            # requires every field to carry columnMapping.id/physicalName
+            # once the feature is active, so annotate the existing schema
+            # (physical name = current name, delta-spark upgrade style —
+            # existing parquet files were written with logical names) and
+            # record maxColumnId in the SAME commit. Any other transition
+            # (name->id, disabling) would orphan the physical names.
+            if old_mode != "none" or new_mode not in ("name", "id"):
+                raise DeltaError(
+                    f"unsupported column mapping transition {old_mode!r} -> {new_mode!r}"
+                )
+            schema = T.StructType.fromJson(json.loads(meta.schema_string))
+            if not all(
+                cmap.PHYSICAL_NAME_KEY in (f.metadata or {})
+                for f in schema.fields
+            ):
+                start = int(
+                    meta.configuration.get("delta.columnMapping.maxColumnId", 0)
+                )
+                schema, max_id = cmap.assign_upgrade_metadata(schema, start)
+                meta.schema_string = schema.json()
+                meta.configuration["delta.columnMapping.maxColumnId"] = str(max_id)
         # enabling a feature-gated property mid-life (DV / CDF / ICT /
         # column mapping) must upgrade the protocol in the SAME commit —
         # otherwise the next write emits feature actions a compliant

@@ -147,9 +147,18 @@ def load_cdf(
                     abs_path = os.path.join(table_path, path)
                     dead_pairs += [(abs_path, ri) for ri in sorted(new_rows - old_rows)]
                 if dead_pairs:
+                    from delta_rs_spark.plans import column_mapping as cmap
                     from delta_rs_spark.table import _normalize_file_path
 
-                    reader = spark.read.schema(schema)
+                    # column-mapped files carry physical col-<uuid> names:
+                    # read with the physical schema and rename after the
+                    # (file, row_index) join, like the cdc branch above —
+                    # a logical-schema read would yield all-null columns
+                    mapped = cmap.mapping_mode(snap.configuration) != "none"
+                    pair_schema = (
+                        cmap.physical_schema(schema) if mapped else schema
+                    )
+                    reader = spark.read.schema(pair_schema)
                     if snap.partition_columns:
                         reader = reader.option("basePath", table_path)
                     dead_df = spark.createDataFrame(
@@ -172,6 +181,8 @@ def load_cdf(
                         )
                         .drop("__sfp", "__sri", "__fp", "__ri")
                     )
+                    if mapped:
+                        rows = cmap.rename_to_logical(rows, schema)
                     pieces.append(
                         rows.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
                     )

@@ -47,14 +47,17 @@ def plan_predicate_removal(
     from delta_rs_spark.table import read_snapshot_df
     from delta_rs_spark.writer import write_files
 
+    from delta_rs_spark.plans.column_mapping import snapshot_physical_of
+
     part_cols = snapshot.partition_columns
     adds = list(snapshot.files.values())
     ts = now_ms()
     col_types = col_types_from_schema_json(json.loads(snapshot.schema_string))
+    physical_of = snapshot_physical_of(snapshot)
 
     # tier 2: exact partition-only predicate -> metadata-only removal
     if partition_only_predicate(predicate, part_cols, col_types):
-        matched = prune_files(adds, predicate, part_cols, col_types)
+        matched = prune_files(adds, predicate, part_cols, col_types, physical_of)
         removes = [
             Remove(a.path, ts, True, a.partition_values, a.size, deletion_vector=a.deletion_vector) for a in matched
         ]
@@ -67,7 +70,7 @@ def plan_predicate_removal(
         return removes, [], n_deleted
 
     # tier 3: candidate scan -> touched files -> rewrite
-    candidates = prune_files(adds, predicate, part_cols, col_types)
+    candidates = prune_files(adds, predicate, part_cols, col_types, physical_of)
     if not candidates:
         return [], [], 0
     cand_df = read_snapshot_df(
@@ -291,11 +294,14 @@ def delete(
         predicate, snapshot.partition_columns, col_types
     )
     if use_dv:
+        from delta_rs_spark.plans.column_mapping import snapshot_physical_of
+
         candidates = prune_files(
             list(snapshot.files.values()),
             predicate,
             snapshot.partition_columns,
             col_types,
+            snapshot_physical_of(snapshot),
         )
         removes, new_adds, n_deleted = plan_dv_delete(
             spark, snapshot, table_path, predicate, candidates

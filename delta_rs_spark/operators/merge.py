@@ -307,9 +307,13 @@ class TableMerger:
         col_types = col_types_from_schema_json(
             __import__("json").loads(snapshot.schema_string)
         )
+        from delta_rs_spark.plans.column_mapping import snapshot_physical_of
+
         early = self._strip_target_only_predicate(source_df)
         candidates = (
-            prune_files(all_adds, early, part_cols, col_types) if early else all_adds
+            prune_files(all_adds, early, part_cols, col_types, snapshot_physical_of(snapshot))
+            if early
+            else all_adds
         )
 
         # ---- choose rewrite files ---------------------------------------

@@ -65,6 +65,8 @@ class TableOptimizer:
             snapshot.configuration.get("delta.targetFileSize", DEFAULT_TARGET_SIZE)
         )
 
+        from delta_rs_spark.plans.column_mapping import snapshot_physical_of
+
         adds = list(snapshot.files.values())
         pred = _dnf_to_sql(partition_filters)
         if pred:
@@ -73,6 +75,7 @@ class TableOptimizer:
                 pred,
                 part_cols,
                 col_types_from_schema_json(__import__("json").loads(snapshot.schema_string)),
+                snapshot_physical_of(snapshot),
             )
         small = [a for a in adds if a.size < target]
         # group by partition: a partition with a single small file needs no work
@@ -204,6 +207,8 @@ class TableOptimizer:
 
         ensure_writable(snapshot)
         part_cols = snapshot.partition_columns
+        from delta_rs_spark.plans.column_mapping import snapshot_physical_of
+
         adds = list(snapshot.files.values())
         pred = _dnf_to_sql(partition_filters)
         if pred:
@@ -214,6 +219,7 @@ class TableOptimizer:
                 col_types_from_schema_json(
                     __import__("json").loads(snapshot.schema_string)
                 ),
+                snapshot_physical_of(snapshot),
             )
 
         def ratio(a) -> float:
@@ -298,6 +304,8 @@ class TableOptimizer:
             if c in part_cols:
                 raise DeltaError(f"cannot z-order by partition column {c}")
 
+        from delta_rs_spark.plans.column_mapping import snapshot_physical_of
+
         adds = list(snapshot.files.values())
         pred = _dnf_to_sql(partition_filters)
         if pred:
@@ -306,6 +314,7 @@ class TableOptimizer:
                 pred,
                 part_cols,
                 col_types_from_schema_json(__import__("json").loads(snapshot.schema_string)),
+                snapshot_physical_of(snapshot),
             )
         if not adds:
             return {"numFilesAdded": 0, "numFilesRemoved": 0}

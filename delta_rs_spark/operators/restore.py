@@ -72,7 +72,14 @@ def restore(
     removed = 0
     for path, add in current.files.items():
         if path not in old.files:
-            removes.append(Remove(path, ts, True, add.partition_values, add.size))
+            # carry the current DV descriptor so vacuum's dv_tombstoned
+            # reclamation can retire the sidecar with the tombstone
+            removes.append(
+                Remove(
+                    path, ts, True, add.partition_values, add.size,
+                    deletion_vector=add.deletion_vector,
+                )
+            )
             removed += 1
     # removes first: same-path tombstone + re-add pairs replay in order
     actions: list = removes + re_adds

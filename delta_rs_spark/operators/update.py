@@ -48,10 +48,14 @@ def update(
         if col in part_cols:
             raise DeltaError(f"cannot update partition column {col!r}")
 
+    from delta_rs_spark.plans.column_mapping import snapshot_physical_of
+
     adds = list(snapshot.files.values())
     col_types = col_types_from_schema_json(json.loads(snapshot.schema_string))
     candidates = (
-        prune_files(adds, predicate, part_cols, col_types) if predicate else adds
+        prune_files(adds, predicate, part_cols, col_types, snapshot_physical_of(snapshot))
+        if predicate
+        else adds
     )
     ts = now_ms()
     cond = F.expr(predicate) if predicate else F.lit(True)

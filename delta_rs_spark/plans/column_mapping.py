@@ -30,6 +30,20 @@ def mapping_mode(configuration: dict[str, str]) -> str:
     return (configuration or {}).get(MODE_KEY, "none")
 
 
+def snapshot_physical_of(snapshot) -> dict[str, str] | None:
+    """logical->physical top-level name map for a snapshot, or None when
+    column mapping is off. Every prune_files / partition-values lookup
+    against a snapshot's Add actions must pass this: their
+    partitionValues/stats are keyed by PHYSICAL names, so a logical-name
+    lookup on a mapped table silently prunes every file."""
+    import json as _json
+
+    if mapping_mode(snapshot.configuration) not in ("name", "id"):
+        return None
+    schema = T.StructType.fromJson(_json.loads(snapshot.schema_string))
+    return logical_to_physical(schema)
+
+
 #: writer features whose obligations this engine actually honors when
 #: committing (constraints/invariants/generated columns are enforced,
 #: CDF rows are written, DV removal-by-rewrite is protocol-legal, ...)
@@ -196,6 +210,43 @@ def assign_mapping_metadata(
             md = dict(f.metadata or {})
             md[COLUMN_ID_KEY] = next_id
             md[PHYSICAL_NAME_KEY] = f"col-{_uuid.uuid4()}"
+            fields.append(
+                T.StructField(f.name, walk_type(f.dataType), f.nullable, md)
+            )
+        return T.StructType(fields)
+
+    return walk_struct(schema), next_id
+
+
+def assign_upgrade_metadata(
+    schema: T.StructType, start_id: int = 0
+) -> tuple[T.StructType, int]:
+    """Annotate an EXISTING table's schema for a none -> name/id mode
+    upgrade: fresh columnMapping ids, but physicalName = the current
+    field name at every level (delta-spark upgrade semantics — the
+    table's existing parquet files were written with logical names, so
+    a col-<uuid> physical name would orphan them)."""
+    next_id = start_id
+
+    def walk_type(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return walk_struct(dt)
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(walk_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                walk_type(dt.keyType), walk_type(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    def walk_struct(st: T.StructType) -> T.StructType:
+        nonlocal next_id
+        fields = []
+        for f in st.fields:
+            next_id += 1
+            md = dict(f.metadata or {})
+            md[COLUMN_ID_KEY] = next_id
+            md[PHYSICAL_NAME_KEY] = f.name
             fields.append(
                 T.StructField(f.name, walk_type(f.dataType), f.nullable, md)
             )

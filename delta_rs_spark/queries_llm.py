@@ -1250,3 +1250,154 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     that unigram scoring cannot."""
     docs = _docs(spark, sf_dir)
     return X.bigram_logprob(docs)
+
+
+# --------------------------------------------------------------------------
+# r05: gate queries for the previously pytest-only operators
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_pq_topk_rerank",
+    f"""
+    WITH {_PQ_CB_SQL},
+    q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    qs AS (SELECT s.sub, (SELECT v FROM q)[s.sub*8 + 1 : s.sub*8 + 8] AS vs FROM subs s),
+    qd AS (SELECT cb.sub, cb.cidx,
+                  list_sum(list_transform(range(1, 9),
+                           i -> (qs.vs[i] - cb.c[i]) * (qs.vs[i] - cb.c[i]))) AS d
+           FROM cb JOIN qs USING (sub)),
+    shortlist AS (
+      SELECT enc.vec_id AS id, round(sum(qd.d), 4) AS approx_dist
+      FROM enc JOIN qd ON enc.sub = qd.sub AND enc.code = qd.cidx
+      GROUP BY enc.vec_id
+      ORDER BY approx_dist ASC, id ASC
+      LIMIT 40)
+    SELECT e.vec_id AS id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT v FROM q)), 4) AS score
+    FROM embeddings e JOIN shortlist s ON e.vec_id = s.id
+    ORDER BY score DESC, id ASC
+    LIMIT 10
+    """,
+)
+def llm_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist + exact cosine rerank (similarity.pq_topk_rerank):
+    ADC over the encoded corpus yields a 40-candidate shortlist, then
+    only those rows' raw vectors are re-scored with exact cosine. The
+    oracle replays codebooks, encode, the ADC ranking (rounded exactly
+    like the operator), and the cosine re-score in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_topk_rerank(
+        emb, _query_vector(spark, sf_dir), k=10, shortlist=40, m=8, n_codes=16
+    )
+
+
+@query(
+    "llm_corpus_profile",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL})::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}'))::DOUBLE AS sw,
+             len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS pn,
+             {_FP_SQL} AS fp
+      FROM documents),
+    d AS (SELECT n_tok, n_char, fp,
+                 round(0.5 * least(n_tok / 64.0, 1.0)
+                     + 0.5 * least(sw / greatest(n_tok, 1.0) * 4.0, 1.0)
+                     - 0.25 * least(pn / greatest(n_char, 1.0) * 10.0, 1.0), 6) AS q
+          FROM m),
+    agg AS (SELECT count(*)::DOUBLE AS n_docs,
+                   sum(n_tok) AS total_tokens,
+                   sum(n_char) AS total_chars,
+                   quantile_disc(n_tok, 0.5) AS tokens_p50,
+                   quantile_disc(n_tok, 0.9) AS tokens_p90,
+                   quantile_disc(n_tok, 0.99) AS tokens_p99,
+                   round(avg(q), 6) AS mean_quality,
+                   count(DISTINCT fp)::DOUBLE AS n_unique
+            FROM d)
+    SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+    UNION ALL SELECT 'total_tokens', total_tokens FROM agg
+    UNION ALL SELECT 'total_chars', total_chars FROM agg
+    UNION ALL SELECT 'tokens_p50', tokens_p50 FROM agg
+    UNION ALL SELECT 'tokens_p90', tokens_p90 FROM agg
+    UNION ALL SELECT 'tokens_p99', tokens_p99 FROM agg
+    UNION ALL SELECT 'mean_quality', mean_quality FROM agg
+    UNION ALL SELECT 'dup_rate', round((n_docs - n_unique) / n_docs, 6) FROM agg
+    """,
+)
+def llm_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary table (text.corpus_profile): doc/token/char
+    totals, token-count quantiles, mean quality, exact-dup rate as
+    (metric, value) rows. percentile_approx is exact below its accuracy
+    threshold (10k docs >> sf0.01/sf0.1 corpus) and matches DuckDB's
+    quantile_disc there, which is what the oracle uses."""
+    docs = _docs(spark, sf_dir)
+    return X.corpus_profile(docs)
+
+
+@query(
+    "llm_fp_index_probe",
+    f"""
+    WITH f AS (SELECT doc_id, lang, source, {_FP_SQL} AS fp FROM documents),
+    hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM f WHERE doc_id % 3 = 0),
+    fresh AS (SELECT b.* FROM batch b LEFT JOIN hist h USING (fp)
+              WHERE h.fp IS NULL),
+    keep AS (SELECT doc_id, lang, source,
+                    min(doc_id) OVER (PARTITION BY fp) AS k
+             FROM fresh)
+    SELECT doc_id, lang, source FROM keep WHERE doc_id = k
+    """,
+)
+def llm_fp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup: build the fingerprint index over the
+    even-doc_id history as a real Delta table, then probe an overlapping
+    batch (doc_id % 3 = 0) through dedup_against_fingerprint_index —
+    drops batch docs whose fp is already indexed (incl. the % 6 overlap)
+    plus within-batch dups (keep-min-id). The oracle replays both the
+    anti-join and the keep-first window in SQL."""
+    from delta_rs_spark.queries_delta import _scratch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
+    path = _scratch("fp_index_probe", sf_dir)
+    D.build_fingerprint_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    surv = D.dedup_against_fingerprint_index(
+        spark, path, docs.filter(F.col("doc_id") % 3 == 0)
+    )
+    return surv.select("doc_id", "lang", "source")
+
+
+@query(
+    "llm_band_index_probe",
+    f"""
+    WITH {_MINHASH_SIG_SQL},
+    banded AS (SELECT doc_id, b, sig[4*b+1:4*b+4] AS bsig
+               FROM sig CROSS JOIN range(16) r(b)),
+    probe AS (SELECT doc_id AS new_id, b, bsig FROM banded WHERE doc_id % 3 = 0),
+    hist AS (SELECT doc_id AS index_id, b, bsig FROM banded WHERE doc_id % 2 = 0)
+    SELECT DISTINCT new_id, index_id
+    FROM probe JOIN hist ON probe.b = hist.b AND probe.bsig = hist.bsig
+    WHERE new_id != index_id
+    """,
+)
+def llm_band_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: build the MinHash band index (64 perms, 16
+    bands, md5 hash for the cross-engine oracle) over the even-doc_id
+    history, then probe the doc_id % 3 batch through
+    near_dup_candidates_against_index — one (band, bucket) join against
+    the compact index, never a rescan of historical text. The Spark side
+    buckets by xxhash64 over the band's signature slice; the oracle
+    joins on the raw slice (identical semantics modulo 64-bit hash
+    collisions)."""
+    from delta_rs_spark.queries_delta import _scratch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = _scratch("band_index_probe", sf_dir)
+    D.build_band_index(
+        docs.filter(F.col("doc_id") % 2 == 0), path, hash_fn="md5"
+    )
+    return D.near_dup_candidates_against_index(
+        spark, path, docs.filter(F.col("doc_id") % 3 == 0)
+    )

@@ -420,3 +420,136 @@ def test_physical_logical_rename_round_trip(spark, mapped):
     back = rename_to_logical(phys, schema)
     assert back.columns == df.columns
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_mapped_partition_predicate_delete_update(spark, mapped):
+    """Partition-column predicates on a column-mapped table: Add
+    actions key partitionValues by physical name, so prune_files needs
+    the logical->physical map in the MUTATION paths too — without it
+    every file is pruned and DELETE/UPDATE silently no-op (r05 fix)."""
+    t = DeltaTable(mapped, spark=spark)
+    m = t.delete("cat = 'b'")
+    assert m["num_deleted_rows"] == 2
+    t.refresh()
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 2, 3]
+    m = t.update({"name": "'upd'"}, predicate="cat = 'a' AND id < 3")
+    assert m["num_updated_rows"] == 2
+    t.refresh()
+    got = {r.id: r.name for r in t.to_df().collect()}
+    assert got[1] == "upd" and got[2] == "upd" and got[3] == "n3"
+
+
+def test_mapped_partition_predicate_merge(spark, mapped):
+    """MERGE whose match predicate carries a target-only partition
+    conjunct: the early filter must see physical partitionValues keys,
+    else matched rows read as not-matched and re-insert duplicates."""
+    t = DeltaTable(mapped, spark=spark)
+    src = spark.createDataFrame(
+        [(10, "m10", "b", (1,)), (20, "m20", "b", (2,))],
+        "id long, name string, cat string, point struct<x: long>",
+    )
+    (
+        t.merge(
+            src,
+            "t.cat = 'b' AND t.id = s.id",
+            source_alias="s",
+            target_alias="t",
+        )
+        .when_matched_update({"name": "s.name"})
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    t.refresh()
+    rows = t.to_df(predicate="cat = 'b'").collect()
+    assert len(rows) == 2  # updated in place, NOT duplicated
+    assert {r.name for r in rows} == {"m10", "m20"}
+
+
+def test_mapped_partition_filter_compact(spark, mapped):
+    """optimize.compact(partition_filters=...) must match files on a
+    mapped table (physical partitionValues keys)."""
+    from delta_rs_spark import write_deltalake
+
+    t = DeltaTable(mapped, spark=spark)
+    extra = spark.createDataFrame(
+        [(4, "n4", "a", (400,))],
+        "id long, name string, cat string, point struct<x: long>",
+    )
+    write_deltalake(t.table_uri, extra, mode="append")
+    t.refresh()
+    before = sorted(r.id for r in t.to_df().collect())
+    metrics = t.optimize.compact(partition_filters=[("cat", "=", "a")])
+    assert metrics["numFilesRemoved"] >= 2  # bug made this 0 (no-op)
+    t.refresh()
+    assert sorted(r.id for r in t.to_df().collect()) == before
+
+
+def test_mapped_dv_cdf_delete_rows(spark, tmp_path):
+    """CDF synthesis for a DV delete on a column-mapped table must read
+    the paired files with the PHYSICAL schema: a logical-schema read
+    yields all-null data columns in the synthesized delete rows."""
+    from delta_rs_spark import write_deltalake
+
+    path = str(tmp_path / "mapped_dv_cdf")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(20)], "id long, name string"
+    )
+    write_deltalake(
+        path,
+        df.coalesce(1),
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    t = DeltaTable(path, spark=spark)
+    t.delete("id >= 15")
+    changes = t.load_cdf(starting_version=1, ending_version=1).collect()
+    dels = [r for r in changes if r._change_type == "delete"]
+    assert sorted(r.id for r in dels) == [15, 16, 17, 18, 19]
+    assert all(r.name == f"n{r.id}" for r in dels)  # not null
+
+
+def test_enable_column_mapping_on_existing_table(spark, tmp_path):
+    """SET TBLPROPERTIES none -> name on a live table annotates every
+    existing field (physical name = current name, delta-spark upgrade
+    style), records maxColumnId, and keeps old files readable; a later
+    add_columns continues the id sequence."""
+    from pyspark.sql import types as T2
+
+    from delta_rs_spark import write_deltalake
+    from delta_rs_spark.plans.column_mapping import (
+        COLUMN_ID_KEY,
+        PHYSICAL_NAME_KEY,
+    )
+
+    path = str(tmp_path / "upgrade_cm")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    write_deltalake(path, df)
+    t = DeltaTable(path, spark=spark)
+    t.alter.set_table_properties({"delta.columnMapping.mode": "name"})
+    t.refresh()
+    cfg = t.metadata().configuration
+    assert cfg["delta.columnMapping.maxColumnId"] == "2"
+    for f in t.schema().fields:
+        assert f.metadata[PHYSICAL_NAME_KEY] == f.name  # upgrade style
+        assert COLUMN_ID_KEY in f.metadata
+    assert "columnMapping" in (t.protocol().writer_features or [])
+    # pre-upgrade files still read (physical == logical names)
+    assert sorted((r.id, r.name) for r in t.to_df().collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # partition/predicate reads and mutations keep working post-upgrade
+    t.delete("id = 2")
+    t.refresh()
+    assert [r.id for r in t.to_df().collect()] == [1]
+    # id sequence continues from maxColumnId for new columns
+    t.alter.add_columns([T2.StructField("extra", T2.LongType())])
+    t.refresh()
+    f = [f for f in t.schema().fields if f.name == "extra"][0]
+    assert f.metadata[COLUMN_ID_KEY] == 3
+    assert f.metadata[PHYSICAL_NAME_KEY].startswith("col-")
+    # disabling or switching modes is refused
+    with pytest.raises(DeltaError, match="transition"):
+        t.alter.set_table_properties({"delta.columnMapping.mode": "id"})

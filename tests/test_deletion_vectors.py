@@ -901,3 +901,33 @@ def test_enabling_dv_mid_life_upgrades_protocol(spark, tmp_path):
     assert m.get("num_deletion_vectors_added") == 1
     t.refresh()
     assert t.count() == 45
+
+
+def test_restore_remove_carries_dv_descriptor(spark, tmp_path):
+    """Restoring past a DV-carrying file that only exists in the current
+    snapshot must tombstone it WITH its deletionVector descriptor, so
+    vacuum's dv_tombstoned lifecycle can reclaim the sidecar (r05 fix)."""
+    table = str(tmp_path / "dv_restore_desc")
+    t = _make_dv_table(spark, table, n=100, n_files=1)      # v0: file A
+    extra = spark.range(100, 200).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    write_deltalake(table, extra.coalesce(1), mode="append")  # v1: file B
+    t.refresh()
+    t.delete("id >= 150")                                     # v2: DV on B
+    t.refresh()
+    snap = snap_mod.load_snapshot(table)
+    dv_paths = {p for p, a in snap.files.items() if a.deletion_vector}
+    assert dv_paths  # B carries a DV
+    t.restore(0)                                              # v3
+    restore_v = snap_mod.load_snapshot(table).version
+    from delta_rs_spark.log.actions import Remove
+
+    removes = {
+        a.path: a
+        for a in snap_mod.read_commit_actions(table, restore_v)
+        if isinstance(a, Remove)
+    }
+    for p in dv_paths:
+        assert p in removes
+        assert removes[p].deletion_vector is not None

@@ -404,3 +404,67 @@ def test_required_protocol_feature_split():
     assert p.writer_features == [
         "columnMapping", "deletionVectors", "inCommitTimestamp",
     ]
+
+
+def test_ict_midlife_enablement(spark, tmp_path):
+    """Enabling delta.enableInCommitTimestamps on an EXISTING table must
+    record the enablement version/timestamp in the same metadata commit
+    (PROTOCOL.md), and version_at_timestamp must keep the two clock
+    regimes separate (pre-enablement: CommitInfo/mtime; after: ICT)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.log import snapshot as snap_mod
+    from delta_rs_spark.log.actions import CommitInfo, Metadata
+
+    table = str(tmp_path / "ict_mid")
+    df = spark.range(5).select(F.col("id"))
+    write_deltalake(table, df)                       # v0 (no ICT)
+    write_deltalake(table, df, mode="append")        # v1 (no ICT)
+    time.sleep(0.02)
+    t = DeltaTable(table)
+    t.alter.set_table_properties(
+        {"delta.enableInCommitTimestamps": "true"}
+    )                                                # v2: enabling commit
+    metas = [
+        a
+        for a in snap_mod.read_commit_actions(table, 2)
+        if isinstance(a, Metadata)
+    ]
+    assert metas
+    cfg = metas[0].configuration
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "2"
+    enable_ts = int(cfg["delta.inCommitTimestampEnablementTimestamp"])
+    ict2 = next(
+        int(a.extra["inCommitTimestamp"])
+        for a in snap_mod.read_commit_actions(table, 2)
+        if isinstance(a, CommitInfo)
+    )
+    assert enable_ts == ict2
+    t.refresh()
+    t.delete("id = 0")                               # v3: stamped with ICT
+    ict3 = next(
+        int(a.extra["inCommitTimestamp"])
+        for a in snap_mod.read_commit_actions(table, 3)
+        if isinstance(a, CommitInfo)
+    )
+    assert ict3 > ict2
+    # pre-enablement commits carry no ICT
+    for v in (0, 1):
+        assert all(
+            "inCommitTimestamp" not in a.extra
+            for a in snap_mod.read_commit_actions(table, v)
+            if isinstance(a, CommitInfo)
+        )
+    # regime split: a timestamp >= enablement resolves only among ICT
+    # versions, one before it only among pre-ICT versions
+    assert snap_mod.version_at_timestamp(table, ict2) == 2
+    assert snap_mod.version_at_timestamp(table, ict3) == 3
+    pre_ts = next(
+        a.timestamp
+        for a in snap_mod.read_commit_actions(table, 1)
+        if isinstance(a, CommitInfo)
+    )
+    assert snap_mod.version_at_timestamp(table, pre_ts) <= 1
