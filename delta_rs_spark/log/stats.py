@@ -47,8 +47,16 @@ def collect_file_stats(
 
     ``stats_columns`` (delta.dataSkippingStatsColumns) selects columns by
     NAME and overrides the positional first-N rule; ``num_indexed_cols``
-    < 0 means all columns (delta.dataSkippingNumIndexedCols=-1)."""
-    md = pq.ParquetFile(file_path).metadata
+    < 0 means all columns (delta.dataSkippingNumIndexedCols=-1).
+
+    Returns None when the footer is unreadable by pyarrow — e.g. files
+    carrying the VARIANT logical type, which pyarrow 16 does not know.
+    Callers with a SparkSession fall back to a scan-side stats job
+    (writer._spark_stats_fallback); others store the Add without stats."""
+    try:
+        md = pq.ParquetFile(file_path).metadata
+    except OSError:
+        return None
     if stats_columns is not None or num_indexed_cols < 0:
         ncols = md.num_columns
     else:

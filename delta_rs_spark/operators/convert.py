@@ -101,7 +101,10 @@ def convert_to_deltalake(
             modification_time=int(os.path.getmtime(absf) * 1000),
             data_change=True,
             partition_values=part_vals,
-            stats=stats_json(st),
+            # st is None when pyarrow cannot read the footer (e.g. a
+            # foreign file with the VARIANT logical type): convert
+            # without stats rather than fail
+            stats=stats_json(st) if st is not None else None,
         )
         for (absf, rel, part_vals), st in zip(files, stats)
     ]

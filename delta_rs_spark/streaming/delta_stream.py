@@ -123,21 +123,70 @@ def _make_stream_reader_cls():
         shuffles are skipped entirely instead of being re-emitted.
         """
 
-        def __init__(self, table_path: str, schema_json: str, ignore_changes: bool):
+        def __init__(
+            self,
+            table_path: str,
+            schema_json: str,
+            ignore_changes: bool,
+            starting_version: int | None = None,
+            max_files_per_trigger: int | None = None,
+        ):
             self.table_path = table_path
             self.schema_json = schema_json
             self.ignore_changes = ignore_changes
+            self.starting_version = starting_version
+            self.max_files = max_files_per_trigger
+            # last batch-end version handed to partitions(); drives the
+            # maxFilesPerTrigger cap. Seeded from startingVersion when
+            # given (so the catch-up tail is capped from the very first
+            # batch); otherwise None until the first batch (the initial
+            # snapshot is uncapped by design, and the first post-restart
+            # batch is uncapped — the same best-effort delta-spark
+            # documents for its limits)
+            self._prev: int | None = (
+                starting_version - 1 if starting_version is not None else None
+            )
 
         def initialOffset(self) -> dict:
+            # startingVersion=N: tail from version N on, NO initial
+            # snapshot (delta-spark source semantics); default -1 means
+            # first batch = full current snapshot, then tail
+            if self.starting_version is not None:
+                return {"version": self.starting_version - 1}
             return {"version": -1}
 
         def latestOffset(self) -> dict:
             latest = snap_mod.latest_version(self.table_path)
-            return {"version": -1 if latest is None else latest}
+            if latest is None:
+                return {"version": -1}
+            if self.max_files is None or self._prev is None or self._prev < 0:
+                return {"version": latest}
+            # rate limit: advance until the cumulative data-change add
+            # count would exceed maxFilesPerTrigger (always >= 1 version
+            # so the stream cannot stall)
+            end = self._prev
+            n = 0
+            for v in range(self._prev + 1, latest + 1):
+                try:
+                    actions = snap_mod.read_commit_actions(self.table_path, v)
+                except FileNotFoundError:
+                    end = v  # partitions() raises the precise error
+                    break
+                from delta_rs_spark.log.actions import Add as _Add
+
+                adds = sum(
+                    1 for a in actions if isinstance(a, _Add) and a.data_change
+                )
+                if n and n + adds > self.max_files:
+                    break
+                n += adds
+                end = v
+            return {"version": end}
 
         def partitions(self, start: dict, end: dict):
             from delta_rs_spark.log.actions import Add, Remove
 
+            self._prev = end["version"]
             parts = []
             if start["version"] < 0:
                 # FRESH stream: first batch = the full snapshot at `end`
@@ -249,15 +298,25 @@ def _make_stream_reader_cls():
         def streamReader(self, schema):
             snapshot = snap_mod.load_snapshot(self.options["path"])
             ignore = str(self.options.get("ignorechanges", "false")).lower() == "true"
+            sv = self.options.get("startingversion")
+            mf = self.options.get("maxfilespertrigger")
             return _DeltaLogStreamReader(
-                self.options["path"], snapshot.schema_string, ignore
+                self.options["path"],
+                snapshot.schema_string,
+                ignore,
+                starting_version=int(sv) if sv is not None else None,
+                max_files_per_trigger=int(mf) if mf is not None else None,
             )
 
     return DeltaLogStreamDataSource
 
 
 def read_append_stream(
-    spark: SparkSession, table_path: str, ignore_changes: bool = False
+    spark: SparkSession,
+    table_path: str,
+    ignore_changes: bool = False,
+    starting_version: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming source over an append-only Delta table, driven by the
     transaction log (only committed Add paths are read — never staged,
@@ -277,12 +336,21 @@ def read_append_stream(
             "table has rewritten files; use CdfFollower or ignore_changes=True"
         )
     spark.dataSource.register(_make_stream_reader_cls())
-    return (
+    reader = (
         spark.readStream.format("delta_log_stream")
         .option("path", table_path)
         .option("ignoreChanges", str(ignore_changes).lower())
-        .load()
     )
+    if starting_version is not None:
+        # tail from this version on (no initial snapshot), delta-spark's
+        # startingVersion semantics
+        reader = reader.option("startingVersion", str(starting_version))
+    if max_files_per_trigger is not None:
+        # cap data-change add files per micro-batch (delta-spark's
+        # maxFilesPerTrigger) — at 100 TB an unthrottled catch-up batch
+        # is the difference between a stream and an accidental full scan
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load()
 
 
 class CdfFollower:

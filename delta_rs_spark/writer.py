@@ -84,6 +84,75 @@ def _encode_partition_value(v: str | None) -> str:
     return urllib.parse.quote(str(v), safe="")
 
 
+def _spark_stats_fallback(
+    df: DataFrame,
+    moved: list,
+    stats: list,
+    num_indexed_cols: int,
+    stats_columns: list[str] | None,
+) -> list:
+    """Per-file Delta stats via one Spark aggregation, for files whose
+    parquet footer pyarrow cannot parse (VARIANT logical type). Same
+    contract as log.stats.collect_file_stats: numRecords + min/max/
+    nullCount for the first-N (or name-selected) TOP-LEVEL columns;
+    variant/nested/binary columns carry no min/max (they do not in
+    footer stats either). One scan of only the affected files, grouped
+    by _metadata.file_path — no driver-side row materialization beyond
+    |files| stat rows."""
+    from delta_rs_spark.log.stats import _scalar
+
+    spark = df.sparkSession
+    todo = [i for i, st in enumerate(stats) if st is None]
+    paths = [moved[i][0] for i in todo]
+
+    fields = df.schema.fields
+    if stats_columns is not None:
+        eligible = [f for f in fields if f.name in set(stats_columns)]
+    elif num_indexed_cols < 0:
+        eligible = list(fields)
+    else:
+        eligible = list(fields[:num_indexed_cols])
+    atomic = (
+        T.NumericType, T.StringType, T.DateType, T.TimestampType,
+        T.TimestampNTZType, T.BooleanType,
+    )
+    stat_fields = [f for f in eligible if isinstance(f.dataType, atomic)]
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, f in enumerate(stat_fields):
+        c = F.col(f"`{f.name}`")
+        aggs.append(F.min(c).alias(f"__mn{i}"))
+        aggs.append(F.max(c).alias(f"__mx{i}"))
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"__nc{i}"))
+    rows = (
+        spark.read.parquet(*paths)
+        .groupBy(F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__file"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_name = {}
+    for r in rows:
+        d = r.asDict()
+        st = {
+            "numRecords": int(d["__n"]),
+            "minValues": {},
+            "maxValues": {},
+            "nullCount": {},
+        }
+        for i, f in enumerate(stat_fields):
+            mn, mx = _scalar(d[f"__mn{i}"]), _scalar(d[f"__mx{i}"])
+            if mn is not None:
+                st["minValues"][f.name] = mn
+            if mx is not None:
+                st["maxValues"][f.name] = mx
+            st["nullCount"][f.name] = int(d[f"__nc{i}"] or 0)
+        by_name[d["__file"]] = st
+    out = list(stats)
+    for i in todo:
+        out[i] = by_name.get(os.path.basename(moved[i][0]))
+    return out
+
+
 def _estimate_rows_for_bytes(df: DataFrame, target_bytes: int) -> int:
     """Rows per file that land near ``target_bytes`` on disk: serialize a
     bounded driver-side sample to an in-memory parquet buffer and scale.
@@ -201,7 +270,16 @@ def write_files(
         phys = cmap.logical_to_physical(schema)
         stats_cols = [phys.get(c, c) for c in stats_cols]
     stats = collect_stats_parallel([m[0] for m in moved], n_idx, stats_cols)
+    if any(st is None for st in stats):
+        # pyarrow could not read some footers (VARIANT logical type):
+        # compute the same stats with ONE Spark aggregation over just
+        # those files — Spark reads its own variant output fine
+        stats = _spark_stats_fallback(df, moved, stats, n_idx, stats_cols)
     for (abs_path, rel_path, part_vals), st in zip(moved, stats):
+        # a file still without stats after the fallback scanned exactly
+        # these paths contributed no rows to the grouped count: empty
+        if st is None:
+            st = {"numRecords": 0}
         if st.get("numRecords") == 0:
             os.unlink(abs_path)
             continue

@@ -115,3 +115,70 @@ def test_variant_type_roundtrip():
     sp = s.to_pyspark()
     assert isinstance(sp["payload"].dataType, T.VariantType)
     assert Schema.from_pyspark(sp) == s
+
+
+def _variant_df(spark, n=10):
+    return spark.range(n).select(
+        F.col("id"),
+        F.parse_json(
+            F.concat(F.lit('{"a": '), F.col("id").cast("string"), F.lit("}"))
+        ).alias("v"),
+    )
+
+
+def test_variant_write_full_plane(spark, tmp_path):
+    """Variant-typed column WRITES (r05): create derives the
+    variantType feature-bearing protocol from the schema, per-file
+    stats come from the Spark-side fallback (pyarrow 16 cannot parse
+    VARIANT footers), and scan/delete/update/append/time-travel all
+    work on the variant table."""
+    path = str(tmp_path / "variant_full")
+    write_deltalake(path, _variant_df(spark).coalesce(2))
+    t = DeltaTable(path, spark=spark)
+    p = t.protocol()
+    assert "variantType" in (p.reader_features or [])
+    assert "variantType" in (p.writer_features or [])
+    # stats fallback produced real numRecords + min/max for the long col
+    add = next(iter(t._snapshot.files.values()))
+    st = json.loads(add.stats)
+    assert st["numRecords"] == 5
+    assert "id" in st["minValues"] and "v" not in st["minValues"]
+    # values survive the round trip
+    got = t.to_df().select(
+        F.try_variant_get("v", "$.a", "long").alias("a")
+    )
+    assert got.agg(F.sum("a")).collect()[0][0] == 45
+    # mutations
+    t.delete("id >= 8")
+    t.refresh()
+    assert t.count() == 8
+    t.update({"v": "parse_json('{\"a\": 99}')"}, predicate="id = 0")
+    t.refresh()
+    assert (
+        t.to_df(predicate="id = 0")
+        .select(F.try_variant_get("v", "$.a", "long").alias("a"))
+        .collect()[0]
+        .a
+        == 99
+    )
+    write_deltalake(
+        path,
+        _variant_df(spark, 2).withColumn("id", F.col("id") + 100),
+        mode="append",
+    )
+    t.refresh()
+    assert t.count() == 10
+    t.load_as_version(0)
+    assert t.count() == 10
+
+
+def test_variant_stats_fallback_skips_pruning_soundly(spark, tmp_path):
+    """File skipping on the fallback stats: a predicate on the long
+    column prunes variant-bearing files by the Spark-computed min/max."""
+    path = str(tmp_path / "variant_prune")
+    write_deltalake(path, _variant_df(spark, 100).repartition(4, "id"))
+    t = DeltaTable(path, spark=spark)
+    n_all = len(t.files())
+    assert n_all == 4
+    rows = t.to_df(predicate="id = 57").collect()
+    assert [r.id for r in rows] == [57]

@@ -447,3 +447,52 @@ def test_corpus_ingest_pipeline_end_to_end(spark, tmp_path):
     )
 
     assert dedup_against_fingerprint_index(spark, index, batch).count() <= 1
+
+
+def test_read_append_stream_starting_version(spark, tmp_path, sample_df):
+    """startingVersion=N tails from version N on with NO initial
+    snapshot (delta-spark source semantics)."""
+    table = str(tmp_path / "sv_tail")
+    write_deltalake(table, sample_df)                       # v0: 5 rows
+    write_deltalake(table, sample_df, mode="append")        # v1: 5 rows
+    write_deltalake(table, sample_df, mode="append")        # v2: 5 rows
+    stream = read_append_stream(spark, table, starting_version=1)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sv_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sv"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # v1 + v2 only — v0's snapshot rows are skipped
+    assert spark.sql("SELECT count(*) FROM sv_out").collect()[0][0] == 10
+
+
+def test_read_append_stream_max_files_per_trigger(spark, tmp_path, sample_df):
+    """maxFilesPerTrigger splits the catch-up tail into bounded
+    micro-batches instead of one unthrottled batch."""
+    table = str(tmp_path / "mft_tail")
+    write_deltalake(table, sample_df.coalesce(1))            # v0
+    for _ in range(4):                                       # v1..v4
+        write_deltalake(table, sample_df.coalesce(1), mode="append")
+    stream = read_append_stream(
+        spark, table, starting_version=1, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mft_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mft"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) FROM mft_out").collect()[0][0] == 20
+    # the tail was consumed across multiple micro-batches (one version
+    # each with 1-file commits), not a single catch-up batch
+    batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(batches) >= 3
