@@ -88,6 +88,9 @@ _FIRST_WITNESS_NEEDED = (
     "llm_corpus_profile",   # dataset-card summary table
     "llm_fp_index_probe",   # incremental exact-dedup index probe
     "llm_band_index_probe",  # incremental near-dup (MinHash band) index probe
+    "llm_kmeans_clusters",  # distributed Lloyd's k-means (iterative, full oracle)
+    "llm_domain_cap",       # per-domain document cap
+    "llm_dedup_keep_best",  # quality-aware duplicate resolution
 )
 
 

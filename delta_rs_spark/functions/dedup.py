@@ -779,3 +779,45 @@ def update_band_index(spark, index_path: str, new_df: DataFrame,
     )
     rows = _band_buckets(sigs, p["num_perm"], p["bands"])
     write_deltalake(index_path, rows, mode="append", partition_by=["band"])
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep-BEST duplicate resolution: near-dup pairs -> connected
+    components -> ONE survivor per cluster, chosen by quality score
+    (desc, id asc tie-break) instead of the keep-first-id rule of
+    ``connected_components`` alone. This is the production shape: when a
+    page is crawled twice, keep the higher-quality capture, not the one
+    with the smaller id. Returns the surviving rows with their
+    ``cluster_id`` (singletons survive labeled by their own id).
+
+    Scale shape: component labeling is the pointer-jumping CC above
+    (edges never sit on the driver); the survivor pick is one
+    row_number window per cluster over the docs (not the pairs), so the
+    added cost over keep-first is a single window shuffle keyed by
+    cluster."""
+    from pyspark.sql import Window as W2
+
+    from delta_rs_spark.functions.text import quality_score
+
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    labeled = (
+        df.withColumn("__q", quality_score(text_col))
+        .join(comp, F.col(id_col) == comp["id"], "left")
+        .withColumn(
+            "cluster_id", F.coalesce(comp["cluster_id"], F.col(id_col))
+        )
+        .drop("id")
+    )
+    r = F.row_number().over(
+        W2.partitionBy("cluster_id").orderBy(F.desc("__q"), F.asc(id_col))
+    )
+    return labeled.withColumn("__r", r).filter(F.col("__r") == 1).drop(
+        "__q", "__r"
+    )

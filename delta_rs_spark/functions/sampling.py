@@ -153,3 +153,40 @@ def write_training_shards(
     )
     write_deltalake(path, sharded, mode=mode, partition_by=["shard"])
     return DeltaTable(path)
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int = 20,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the CommonCrawl-pipeline guard against
+    a single domain flooding the corpus: keep at most ``cap`` docs per
+    ``group_col``, ranked by quality score (desc) with id as the
+    deterministic tie-break. Output keeps the rank so downstream mixing
+    can tighten the cap without re-ranking.
+
+    Scale shape: one window shuffle keyed on the domain. A pathological
+    heavy-hitter domain concentrates its rank window on one task; since
+    only ``cap`` rows per domain survive, the skew fix at that point is
+    the standard two-phase top-N (per-partition partial top-cap, then
+    the final window over <= cap * shuffle_partitions rows per domain) —
+    not needed at the corpus profiles measured here (AQE splits the
+    moderate skew)."""
+    from pyspark.sql import Window as W
+
+    from delta_rs_spark.functions.text import quality_score
+
+    r = F.row_number().over(
+        W.partitionBy(group_col).orderBy(
+            F.desc("__q"), F.asc(id_col)
+        )
+    )
+    return (
+        df.withColumn("__q", quality_score(text_col))
+        .withColumn("rank_in_domain", r)
+        .filter(F.col("rank_in_domain") <= cap)
+        .drop("__q")
+    )

@@ -686,3 +686,79 @@ def pq_topk_rerank(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd's k-means over an embedding column — the topic
+    / clutter clustering a curation pipeline runs before cluster-balanced
+    sampling or SemDeDup. Deterministic for cross-engine replay: seeds =
+    first ``k`` vectors by id (the IVF/PQ seeding convention), a FIXED
+    number of iterations, squared-L2 distances rounded to 4dp before the
+    argmin (ties -> lowest centroid index; the grid is ~9 orders above
+    BLAS-vs-sequential-fold fp noise), and recomputed centroids rounded
+    to 8dp (dyadic inputs cannot land on a half-boundary of a decimal
+    grid, so round() agrees across engines).
+
+    Scale shape: assignment is one (batch x dim) @ (dim x k) matmul per
+    Arrow batch (centroids ride in the UDF closure — k*dim floats);
+    the update is a posexplode + per-(cluster, dim) partial-agg avg, so
+    only k*dim aggregated rows ever reach the driver per iteration (the
+    model, not the data). Iterations cut lineage via the fresh
+    assignment column only — no checkpointing needed at fixed n_iter.
+    Reference analogue: the clustering delta-rs users run via polars/
+    sklearn sidecars; here it stays on the cluster.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = (
+        df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    )
+    C = np.array([list(r[0]) for r in seeds], dtype=np.float64)
+
+    def _make_assign(Cmat):
+        # factory scope: each iteration's UDF must capture ITS centroid
+        # matrix, not a shared loop variable (lazy evaluation would
+        # otherwise read a later iteration's centroids)
+        @pandas_udf("int")
+        def _assign(vecs: pd.Series) -> pd.Series:
+            V = np.array(vecs.tolist(), dtype=np.float64)
+            # (n, k) squared-L2 distance matrix, rounded to the tie grid
+            d = ((V[:, None, :] - Cmat[None, :, :]) ** 2).sum(-1)
+            d = np.round(d, 4)
+            return pd.Series(d.argmin(axis=1).astype("int32"))  # ties -> lowest
+
+        return _assign
+
+    assigned = None
+    for it in range(n_iter):
+        assigned = df.withColumn("cluster", _make_assign(C)(F.col(vec_col)))
+        if it == n_iter - 1:
+            break
+        means = (
+            assigned.select(
+                "cluster",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "__i", "__x"
+                ),
+            )
+            .groupBy("cluster", "__i")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        C_new = np.round(C, 8)  # empty clusters keep the previous centroid
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["__i"]] = r["__m"]
+        for ci, dims in by_cluster.items():
+            for i, v in dims.items():
+                C_new[ci, i] = round(v, 8)
+        C = C_new
+
+    return assigned.select(id_col, "cluster"), [list(row) for row in C]

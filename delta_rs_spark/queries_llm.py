@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_rs_spark.functions import dedup as D
+from delta_rs_spark.functions import sampling as SA
 from delta_rs_spark.functions import similarity as S
 from delta_rs_spark.functions import text as X
 from delta_rs_spark.functions.multimodal import extract_image_features, pack_media
@@ -1407,3 +1408,122 @@ def llm_band_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_candidates_against_index(
         spark, path, docs.filter(F.col("doc_id") % 3 == 0)
     )
+
+
+_KMEANS_ITER_SQL = """
+    seeds AS (SELECT * FROM (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS ci,
+                        embedding::DOUBLE[] AS c
+                 FROM embeddings ORDER BY vec_id ASC LIMIT 8)),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d0 AS (SELECT e.vec_id, s.ci,
+                  round(list_sum(list_transform(range(1, 65),
+                        i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))), 4) AS d
+           FROM e CROSS JOIN seeds s),
+    a0 AS (SELECT vec_id, ci AS cl FROM (
+             SELECT vec_id, ci,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, ci ASC) AS rn
+             FROM d0) WHERE rn = 1),
+    m1 AS (SELECT a0.cl, r.i, round(avg(e.v[r.i]), 8) AS mv
+           FROM a0 JOIN e USING (vec_id) CROSS JOIN range(1, 65) r(i)
+           GROUP BY a0.cl, r.i),
+    c1l AS (SELECT cl AS ci, list(mv ORDER BY i) AS c FROM m1 GROUP BY cl),
+    c1 AS (SELECT s.ci, coalesce(c1l.c, list_transform(s.c, x -> round(x, 8))) AS c
+           FROM seeds s LEFT JOIN c1l ON s.ci = c1l.ci),
+    d1 AS (SELECT e.vec_id, s.ci,
+                  round(list_sum(list_transform(range(1, 65),
+                        i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))), 4) AS d
+           FROM e CROSS JOIN c1 s),
+    a1 AS (SELECT vec_id, ci AS cl FROM (
+             SELECT vec_id, ci,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, ci ASC) AS rn
+             FROM d1) WHERE rn = 1)
+"""
+
+
+@query(
+    "llm_kmeans_clusters",
+    f"WITH {_KMEANS_ITER_SQL} SELECT vec_id, cl AS cluster FROM a1",
+)
+def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (similarity.kmeans, k=8, 2
+    iterations): deterministic first-k seeding, 4dp distance grid with
+    lowest-index tie-break, 8dp centroid grid — the oracle replays both
+    full iterations (assign -> mean -> assign) in SQL, making this a
+    cross-engine check of a distributed ITERATIVE algorithm (like
+    llm_duplicate_clusters for graphs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out, _cents = S.kmeans(emb, k=8, n_iter=2)
+    return out
+
+
+@query(
+    "llm_domain_cap",
+    f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             len({_TOKENS_SQL})::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}'))::DOUBLE AS sw,
+             len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS pn
+      FROM documents),
+    q AS (SELECT doc_id, source,
+                 round(0.5 * least(n_tok / 64.0, 1.0)
+                     + 0.5 * least(sw / greatest(n_tok, 1.0) * 4.0, 1.0)
+                     - 0.25 * least(pn / greatest(n_char, 1.0) * 10.0, 1.0), 6) AS q
+          FROM m),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rank_in_domain
+          FROM q)
+    SELECT doc_id, source, CAST(rank_in_domain AS INT) AS rank_in_domain
+    FROM r WHERE rank_in_domain <= 20
+    """,
+)
+def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (sampling.domain_cap): keep at most 20 docs per
+    source, ranked quality-desc / id-asc. One window shuffle keyed on
+    the domain; the oracle replays the quality formula and the rank."""
+    docs = _docs(spark, sf_dir)
+    capped = SA.domain_cap(docs, cap=20)
+    return capped.select(
+        "doc_id", "source", F.col("rank_in_domain").cast("int").alias("rank_in_domain")
+    )
+
+
+@query(
+    "llm_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL},
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (SELECT u, v FROM sym
+              UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+    lab AS (SELECT d.doc_id,
+                   least(d.doc_id, coalesce(c.mv, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+    m AS (SELECT doc_id,
+                 len({_TOKENS_SQL})::DOUBLE AS n_tok,
+                 length(text)::DOUBLE AS n_char,
+                 len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}'))::DOUBLE AS sw,
+                 len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS pn
+          FROM documents),
+    q AS (SELECT doc_id,
+                 round(0.5 * least(n_tok / 64.0, 1.0)
+                     + 0.5 * least(sw / greatest(n_tok, 1.0) * 4.0, 1.0)
+                     - 0.25 * least(pn / greatest(n_char, 1.0) * 10.0, 1.0), 6) AS q
+          FROM m),
+    r AS (SELECT l.doc_id, l.cluster_id,
+                 row_number() OVER (PARTITION BY l.cluster_id ORDER BY q.q DESC, l.doc_id ASC) AS rn
+          FROM lab l JOIN q USING (doc_id))
+    SELECT doc_id, cluster_id FROM r WHERE rn = 1
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate resolution (dedup.resolve_duplicates):
+    Jaccard edges -> connected components -> the HIGHEST-quality member
+    of each cluster survives (id tie-break), singletons survive as
+    themselves. The oracle chains the recursive-CTE components with the
+    quality formula and the survivor window."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2, shingle_size=3)
+    return D.resolve_duplicates(docs, pairs).select("doc_id", "cluster_id")

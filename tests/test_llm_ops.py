@@ -822,3 +822,68 @@ def test_incremental_band_index_near_dup(spark, docs, tmp_path):
     from delta_rs_spark import DeltaTable
 
     assert DeltaTable(path).metadata().configuration[D._DEDUP_PARAMS_KEY]
+
+
+def test_kmeans_invariants(spark, emb):
+    out, cents = S.kmeans(emb, k=8, n_iter=2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert {r.cluster for r in rows} <= set(range(8))
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    # deterministic across runs
+    again, _ = S.kmeans(emb, k=8, n_iter=2)
+    assert sorted((r.vec_id, r.cluster) for r in rows) == sorted(
+        (r.vec_id, r.cluster) for r in again.collect()
+    )
+    # one Lloyd's iteration cannot increase inertia (same 4dp grid the
+    # assignment uses)
+    import numpy as np
+
+    V = np.array(
+        [list(r.embedding) for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    def inertia(C):
+        d = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1), 4)
+        return d.min(axis=1).sum()
+    seeds = V[:8]
+    assert inertia(np.array(cents)) <= inertia(seeds) + 1e-6
+
+
+def test_domain_cap(spark, docs):
+    from delta_rs_spark.functions.sampling import domain_cap
+    from delta_rs_spark.functions.text import quality_score
+
+    capped = domain_cap(docs, cap=5, group_col="lang")
+    per = {r.lang: r.n for r in capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per and all(n <= 5 for n in per.values())
+    # the survivors of a group are its top-quality members
+    q = {r.doc_id: r.q for r in docs.select("doc_id", quality_score("text").alias("q")).collect()}
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    kept = {r.doc_id for r in capped.collect()}
+    for lang in per:
+        members = sorted(
+            (d for d, lg in langs.items() if lg == lang),
+            key=lambda d: (-q[d], d),
+        )
+        assert set(members[:5]) == {d for d in kept if langs[d] == lang}
+
+
+def test_resolve_duplicates_keep_best(spark):
+    from delta_rs_spark.functions.text import quality_score
+
+    rows = [
+        # cluster {1,2}: same text family, 2 has richer (longer) text
+        (1, "the cat sat on the mat and looked at the dog"),
+        (2, "the cat sat on the mat and looked at the dog by the door of the house"),
+        (3, "completely unrelated text about spark clusters and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    surv = D.resolve_duplicates(df, pairs).collect()
+    by_cluster = {r.cluster_id: r.doc_id for r in surv}
+    assert len(surv) == 2
+    assert by_cluster[3] == 3  # singleton survives as itself
+    q = {r.doc_id: r.q for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    winner = by_cluster[1]
+    assert winner in (1, 2) and q[winner] == max(q[1], q[2])
