@@ -54,12 +54,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # from the repo's own per-round records. Consequences: (a) the window
 # slots left after the mandatory prefix always go to the longest-unseen
 # entries, so every registry entry is re-witnessed within
-# ceil(pool / free_slots) rounds (~64 / ~11 => <= 6 rounds); (b) an entry
-# that loses its green row — or a brand-new entry missing from
-# _FIRST_WITNESS_NEEDED — has last_green 0 and sorts to the FRONT of the
-# tail, directly after the first-witness block, so a red can no longer
-# hide in the tail indefinitely (the q12 r02-r04 failure mode). The
-# sub-window net for everything else is scripts/check_correctness.py,
+# ceil(tail_pool / free_slots) rounds (currently 64 / 8 => <= 8 rounds,
+# tightening as first-witness entries graduate and free their slots);
+# (b) an entry that loses its green row — or a brand-new entry missing
+# from _FIRST_WITNESS_NEEDED — has last_green 0 and sorts to the FRONT
+# of the tail, directly after the first-witness block, so a red can no
+# longer hide in the tail indefinitely (the q12 r02-r04 failure mode).
+# The sub-window net for everything else is scripts/check_correctness.py,
 # which runs ALL entries dtype-strict before each round's close.
 _RELATIONAL_REPRESENTATIVES = (
     # one distinct §2B category per entry first, so even a clipped window
@@ -91,6 +92,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_kmeans_clusters",  # distributed Lloyd's k-means (iterative, full oracle)
     "llm_domain_cap",       # per-domain document cap
     "llm_dedup_keep_best",  # quality-aware duplicate resolution
+    "llm_kmeans_exemplars",  # cluster-balanced sampling (central members per cluster)
 )
 
 

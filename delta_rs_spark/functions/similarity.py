@@ -762,3 +762,49 @@ def kmeans(
         C = C_new
 
     return assigned.select(id_col, "cluster"), [list(row) for row in C]
+
+
+def kmeans_exemplars(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    per_cluster: int = 25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced sampling: run kmeans, then keep the
+    ``per_cluster`` most CENTRAL members of each cluster (distance to
+    own centroid asc, id tie-break) — the curation shape for building a
+    topic-balanced subset / few-shot exemplar pool where raw sampling
+    would mirror the corpus skew.
+
+    Scale shape: one extra map pass (the same matmul the assignment
+    used, emitting the own-cluster distance on the kmeans 4dp grid) and
+    one rank window keyed by cluster — k is small so per-cluster rank
+    windows are the bounded-skew case of domain_cap's note."""
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql.functions import pandas_udf
+
+    _assigned, cents = kmeans(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    C = np.array(cents, dtype=np.float64)
+
+    @pandas_udf("struct<cluster: int, dist: double>")
+    def _assign_dist(vecs: pd.Series) -> pd.DataFrame:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        d = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1), 4)
+        cl = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": cl.astype("int32"), "dist": d[np.arange(len(cl)), cl]}
+        )
+
+    r = F.row_number().over(
+        W.partitionBy("cluster").orderBy(F.asc("dist"), F.asc(id_col))
+    )
+    return (
+        df.withColumn("__cd", _assign_dist(F.col(vec_col)))
+        .select(id_col, F.col("__cd.cluster").alias("cluster"), F.col("__cd.dist").alias("dist"))
+        .withColumn("rank_in_cluster", r)
+        .filter(F.col("rank_in_cluster") <= per_cluster)
+        .select(id_col, "cluster", F.col("rank_in_cluster").cast("int").alias("rank_in_cluster"))
+    )

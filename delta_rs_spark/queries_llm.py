@@ -1527,3 +1527,26 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.2, shingle_size=3)
     return D.resolve_duplicates(docs, pairs).select("doc_id", "cluster_id")
+
+
+@query(
+    "llm_kmeans_exemplars",
+    f"""
+    WITH {_KMEANS_ITER_SQL},
+    own AS (SELECT a1.vec_id, a1.cl, d1.d
+            FROM a1 JOIN d1 ON a1.vec_id = d1.vec_id AND a1.cl = d1.ci),
+    r AS (SELECT vec_id, cl,
+                 row_number() OVER (PARTITION BY cl ORDER BY d ASC, vec_id ASC) AS rank_in_cluster
+          FROM own)
+    SELECT vec_id, CAST(cl AS INT) AS cluster,
+           CAST(rank_in_cluster AS INT) AS rank_in_cluster
+    FROM r WHERE rank_in_cluster <= 25
+    """,
+)
+def llm_kmeans_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (similarity.kmeans_exemplars): the 25
+    most central members per kmeans cluster — topic-balanced subset
+    selection. The oracle extends the 2-iteration kmeans replay with the
+    own-cluster distance rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_exemplars(emb, k=8, n_iter=2, per_cluster=25)

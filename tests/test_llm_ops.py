@@ -887,3 +887,14 @@ def test_resolve_duplicates_keep_best(spark):
     q = {r.doc_id: r.q for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
     winner = by_cluster[1]
     assert winner in (1, 2) and q[winner] == max(q[1], q[2])
+
+
+def test_kmeans_exemplars(spark, emb):
+    out = S.kmeans_exemplars(emb, k=8, n_iter=2, per_cluster=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.cluster, []).append(r.rank_in_cluster)
+    assert all(len(rs) <= 5 and sorted(rs) == list(range(1, len(rs) + 1)) for rs in per.values())
+    # exemplar set is consistent with the kmeans assignment
+    assign = {r.vec_id: r.cluster for r in S.kmeans(emb, k=8, n_iter=2)[0].collect()}
+    assert all(assign[r.vec_id] == r.cluster for r in out)
