@@ -232,3 +232,49 @@ def test_shard_stats_single_aggregation(spark):
     # one hash aggregate pair around one exchange; no joins
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_domain_cap_single_window_shuffle(spark):
+    from delta_rs_spark.functions.sampling import domain_cap
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(domain_cap(docs, cap=5), "simple")
+    # one hash exchange on the domain key feeding the rank window; the
+    # quality score is computed map-side, never shuffled separately
+    assert p.count("Exchange") == 1
+    assert "Window" in p
+
+
+def test_fp_index_probe_is_one_join_no_history_rescan(spark, tmp_path):
+    from delta_rs_spark.functions.dedup import (
+        build_fingerprint_index,
+        dedup_against_fingerprint_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "fpidx")
+    build_fingerprint_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    surv = dedup_against_fingerprint_index(
+        spark, path, docs.filter(F.col("doc_id") % 3 == 0)
+    )
+    p = plan_of(surv, "simple")
+    # the probe reads the compact INDEX parquet, never the history text:
+    # exactly one anti join against it (broadcast — the batch is small),
+    # two scans total, and the index side projects only fp
+    assert p.count("LeftAnti") == 1
+    assert p.count("FileScan") == 2
+    # the index-side scan reads ONLY the fp column (Location strings can
+    # be truncated in explain output, so identify it by its ReadSchema)
+    assert any(
+        "FileScan" in l and "struct<fp:string>" in l for l in p.splitlines()
+    )
+
+
+def test_kmeans_update_is_partial_aggregated(spark):
+    from delta_rs_spark.functions.similarity import kmeans
+
+    emb = load_table(spark, SF, "embeddings")
+    out, _ = kmeans(emb, k=4, n_iter=2)
+    p = plan_of(out, "simple")
+    # final assignment is a pure map pass over the scan: no shuffle at all
+    assert "Exchange" not in p

@@ -198,3 +198,61 @@ def test_dv_inline_descriptor_round_trip_property(rows):
     data = z85_decode(d["pathOrInlineDv"])[: d["sizeInBytes"]]
     assert decode_bitmap_array(data) == sorted(rows)
     assert d["cardinality"] == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# Column-mapped skipping soundness: the same guarantee when stats and
+# partitionValues are keyed by PHYSICAL names (the r05 operator-pruning
+# bug class: a missing physical_of map silently pruned EVERY file on
+# partition-column predicates).
+# ---------------------------------------------------------------------------
+
+
+def _mapped_add_for(rows: list[int], part: int | None = None) -> Add:
+    stats = {
+        "numRecords": len(rows),
+        "minValues": {"col-x9": min(rows)},
+        "maxValues": {"col-x9": max(rows)},
+        "nullCount": {"col-x9": 0},
+    }
+    return Add(
+        path=f"m{hash((tuple(rows), part)) & 0xFFFF}.parquet",
+        size=1,
+        modification_time=0,
+        stats=json.dumps(stats),
+        partition_values={} if part is None else {"col-p7": str(part)},
+    )
+
+
+_PHYS = {"x": "col-x9", "p": "col-p7"}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(_vals, min_size=1, max_size=20),
+    op=st.sampled_from(["=", "<", "<=", ">", ">=", "!="]),
+    lit=_vals,
+)
+def test_mapped_skipping_never_prunes_matching_file(rows, op, lit):
+    add = _mapped_add_for(rows)
+    kept = prune_files(
+        [add], f"x {op} {lit}", [], {"x": "long"}, physical_of=_PHYS
+    )
+    if any(_matches(v, op, lit) for v in rows):
+        assert kept, f"pruned matching mapped file: x {op} {lit} rows={rows}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    part=st.integers(min_value=0, max_value=5),
+    lit=st.integers(min_value=0, max_value=5),
+    op=st.sampled_from(["=", "<", "<=", ">", ">=", "!="]),
+)
+def test_mapped_partition_pruning_exact(part, lit, op):
+    """Partition-only predicates must prune EXACTLY (both directions) on
+    mapped tables — this is metadata-only DELETE's correctness."""
+    add = _mapped_add_for([0], part=part)
+    kept = prune_files(
+        [add], f"p {op} {lit}", ["p"], {"p": "long"}, physical_of=_PHYS
+    )
+    assert bool(kept) == _matches(part, op, lit)
