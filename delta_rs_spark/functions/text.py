@@ -666,7 +666,13 @@ def corpus_profile(
         token_count(text_col).cast("double").alias("__tok"),
         char_count(text_col).cast("double").alias("__chr"),
         quality_score(text_col).alias("__q"),
-        fingerprint(text_col).alias("__fp"),
+    )
+    # countDistinct is aggregated SEPARATELY: mixed with percentile_approx
+    # in one agg, Spark's distinct rewrite groups by fp first and drags
+    # three QuantileSummaries buffers through every fingerprint group —
+    # measured 2.9s vs 0.7s for the split form at sf0.1
+    fp_agg = df.select(fingerprint(text_col).alias("__fp")).agg(
+        F.countDistinct("__fp").cast("double").alias("n_unique_fp")
     )
     agg = stats.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -676,8 +682,7 @@ def corpus_profile(
         F.percentile_approx("__tok", 0.9).cast("double").alias("tokens_p90"),
         F.percentile_approx("__tok", 0.99).cast("double").alias("tokens_p99"),
         F.round(F.avg("__q"), 6).alias("mean_quality"),
-        F.countDistinct("__fp").cast("double").alias("n_unique_fp"),
-    ).withColumn(
+    ).crossJoin(fp_agg).withColumn(
         "dup_rate",
         F.round((F.col("n_docs") - F.col("n_unique_fp")) / F.col("n_docs"), 6),
     )
