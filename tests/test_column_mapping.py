@@ -553,3 +553,43 @@ def test_enable_column_mapping_on_existing_table(spark, tmp_path):
     # disabling or switching modes is refused
     with pytest.raises(DeltaError, match="transition"):
         t.alter.set_table_properties({"delta.columnMapping.mode": "id"})
+
+
+def test_stale_append_racing_mapping_upgrade_conflicts(spark, tmp_path):
+    """A writer whose snapshot predates a column-mapping upgrade must NOT
+    be able to commit logical-named files into the now-mapped table: the
+    conflict checker rejects any racing metadata change."""
+    from delta_rs_spark import write_deltalake
+    from delta_rs_spark.log import commit as commit_mod
+    from delta_rs_spark.log import snapshot as snap_mod
+    from delta_rs_spark.log.actions import Add, CommitInfo
+    from delta_rs_spark.log.commit import (
+        MetadataChangedError,
+        ProtocolChangedError,
+        TransactionInfo,
+    )
+    from delta_rs_spark.writer import write_files
+
+    path = str(tmp_path / "race_upgrade")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    write_deltalake(path, df)
+    pre = snap_mod.load_snapshot(path)  # stale snapshot (v0, unmapped)
+    # files staged against the OLD schema/config (logical names)
+    adds = write_files(
+        df, path, [], configuration=pre.configuration,
+        table_schema_json=pre.schema_string,
+    )
+    # the upgrade wins the next version
+    t = DeltaTable(path, spark=spark)
+    t.alter.set_table_properties({"delta.columnMapping.mode": "name"})
+    # the upgrade commit carries both a Protocol and a Metadata action;
+    # whichever the replay sees first, the stale append must abort
+    with pytest.raises((MetadataChangedError, ProtocolChangedError)):
+        commit_mod.commit(
+            path,
+            list(adds),
+            CommitInfo("WRITE", {"mode": "Append"}),
+            pre.version,
+            TransactionInfo(blind_append=True, table_config=pre.configuration),
+            max_retries=3,
+        )
