@@ -1131,10 +1131,14 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_type_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    -- amount is quantized to exact integer cents PER ROW before the sum:
+    -- both engines then sum identical integers, so the result cannot
+    -- straddle the round-2 grid no matter the summation order (a 0.01
+    -- divergence appeared at sf0.1 with double sums, r05)
+    SELECT nation, o_year, round(sum(amount_c) / 100.0, 2) AS sum_profit
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS amount
+             CAST(round((l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1) * 100.0) AS BIGINT) AS amount_c
       FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -1155,9 +1159,16 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * F.lit(0.1)
+    # exact integer cents per row (see the oracle comment): Spark's
+    # round() is HALF_UP (away from zero), same as DuckDB's, and both
+    # engines round the bit-identical per-row double
+    amount_c = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+        )
+        * 100
+    ).cast("long")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -1167,7 +1178,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount_c) / 100.0, 2).alias("sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 

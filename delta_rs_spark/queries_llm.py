@@ -134,8 +134,15 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_dedup_exact",
+    # keep-first per fingerprint over the doubled corpus == min ORIGINAL
+    # doc_id per fp (shifted-copy ids are always larger). Grouping
+    # matters: sf0.1 has intra-corpus duplicate texts (8 fps), so the
+    # naive per-doc projection diverges there (caught by the sf0.1
+    # mirror sweep, r05).
     f"""
-    SELECT doc_id, {_FP_SQL} AS fp FROM documents
+    SELECT min(doc_id) AS doc_id, fp
+    FROM (SELECT doc_id, {_FP_SQL} AS fp FROM documents)
+    GROUP BY fp
     """,
 )
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,8 +156,14 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_duplicate_groups",
+    # every original doc appears twice in the doubled corpus, so a
+    # fingerprint shared by c originals forms ONE group of 2c copies
+    # (c > 1 exists at sf0.1 — same divergence class as llm_dedup_exact)
     f"""
-    SELECT {_FP_SQL} AS fp, 2 AS n_copies, doc_id AS keep_id FROM documents
+    SELECT fp, CAST(2 * count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keep_id
+    FROM (SELECT doc_id, {_FP_SQL} AS fp FROM documents)
+    GROUP BY fp
     """,
 )
 def llm_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
