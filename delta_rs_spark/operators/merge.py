@@ -598,6 +598,9 @@ class TableMerger:
             result = out_parts[0]
             for p_df in out_parts[1:]:
                 result = result.unionByName(p_df)
+            from delta_rs_spark.writer import enforce_write_rules
+
+            enforce_write_rules(result, snapshot)
             new_adds = write_files(result, table_path, part_cols)
             actions.extend(new_adds)
         if self._cdf_parts:

@@ -132,6 +132,9 @@ def update(
             for c in schema_cols
         ]
     )
+    from delta_rs_spark.writer import enforce_write_rules
+
+    enforce_write_rules(updated_df, snapshot)
     new_adds = write_files(updated_df, table_path, part_cols)
     # live rows only: DV'd files contribute physical rows minus cardinality
     n_total = sum(
@@ -261,6 +264,9 @@ def _dv_update(
             for c in schema_cols
         ]
     )
+    from delta_rs_spark.writer import enforce_write_rules
+
+    enforce_write_rules(new_rows, snapshot)
     new_adds = write_files(new_rows, table_path, snapshot.partition_columns)
 
     actions: list = list(removes) + list(dv_adds) + list(new_adds)

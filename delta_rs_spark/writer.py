@@ -386,6 +386,54 @@ def _validate_field_rules(df: DataFrame, schema: T.StructType, provided: set[str
             raise DeltaError(label)
 
 
+def enforce_write_rules(df: DataFrame, snapshot) -> None:
+    """Shared write-side data validation for MUTATION rewrites (UPDATE /
+    MERGE and their DV variants): CHECK constraints from table config
+    plus per-field invariants — the reference applies its
+    DeltaDataChecker on every operation that produces rows
+    (crates/core/src/delta_datafusion/data_validation.rs), not just
+    appends. Pass only the CHANGED/INSERTED rows where the caller can:
+    copied rows already satisfied the rules when they were written."""
+    import json as _json
+
+    from delta_rs_spark.operators.alter import table_constraints
+
+    checks: list[tuple[str, F.Column]] = []
+    for cname, cexpr in table_constraints(snapshot.configuration).items():
+        checks.append(
+            (
+                f"CHECK constraint {cname!r} ({cexpr}) violated",
+                ~F.expr(cexpr).eqNullSafe(F.lit(True)),
+            )
+        )
+    schema = T.StructType.fromJson(_json.loads(snapshot.schema_string))
+    for f in schema.fields:
+        inv = (f.metadata or {}).get(INVARIANTS_KEY)
+        if inv:
+            try:
+                expr = _json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                continue
+            checks.append(
+                (
+                    f"invariant violated on {f.name}: {expr}",
+                    ~F.expr(expr).eqNullSafe(F.lit(True)),
+                )
+            )
+    if not checks:
+        return
+    bad = checks[0][1]
+    for _, cond in checks[1:]:
+        bad = bad | cond
+    if df.filter(bad).limit(1).count():
+        # one combined pass to detect, a second only on failure to name
+        # the violated rule
+        for label, cond in checks:
+            if df.filter(cond).limit(1).count():
+                raise DeltaError(label)
+        raise DeltaError("write rule violated")
+
+
 def write_deltalake(
     table_or_uri: str,
     data: Any,

@@ -211,3 +211,51 @@ def test_update_new_values_literals(spark, tmp_table):
         t.update(updates={"v": 2})  # non-string SQL expr
     with pytest.raises(TypeError):
         t.update(new_values={"v": object()})
+
+
+def test_constraints_enforced_on_update_and_merge(spark, tmp_table, sample_df):
+    """CHECK constraints apply to every operation that produces rows
+    (reference DeltaDataChecker), not just appends — UPDATE and MERGE
+    must abort without committing when the new values violate one."""
+    from delta_rs_spark import write_deltalake
+
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    t.alter.add_constraint({"price_nonneg": "price >= 0"})
+    t.refresh()
+    v = t.version()
+    with pytest.raises(DeltaError, match="price_nonneg"):
+        t.update({"price": "-99"}, predicate="id = '1'")
+    src = spark.createDataFrame([("2", -50)], "id string, price long")
+    with pytest.raises(DeltaError, match="price_nonneg"):
+        (
+            t.merge(src, "t.id = s.id", source_alias="s", target_alias="t")
+            .when_matched_update({"price": "s.price"})
+            .execute()
+        )
+    t.refresh()
+    assert t.version() == v  # nothing committed
+    assert sorted(r.price for r in t.to_df().collect()) == [0, 1, 2, 3, 4]
+    # valid mutations still pass
+    t.update({"price": "price + 1"}, predicate="id = '1'")
+    t.refresh()
+    assert sorted(r.price for r in t.to_df().collect()) == [1, 1, 2, 3, 4]
+
+
+def test_constraints_enforced_on_dv_update(spark, tmp_path, sample_df):
+    """Same enforcement on the deletion-vector UPDATE variant (changed
+    rows are appended, not rewritten — they still must satisfy rules)."""
+    from delta_rs_spark import write_deltalake
+
+    path = str(tmp_path / "dv_constr")
+    write_deltalake(
+        path, sample_df,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(path)
+    t.alter.add_constraint({"price_nonneg": "price >= 0"})
+    t.refresh()
+    with pytest.raises(DeltaError, match="price_nonneg"):
+        t.update({"price": "-1"}, predicate="id = '2'")
+    t.refresh()
+    assert sorted(r.price for r in t.to_df().collect()) == [0, 1, 2, 3, 4]
