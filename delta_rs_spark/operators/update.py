@@ -26,6 +26,34 @@ from delta_rs_spark.operators.util import match_touched_files
 from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
 
 
+def _recompute_generated_cols(df, schema, updates, schema_cols, upd_flag):
+    """Recompute generated columns UPDATE did not assign explicitly, from
+    the post-update values of the rows the predicate selected (delta-spark
+    recomputes generation expressions on UPDATE; reference:
+    write/generated_columns.rs applied by merge's _recompute_generated).
+    Explicitly assigned generated columns are left to the caller's
+    write-rule validation."""
+    from delta_rs_spark.writer import GENERATION_KEY
+
+    gen = {
+        f.name: (f.metadata or {}).get(GENERATION_KEY)
+        for f in schema.fields
+        if (f.metadata or {}).get(GENERATION_KEY) and f.name not in updates
+    }
+    if not gen:
+        return df
+    keep = [c for c in df.columns if c not in schema_cols]
+    return df.select(
+        *[
+            F.when(upd_flag, F.expr(gen[c])).otherwise(F.col(c)).cast(schema[c].dataType).alias(c)
+            if c in gen
+            else F.col(c)
+            for c in schema_cols
+        ],
+        *keep,
+    )
+
+
 def update(
     spark: SparkSession,
     table_path: str,
@@ -123,15 +151,24 @@ def update(
 
     touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
     schema_cols = [f.name for f in touched_df.schema.fields]
-    # CASE-guard every updated column (reference: update.rs:357-358)
-    updated_df = touched_df.select(
+    # CASE-guard every updated column (reference: update.rs:357-358).
+    # cond is pinned to the PRE-update row via a marker column so the
+    # generated-column recompute below (which sees post-update values)
+    # still knows which rows the predicate selected.
+    marked = touched_df.withColumn("__delta_rs_upd", cond)
+    upd_flag = F.col("__delta_rs_upd")
+    updated_df = marked.select(
         *[
-            F.when(cond, F.expr(updates[c])).otherwise(F.col(c)).cast(touched_df.schema[c].dataType).alias(c)
+            F.when(upd_flag, F.expr(updates[c])).otherwise(F.col(c)).cast(touched_df.schema[c].dataType).alias(c)
             if c in updates
             else F.col(c)
             for c in schema_cols
-        ]
+        ],
+        "__delta_rs_upd",
     )
+    updated_df = _recompute_generated_cols(
+        updated_df, touched_df.schema, updates, schema_cols, upd_flag
+    ).drop("__delta_rs_upd")
     from delta_rs_spark.writer import enforce_write_rules
 
     enforce_write_rules(updated_df, snapshot)
@@ -147,14 +184,19 @@ def update(
     if cdf_enabled(snapshot):
         pre = touched_df.filter(cond).withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
         post = (
-            touched_df.filter(cond)
-            .select(
-                *[
-                    F.expr(updates[c]).cast(touched_df.schema[c].dataType).alias(c)
-                    if c in updates
-                    else F.col(c)
-                    for c in schema_cols
-                ]
+            _recompute_generated_cols(
+                touched_df.filter(cond).select(
+                    *[
+                        F.expr(updates[c]).cast(touched_df.schema[c].dataType).alias(c)
+                        if c in updates
+                        else F.col(c)
+                        for c in schema_cols
+                    ]
+                ),
+                touched_df.schema,
+                updates,
+                schema_cols,
+                F.lit(True),
             )
             .withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
         )
@@ -256,13 +298,19 @@ def _dv_update(
 
     base = matched_df.drop("__delta_rs_fp", "__delta_rs_ri")
     schema_cols = [f.name for f in base.schema.fields]
-    new_rows = base.select(
-        *[
-            F.expr(updates[c]).cast(base.schema[c].dataType).alias(c)
-            if c in updates
-            else F.col(c)
-            for c in schema_cols
-        ]
+    new_rows = _recompute_generated_cols(
+        base.select(
+            *[
+                F.expr(updates[c]).cast(base.schema[c].dataType).alias(c)
+                if c in updates
+                else F.col(c)
+                for c in schema_cols
+            ]
+        ),
+        base.schema,
+        updates,
+        schema_cols,
+        F.lit(True),
     )
     from delta_rs_spark.writer import enforce_write_rules
 

@@ -182,3 +182,32 @@ def test_variant_stats_fallback_skips_pruning_soundly(spark, tmp_path):
     assert n_all == 4
     rows = t.to_df(predicate="id = 57").collect()
     assert [r.id for r in rows] == [57]
+
+
+def test_update_recomputes_generated_columns(spark, tmp_path):
+    """UPDATE must recompute generated columns it did not assign, from
+    the post-update values (delta-spark semantics; MERGE already did via
+    _recompute_generated) — on both the rewrite and DV variants, with
+    non-matching rows untouched."""
+    for dv in (False, True):
+        path = str(tmp_path / f"gen_upd_{dv}")
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.LongType()),
+            T.StructField(
+                "double_price", T.LongType(),
+                metadata={"delta.generationExpression": "price * 2"},
+            ),
+        ])
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20)], "id long, price long"
+        ).withColumn("double_price", F.col("price") * 2)
+        cfg = {"delta.enableDeletionVectors": "true"} if dv else {}
+        write_deltalake(
+            path, spark.createDataFrame(df.collect(), schema), configuration=cfg
+        )
+        t = DeltaTable(path, spark=spark)
+        t.update({"price": "price + 5"}, predicate="id = 1")
+        t.refresh()
+        got = sorted((r.id, r.price, r.double_price) for r in t.to_df().collect())
+        assert got == [(1, 15, 30), (2, 20, 40)], (dv, got)
