@@ -408,6 +408,19 @@ def enforce_write_rules(df: DataFrame, snapshot) -> None:
         )
     schema = T.StructType.fromJson(_json.loads(snapshot.schema_string))
     for f in schema.fields:
+        # a generated column must equal its expression in every committed
+        # row — catches an UPDATE/MERGE clause explicitly assigning a
+        # wrong value (recomputed ones satisfy this by construction)
+        gen_expr = (f.metadata or {}).get(GENERATION_KEY)
+        if gen_expr:
+            checks.append(
+                (
+                    f"generated column {f.name} != {gen_expr}",
+                    ~F.col(f.name).eqNullSafe(
+                        F.expr(gen_expr).cast(f.dataType)
+                    ),
+                )
+            )
         inv = (f.metadata or {}).get(INVARIANTS_KEY)
         if inv:
             try:

@@ -211,3 +211,30 @@ def test_update_recomputes_generated_columns(spark, tmp_path):
         t.refresh()
         got = sorted((r.id, r.price, r.double_price) for r in t.to_df().collect())
         assert got == [(1, 15, 30), (2, 20, 40)], (dv, got)
+
+
+def test_update_rejects_wrong_generated_assignment(spark, tmp_path):
+    """Explicitly SETting a generated column to a value that contradicts
+    its expression must abort the UPDATE (write-side generated-equality
+    rule, same as the append path)."""
+    path = str(tmp_path / "gen_wrong")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.LongType()),
+        T.StructField(
+            "double_price", T.LongType(),
+            metadata={"delta.generationExpression": "price * 2"},
+        ),
+    ])
+    df = spark.createDataFrame(
+        [(1, 10)], "id long, price long"
+    ).withColumn("double_price", F.col("price") * 2)
+    write_deltalake(path, spark.createDataFrame(df.collect(), schema))
+    t = DeltaTable(path, spark=spark)
+    with pytest.raises(DeltaError, match="double_price"):
+        t.update({"double_price": "999"}, predicate="id = 1")
+    # consistent explicit assignment passes
+    t.refresh()
+    t.update({"price": "30", "double_price": "60"}, predicate="id = 1")
+    t.refresh()
+    assert [(r.price, r.double_price) for r in t.to_df().collect()] == [(30, 60)]
