@@ -80,6 +80,7 @@ def _run_sequence(spark, path, config, seed, n_ops=6):
     dt = DeltaTable(path, spark=spark)
 
     applied = []
+    history: list[tuple[int, list]] = [(dt.version(), _state(dt))]
     for _ in range(n_ops):
         op = rng.choice(["delete", "update", "append", "merge_upsert", "merge_delete"])
         applied.append(op)
@@ -148,7 +149,25 @@ def _run_sequence(spark, path, config, seed, n_ops=6):
             f"{len(got)} vs {len(want)} rows; "
             f"first diff {next((a, b) for a, b in zip(got, want) if a != b) if len(got) == len(want) else ''}"
         )
+        history.append((dt.version(), got))
     con.close()
+
+    # the log must replay EVERY intermediate state: time travel to each
+    # recorded version and compare (exercises checkpoint replay, DV
+    # (path, descriptor) identity, partition reconstruction)
+    for version, want_state in history:
+        tv = DeltaTable(path, spark=spark, version=version)
+        assert _state(tv) == want_state, f"time travel to v{version} diverged"
+
+    # restore to a random EARLIER recorded point, then the table must
+    # read as it did then (restore-to-current is correctly rejected)
+    current = dt.version()
+    earlier = [(v, s) for v, s in history if v < current]
+    if earlier:
+        version, want_state = rng.choice(earlier)
+        dt.restore(version)
+        dt.refresh()
+        assert _state(dt) == want_state, f"restore to v{version} diverged"
 
 
 _CONFIGS = [
