@@ -159,6 +159,24 @@ def _run_sequence(spark, path, config, seed, n_ops=6):
         tv = DeltaTable(path, spark=spark, version=version)
         assert _state(tv) == want_state, f"time travel to v{version} diverged"
 
+    # CDF must compose: replaying each version's change rows on top of
+    # the previous state reproduces every recorded state (covers insert/
+    # delete synthesis, update pre/post pairs, and DV-diff synthesis)
+    if (config.get("configuration") or {}).get("delta.enableChangeDataFeed") == "true":
+        from collections import Counter
+
+        running = Counter(history[0][1])
+        for (v, want_state), (_pv, _ps) in zip(history[1:], history[:-1]):
+            changes = dt.load_cdf(starting_version=v, ending_version=v).collect()
+            for r in changes:
+                row = (r.id, r.k, round(r.v, 6), r.s)
+                if r._change_type in ("insert", "update_postimage"):
+                    running[row] += 1
+                elif r._change_type in ("delete", "update_preimage"):
+                    running[row] -= 1
+            got = sorted(Counter(dict((k, c) for k, c in running.items() if c)).elements())
+            assert got == want_state, f"CDF replay to v{v} diverged"
+
     # restore to a random EARLIER recorded point, then the table must
     # read as it did then (restore-to-current is correctly rejected)
     current = dt.version()
