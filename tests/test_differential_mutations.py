@@ -81,9 +81,27 @@ def _run_sequence(spark, path, config, seed, n_ops=6):
 
     applied = []
     history: list[tuple[int, list]] = [(dt.version(), _state(dt))]
+    maintenance = {
+        # data-invisible ops interleaved with the mutations: none of
+        # these may change the visible state (DuckDB side does nothing)
+        "compact": lambda: dt.optimize.compact(),
+        "zorder": lambda: dt.optimize.z_order(["id"]),
+        "checkpoint": lambda: dt.create_checkpoint(),
+        "purge": lambda: dt.optimize.reorg_purge(),
+    }
     for _ in range(n_ops):
-        op = rng.choice(["delete", "update", "append", "merge_upsert", "merge_delete"])
+        op = rng.choice(
+            ["delete", "update", "append", "merge_upsert", "merge_delete"]
+            + list(maintenance)
+        )
         applied.append(op)
+        if op in maintenance:
+            maintenance[op]()
+            dt.refresh()
+            got = _state(dt)
+            assert got == _duck_state(con), f"{op} changed visible state"
+            history.append((dt.version(), got))
+            continue
         if op == "delete":
             pred = _rand_pred(rng)
             applied[-1] += f"({pred})"
@@ -166,7 +184,11 @@ def _run_sequence(spark, path, config, seed, n_ops=6):
         from collections import Counter
 
         running = Counter(history[0][1])
-        for (v, want_state), (_pv, _ps) in zip(history[1:], history[:-1]):
+        seen = {history[0][0]}
+        for v, want_state in history[1:]:
+            if v in seen:  # maintenance op that did not commit
+                continue
+            seen.add(v)
             changes = dt.load_cdf(starting_version=v, ending_version=v).collect()
             for r in changes:
                 row = (r.id, r.k, round(r.v, 6), r.s)
