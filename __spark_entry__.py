@@ -93,6 +93,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_domain_cap",       # per-domain document cap
     "llm_dedup_keep_best",  # quality-aware duplicate resolution
     "llm_kmeans_exemplars",  # cluster-balanced sampling (central members per cluster)
+    "llm_hard_negatives",   # contrastive hard-negative mining (label-mismatch ANN)
     # oracles REWRITTEN r05 after the sf0.1 mirror sweep caught latent
     # divergences (intra-corpus duplicate texts / round-grid knife edge
     # that sf0.01 can't expose) — re-witness before they rejoin the tail:

@@ -808,3 +808,52 @@ def kmeans_exemplars(
         .filter(F.col("rank_in_cluster") <= per_cluster)
         .select(id_col, "cluster", F.col("rank_in_cluster").cast("int").alias("rank_in_cluster"))
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    n_anchors: int = 20,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor (the first ``n_anchors`` ids — the deterministic-sample
+    convention), the ``k`` most cosine-similar vectors whose LABEL
+    differs. These near-but-wrong neighbors are the negatives that make
+    a contrastive/triplet objective learn anything.
+
+    Scale shape: the anchor side is broadcast (bounded by n_anchors),
+    so the corpus is scanned once — cost is O(corpus x anchors) map
+    work plus one per-anchor top-k rank window over the label-mismatch
+    survivors. At real scale the exact scan swaps for the PQ/IVF
+    shortlist (pq_topk_rerank) per anchor without changing the output
+    contract."""
+    anchors = (
+        df.filter(F.col(id_col) < n_anchors)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("__av"),
+            F.col(label_col).alias("__alabel"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    pairs = (
+        df.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col(label_col) != F.col("__alabel"))
+            & (F.col(id_col) != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.round(cosine(F.col(vec_col), F.col("__av")), 4).alias("score"),
+        )
+    )
+    r = F.row_number().over(
+        W.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    )
+    return pairs.withColumn("__r", r).filter(F.col("__r") <= k).drop("__r")

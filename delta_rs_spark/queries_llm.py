@@ -1563,3 +1563,26 @@ def llm_kmeans_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     own-cluster distance rank."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_exemplars(emb, k=8, n_iter=2, per_cluster=25)
+
+
+@query(
+    "llm_hard_negatives",
+    """
+    WITH a AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS alabel
+               FROM embeddings WHERE vec_id < 20),
+    s AS (SELECT a.anchor_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                 round(list_cosine_similarity(av, c.embedding::DOUBLE[]), 4) AS score
+          FROM a JOIN embeddings c
+            ON c.label != a.alabel AND c.vec_id != a.anchor_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY score DESC, neighbor_id ASC) AS rn
+          FROM s)
+    SELECT anchor_id, neighbor_id, neighbor_label, score FROM r WHERE rn <= 3
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): top-3 cosine
+    neighbors with a DIFFERENT label per anchor — contrastive-training
+    data prep. Broadcast anchors, one corpus scan, per-anchor rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hard_negatives(emb, n_anchors=20, k=3)

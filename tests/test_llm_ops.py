@@ -898,3 +898,19 @@ def test_kmeans_exemplars(spark, emb):
     # exemplar set is consistent with the kmeans assignment
     assign = {r.vec_id: r.cluster for r in S.kmeans(emb, k=8, n_iter=2)[0].collect()}
     assert all(assign[r.vec_id] == r.cluster for r in out)
+
+
+def test_hard_negatives(spark, emb):
+    out = S.hard_negatives(emb, n_anchors=10, k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    per = {}
+    for r in out:
+        per.setdefault(r.anchor_id, []).append(r)
+        # a hard negative never shares the anchor's label
+        assert labels[r.anchor_id] != r.neighbor_label
+        assert r.neighbor_id != r.anchor_id
+    assert set(per) == set(range(10))
+    for rows in per.values():
+        assert len(rows) == 3
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
