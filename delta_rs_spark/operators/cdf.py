@@ -130,7 +130,8 @@ def load_cdf(
                 )
 
                 rm_by_path = {r.path: r for r in removes}
-                dead_pairs = []  # (abs_path, row_index)
+                dead_pairs = []  # (abs_path, row_index): newly DV-dead
+                born_pairs = []  # (abs_path, row_index): DV rows REVIVED
                 for path in sorted(pair_paths):
                     a = add_by_path[path]
                     r = rm_by_path[path]
@@ -146,7 +147,11 @@ def load_cdf(
                     )
                     abs_path = os.path.join(table_path, path)
                     dead_pairs += [(abs_path, ri) for ri in sorted(new_rows - old_rows)]
-                if dead_pairs:
+                    # rows dead in the OLD pairing but alive in the NEW
+                    # one (RESTORE past a DV delete) become visible again
+                    # and must surface as inserts
+                    born_pairs += [(abs_path, ri) for ri in sorted(old_rows - new_rows)]
+                if dead_pairs or born_pairs:
                     from delta_rs_spark.plans import column_mapping as cmap
                     from delta_rs_spark.table import _normalize_file_path
 
@@ -161,10 +166,7 @@ def load_cdf(
                     reader = spark.read.schema(pair_schema)
                     if snap.partition_columns:
                         reader = reader.option("basePath", table_path)
-                    dead_df = spark.createDataFrame(
-                        dead_pairs, "__fp string, __ri long"
-                    )
-                    rows = (
+                    scanned = (
                         reader.parquet(
                             *[os.path.join(table_path, p) for p in sorted(pair_paths)]
                         )
@@ -173,19 +175,26 @@ def load_cdf(
                             _normalize_file_path(F.col("_metadata.file_path")),
                         )
                         .withColumn("__sri", F.col("_metadata.row_index"))
-                        .join(
-                            F.broadcast(dead_df),
+                    )
+
+                    def _pair_rows(pairs: list, change: str):
+                        pair_df = spark.createDataFrame(
+                            pairs, "__fp string, __ri long"
+                        )
+                        rows = scanned.join(
+                            F.broadcast(pair_df),
                             (F.col("__sfp") == F.col("__fp"))
                             & (F.col("__sri") == F.col("__ri")),
                             "inner",
-                        )
-                        .drop("__sfp", "__sri", "__fp", "__ri")
-                    )
-                    if mapped:
-                        rows = cmap.rename_to_logical(rows, schema)
-                    pieces.append(
-                        rows.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
-                    )
+                        ).drop("__sfp", "__sri", "__fp", "__ri")
+                        if mapped:
+                            rows = cmap.rename_to_logical(rows, schema)
+                        return rows.withColumn(CHANGE_TYPE_COL, F.lit(change))
+
+                    if dead_pairs:
+                        pieces.append(_pair_rows(dead_pairs, "delete"))
+                    if born_pairs:
+                        pieces.append(_pair_rows(born_pairs, "insert"))
                 adds = [a for a in adds if a.path not in pair_paths]
                 removes = [r for r in removes if r.path not in pair_paths]
             if adds:

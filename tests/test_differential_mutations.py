@@ -63,7 +63,7 @@ def _duck_state(con):
     )
 
 
-def _run_sequence(spark, path, config, seed, n_ops=6):
+def _run_sequence(spark, path, config, seed, n_ops=10):
     rng = random.Random(seed)
     rows = _gen_rows(rng, 60, 0)
     next_id = 1000
@@ -89,12 +89,33 @@ def _run_sequence(spark, path, config, seed, n_ops=6):
         "checkpoint": lambda: dt.create_checkpoint(),
         "purge": lambda: dt.optimize.reorg_purge(),
     }
-    for _ in range(n_ops):
+    for i in range(n_ops):
         op = rng.choice(
-            ["delete", "update", "append", "merge_upsert", "merge_delete"]
+            ["delete", "update", "append", "merge_upsert", "merge_delete", "restore"]
             + list(maintenance)
         )
+        if i == n_ops - 2:
+            op = "restore"  # every sequence exercises a mid-run restore
         applied.append(op)
+        if op == "restore":
+            # mid-sequence restore: later mutations continue on the
+            # restored state; the DuckDB mirror resets to the recorded
+            # rows (v values are exact 0.01-grid doubles, so the rounded
+            # recording is bit-faithful)
+            earlier = [(v, s) for v, s in history if v < dt.version()]
+            if not earlier:
+                continue
+            v, s = rng.choice(earlier)
+            applied[-1] += f"(v{v})"
+            dt.restore(v)
+            con.execute("DELETE FROM t")
+            if s:
+                con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", s)
+            dt.refresh()
+            got = _state(dt)
+            assert got == _duck_state(con), f"restore(v{v}) diverged mid-sequence"
+            history.append((dt.version(), got))
+            continue
         if op in maintenance:
             maintenance[op]()
             dt.refresh()
