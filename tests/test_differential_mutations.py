@@ -239,6 +239,13 @@ _CONFIGS = [
         "delta.enableDeletionVectors": "true",
         "delta.enableChangeDataFeed": "true",
     }}),
+    # physical col-<uuid> names + physical partitionValues keys: the
+    # config where a missing logical->physical map silently no-ops
+    # mutations (the r05 operator-pruning bug class)
+    ("mapped_partitioned", {
+        "partitioned": True,
+        "configuration": {"delta.columnMapping.mode": "name"},
+    }),
 ]
 
 
