@@ -857,3 +857,58 @@ def hard_negatives(
         W.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     )
     return pairs.withColumn("__r", r).filter(F.col("__r") <= k).drop("__r")
+
+
+def embedding_outliers(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    quantile: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space outlier detection: vectors whose distance to
+    their own kmeans centroid exceeds the cluster's ``quantile``
+    distance — the garbage-embedding filter (corrupt inputs, wrong
+    modality, encoder failures) a curation pipeline runs before
+    similarity-based ops trust the space. Returns (id, cluster, dist,
+    is_outlier) for every vector.
+
+    Scale shape: one assignment map pass emitting (cluster, dist) on the
+    kmeans 4dp grid, one per-cluster percentile_approx (k rows of
+    state), one broadcast threshold join back — no per-row driver work.
+    percentile_approx is exact below its accuracy threshold, so a
+    DuckDB quantile_disc oracle can gate this at sf scales (r06: rotate
+    a gate query in)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    _assigned, cents = kmeans(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    C = np.array(cents, dtype=np.float64)
+
+    @pandas_udf("struct<cluster: int, dist: double>")
+    def _assign_dist(vecs: pd.Series) -> pd.DataFrame:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        d = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1), 4)
+        cl = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": cl.astype("int32"), "dist": d[np.arange(len(cl)), cl]}
+        )
+
+    scored = df.withColumn("__cd", _assign_dist(F.col(vec_col))).select(
+        id_col,
+        F.col("__cd.cluster").alias("cluster"),
+        F.col("__cd.dist").alias("dist"),
+    )
+    thresholds = scored.groupBy("cluster").agg(
+        F.percentile_approx("dist", quantile).alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "cluster")
+        .select(
+            id_col,
+            "cluster",
+            "dist",
+            (F.col("dist") > F.col("__thr")).alias("is_outlier"),
+        )
+    )

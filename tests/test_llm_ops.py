@@ -914,3 +914,21 @@ def test_hard_negatives(spark, emb):
         assert len(rows) == 3
         scores = [r.score for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_embedding_outliers(spark, emb):
+    out = S.embedding_outliers(emb, k=8, n_iter=2, quantile=0.9).collect()
+    assert len(out) == emb.count()
+    per = {}
+    for r in out:
+        per.setdefault(r.cluster, []).append(r)
+    for cl, rows in per.items():
+        flagged = [r for r in rows if r.is_outlier]
+        # ~10% flagged per cluster (quantile semantics), never a majority
+        assert len(flagged) <= max(2, int(0.25 * len(rows)))
+        if flagged:
+            # every outlier is farther than every inlier's threshold side
+            max_in = max(r.dist for r in rows if not r.is_outlier)
+            assert all(r.dist > max_in or abs(r.dist - max_in) < 1e-9 for r in flagged) or min(
+                r.dist for r in flagged
+            ) > max_in - 1e-9
