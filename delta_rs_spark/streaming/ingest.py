@@ -37,13 +37,21 @@ def start_corpus_ingest(
     min_quality: float = 0.0,
     min_tokens: int = 1,
     app_id: str = "corpus-ingest",
+    band_index_path: str | None = None,
 ):
     """Start the ingest stream; returns the StreamingQuery. The
     fingerprint index at ``index_path`` must exist (build it over the
     initial corpus with build_fingerprint_index, or over an empty frame
-    for a fresh start)."""
+    for a fresh start). With ``band_index_path`` set (a MinHash band
+    index built by build_band_index), each batch is additionally probed
+    for NEAR duplicates against all history — candidates are dropped
+    before the quality gate, and survivors' band buckets are appended so
+    later batches see them. Both probes stay batch-vs-index joins; the
+    historical text is never rescanned."""
     from delta_rs_spark.functions.dedup import (
         dedup_against_fingerprint_index,
+        near_dup_candidates_against_index,
+        update_band_index,
         update_fingerprint_index,
     )
     from delta_rs_spark.functions.text import corpus_filter_report
@@ -54,6 +62,15 @@ def start_corpus_ingest(
         fresh = dedup_against_fingerprint_index(
             spark, index_path, batch_df, text_col, id_col
         )
+        if band_index_path is not None:
+            near = near_dup_candidates_against_index(
+                spark, band_index_path, fresh, text_col, id_col
+            ).select(F.col("new_id").alias("__nd_id")).distinct()
+            fresh = fresh.join(
+                F.broadcast(near),
+                fresh[id_col] == F.col("__nd_id"),
+                "left_anti",
+            )
         report = corpus_filter_report(
             fresh,
             text_col,
@@ -77,6 +94,8 @@ def start_corpus_ingest(
             txn_version=batch_id,
         )
         update_fingerprint_index(spark, index_path, kept, text_col, id_col)
+        if band_index_path is not None:
+            update_band_index(spark, band_index_path, kept, text_col, id_col)
 
     return (
         stream_df.writeStream.foreachBatch(process)

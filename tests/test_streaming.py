@@ -496,3 +496,46 @@ def test_read_append_stream_max_files_per_trigger(spark, tmp_path, sample_df):
         p for p in q.recentProgress if p["numInputRows"] > 0
     ]
     assert len(batches) >= 3
+
+
+def test_corpus_ingest_with_near_dup_stage(spark, tmp_path):
+    """Ingest with BOTH indexes: a near-duplicate of history (one word
+    changed — same fp fails, band probe catches it) is dropped; a fresh
+    doc passes; both indexes advance so a later batch sees the fresh
+    doc's bands."""
+    from delta_rs_spark.functions.dedup import (
+        build_band_index,
+        build_fingerprint_index,
+        near_dup_candidates_against_index,
+    )
+    from delta_rs_spark.streaming.ingest import start_corpus_ingest
+
+    corpus = str(tmp_path / "corpus2")
+    fpidx = str(tmp_path / "fpidx2")
+    bandidx = str(tmp_path / "bandidx2")
+    base_text = "the cat and the dog went to the busy market to buy " \
+        "fresh fish and red apples for the long winter season ahead"
+    seed = spark.createDataFrame([(0, base_text)], ["doc_id", "text"])
+    write_deltalake(corpus, seed)
+    build_fingerprint_index(seed, fpidx)
+    build_band_index(seed, bandidx, num_perm=32, bands=16, hash_fn="md5")
+    near_text = base_text.replace("red apples", "green apples")
+    fresh_text = "a boat sailed down the wide river was that with is " \
+        "of to and carrying grain beans timber wool salt iron and tea"
+    rows = [(200, near_text), (201, fresh_text)]
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = start_corpus_ingest(
+        stream, corpus, fpidx, str(tmp_path / "ckpt2"),
+        min_quality=0.0, min_tokens=5, band_index_path=bandidx,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.doc_id for r in DeltaTable(corpus).to_df().collect())
+    assert got == [0, 201]  # near-dup 200 dropped, fresh 201 ingested
+    # 201's bands were appended: a re-probe of its text now hits history
+    again = near_dup_candidates_against_index(
+        spark, bandidx, spark.createDataFrame([(300, fresh_text)], ["doc_id", "text"])
+    )
+    assert {r.index_id for r in again.collect()} >= {201}
