@@ -257,3 +257,14 @@ _CONFIGS = [
 def test_differential_mutation_sequences(spark, tmp_path, idx, name, config):
     # str hash is process-randomized; seed by position for determinism
     _run_sequence(spark, str(tmp_path / f"diff_{name}"), config, seed=4242 + idx)
+
+
+@pytest.mark.parametrize(
+    "idx,name,config",
+    [(i, c[0], c[1]) for i, c in enumerate(_CONFIGS) if c[0] in ("dv_cdf", "mapped_partitioned")],
+    ids=["dv_cdf2", "mapped_partitioned2"],
+)
+def test_differential_mutation_sequences_seed2(spark, tmp_path, idx, name, config):
+    """Second seed for the richest configs (different op interleavings
+    reach different DV/CDF/physical-name code paths)."""
+    _run_sequence(spark, str(tmp_path / f"diff2_{name}"), config, seed=9191 + idx)
