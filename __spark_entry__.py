@@ -79,27 +79,11 @@ _RELATIONAL_REPRESENTATIVES = (
 
 # Registered queries with NO green oracle row in any prior round: these
 # take window positions immediately after the category representatives.
-# (r04's 14 first-witness entries all went green and moved to the
-# rotated tail.)
+# (r05's 14 first-witness entries all went green in CORRECTNESS_r05.json
+# and moved to the rotated tail; their slots go to the staleness tail.)
 _FIRST_WITNESS_NEEDED = (
-    "llm_source_mix",    # red r04 (oracle HUGEINT dtype — cast fixed r05)
-    "q12_priority_shipping_bands",  # red r02, oracle fixed r02, never re-witnessed
-    # new in r05 (previously pytest-only operators):
-    "llm_pq_topk_rerank",   # PQ shortlist + exact cosine rerank
-    "llm_corpus_profile",   # dataset-card summary table
-    "llm_fp_index_probe",   # incremental exact-dedup index probe
-    "llm_band_index_probe",  # incremental near-dup (MinHash band) index probe
-    "llm_kmeans_clusters",  # distributed Lloyd's k-means (iterative, full oracle)
-    "llm_domain_cap",       # per-domain document cap
-    "llm_dedup_keep_best",  # quality-aware duplicate resolution
-    "llm_kmeans_exemplars",  # cluster-balanced sampling (central members per cluster)
-    "llm_hard_negatives",   # contrastive hard-negative mining (label-mismatch ANN)
-    # oracles REWRITTEN r05 after the sf0.1 mirror sweep caught latent
-    # divergences (intra-corpus duplicate texts / round-grid knife edge
-    # that sf0.01 can't expose) — re-witness before they rejoin the tail:
-    "q9_product_type_profit",
-    "llm_dedup_exact",
-    "llm_duplicate_groups",
+    # new in r06 (previously pytest-only operators):
+    "llm_embedding_outliers",  # embedding-space outlier filter (percentile fence)
 )
 
 

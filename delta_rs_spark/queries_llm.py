@@ -1586,3 +1586,27 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     data prep. Broadcast anchors, one corpus scan, per-anchor rank."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.hard_negatives(emb, n_anchors=20, k=3)
+
+
+@query(
+    "llm_embedding_outliers",
+    f"""
+    WITH {_KMEANS_ITER_SQL},
+    own AS (SELECT a1.vec_id, a1.cl, d1.d
+            FROM a1 JOIN d1 ON a1.vec_id = d1.vec_id AND a1.cl = d1.ci),
+    thr AS (SELECT cl, quantile_disc(d, 0.95) AS t FROM own GROUP BY cl)
+    SELECT vec_id, CAST(cl AS INT) AS cluster, d AS dist,
+           (d > t) AS is_outlier
+    FROM own JOIN thr USING (cl)
+    """,
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier filter (similarity.embedding_outliers):
+    vectors whose own-centroid distance exceeds the cluster's p95 —
+    the garbage-embedding screen a pipeline runs before trusting the
+    space. percentile_approx is exact at gate group sizes (<=2000 rows
+    per cluster << 10k accuracy) and matches DuckDB quantile_disc; the
+    oracle replays the 2-iteration kmeans (shared CTE), the own-cluster
+    4dp distance, and the per-cluster discrete quantile fence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_outliers(emb, k=8, n_iter=2, quantile=0.95)
