@@ -17,6 +17,7 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 DEFAULT_NUM_INDEXED_COLS = 32
@@ -55,7 +56,11 @@ def collect_file_stats(
     (writer._spark_stats_fallback); others store the Add without stats."""
     try:
         md = pq.ParquetFile(file_path).metadata
-    except OSError:
+    except (OSError, NotImplementedError, pa.ArrowException):
+        # pyarrow raises ArrowInvalid (ValueError) or
+        # ArrowNotImplementedError for foreign/unparseable footers, not
+        # just OSError — convert_to_deltalake tolerates these as
+        # stats=None the same way
         return None
     if stats_columns is not None or num_indexed_cols < 0:
         ncols = md.num_columns

@@ -600,8 +600,11 @@ class TableMerger:
                 result = result.unionByName(p_df)
             from delta_rs_spark.writer import enforce_write_rules
 
-            enforce_write_rules(result, snapshot)
-            new_adds = write_files(result, table_path, part_cols)
+            result = enforce_write_rules(result, snapshot)
+            try:
+                new_adds = write_files(result, table_path, part_cols)
+            finally:
+                result.unpersist()
             actions.extend(new_adds)
         if self._cdf_parts:
             cdf_all = self._cdf_parts[0]

@@ -171,8 +171,11 @@ def update(
     ).drop("__delta_rs_upd")
     from delta_rs_spark.writer import enforce_write_rules
 
-    enforce_write_rules(updated_df, snapshot)
-    new_adds = write_files(updated_df, table_path, part_cols)
+    updated_df = enforce_write_rules(updated_df, snapshot)
+    try:
+        new_adds = write_files(updated_df, table_path, part_cols)
+    finally:
+        updated_df.unpersist()
     # live rows only: DV'd files contribute physical rows minus cardinality
     n_total = sum(
         (a.num_records() or 0)
@@ -314,14 +317,19 @@ def _dv_update(
     )
     from delta_rs_spark.writer import enforce_write_rules
 
-    enforce_write_rules(new_rows, snapshot)
-    new_adds = write_files(new_rows, table_path, snapshot.partition_columns)
+    new_rows = enforce_write_rules(new_rows, snapshot)
+    try:
+        new_adds = write_files(new_rows, table_path, snapshot.partition_columns)
 
-    actions: list = list(removes) + list(dv_adds) + list(new_adds)
-    if cdf_enabled(snapshot):
-        pre = base.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
-        post = new_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
-        actions.extend(write_change_data(pre.unionByName(post), table_path))
+        actions: list = list(removes) + list(dv_adds) + list(new_adds)
+        if cdf_enabled(snapshot):
+            # postimage reads the same (possibly cached) frame the write
+            # committed, so CDF rows match the table rows exactly
+            pre = base.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+            post = new_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+            actions.extend(write_change_data(pre.unionByName(post), table_path))
+    finally:
+        new_rows.unpersist()
 
     metrics.update(
         {

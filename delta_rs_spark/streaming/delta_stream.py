@@ -159,7 +159,7 @@ def _make_stream_reader_cls():
             latest = snap_mod.latest_version(self.table_path)
             if latest is None:
                 return {"version": -1}
-            if self.max_files is None or self._prev is None or self._prev < 0:
+            if self.max_files is None or self._prev is None:
                 return {"version": latest}
             # rate limit: advance until the cumulative data-change add
             # count would exceed maxFilesPerTrigger (always >= 1 version
@@ -188,7 +188,7 @@ def _make_stream_reader_cls():
 
             self._prev = end["version"]
             parts = []
-            if start["version"] < 0:
+            if start["version"] < 0 and self.starting_version is None:
                 # FRESH stream: first batch = the full snapshot at `end`
                 # (initial-snapshot-then-tail, the semantics delta-spark's
                 # source defaults to) — works even when early commit JSONs

@@ -90,6 +90,7 @@ def _spark_stats_fallback(
     stats: list,
     num_indexed_cols: int,
     stats_columns: list[str] | None,
+    partition_by: list[str] | None = None,
 ) -> list:
     """Per-file Delta stats via one Spark aggregation, for files whose
     parquet footer pyarrow cannot parse (VARIANT logical type). Same
@@ -105,7 +106,11 @@ def _spark_stats_fallback(
     todo = [i for i, st in enumerate(stats) if st is None]
     paths = [moved[i][0] for i in todo]
 
-    fields = df.schema.fields
+    # partition columns are directory-encoded, not stored in the files;
+    # the per-path scan below sees only physical columns (matching
+    # collect_file_stats, which stats footer columns only)
+    part = set(partition_by or ())
+    fields = [f for f in df.schema.fields if f.name not in part]
     if stats_columns is not None:
         eligible = [f for f in fields if f.name in set(stats_columns)]
     elif num_indexed_cols < 0:
@@ -274,7 +279,9 @@ def write_files(
         # pyarrow could not read some footers (VARIANT logical type):
         # compute the same stats with ONE Spark aggregation over just
         # those files — Spark reads its own variant output fine
-        stats = _spark_stats_fallback(df, moved, stats, n_idx, stats_cols)
+        stats = _spark_stats_fallback(
+            df, moved, stats, n_idx, stats_cols, partition_by
+        )
     for (abs_path, rel_path, part_vals), st in zip(moved, stats):
         # a file still without stats after the fallback scanned exactly
         # these paths contributed no rows to the grouped count: empty
@@ -386,14 +393,23 @@ def _validate_field_rules(df: DataFrame, schema: T.StructType, provided: set[str
             raise DeltaError(label)
 
 
-def enforce_write_rules(df: DataFrame, snapshot) -> None:
+def enforce_write_rules(df: DataFrame, snapshot) -> DataFrame:
     """Shared write-side data validation for MUTATION rewrites (UPDATE /
     MERGE and their DV variants): CHECK constraints from table config
     plus per-field invariants — the reference applies its
     DeltaDataChecker on every operation that produces rows
     (crates/core/src/delta_datafusion/data_validation.rs), not just
     appends. Pass only the CHANGED/INSERTED rows where the caller can:
-    copied rows already satisfied the rules when they were written."""
+    copied rows already satisfied the rules when they were written.
+
+    Returns the DataFrame the caller MUST write (and unpersist after):
+    when any rule exists the frame is persisted so the validation scan
+    materializes exactly the rows the write will commit — without the
+    cache, a non-deterministic rewrite expression (rand(),
+    current_timestamp) could validate one set of rows and write
+    another, and even deterministic rewrites would pay a second full
+    evaluation. The zero-rules common case returns ``df`` untouched
+    (no caching, no extra scan)."""
     import json as _json
 
     from delta_rs_spark.operators.alter import table_constraints
@@ -434,17 +450,28 @@ def enforce_write_rules(df: DataFrame, snapshot) -> None:
                 )
             )
     if not checks:
-        return
+        return df
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     bad = checks[0][1]
     for _, cond in checks[1:]:
         bad = bad | cond
-    if df.filter(bad).limit(1).count():
-        # one combined pass to detect, a second only on failure to name
-        # the violated rule
-        for label, cond in checks:
-            if df.filter(cond).limit(1).count():
-                raise DeltaError(label)
-        raise DeltaError("write rule violated")
+    try:
+        # the zero-violations conclusion requires scanning every
+        # partition, so this one job fully materializes the cache the
+        # subsequent write reads
+        if df.filter(bad).limit(1).count():
+            # one combined pass to detect, a second (cache-read) only on
+            # failure to name the violated rule
+            for label, cond in checks:
+                if df.filter(cond).limit(1).count():
+                    raise DeltaError(label)
+            raise DeltaError("write rule violated")
+    except BaseException:
+        df.unpersist()
+        raise
+    return df
 
 
 def write_deltalake(

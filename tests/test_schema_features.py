@@ -184,6 +184,37 @@ def test_variant_stats_fallback_skips_pruning_soundly(spark, tmp_path):
     assert [r.id for r in rows] == [57]
 
 
+def test_variant_write_partitioned(spark, tmp_path):
+    """Variant write to a PARTITIONED table: the stats fallback must not
+    reference partition columns (directory-encoded, absent from the
+    scanned files — r05 advice). Stats carry the physical columns only;
+    partition pruning and value round-trip still work."""
+    path = str(tmp_path / "variant_part")
+    df = _variant_df(spark, 20).withColumn("bucket", F.col("id") % 2)
+    write_deltalake(path, df, partition_by=["bucket"])
+    t = DeltaTable(path, spark=spark)
+    add = next(iter(t._snapshot.files.values()))
+    st = json.loads(add.stats)
+    assert st["numRecords"] > 0
+    assert "id" in st["minValues"] and "bucket" not in st["minValues"]
+    assert add.partition_values.get("bucket") in {"0", "1"}
+    got = t.to_df(predicate="bucket = 1").select(
+        F.try_variant_get("v", "$.a", "long").alias("a")
+    )
+    assert sorted(r.a for r in got.collect()) == list(range(1, 20, 2))
+    # mutation on the partitioned variant table exercises the fallback
+    # again through the rewrite path
+    t.update({"v": "parse_json('{\"a\": -1}')"}, predicate="id = 3")
+    t.refresh()
+    assert (
+        t.to_df(predicate="id = 3")
+        .select(F.try_variant_get("v", "$.a", "long").alias("a"))
+        .collect()[0]
+        .a
+        == -1
+    )
+
+
 def test_update_recomputes_generated_columns(spark, tmp_path):
     """UPDATE must recompute generated columns it did not assign, from
     the post-update values (delta-spark semantics; MERGE already did via

@@ -498,6 +498,37 @@ def test_read_append_stream_max_files_per_trigger(spark, tmp_path, sample_df):
     assert len(batches) >= 3
 
 
+def test_read_append_stream_starting_version_zero_capped(spark, tmp_path, sample_df):
+    """startingVersion=0 + maxFilesPerTrigger: the WHOLE history replays
+    as commit batches (not one snapshot batch), capped from the very
+    first batch (r05 advice: the _prev<0 guard disabled the cap and the
+    start<0 branch wrongly took the snapshot path)."""
+    table = str(tmp_path / "sv0_cap")
+    write_deltalake(table, sample_df.coalesce(1))            # v0
+    for _ in range(3):                                       # v1..v3
+        write_deltalake(table, sample_df.coalesce(1), mode="append")
+    stream = read_append_stream(
+        spark, table, starting_version=0, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sv0_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sv0"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # all four versions' rows arrive (v0 included — replayed as a commit,
+    # not skipped, not snapshot-deduplicated)
+    assert spark.sql("SELECT count(*) FROM sv0_out").collect()[0][0] == 20
+    # and the catch-up was split: 1-file commits under a 1-file cap means
+    # >= 3 separate non-empty micro-batches, the first one capped too
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3
+    assert max(p["numInputRows"] for p in batches) <= 5
+
+
 def test_corpus_ingest_with_near_dup_stage(spark, tmp_path):
     """Ingest with BOTH indexes: a near-duplicate of history (one word
     changed — same fp fails, band probe catches it) is dropped; a fresh
