@@ -55,6 +55,22 @@ class MergeError(DeltaError):
     pass
 
 
+def _sql_literal(v: Any) -> str:
+    """A collected Python value as a SQL literal the early-filter
+    language (plans.skipping parse path and Spark SQL) both read."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    return str(v)
+
+
 def _recompute_generated(df: DataFrame, schema, cols: list[str], coded_clauses) -> DataFrame:
     """Recompute generated columns on rows an update clause touched,
     unless that clause assigned the column explicitly — evaluated over the
@@ -241,16 +257,76 @@ class TableMerger:
                 pairs.append((m.group(2), m.group(1)))
         return pairs
 
-    def _strip_target_only_predicate(self, source_df: DataFrame) -> str | None:
+    # distinct source partition combinations above this count fall back
+    # to min/max BETWEEN (bounds the driver collect and the predicate
+    # string; the reference expands uncapped — filter.rs:353-368)
+    _PARTITION_IN_CAP = 1024
+
+    def _strip_target_only_predicate(
+        self, source_df: DataFrame, part_cols: list[str]
+    ) -> str | None:
         """Early-filter construction (reference: merge/filter.rs
-        try_construct_early_filter): for equi-join conjuncts
-        ``target.col = source.col`` aggregate source min/max and emit a
-        BETWEEN pruning predicate on the target column. Only safe when the
-        predicate is a pure conjunction — an OR/NOT branch would make the
-        extracted pairs non-binding and over-prune (skip entirely then)."""
+        try_construct_early_filter + generalize_filter): for equi-join
+        conjuncts ``target.col = source.col``,
+
+        - PARTITION target columns get an ``IN (...)`` conjunct over the
+          source's DISTINCT values (filter.rs:324-368 — "conjunction
+          between the distinct partitions"): sparse, non-contiguous
+          source keys then prune whole partitions a min/max BETWEEN
+          would over-include;
+        - non-partition columns get min/max BETWEEN on the file stats.
+
+        Both come from ONE grouped aggregation over the source (group by
+        the partition-pair columns, min/max the stats-pair columns);
+        above _PARTITION_IN_CAP distinct combinations everything falls
+        back to one global min/max pass. Source NULL keys never
+        equi-match, so dropping them from the lists is exact. Only safe
+        when the predicate is a pure conjunction — an OR/NOT branch
+        would make the extracted pairs non-binding and over-prune (skip
+        entirely then)."""
         pairs = self._equi_join_pairs()
         if not pairs:
             return None
+        part_set = set(part_cols)
+        part_pairs = [p for p in pairs if p[0] in part_set]
+        stats_pairs = [p for p in pairs if p[0] not in part_set]
+        if part_pairs:
+            cap = self._PARTITION_IN_CAP
+            keys = [
+                F.col(sc).alias(f"p{i}") for i, (_tc, sc) in enumerate(part_pairs)
+            ]
+            aggs = []
+            for i, (_tc, sc) in enumerate(stats_pairs):
+                aggs.append(F.min(sc).alias(f"mn{i}"))
+                aggs.append(F.max(sc).alias(f"mx{i}"))
+            grouped = (
+                source_df.groupBy(*keys).agg(*aggs)
+                if aggs
+                else source_df.select(*keys).distinct()
+            )
+            rows = grouped.limit(cap + 1).collect()
+            if rows and len(rows) <= cap:
+                conj = []
+                for i, (tc, _sc) in enumerate(part_pairs):
+                    vals = {r[f"p{i}"] for r in rows} - {None}
+                    if vals:
+                        try:
+                            ordered = sorted(vals)
+                        except TypeError:
+                            ordered = sorted(vals, key=repr)
+                        lits = ", ".join(_sql_literal(v) for v in ordered)
+                        conj.append(f"{tc} IN ({lits})")
+                for i, (tc, _sc) in enumerate(stats_pairs):
+                    # the group set is complete (<= cap), so min/max over
+                    # the per-group aggregates equals the global bounds
+                    mns = [r[f"mn{i}"] for r in rows if r[f"mn{i}"] is not None]
+                    mxs = [r[f"mx{i}"] for r in rows if r[f"mx{i}"] is not None]
+                    if mns and mxs:
+                        conj.append(
+                            f"{tc} >= {_sql_literal(min(mns))}"
+                            f" AND {tc} <= {_sql_literal(max(mxs))}"
+                        )
+                return " AND ".join(conj) if conj else None
         aggs = []
         for i, (_tc, sc) in enumerate(pairs):
             aggs.append(F.min(sc).alias(f"mn{i}"))
@@ -261,9 +337,7 @@ class TableMerger:
             mn, mx = row[f"mn{i}"], row[f"mx{i}"]
             if mn is None or mx is None:
                 continue
-            if isinstance(mn, str):
-                mn, mx = "'" + mn.replace("'", "''") + "'", "'" + str(mx).replace("'", "''") + "'"
-            conj.append(f"{tc} >= {mn} AND {tc} <= {mx}")
+            conj.append(f"{tc} >= {_sql_literal(mn)} AND {tc} <= {_sql_literal(mx)}")
         return " AND ".join(conj) if conj else None
 
     def execute(self) -> dict[str, Any]:
@@ -309,7 +383,7 @@ class TableMerger:
         )
         from delta_rs_spark.plans.column_mapping import snapshot_physical_of
 
-        early = self._strip_target_only_predicate(source_df)
+        early = self._strip_target_only_predicate(source_df, part_cols)
         candidates = (
             prune_files(all_adds, early, part_cols, col_types, snapshot_physical_of(snapshot))
             if early

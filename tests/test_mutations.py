@@ -259,3 +259,109 @@ def test_constraints_enforced_on_dv_update(spark, tmp_path, sample_df):
         t.update({"price": "-1"}, predicate="id = '2'")
     t.refresh()
     assert sorted(r.price for r in t.to_df().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_merge_early_filter_partition_in_list(spark, tmp_path):
+    """Early filter on a PARTITIONED target with sparse source keys
+    (reference merge/filter.rs:324-368 "conjunction between the distinct
+    partitions", pinned by its test at :685-707): the partition column
+    gets an IN list over the source's distinct values, so partitions
+    BETWEEN would over-include are skipped — bucket IN (0, 9) touches 2
+    of 10 partition files where bucket BETWEEN 0 AND 9 touches all 10."""
+    from delta_rs_spark.plans.skipping import prune_files
+
+    path = str(tmp_path / "part_merge")
+    base = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        F.lit("old").alias("val"),
+    )
+    write_deltalake(path, base.repartition(1), partition_by=["bucket"])
+    t = DeltaTable(path, spark=spark)
+    assert len(t.files()) == 10
+
+    src = spark.createDataFrame(
+        [(0, 0, "new0"), (9, 9, "new9")], "id long, bucket long, val string"
+    )
+    mb = (
+        t.merge(src, "target.bucket = source.bucket AND target.id = source.id")
+        .when_matched_update({"val": "source.val"})
+    )
+    early = mb._strip_target_only_predicate(src, ["bucket"])
+    assert "bucket IN (0, 9)" in early
+    assert "id >= 0 AND id <= 9" in early
+    adds = list(t._snapshot.files.values())
+    kept = prune_files(adds, early, ["bucket"], {"bucket": "long", "id": "long"})
+    assert len(kept) == 2
+    # the old BETWEEN form keeps every partition — the gap this closes
+    kept_between = prune_files(
+        adds, "bucket >= 0 AND bucket <= 9", ["bucket"],
+        {"bucket": "long", "id": "long"},
+    )
+    assert len(kept_between) == 10
+
+    m = mb.execute()
+    assert m["num_target_rows_updated"] == 2
+    t.refresh()
+    got = {r.id: r.val for r in t.to_df(predicate="val = 'new0' OR val = 'new9'").collect()}
+    assert got == {0: "new0", 9: "new9"}
+    assert t.count() == 100
+
+
+def test_merge_early_filter_in_cap_falls_back_to_between(spark, tmp_path, monkeypatch):
+    """Past _PARTITION_IN_CAP distinct source partition values the early
+    filter falls back to the global min/max BETWEEN (bounded driver
+    collect and predicate size)."""
+    from delta_rs_spark.operators import merge as merge_mod
+
+    path = str(tmp_path / "cap_merge")
+    base = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket"), F.lit("x").alias("val")
+    )
+    write_deltalake(path, base.repartition(1), partition_by=["bucket"])
+    t = DeltaTable(path, spark=spark)
+    src = spark.createDataFrame(
+        [(1, 1, "a"), (13, 1, "b"), (3, 3, "c")], "id long, bucket long, val string"
+    )
+    mb = (
+        t.merge(src, "target.bucket = source.bucket AND target.id = source.id")
+        .when_matched_update({"val": "source.val"})
+    )
+    monkeypatch.setattr(merge_mod.TableMerger, "_PARTITION_IN_CAP", 1)
+    early = mb._strip_target_only_predicate(src, ["bucket"])
+    assert "IN" not in early
+    assert "bucket >= 1 AND bucket <= 3" in early
+    assert "id >= 1 AND id <= 13" in early
+
+
+def test_merge_early_filter_string_and_date_partitions(spark, tmp_path):
+    """IN-list literal formatting: string values quoted (with escaping),
+    DATE values as typed literals — both round-trip through the pruning
+    parser."""
+    from delta_rs_spark.plans.skipping import prune_files
+
+    path = str(tmp_path / "strdate_merge")
+    base = spark.createDataFrame(
+        [(i, chr(97 + i % 5), f"2024-01-{(i % 5) + 1:02d}") for i in range(20)],
+        "id long, cat string, d string",
+    ).select("id", "cat", F.col("d").cast("date").alias("d"))
+    write_deltalake(path, base.repartition(1), partition_by=["cat", "d"])
+    t = DeltaTable(path, spark=spark)
+    src = base.filter("cat = 'a' OR cat = 'e'").limit(8)
+    mb = (
+        t.merge(
+            src,
+            "target.cat = source.cat AND target.d = source.d AND target.id = source.id",
+        ).when_matched_update({"id": "source.id"})
+    )
+    early = mb._strip_target_only_predicate(src, ["cat", "d"])
+    assert "cat IN ('a', 'e')" in early
+    assert "DATE '" in early
+    adds = list(t._snapshot.files.values())
+    kept = prune_files(
+        adds, early, ["cat", "d"],
+        {"cat": "string", "d": "date", "id": "long"},
+    )
+    assert 0 < len(kept) < len(adds)
+    for a in kept:
+        assert a.partition_values["cat"] in {"a", "e"}
