@@ -76,6 +76,49 @@ def load_cdf(
     else:
         snap = snap_mod.Snapshot(table_path=table_path)
 
+    # file-level pruning (reference load_cdf.rs:64-68, :357-359 —
+    # "used ONLY to prune files by their partition values"): the
+    # partition-only conjuncts of ``predicate`` drop CDC/Add/Remove
+    # files from non-matching partitions BEFORE any read; the full
+    # predicate still runs as the residual row filter at the end, so
+    # non-partition conjuncts and inexact ones cost nothing in
+    # correctness. Without this a partition-scoped load_cdf pays a full
+    # range scan.
+    from delta_rs_spark.plans.skipping import (
+        col_types_from_schema_json,
+        parse_conjuncts,
+    )
+
+    pred_conjuncts = parse_conjuncts(predicate) if predicate else []
+
+    def _partition_prune(actions_list, snap):
+        if not pred_conjuncts:
+            return actions_list
+        pcols = snap.partition_columns
+        if not pcols:
+            return actions_list
+        from delta_rs_spark.plans import column_mapping as cmap
+
+        ctypes = col_types_from_schema_json(json.loads(snap.schema_string))
+        physical_of = cmap.snapshot_physical_of(snap)
+        part_conj = [c for c in pred_conjuncts if c.col in pcols]
+        if not part_conj:
+            return actions_list
+
+        def _may_match(a) -> bool:
+            pv = getattr(a, "partition_values", None)
+            if pv is None:
+                return True  # e.g. a Remove without extended metadata
+            for c in part_conj:
+                key = (physical_of or {}).get(c.col, c.col)
+                if key not in pv:
+                    # value not recorded: an absent key would read as
+                    # NULL and wrongly prune — keep conservatively
+                    return True
+            return all(c.keep(a, pcols, ctypes, physical_of) for c in part_conj)
+
+        return [a for a in actions_list if _may_match(a)]
+
     parts: list[DataFrame] = []
     for v in range(starting_version, ending_version + 1):
         try:
@@ -96,9 +139,18 @@ def load_cdf(
         )
         ts_col = F.timestamp_millis(F.lit(ts_ms))
 
-        cdc = [a for a in actions if isinstance(a, AddCDCFile)]
-        adds = [a for a in actions if isinstance(a, Add) and a.data_change]
-        removes = [a for a in actions if isinstance(a, Remove) and a.data_change]
+        raw_cdc = [a for a in actions if isinstance(a, AddCDCFile)]
+        cdc = _partition_prune(raw_cdc, snap)
+        adds = _partition_prune(
+            [a for a in actions if isinstance(a, Add) and a.data_change], snap
+        )
+        removes = _partition_prune(
+            [a for a in actions if isinstance(a, Remove) and a.data_change], snap
+        )
+        if raw_cdc and not cdc:
+            # the commit's changes all live in pruned partitions; falling
+            # through would wrongly re-synthesize from Add/Remove
+            continue
 
         if cdc:
             from delta_rs_spark.plans import column_mapping as cmap

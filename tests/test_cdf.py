@@ -90,3 +90,75 @@ def test_cdf_synthesis_on_dv_commit_is_the_dv_diff(spark, tmp_path):
     v2 = sorted(r.id for r in changes if r._commit_version == 2)
     assert v1 == list(range(7))
     assert v2 == [7, 8, 9]
+
+
+def test_cdf_partition_predicate_prunes_files(spark, tmp_path):
+    """A partition-scoped load_cdf must read ONLY that partition's
+    change files (reference load_cdf.rs:357-359 prunes cdc/add/remove
+    specs by the partition-only predicate before reading). Proven the
+    hard way: every other partition's data AND cdc files are deleted
+    from disk — without file-level pruning the read itself fails."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "cdf_prune")
+    base = spark.range(20).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("cat"),
+        F.lit(0).alias("n"),
+    )
+    write_deltalake(
+        path, base.repartition(1), partition_by=["cat"], configuration=CDF_CONF
+    )
+    t = DeltaTable(path, spark=spark)
+    # v1: append to both partitions (synthesized inserts from Adds)
+    write_deltalake(
+        path,
+        base.withColumn("id", F.col("id") + 100).repartition(1),
+        mode="append",
+    )
+    # v2: update rows in BOTH partitions -> cdc files in both partitions
+    t.update({"n": "n + 1"}, predicate="id >= 100")
+
+    # nuke everything outside cat=1: data files and cdc files alike
+    victims = [
+        p
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if "cat=1" not in p and "__cdc_p_0=1" not in p
+    ]
+    assert victims, "expected prunable files for cat=0"
+    for p in victims:
+        os.remove(p)
+
+    got = t.load_cdf(starting_version=1, predicate="cat = '1'").collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert len(by_type["insert"]) == 10              # v1 cat=1 appends
+    assert len(by_type["update_preimage"]) == 10     # v2 cdc, cat=1 only
+    assert len(by_type["update_postimage"]) == 10
+    assert all(r["cat"] == "1" for r in got)
+    # and the unscoped read now fails — the pruning really was the only
+    # thing keeping the missing files out of the plan
+    with pytest.raises(Exception):
+        t.load_cdf(starting_version=1).collect()
+
+
+def test_cdf_partition_predicate_full_commit_pruned(spark, tmp_path):
+    """A commit whose cdc files ALL live in pruned partitions contributes
+    nothing — and must not fall back to Add/Remove synthesis."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "cdf_prune_all")
+    base = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("cat"), F.lit(0).alias("n")
+    )
+    write_deltalake(
+        path, base.repartition(1), partition_by=["cat"], configuration=CDF_CONF
+    )
+    t = DeltaTable(path, spark=spark)
+    t.update({"n": "n + 1"}, predicate="cat = '0'")   # v1 touches cat=0 only
+    got = t.load_cdf(starting_version=1, predicate="cat = '1'").collect()
+    assert got == []
