@@ -712,6 +712,10 @@ class TableMerger:
             "num_target_rows_updated_by_source_miss": int(n_nmbs_updated),
             "num_target_files_added": len(new_adds),
             "num_target_files_removed": len(removes),
+            # early-filter visibility (reference mod.rs:691-693): how many
+            # files the scan touched vs skipped outright by the filter
+            "num_target_files_scanned": len(candidates),
+            "num_target_files_skipped_during_scan": len(all_adds) - len(candidates),
             "num_output_rows": int(sum(a.num_records() or 0 for a in new_adds)),
         }
         if dv_mode:
