@@ -230,6 +230,79 @@ class TableMerger:
                 pairs.append((b[1], a[1]))
         return pairs
 
+    _STATIC_CMP = {
+        "EqualTo": "=",
+        "LessThan": "<",
+        "LessThanOrEqual": "<=",
+        "GreaterThan": ">",
+        "GreaterThanOrEqual": ">=",
+    }
+
+    def _static_target_conjuncts(self) -> list[str]:
+        """Target-only static conjuncts of the join predicate — e.g.
+        ``target.cat = 'b'`` in ``t.cat = 'b' AND t.id = s.id`` — kept in
+        the early filter so a partition-scoped merge prunes by them
+        (reference merge/filter.rs generalize_filter's NoReference case:
+        conjuncts without a source reference pass through verbatim).
+        Same binding-conjunct rule as _equi_join_pairs: only members of
+        the flattened top-level And chain qualify; the whitelist (cmp /
+        IN / IS [NOT] NULL between a target-qualified attribute and
+        literals) is exactly the language plans.skipping prunes on."""
+        try:
+            root = (
+                self.dt.spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parseExpression(self.predicate)
+            )
+        except Exception:
+            return []
+        t, _s = self._aliases()
+
+        def flatten_and(e):
+            if e.getClass().getSimpleName() == "And":
+                yield from flatten_and(e.left())
+                yield from flatten_and(e.right())
+            else:
+                yield e
+
+        def tcol(e) -> str | None:
+            if e.getClass().getSimpleName() != "UnresolvedAttribute":
+                return None
+            parts = e.nameParts()
+            if parts.size() != 2 or str(parts.apply(0)).lower() != t.lower():
+                return None
+            return str(parts.apply(1))
+
+        def lit_sql(e) -> str | None:
+            return e.sql() if e.getClass().getSimpleName() == "Literal" else None
+
+        out: list[str] = []
+        for conj in flatten_and(root):
+            cls = conj.getClass().getSimpleName()
+            if cls in self._STATIC_CMP:
+                op = self._STATIC_CMP[cls]
+                c, lit = tcol(conj.left()), lit_sql(conj.right())
+                if c is not None and lit is not None:
+                    out.append(f"{c} {op} {lit}")
+                    continue
+                c, lit = tcol(conj.right()), lit_sql(conj.left())
+                if c is not None and lit is not None:
+                    out.append(f"{lit} {op} {c}")
+            elif cls == "In":
+                c = tcol(conj.value())
+                if c is None:
+                    continue
+                lits = [lit_sql(conj.list().apply(i)) for i in range(conj.list().size())]
+                if all(x is not None for x in lits):
+                    out.append(f"{c} IN ({', '.join(lits)})")
+            elif cls in ("IsNull", "IsNotNull"):
+                c = tcol(conj.child())
+                if c is not None:
+                    out.append(
+                        f"{c} IS NULL" if cls == "IsNull" else f"{c} IS NOT NULL"
+                    )
+        return out
+
     def _equi_join_pairs_regex(self) -> list[tuple[str, str]]:
         """Regex fallback (pre-AST formulation): whole-conjunct
         ``t.col = s.col`` matching, disabled entirely under top-level
@@ -284,9 +357,12 @@ class TableMerger:
         when the predicate is a pure conjunction — an OR/NOT branch
         would make the extracted pairs non-binding and over-prune (skip
         entirely then)."""
+        static = self._static_target_conjuncts()
         pairs = self._equi_join_pairs()
         if not pairs:
-            return None
+            # static-only filter (reference filter.rs: "return our filter
+            # with static only predicates")
+            return " AND ".join(static) if static else None
         part_set = set(part_cols)
         part_pairs = [p for p in pairs if p[0] in part_set]
         stats_pairs = [p for p in pairs if p[0] not in part_set]
@@ -306,7 +382,7 @@ class TableMerger:
             )
             rows = grouped.limit(cap + 1).collect()
             if rows and len(rows) <= cap:
-                conj = []
+                conj = list(static)
                 for i, (tc, _sc) in enumerate(part_pairs):
                     vals = {r[f"p{i}"] for r in rows} - {None}
                     if vals:
@@ -332,7 +408,7 @@ class TableMerger:
             aggs.append(F.min(sc).alias(f"mn{i}"))
             aggs.append(F.max(sc).alias(f"mx{i}"))
         row = source_df.agg(*aggs).collect()[0]
-        conj = []
+        conj = list(static)
         for i, (tc, _sc) in enumerate(pairs):
             mn, mx = row[f"mn{i}"], row[f"mx{i}"]
             if mn is None or mx is None:

@@ -365,3 +365,52 @@ def test_merge_early_filter_string_and_date_partitions(spark, tmp_path):
     assert 0 < len(kept) < len(adds)
     for a in kept:
         assert a.partition_values["cat"] in {"a", "e"}
+
+
+def test_merge_early_filter_static_target_conjuncts(spark, tmp_path):
+    """Static target-only conjuncts in the join predicate pass through
+    to the early filter (reference generalize_filter's NoReference arm):
+    't.bucket = 3 AND t.id = s.id' prunes to partition 3 even though the
+    source has no partition keys at all."""
+    from delta_rs_spark.plans.skipping import prune_files
+
+    path = str(tmp_path / "static_merge")
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("bucket"), F.lit("old").alias("val")
+    )
+    write_deltalake(path, base.repartition(1), partition_by=["bucket"])
+    t = DeltaTable(path, spark=spark)
+    src = spark.createDataFrame([(3, "new3"), (13, "new13")], "id long, val string")
+    mb = (
+        t.merge(src, "target.bucket = 3 AND target.id = source.id")
+        .when_matched_update({"val": "source.val"})
+    )
+    early = mb._strip_target_only_predicate(src, ["bucket"])
+    assert "bucket = 3" in early
+    assert "id >= 3 AND id <= 13" in early
+    adds = list(t._snapshot.files.values())
+    kept = prune_files(adds, early, ["bucket"], {"bucket": "long", "id": "long"})
+    assert len(kept) == 1 and kept[0].partition_values["bucket"] == "3"
+    m = mb.execute()
+    assert m["num_target_rows_updated"] == 2
+    assert m["num_target_files_scanned"] == 1
+    assert m["num_target_files_skipped_during_scan"] == 9
+    t.refresh()
+    assert {r.id for r in t.to_df(predicate="val like 'new%'").collect()} == {3, 13}
+
+
+def test_merge_early_filter_static_only(spark, tmp_path):
+    """A merge predicate with NO equi-join pairs but a static partition
+    conjunct still gets an early filter from the static part alone."""
+    path = str(tmp_path / "static_only")
+    base = spark.range(20).select(
+        F.col("id"), (F.col("id") % 2).alias("bucket"), F.lit("old").alias("val")
+    )
+    write_deltalake(path, base.repartition(1), partition_by=["bucket"])
+    t = DeltaTable(path, spark=spark)
+    src = spark.createDataFrame([(99, "x")], "id long, val string")
+    mb = t.merge(
+        src, "target.bucket = 1 AND target.id > source.id"
+    ).when_matched_update({"val": "source.val"})
+    early = mb._strip_target_only_predicate(src, ["bucket"])
+    assert early == "bucket = 1"
