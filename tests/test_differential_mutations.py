@@ -91,7 +91,8 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
     }
     for i in range(n_ops):
         op = rng.choice(
-            ["delete", "update", "append", "merge_upsert", "merge_delete", "restore"]
+            ["delete", "update", "append", "merge_upsert", "merge_delete",
+             "merge_keyed", "restore"]
             + list(maintenance)
         )
         if i == n_ops - 2:
@@ -166,6 +167,43 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
             con.execute("UPDATE t SET v = src.v, s = src.s FROM src WHERE t.id = src.id")
             con.execute("INSERT INTO t SELECT * FROM src WHERE id NOT IN (SELECT id FROM t)")
             dt.refresh()
+        elif op == "merge_keyed":
+            # composite-key merge with the partition column in the join
+            # (r06: exercises the partition IN-list early filter under
+            # every config) plus a static target conjunct variant
+            # one row per id (min k): a duplicate source id under the
+            # static join form would be an ambiguous multi-match
+            pairs = con.execute("SELECT id, min(k) FROM t GROUP BY id").fetchall()
+            hit = rng.sample(pairs, min(4, len(pairs))) if pairs else []
+            src_rows = [
+                (i, kk, float(rng.randint(0, 999)), "kx") for i, kk in hit
+            ] + _gen_rows(rng, 3, next_id)
+            next_id += 3
+            src = spark.createDataFrame(src_rows, SCHEMA)
+            static_k = rng.randint(0, 9)
+            use_static = rng.random() < 0.5
+            pred = (
+                f"t.k = {static_k} AND t.id = s.id"
+                if use_static
+                else "t.k = s.k AND t.id = s.id"
+            )
+            applied[-1] += "(static)" if use_static else "(equi)"
+            (
+                dt.merge(src, pred, source_alias="s", target_alias="t")
+                .when_matched_update({"v": "s.v", "s": "s.s"})
+                .execute()
+            )
+            con.execute("CREATE OR REPLACE TEMP TABLE src AS SELECT * FROM t LIMIT 0")
+            con.executemany("INSERT INTO src VALUES (?, ?, ?, ?)", src_rows)
+            join = (
+                f"t.k = {static_k} AND t.id = src.id"
+                if use_static
+                else "t.k = src.k AND t.id = src.id"
+            )
+            con.execute(
+                f"UPDATE t SET v = src.v, s = src.s FROM src WHERE {join}"
+            )
+            dt.refresh()
         elif op == "merge_delete":
             existing = [r[0] for r in con.execute("SELECT id FROM t").fetchall()]
             hit = rng.sample(existing, min(4, len(existing))) if existing else []
@@ -211,6 +249,24 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
                 continue
             seen.add(v)
             changes = dt.load_cdf(starting_version=v, ending_version=v).collect()
+            # r06: a partition-scoped read must equal the unpruned read
+            # filtered to that partition — validates the file-level
+            # pruning (engaged on partitioned configs, no-op otherwise)
+            kk = rng.randint(0, 9)
+            scoped = dt.load_cdf(
+                starting_version=v, ending_version=v, predicate=f"k = {kk}"
+            ).collect()
+            want_scoped = sorted(
+                (r.id, r.k, round(r.v, 6), r.s, r._change_type)
+                for r in changes
+                if r.k == kk
+            )
+            got_scoped = sorted(
+                (r.id, r.k, round(r.v, 6), r.s, r._change_type) for r in scoped
+            )
+            assert got_scoped == want_scoped, (
+                f"partition-scoped CDF diverged at v{v} (k={kk})"
+            )
             for r in changes:
                 row = (r.id, r.k, round(r.v, 6), r.s)
                 if r._change_type in ("insert", "update_postimage"):
