@@ -84,6 +84,7 @@ _RELATIONAL_REPRESENTATIVES = (
 _FIRST_WITNESS_NEEDED = (
     # new in r06 (previously pytest-only operators):
     "llm_embedding_outliers",  # embedding-space outlier filter (percentile fence)
+    "llm_quality_classifier",  # distributed logistic regression (iterative, full oracle)
 )
 
 

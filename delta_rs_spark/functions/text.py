@@ -698,3 +698,95 @@ def corpus_profile(
             )
         ).alias("metric", "value")
     )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    n_iter: int = 2,
+    lr: float = 0.5,
+) -> list[float]:
+    """Distributed logistic regression over the text-quality features
+    (bias, length score, stopword score, punctuation density) — the
+    "train a quality filter on the cluster" step pipelines run with a
+    curated seed set as the label (here any boolean Column; the gate
+    query uses lang='en' as a stand-in). Full-batch gradient descent
+    with a FIXED iteration count, built deterministic for cross-engine
+    replay (same discipline as similarity.kmeans):
+
+    - the sigmoid is snapped to a 1e-6 grid, the one place a non-IEEE
+      op (exp, 1-ulp implementation freedom) enters; everything else is
+      IEEE-exact arithmetic both engines reproduce bit-for-bit;
+    - per-row gradient contributions are quantized to BIGINT on a 1e9
+      grid before the sum, so partial aggregation is order-independent
+      (the q9 integer-cents pattern);
+    - weight updates happen driver-side on the k+1 integer sums — the
+      model, not the data, crosses the driver boundary (one narrow agg
+      per iteration; the feature frame computes fresh per pass, no
+      cache pinned across iterations).
+
+    Returns [w0 (bias), w_len, w_stop, w_punct]."""
+    c = F.col(text_col)
+    n_tok = token_count(c).cast("double")
+    n_char = char_count(c).cast("double")
+    sw = stopword_count(c).cast("double")
+    pn = punct_count(c).cast("double")
+    feats = df.select(
+        F.when(label, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)).alias("x1"),
+        F.least(sw / F.greatest(n_tok, F.lit(1.0)) * F.lit(4.0), F.lit(1.0)).alias("x2"),
+        F.least(pn / F.greatest(n_char, F.lit(1.0)) * F.lit(10.0), F.lit(1.0)).alias("x3"),
+    )
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(n_iter):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.round((F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6)) / F.lit(1e6)
+        d = p - F.col("y")
+        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs.append(F.sum(F.round(d * F.lit(1e9)).cast("long")).alias("s0"))
+        for j in (1, 2, 3):
+            aggs.append(
+                F.sum(F.round((d * xs[j]) * F.lit(1e9)).cast("long")).alias(f"s{j}")
+            )
+        row = feats.agg(*aggs).collect()[0]
+        n = float(row["n"])
+        w = [w[j] - lr * (float(row[f"s{j}"]) / 1e9 / n) for j in range(4)]
+    return w
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Score documents with a trained quality classifier: (id_cols...,
+    score, is_quality) where score = sigmoid(w.x) rounded to 6dp and
+    is_quality fences at 0.5 on the ROUNDED score (so the boolean is as
+    replayable as the score). One codegen map pass, no shuffle."""
+    c = F.col(text_col)
+    n_tok = token_count(c).cast("double")
+    n_char = char_count(c).cast("double")
+    sw = stopword_count(c).cast("double")
+    pn = punct_count(c).cast("double")
+    x1 = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    x2 = F.least(sw / F.greatest(n_tok, F.lit(1.0)) * F.lit(4.0), F.lit(1.0))
+    x3 = F.least(pn / F.greatest(n_char, F.lit(1.0)) * F.lit(10.0), F.lit(1.0))
+    z = (
+        F.lit(weights[0])
+        + F.lit(weights[1]) * x1
+        + F.lit(weights[2]) * x2
+        + F.lit(weights[3]) * x3
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    cols = [F.col(c_) for c_ in (id_cols or ["doc_id"])]
+    return df.select(
+        *cols, score.alias("score"), (score >= F.lit(0.5)).alias("is_quality")
+    )

@@ -1610,3 +1610,68 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     4dp distance, and the per-cluster discrete quantile fence."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_outliers(emb, k=8, n_iter=2, quantile=0.95)
+
+
+def _lr_z(w: str) -> str:
+    # mirrors the Spark association order exactly:
+    # ((w0 + w1*x1) + w2*x2) + w3*x3
+    return f"({w}.a0 + {w}.a1 * x1 + {w}.a2 * x2 + {w}.a3 * x3)"
+
+
+def _lr_grad(z: str) -> str:
+    p = f"round(1.0/(1.0+exp(-{z})) * 1000000.0)/1000000.0"
+    return f"""count(*)::DOUBLE AS n,
+        sum(CAST(round(({p} - y) * 1000000000.0) AS BIGINT)) AS s0,
+        sum(CAST(round((({p} - y) * x1) * 1000000000.0) AS BIGINT)) AS s1,
+        sum(CAST(round((({p} - y) * x2) * 1000000000.0) AS BIGINT)) AS s2,
+        sum(CAST(round((({p} - y) * x3) * 1000000000.0) AS BIGINT)) AS s3"""
+
+
+@query(
+    "llm_quality_classifier",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len({_TOKENS_SQL})::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}'))::DOUBLE AS sw,
+             len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS pn
+      FROM documents),
+    f AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             least(n_tok / 64.0, 1.0) AS x1,
+             least(sw / greatest(n_tok, 1.0) * 4.0, 1.0) AS x2,
+             least(pn / greatest(n_char, 1.0) * 10.0, 1.0) AS x3
+          FROM m),
+    w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3),
+    g1 AS (SELECT {_lr_grad(_lr_z('w0'))} FROM f CROSS JOIN w0),
+    w1 AS (SELECT w0.a0 - 0.5 * (CAST(g1.s0 AS DOUBLE)/1000000000.0/g1.n) AS a0,
+                  w0.a1 - 0.5 * (CAST(g1.s1 AS DOUBLE)/1000000000.0/g1.n) AS a1,
+                  w0.a2 - 0.5 * (CAST(g1.s2 AS DOUBLE)/1000000000.0/g1.n) AS a2,
+                  w0.a3 - 0.5 * (CAST(g1.s3 AS DOUBLE)/1000000000.0/g1.n) AS a3
+           FROM g1 CROSS JOIN w0),
+    g2 AS (SELECT {_lr_grad(_lr_z('w1'))} FROM f CROSS JOIN w1),
+    w2 AS (SELECT w1.a0 - 0.5 * (CAST(g2.s0 AS DOUBLE)/1000000000.0/g2.n) AS a0,
+                  w1.a1 - 0.5 * (CAST(g2.s1 AS DOUBLE)/1000000000.0/g2.n) AS a1,
+                  w1.a2 - 0.5 * (CAST(g2.s2 AS DOUBLE)/1000000000.0/g2.n) AS a2,
+                  w1.a3 - 0.5 * (CAST(g2.s3 AS DOUBLE)/1000000000.0/g2.n) AS a3
+           FROM g2 CROSS JOIN w1),
+    scored AS (SELECT doc_id,
+                      round(1.0/(1.0+exp(-{_lr_z('w2')})), 6) AS score
+               FROM f CROSS JOIN w2)
+    SELECT doc_id, score, score >= 0.5 AS is_quality FROM scored
+    """,
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression quality classifier
+    (text.train_quality_classifier + score): 2 full-batch GD iterations
+    over (bias, length, stopword, punctuation) features with lang='en'
+    as the stand-in label, then a scoring pass. The oracle replays BOTH
+    iterations in SQL — per-row gradients quantized to BIGINT on a 1e9
+    grid (order-independent sums), the sigmoid snapped to a 1e-6 grid
+    (the only non-IEEE op), weight updates as the identical IEEE
+    expression chain — making this the text-plane sibling of the
+    llm_kmeans_clusters iterative-algorithm check."""
+    docs = _docs(spark, sf_dir)
+    w = X.train_quality_classifier(docs, F.col("lang") == "en")
+    return X.score_quality_classifier(docs, w)

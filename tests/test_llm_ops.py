@@ -932,3 +932,27 @@ def test_embedding_outliers(spark, emb):
             assert all(r.dist > max_in or abs(r.dist - max_in) < 1e-9 for r in flagged) or min(
                 r.dist for r in flagged
             ) > max_in - 1e-9
+
+
+def test_quality_classifier_learns_separation(spark):
+    """2-iteration GD on a corpus where the label correlates with
+    length/stopword features must score positive docs above negative
+    ones, deterministically across runs."""
+    rows = []
+    for i in range(40):
+        # "good": long, stopword-rich prose; label True
+        rows.append((i, "the cat sat on the mat and the dog ran to the barn " * 4, True))
+        # "bad": short, punctuation-heavy fragment; label False
+        rows.append((100 + i, "x;;; y!!! z??? qqq,,,", False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, good boolean")
+    w = X.train_quality_classifier(df, F.col("good"))
+    assert len(w) == 4 and any(abs(x) > 1e-6 for x in w)
+    scored = X.score_quality_classifier(df, w).collect()
+    good = [r.score for r in scored if r.doc_id < 100]
+    bad = [r.score for r in scored if r.doc_id >= 100]
+    assert min(good) > max(bad)
+    # deterministic: second training run yields identical weights
+    assert X.train_quality_classifier(df, F.col("good")) == w
+    # is_quality fences on the rounded score
+    for r in scored:
+        assert r.is_quality == (r.score >= 0.5)
