@@ -466,3 +466,56 @@ def delta_dv_write_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt.refresh()
     assert files_before <= set(dt.files()) | kept_files
     return dt.to_df(columns=[c.strip() for c in _LI_COLS.split(",")])
+
+
+@query(
+    "delta_incremental_agg_op",
+    """
+    WITH base AS (SELECT l_orderkey, l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+                  FROM lineitem WHERE l_orderkey < 1500),
+    after_del AS (SELECT * FROM base WHERE NOT coalesce(l_orderkey % 3 = 0, false)),
+    after_upd AS (SELECT l_orderkey, l_returnflag,
+                         CASE WHEN l_orderkey % 4 = 1 THEN qty + 5 ELSE qty END AS qty
+                  FROM after_del),
+    appended AS (SELECT l_orderkey, l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+                 FROM lineitem WHERE l_orderkey >= 1500 AND l_orderkey < 2500),
+    final AS (SELECT * FROM after_upd UNION ALL SELECT * FROM appended)
+    SELECT l_returnflag, CAST(sum(qty) AS BIGINT) AS total, count(*) AS n_rows
+    FROM final GROUP BY l_returnflag
+    """,
+)
+def delta_incremental_agg_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py):
+    initialize a (l_returnflag -> sum(qty), count) aggregate table from
+    a CDF-enabled source, run a delete + update + append, then refresh
+    the aggregate by applying ONLY the change rows (load_cdf ->
+    per-group deltas -> null-safe MERGE, watermarked exactly-once via a
+    txn action in the same commit). The oracle recomputes the final
+    aggregate from the replayed mutation sequence — so the hash compare
+    proves the incremental path lands exactly where the recompute does."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.operators.incremental import maintain_aggregate
+
+    src = _scratch("incr_agg_src", sf_dir)
+    agg = _scratch("incr_agg", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    write_deltalake(
+        src,
+        li.filter("l_orderkey < 1500"),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    maintain_aggregate(spark, src, agg, ["l_returnflag"], "qty")
+    dt = DeltaTable(src, spark=spark)
+    dt.delete("l_orderkey % 3 = 0")
+    dt.update({"qty": "qty + 5"}, predicate="l_orderkey % 4 = 1")
+    write_deltalake(
+        src,
+        li.filter("l_orderkey >= 1500 AND l_orderkey < 2500"),
+        mode="append",
+    )
+    maintain_aggregate(spark, src, agg, ["l_returnflag"], "qty")
+    return DeltaTable(agg, spark=spark).to_df()

@@ -1,0 +1,130 @@
+"""Incremental aggregate maintenance (operators/incremental.py): the
+CDF -> per-group delta -> MERGE materialized-view loop, exactly-once
+via the transaction watermark."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.log.commit import DeltaError
+from delta_rs_spark.operators.incremental import maintain_aggregate
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _key(row):
+    return (row[0] is None, row[0], row[1], row[2])
+
+
+def _recompute(spark, src_path):
+    return sorted(
+        (
+            (r.k, r.total, r.n_rows)
+            for r in DeltaTable(src_path, spark=spark)
+            .to_df()
+            .groupBy("k")
+            .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        ),
+        key=_key,
+    )
+
+
+def _agg_state(spark, agg_path):
+    return sorted(
+        (
+            (r.k, r.total, r.n_rows)
+            for r in DeltaTable(agg_path, spark=spark).to_df().collect()
+        ),
+        key=_key,
+    )
+
+
+def test_incremental_agg_tracks_mutations(spark, tmp_path):
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 10).alias("v")
+    )
+    write_deltalake(src, df, configuration=CDF)
+    r = maintain_aggregate(spark, src, agg, ["k"], "v")
+    assert r["initialized"] and r["applied_through"] == 0
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+
+    t = DeltaTable(src, spark=spark)
+    t.delete("v >= 800")                                   # v1
+    t.update({"v": "v + 1"}, predicate="k = 2")            # v2
+    write_deltalake(
+        src,
+        spark.range(200, 230).select(
+            (F.col("id") % 7).alias("k"), (F.col("id") * 3).alias("v")
+        ),
+        mode="append",
+    )                                                      # v3
+    r = maintain_aggregate(spark, src, agg, ["k"], "v")
+    assert not r["initialized"] and r["applied_through"] == 3
+    assert r["n_change_rows"] > 0
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+
+    # exactly-once: replaying the maintenance is a no-op
+    before = _agg_state(spark, agg)
+    r2 = maintain_aggregate(spark, src, agg, ["k"], "v")
+    assert r2["n_change_rows"] == 0 and r2["applied_through"] == 3
+    assert _agg_state(spark, agg) == before
+
+
+def test_incremental_agg_group_lifecycle(spark, tmp_path):
+    """A group whose rows all disappear leaves the aggregate; a brand-new
+    group enters it."""
+    src = str(tmp_path / "src2")
+    agg = str(tmp_path / "agg2")
+    write_deltalake(
+        src,
+        spark.createDataFrame([(0, 1), (0, 2), (1, 5)], "k long, v long"),
+        configuration=CDF,
+    )
+    maintain_aggregate(spark, src, agg, ["k"], "v")
+    t = DeltaTable(src, spark=spark)
+    t.delete("k = 0")                                      # group 0 empties
+    write_deltalake(
+        src,
+        spark.createDataFrame([(9, 100)], "k long, v long"),
+        mode="append",
+    )                                                      # group 9 is new
+    maintain_aggregate(spark, src, agg, ["k"], "v")
+    assert _agg_state(spark, agg) == [(1, 5, 1), (9, 100, 1)]
+
+
+def test_incremental_agg_null_group_key(spark, tmp_path):
+    """NULL keys fold into one group, matching GROUP BY (null-safe join)."""
+    src = str(tmp_path / "src3")
+    agg = str(tmp_path / "agg3")
+    write_deltalake(
+        src,
+        spark.createDataFrame([(None, 1), (None, 2), (1, 5)], "k long, v long"),
+        configuration=CDF,
+    )
+    maintain_aggregate(spark, src, agg, ["k"], "v")
+    write_deltalake(
+        src,
+        spark.createDataFrame([(None, 10)], "k long, v long"),
+        mode="append",
+    )
+    maintain_aggregate(spark, src, agg, ["k"], "v")
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+    assert (None, 13, 3) in _agg_state(spark, agg)
+
+
+def test_incremental_agg_refuses_foreign_agg_table(spark, tmp_path):
+    """An agg table without the watermark must be refused, not blindly
+    re-applied (double-count protection)."""
+    src = str(tmp_path / "src4")
+    agg = str(tmp_path / "agg4")
+    write_deltalake(
+        src, spark.createDataFrame([(0, 1)], "k long, v long"), configuration=CDF
+    )
+    write_deltalake(
+        agg, spark.createDataFrame([(0, 1, 1)], "k long, total long, n_rows long")
+    )
+    with pytest.raises(DeltaError, match="watermark"):
+        maintain_aggregate(spark, src, agg, ["k"], "v")
