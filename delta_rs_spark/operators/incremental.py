@@ -37,6 +37,7 @@ def maintain_aggregate(
     group_cols: list[str],
     sum_col: str,
     app_id: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict[str, Any]:
     """Maintain ``agg_path`` = SELECT group_cols, sum(sum_col) AS total,
     count(*) AS n_rows FROM source GROUP BY group_cols — incrementally.
@@ -54,6 +55,12 @@ def maintain_aggregate(
     float sums drift from a recompute by reassociation, same as any
     incremental view. Returns {"applied_through", "n_change_rows",
     "initialized"}.
+
+    ``partition_by`` (a subset of ``group_cols``, applied at init)
+    bounds the apply-merge at scale: the deltas' distinct partition
+    values become an IN-list early filter, so a refresh touches only
+    the partitions its change batch lands in instead of rewriting
+    against the whole aggregate.
     """
     from delta_rs_spark import DeltaTable, write_deltalake
     from delta_rs_spark.operators.cdf import load_cdf
@@ -69,9 +76,12 @@ def maintain_aggregate(
         init = src.groupBy(*group_cols).agg(
             F.sum(sum_col).alias("total"), F.count(F.lit(1)).alias("n_rows")
         )
+        if partition_by and not set(partition_by) <= set(group_cols):
+            raise DeltaError("partition_by must be a subset of group_cols")
         write_deltalake(
             agg_path,
             init,
+            partition_by=list(partition_by) if partition_by else None,
             commit_properties=CommitProperties(
                 app_transactions=[(app_id, latest)]
             ),

@@ -181,15 +181,14 @@ class TableMerger:
         tree the same way).
 
         The predicate is parsed with the session's SQL parser, the
-        top-level ``And`` chain is flattened, and a conjunct binds a pair
-        only when it is ``EqualTo`` between two 2-part attributes
+        top-level ``And`` chain is flattened, and a conjunct binds a
+        (target_col, source_col, nullsafe) triple only when it is
+        ``EqualTo`` / ``EqualNullSafe`` between two 2-part attributes
         qualified by the two aliases (either order; backquotes,
         whitespace, and odd casing are the parser's problem, not ours).
-        Anything else — function-wrapped columns, arithmetic,
-        ``EqualNullSafe`` (min/max pruning would drop null-matching
-        rows), OR/NOT *inside* a conjunct — contributes nothing but, per
-        AND semantics, cannot invalidate pairs bound by sibling
-        conjuncts. A predicate whose root is OR yields no conjuncts and
+        Anything else — function-wrapped columns, arithmetic, OR/NOT
+        *inside* a conjunct — contributes nothing but, per AND
+        semantics, cannot invalidate pairs bound by sibling conjuncts. A predicate whose root is OR yields no conjuncts and
         therefore no early filter. Falls back to conservative regex
         matching when the JVM parser is unreachable."""
         try:
@@ -219,15 +218,21 @@ class TableMerger:
 
         pairs = []
         for conj in flatten_and(root):
-            if conj.getClass().getSimpleName() != "EqualTo":
+            cls = conj.getClass().getSimpleName()
+            if cls not in ("EqualTo", "EqualNullSafe"):
                 continue
+            # EqualNullSafe pairs prune too, but only when the collected
+            # source values contain no NULL (a null key matches null
+            # partitions/stats that IN/BETWEEN would wrongly skip) — the
+            # strip phase checks that with the same aggregation
+            nullsafe = cls == "EqualNullSafe"
             a, b = attr(conj.left()), attr(conj.right())
             if a is None or b is None:
                 continue
             if a[0] == t.lower() and b[0] == s.lower():
-                pairs.append((a[1], b[1]))
+                pairs.append((a[1], b[1], nullsafe))
             elif a[0] == s.lower() and b[0] == t.lower():
-                pairs.append((b[1], a[1]))
+                pairs.append((b[1], a[1], nullsafe))
         return pairs
 
     _STATIC_CMP = {
@@ -314,20 +319,20 @@ class TableMerger:
         t, s = self._aliases()
         col = r"`?([\w]+)`?"
         pat_ts = re.compile(
-            rf"^\s*{re.escape(t)}\.{col}\s*(?:==|=)\s*{re.escape(s)}\.{col}\s*$"
+            rf"^\s*{re.escape(t)}\.{col}\s*(<=>|==|=)\s*{re.escape(s)}\.{col}\s*$"
         )
         pat_st = re.compile(
-            rf"^\s*{re.escape(s)}\.{col}\s*(?:==|=)\s*{re.escape(t)}\.{col}\s*$"
+            rf"^\s*{re.escape(s)}\.{col}\s*(<=>|==|=)\s*{re.escape(t)}\.{col}\s*$"
         )
         pairs = []
         for conj in split_conjuncts(self.predicate):
             m = pat_ts.match(conj)
             if m:
-                pairs.append((m.group(1), m.group(2)))
+                pairs.append((m.group(1), m.group(3), m.group(2) == "<=>"))
                 continue
             m = pat_st.match(conj)
             if m:
-                pairs.append((m.group(2), m.group(1)))
+                pairs.append((m.group(3), m.group(1), m.group(2) == "<=>"))
         return pairs
 
     # distinct source partition combinations above this count fall back
@@ -353,10 +358,13 @@ class TableMerger:
         the partition-pair columns, min/max the stats-pair columns);
         above _PARTITION_IN_CAP distinct combinations everything falls
         back to one global min/max pass. Source NULL keys never
-        equi-match, so dropping them from the lists is exact. Only safe
-        when the predicate is a pure conjunction — an OR/NOT branch
-        would make the extracted pairs non-binding and over-prune (skip
-        entirely then)."""
+        equi-match, so dropping them from the lists is exact — EXCEPT
+        for ``<=>`` (EqualNullSafe) pairs, where a NULL key matches NULL
+        partitions/stats: those pairs prune only when the source side
+        provably has no NULLs (checked in the same aggregation), else
+        the conjunct is skipped. Only safe when the predicate is a pure
+        conjunction — an OR/NOT branch would make the extracted pairs
+        non-binding and over-prune (skip entirely then)."""
         static = self._static_target_conjuncts()
         pairs = self._equi_join_pairs()
         if not pairs:
@@ -366,15 +374,28 @@ class TableMerger:
         part_set = set(part_cols)
         part_pairs = [p for p in pairs if p[0] in part_set]
         stats_pairs = [p for p in pairs if p[0] not in part_set]
+
+        def _between(tc: str, mns: list, mxs: list, n_null: int, ns: bool) -> str | None:
+            if not mns or not mxs or (ns and n_null):
+                return None
+            return (
+                f"{tc} >= {_sql_literal(min(mns))}"
+                f" AND {tc} <= {_sql_literal(max(mxs))}"
+            )
+
         if part_pairs:
             cap = self._PARTITION_IN_CAP
             keys = [
-                F.col(sc).alias(f"p{i}") for i, (_tc, sc) in enumerate(part_pairs)
+                F.col(sc).alias(f"p{i}")
+                for i, (_tc, sc, _ns) in enumerate(part_pairs)
             ]
             aggs = []
-            for i, (_tc, sc) in enumerate(stats_pairs):
+            for i, (_tc, sc, ns) in enumerate(stats_pairs):
                 aggs.append(F.min(sc).alias(f"mn{i}"))
                 aggs.append(F.max(sc).alias(f"mx{i}"))
+                aggs.append(
+                    F.sum(F.col(sc).isNull().cast("long")).alias(f"nn{i}")
+                )
             grouped = (
                 source_df.groupBy(*keys).agg(*aggs)
                 if aggs
@@ -383,8 +404,11 @@ class TableMerger:
             rows = grouped.limit(cap + 1).collect()
             if rows and len(rows) <= cap:
                 conj = list(static)
-                for i, (tc, _sc) in enumerate(part_pairs):
-                    vals = {r[f"p{i}"] for r in rows} - {None}
+                for i, (tc, _sc, ns) in enumerate(part_pairs):
+                    raw = {r[f"p{i}"] for r in rows}
+                    if ns and None in raw:
+                        continue  # null key matches null partitions: no prune
+                    vals = raw - {None}
                     if vals:
                         try:
                             ordered = sorted(vals)
@@ -392,28 +416,34 @@ class TableMerger:
                             ordered = sorted(vals, key=repr)
                         lits = ", ".join(_sql_literal(v) for v in ordered)
                         conj.append(f"{tc} IN ({lits})")
-                for i, (tc, _sc) in enumerate(stats_pairs):
+                for i, (tc, _sc, ns) in enumerate(stats_pairs):
                     # the group set is complete (<= cap), so min/max over
                     # the per-group aggregates equals the global bounds
                     mns = [r[f"mn{i}"] for r in rows if r[f"mn{i}"] is not None]
                     mxs = [r[f"mx{i}"] for r in rows if r[f"mx{i}"] is not None]
-                    if mns and mxs:
-                        conj.append(
-                            f"{tc} >= {_sql_literal(min(mns))}"
-                            f" AND {tc} <= {_sql_literal(max(mxs))}"
-                        )
+                    n_null = sum(int(r[f"nn{i}"] or 0) for r in rows)
+                    b = _between(tc, mns, mxs, n_null, ns)
+                    if b:
+                        conj.append(b)
                 return " AND ".join(conj) if conj else None
         aggs = []
-        for i, (_tc, sc) in enumerate(pairs):
+        for i, (_tc, sc, ns) in enumerate(pairs):
             aggs.append(F.min(sc).alias(f"mn{i}"))
             aggs.append(F.max(sc).alias(f"mx{i}"))
+            aggs.append(F.sum(F.col(sc).isNull().cast("long")).alias(f"nn{i}"))
         row = source_df.agg(*aggs).collect()[0]
         conj = list(static)
-        for i, (tc, _sc) in enumerate(pairs):
+        for i, (tc, _sc, ns) in enumerate(pairs):
             mn, mx = row[f"mn{i}"], row[f"mx{i}"]
-            if mn is None or mx is None:
-                continue
-            conj.append(f"{tc} >= {_sql_literal(mn)} AND {tc} <= {_sql_literal(mx)}")
+            b = _between(
+                tc,
+                [mn] if mn is not None else [],
+                [mx] if mx is not None else [],
+                int(row[f"nn{i}"] or 0),
+                ns,
+            )
+            if b:
+                conj.append(b)
         return " AND ".join(conj) if conj else None
 
     def execute(self) -> dict[str, Any]:

@@ -128,3 +128,31 @@ def test_incremental_agg_refuses_foreign_agg_table(spark, tmp_path):
     )
     with pytest.raises(DeltaError, match="watermark"):
         maintain_aggregate(spark, src, agg, ["k"], "v")
+
+
+def test_incremental_agg_partitioned(spark, tmp_path):
+    """partition_by bounds the apply: the deltas' distinct keys become
+    an IN-list early filter (visible in the merge scan metrics via a
+    direct maintenance round), and results still match the recompute."""
+    src = str(tmp_path / "src5")
+    agg = str(tmp_path / "agg5")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_deltalake(src, df, configuration=CDF)
+    maintain_aggregate(spark, src, agg, ["k"], "v", partition_by=["k"])
+    t = DeltaTable(agg, spark=spark)
+    assert t._snapshot.partition_columns == ["k"]
+    assert len(t.files()) >= 10
+    # a change batch touching only k in {3} must scan only that partition
+    DeltaTable(src, spark=spark).delete("id % 10 = 3 AND id < 100")
+    r = maintain_aggregate(spark, src, agg, ["k"], "v", partition_by=["k"])
+    m = r["metrics"]
+    assert m["num_target_files_scanned"] <= 2
+    assert m["num_target_files_skipped_during_scan"] >= 9
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+
+    with pytest.raises(DeltaError, match="subset"):
+        maintain_aggregate(
+            spark, src, str(tmp_path / "aggx"), ["k"], "v", partition_by=["v"]
+        )

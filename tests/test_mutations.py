@@ -414,3 +414,36 @@ def test_merge_early_filter_static_only(spark, tmp_path):
     ).when_matched_update({"val": "source.val"})
     early = mb._strip_target_only_predicate(src, ["bucket"])
     assert early == "bucket = 1"
+
+
+def test_merge_early_filter_nullsafe_pairs(spark, tmp_path):
+    """<=> equi-join pairs prune like = when the source side has no
+    NULLs, and contribute nothing when it does (a null key matches null
+    partitions an IN/BETWEEN would wrongly skip)."""
+    path = str(tmp_path / "ns_merge")
+    base = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket"), F.lit("old").alias("val")
+    )
+    write_deltalake(path, base.repartition(1), partition_by=["bucket"])
+    t = DeltaTable(path, spark=spark)
+    src_nonull = spark.createDataFrame(
+        [(1, 1, "a"), (3, 3, "b")], "id long, bucket long, val string"
+    )
+    mb = t.merge(
+        src_nonull, "t.bucket <=> s.bucket AND t.id <=> s.id",
+        source_alias="s", target_alias="t",
+    ).when_matched_update({"val": "s.val"})
+    early = mb._strip_target_only_predicate(src_nonull, ["bucket"])
+    assert "bucket IN (1, 3)" in early
+    assert "id >= 1 AND id <= 3" in early
+
+    src_null = spark.createDataFrame(
+        [(1, 1, "a"), (None, None, "n")], "id long, bucket long, val string"
+    )
+    mb2 = t.merge(
+        src_null, "t.bucket <=> s.bucket AND t.id <=> s.id",
+        source_alias="s", target_alias="t",
+    ).when_matched_update({"val": "s.val"})
+    early2 = mb2._strip_target_only_predicate(src_null, ["bucket"])
+    # neither column may prune: the null key could match null rows
+    assert early2 is None or ("IN" not in early2 and ">=" not in early2)
