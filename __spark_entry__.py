@@ -85,6 +85,7 @@ _FIRST_WITNESS_NEEDED = (
     # new in r06 (previously pytest-only operators):
     "llm_embedding_outliers",  # embedding-space outlier filter (percentile fence)
     "llm_quality_classifier",  # distributed logistic regression (iterative, full oracle)
+    "llm_ann_recall",  # IVF recall@k vs exact cosine (index-quality eval)
 )
 
 

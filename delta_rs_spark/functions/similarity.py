@@ -912,3 +912,101 @@ def embedding_outliers(
             (F.col("dist") > F.col("__thr")).alias("is_outlier"),
         )
     )
+
+
+def ann_recall(
+    df: DataFrame,
+    n_anchors: int = 20,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the IVF approximate search against exact cosine,
+    per anchor — the index-quality eval a pipeline runs before trusting
+    an ANN index for dedup/retrieval (is n_probe high enough? are the
+    lists balanced?). Anchors = first ``n_anchors`` vectors by id, self
+    excluded from both rankings.
+
+    Scale shape: ONE corpus assignment pass (ivf_assign's batched
+    matmul), exact side = broadcast-anchors x corpus scan + per-anchor
+    rank window (the hard_negatives shape), ANN side = the probed-list
+    subset only; the driver touches anchors and centroids (model-sized,
+    n_anchors*dim + n_lists*dim floats). Deterministic: scores on the
+    4dp grid, id tie-breaks, probe ranking identical to ivf_topk.
+
+    Returns (anchor_id, n_hits, recall)."""
+    import math as _math
+
+    assigned, centroids = ivf_assign(df, n_lists, vec_col, id_col)
+    anchors = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_anchors)
+        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__av"))
+    )
+    spark = df.sparkSession
+    a_rows = anchors.collect()
+
+    def _probes(av):
+        ranked = sorted(
+            centroids,
+            key=lambda c: -sum(x * y for x, y in zip(av, c[1]))
+            / (_math.sqrt(sum(x * x for x in c[1])) or 1.0),
+        )
+        return [i for i, _ in ranked[:n_probe]]
+
+    probe_pairs = [
+        (r["anchor_id"], lst) for r in a_rows for lst in _probes(list(r["__av"]))
+    ]
+    probe_df = spark.createDataFrame(probe_pairs, ["anchor_id", "__plist"])
+
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("anchor_id").orderBy(F.desc("__s"), F.asc("__nb"))
+    )
+
+    def _topk(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn("__rn", rnk).filter(F.col("__rn") <= k).select(
+                "anchor_id", "__nb"
+            )
+        )
+
+    exact = _topk(
+        df.crossJoin(F.broadcast(anchors))
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("__nb"),
+            F.round(cosine(F.col(vec_col), F.col("__av")), 4).alias("__s"),
+        )
+    )
+    ann = _topk(
+        assigned.join(
+            F.broadcast(probe_df), F.col("__list") == F.col("__plist")
+        )
+        .join(F.broadcast(anchors), "anchor_id")
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("__nb"),
+            F.round(cosine(F.col(vec_col), F.col("__av")), 4).alias("__s"),
+        )
+    )
+    hits = exact.join(ann, ["anchor_id", "__nb"]).groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    base = anchors.select("anchor_id")
+    return (
+        base.join(hits, "anchor_id", "left_outer")
+        .select(
+            "anchor_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hits").cast("double") / F.lit(float(k)), 4),
+        )
+    )

@@ -1675,3 +1675,60 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = X.train_quality_classifier(docs, F.col("lang") == "en")
     return X.score_quality_classifier(docs, w)
+
+
+@query(
+    "llm_ann_recall",
+    """
+    WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i,
+                          embedding::DOUBLE[] AS c
+                   FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+    scored AS (SELECT e.vec_id, c.i,
+                      list_cosine_similarity(e.embedding::DOUBLE[], c.c) AS s
+               FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vec_id, i AS lst FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+        FROM scored) WHERE rn = 1),
+    anch AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av
+             FROM embeddings WHERE vec_id < 20),
+    aprobe AS (SELECT anchor_id, i AS lst FROM (
+        SELECT a.anchor_id, c.i,
+               row_number() OVER (PARTITION BY a.anchor_id
+                 ORDER BY list_dot_product(a.av, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC,
+                          c.i ASC) AS rn
+        FROM anch a CROSS JOIN cents c) WHERE rn <= 4),
+    ex AS (SELECT a.anchor_id, e.vec_id AS nb,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[], a.av), 4) AS s
+           FROM anch a JOIN embeddings e ON e.vec_id != a.anchor_id),
+    exk AS (SELECT anchor_id, nb FROM (
+        SELECT anchor_id, nb,
+               row_number() OVER (PARTITION BY anchor_id ORDER BY s DESC, nb ASC) AS rn
+        FROM ex) WHERE rn <= 10),
+    annc AS (SELECT p.anchor_id, ag.vec_id AS nb,
+                    round(list_cosine_similarity(e.embedding::DOUBLE[], a.av), 4) AS s
+             FROM aprobe p
+             JOIN assign ag ON ag.lst = p.lst
+             JOIN embeddings e ON e.vec_id = ag.vec_id
+             JOIN anch a ON a.anchor_id = p.anchor_id
+             WHERE ag.vec_id != p.anchor_id),
+    annk AS (SELECT anchor_id, nb FROM (
+        SELECT anchor_id, nb,
+               row_number() OVER (PARTITION BY anchor_id ORDER BY s DESC, nb ASC) AS rn
+        FROM annc) WHERE rn <= 10),
+    hits AS (SELECT anchor_id, count(*) AS n_hits
+             FROM exk JOIN annk USING (anchor_id, nb) GROUP BY anchor_id)
+    SELECT a.anchor_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall
+    FROM (SELECT anchor_id FROM anch) a LEFT JOIN hits h USING (anchor_id)
+    """,
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality eval (similarity.ann_recall): recall@10 of the
+    IVF probe path vs exact cosine over the first 20 anchors — the
+    check a pipeline runs before trusting an approximate index for
+    dedup/retrieval. The oracle replays BOTH pipelines (assignment,
+    probe ranking, the two top-k rankings, the intersection) in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall(emb, n_anchors=20, k=10, n_lists=16, n_probe=4)

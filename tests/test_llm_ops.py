@@ -956,3 +956,23 @@ def test_quality_classifier_learns_separation(spark):
     # is_quality fences on the rounded score
     for r in scored:
         assert r.is_quality == (r.score >= 0.5)
+
+
+def test_ann_recall_bounds_and_exact_when_probing_all(spark):
+    """recall in [0,1]; probing EVERY list makes the ANN side exact, so
+    recall must be 1.0 for every anchor."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], "l") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    full = S.ann_recall(df, n_anchors=5, k=5, n_lists=4, n_probe=4).collect()
+    assert len(full) == 5
+    assert all(r.recall == 1.0 and r.n_hits == 5 for r in full)
+    part = S.ann_recall(df, n_anchors=5, k=5, n_lists=4, n_probe=1).collect()
+    assert all(0.0 <= r.recall <= 1.0 for r in part)
+    # fewer probes can only lose candidates
+    full_hits = {r.anchor_id: r.n_hits for r in full}
+    assert all(r.n_hits <= full_hits[r.anchor_id] for r in part)
