@@ -1,0 +1,67 @@
+"""Time-series resample + gap-fill — the hypertable-style rollup the
+reference's event-table users run (downsample to a fixed grid, carry
+the last observation across empty buckets).
+
+Spark-first shape: one groupBy onto the bucket grid (map-side partial
+agg), a per-key ``sequence()`` explode to materialize the empty
+buckets (no driver loop, no UDF), and a ``last(ignorenulls)`` running
+window for the forward fill. The spine explode emits
+O(buckets-per-key) rows per key — at 100 TB the grid is bounded by
+time-range/bucket, not by event volume, and every stage stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def resample_gap_fill(
+    df: DataFrame,
+    bucket: str = "hour",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-``by`` fixed-grid rollup with forward fill: bucket events
+    with ``date_trunc(bucket)``, sum the value (quantized to integer
+    cents so partial sums are order-independent — the q9 pattern) and
+    count events per bucket, then densify each key's [min, max] bucket
+    range and carry the last seen sum across empty buckets.
+
+    Returns (by, bucket_ts epoch-seconds, n_events, filled_cents) —
+    ``n_events`` is 0 on gap rows, ``filled_cents`` is the forward
+    -filled running value (never NULL after a key's first bucket).
+    """
+    step = F.expr(f"INTERVAL 1 {bucket}")
+    b = df.select(
+        F.col(by),
+        F.date_trunc(bucket, F.col(ts_col)).alias("__bucket"),
+        F.round(F.col(value_col) * F.lit(100.0)).cast("long").alias("__cents"),
+    )
+    agg = b.groupBy(by, "__bucket").agg(
+        F.sum("__cents").alias("__c"), F.count(F.lit(1)).alias("n_events")
+    )
+    spine = (
+        b.groupBy(by)
+        .agg(F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi"))
+        .select(
+            by,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias(
+                "__bucket"
+            ),
+        )
+    )
+    joined = spine.join(agg, [by, "__bucket"], "left_outer")
+    fill = F.last("__c", ignorenulls=True).over(
+        W.partitionBy(by)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        F.col(by),
+        F.unix_timestamp("__bucket").alias("bucket_ts"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        fill.cast("long").alias("filled_cents"),
+    )

@@ -135,3 +135,39 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q_events_gap_fill",
+    """
+    WITH b AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                      CAST(round(value * 100.0) AS BIGINT) AS cents
+               FROM events),
+    agg AS (SELECT user_id, bucket, sum(cents) AS c, count(*) AS n
+            FROM b GROUP BY user_id, bucket),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+              FROM b GROUP BY user_id),
+    j AS (SELECT s.user_id, s.bucket, coalesce(a.n, 0) AS n_events, a.c
+          FROM spine s LEFT JOIN agg a
+            ON s.user_id = a.user_id AND s.bucket = a.bucket)
+    SELECT user_id, epoch(bucket)::BIGINT AS bucket_ts,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(last_value(c IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS filled_cents
+    FROM j
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample + forward fill
+    (functions/timeseries.resample_gap_fill): hourly per-user buckets
+    densified over each user's [min, max] range via sequence()+explode,
+    value sums on the integer-cents grid (order-independent), gaps carry
+    the last observation with a last(ignorenulls) running window. The
+    oracle replays the grid, the spine, and the fill in SQL."""
+    from delta_rs_spark.functions.timeseries import resample_gap_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_gap_fill(ev, bucket="hour", by="user_id")

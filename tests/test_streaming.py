@@ -570,3 +570,31 @@ def test_corpus_ingest_with_near_dup_stage(spark, tmp_path):
         spark, bandidx, spark.createDataFrame([(300, fresh_text)], ["doc_id", "text"])
     )
     assert {r.index_id for r in again.collect()} >= {201}
+
+
+def test_resample_gap_fill_semantics(spark):
+    """Gap rows appear with n_events=0 and carry the previous bucket's
+    value; each key densifies over its own [min, max] range only."""
+    import datetime as dt
+
+    from delta_rs_spark.functions.timeseries import resample_gap_fill
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), 1.00),
+        (1, dt.datetime(2024, 1, 1, 0, 50), 2.00),   # same bucket: sums
+        (1, dt.datetime(2024, 1, 1, 3, 5), 4.00),    # 2 gap hours before
+        (2, dt.datetime(2024, 1, 1, 5, 0), 7.50),    # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = sorted(
+        (r.user_id, r.bucket_ts, r.n_events, r.filled_cents)
+        for r in resample_gap_fill(df, bucket="hour", by="user_id").collect()
+    )
+    h0 = int(dt.datetime(2024, 1, 1, 0, 0, tzinfo=dt.timezone.utc).timestamp())
+    assert got == [
+        (1, h0, 2, 300),              # 1.00 + 2.00 in cents
+        (1, h0 + 3600, 0, 300),       # gap: forward-filled
+        (1, h0 + 7200, 0, 300),
+        (1, h0 + 10800, 1, 400),
+        (2, h0 + 18000, 1, 750),
+    ]
