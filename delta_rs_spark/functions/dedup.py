@@ -821,3 +821,134 @@ def resolve_duplicates(
     return labeled.withColumn("__r", r).filter(F.col("__r") == 1).drop(
         "__q", "__r"
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Exact substring-duplication detection: maximal token spans whose
+    every ``window``-token rolling window occurs >= ``min_count`` times
+    across the corpus (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better" — the suffix-array substring pass,
+    re-expressed for a distributed engine as rolling-window fingerprint
+    matching: a duplicated substring of length >= window is exactly a run
+    of duplicated windows, so merging flagged windows into islands
+    recovers the maximal duplicated spans at window-token resolution).
+
+    With ``keep_first`` (default) the globally-first occurrence of each
+    window — ordered by (id, position) — is never flagged, giving the
+    paper's remove-all-but-one semantics; ``keep_first=False`` flags
+    every occurrence (the filter-out-boilerplate form).
+
+    Returns (id, span_start, span_end, span_tokens) with 0-based
+    inclusive token positions.
+
+    Scale shape: one posexplode of per-doc rolling windows (arrays built
+    JVM-side by the zip_with construction — no Python, no per-element
+    re-evaluation), ONE shuffle keyed by the window fingerprint for the
+    occurrence count/rank, one shuffle keyed by doc id for the island
+    merge. Never materializes pairs — cost is O(total windows) =
+    O(total tokens), the same asymptotic as the suffix-array pass,
+    without its global sort.
+    """
+    win_arr = shingles(F.col(text_col), n=window)
+    wins = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(tokens(F.col(text_col))).alias("__n"),
+            win_arr.alias("__wins"),
+        )
+        .where(F.col("__n") >= window)
+        .select("id", F.posexplode("__wins").alias("pos", "gram"))
+        # md5 fingerprint: 32 bytes through the shuffle instead of the
+        # window-token text, and oracle-reproducible (unused there — the
+        # oracle groups by the gram itself, same partition function).
+        .select("id", "pos", F.md5("gram").alias("fp"))
+    )
+    wf = W.partitionBy("fp")
+    cnt = F.count(F.lit(1)).over(wf)
+    flagged = wins.withColumn("__c", cnt)
+    if keep_first:
+        rn = F.row_number().over(wf.orderBy(F.asc("id"), F.asc("pos")))
+        flagged = flagged.withColumn("__rn", rn).where(
+            (F.col("__c") >= min_count) & (F.col("__rn") >= 2)
+        )
+    else:
+        flagged = flagged.where(F.col("__c") >= min_count)
+    # Merge flagged windows whose covered token ranges [pos, pos+window-1]
+    # touch or overlap (gap <= window) into maximal islands per doc.
+    wd = W.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    is_new = F.when(prev.isNull() | (F.col("pos") - prev > window), 1).otherwise(0)
+    island = F.sum(is_new).over(
+        W.partitionBy("id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        flagged.select("id", "pos")
+        .withColumn("__isl", island)
+        .groupBy("id", "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Remove the duplicated substrings found by ``duplicate_spans`` from
+    every document, rebuilding the text from the surviving tokens
+    (whitespace-normalized — both engines rebuild from the same token
+    stream). Returns (id, n_tokens, n_removed, clean_text) for EVERY
+    input doc (unflagged docs pass through with n_removed = 0).
+
+    Scale shape: the span table is tiny relative to the corpus (only
+    duplicated regions); removal is a per-doc array filter against the
+    doc's own flagged-position set — carried as an array column through
+    one doc-keyed join, never exploded corpus-wide."""
+    spans = duplicate_spans(
+        df, text_col, id_col, window=window, min_count=min_count, keep_first=keep_first
+    )
+    rm = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.sequence("span_start", "span_end")))
+            )
+        ).alias("__rm")
+    )
+    toks = tokens(F.col(text_col))
+    out = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .join(rm, on=id_col, how="left")
+        .withColumn("__rm", F.coalesce("__rm", F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.size("__rm").cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "__toks",
+                    lambda t, i: ~F.array_contains(F.col("__rm"), i),
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return out

@@ -1732,3 +1732,71 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe ranking, the two top-k rankings, the intersection) in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_recall(emb, n_anchors=20, k=10, n_lists=16, n_probe=4)
+
+
+@query(
+    "llm_span_dedup",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+    w AS (SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t != '') AS ws FROM corpus),
+    g AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    wl AS (SELECT doc_id,
+                  list_transform(range(1, n - 6),
+                                 i -> array_to_string(ws[i:i+7], ' ')) AS grams
+           FROM g WHERE n >= 8),
+    wins AS (SELECT doc_id, unnest(grams) AS gram,
+                    unnest(range(0, len(grams))) AS pos
+             FROM wl),
+    fl0 AS (SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY gram) AS c,
+                   row_number() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, pos) AS rn
+            FROM wins),
+    fl AS (SELECT doc_id, pos FROM fl0 WHERE c >= 2 AND rn >= 2),
+    isl AS (SELECT doc_id, pos,
+                   sum(CASE WHEN prev IS NULL OR pos - prev > 8
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM (SELECT doc_id, pos,
+                         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                  FROM fl)),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM isl GROUP BY doc_id, island),
+    rmd AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
+    t AS (SELECT doc_id, unnest(ws) AS tok, unnest(range(0, len(ws))) AS pos
+          FROM w),
+    per AS (SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN rmd.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_removed,
+                   coalesce(string_agg(CASE WHEN rmd.p IS NULL THEN t.tok END,
+                                       ' ' ORDER BY t.pos), '') AS clean_text
+            FROM t LEFT JOIN rmd ON t.doc_id = rmd.doc_id AND t.pos = rmd.p
+            GROUP BY t.doc_id)
+    SELECT w.doc_id,
+           coalesce(per.n_tokens, 0) AS n_tokens,
+           coalesce(per.n_removed, 0) AS n_removed,
+           coalesce(per.clean_text, '') AS clean_text
+    FROM w LEFT JOIN per USING (doc_id)
+    """,
+)
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (dedup.strip_duplicate_spans): every 8-token
+    window occurring >= 2 times corpus-wide is flagged, flagged windows
+    merge into maximal spans, and all-but-the-first occurrence is
+    stripped from the rebuilt text — the suffix-array substring pass of
+    Lee et al. 2021 as rolling-window fingerprint matching. Run over the
+    corpus unioned with an id-shifted copy: every copy must strip to
+    empty while originals keep their text (modulo natural intra-corpus
+    duplicates). The oracle replays windowing, the global
+    count/first-occurrence rank, island merging, and token-level removal
+    in SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.union(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return D.strip_duplicate_spans(
+        doubled, window=8, min_count=2, keep_first=True
+    )

@@ -976,3 +976,65 @@ def test_ann_recall_bounds_and_exact_when_probing_all(spark):
     # fewer probes can only lose candidates
     full_hits = {r.anchor_id: r.n_hits for r in full}
     assert all(r.n_hits <= full_hits[r.anchor_id] for r in part)
+
+
+def test_duplicate_spans_finds_planted_span(spark):
+    base = " ".join(f"u{i}" for i in range(20))          # unique filler
+    boiler = " ".join(f"b{i}" for i in range(12))        # 12-token shared run
+    rows = [
+        (1, base + " " + boiler),                        # boiler at pos 20..31
+        (2, boiler + " " + " ".join(f"v{i}" for i in range(20))),  # pos 0..11
+        (3, " ".join(f"w{i}" for i in range(15))),       # clean doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r.doc_id: r
+        for r in D.duplicate_spans(df, window=8, keep_first=True).collect()
+    }
+    # doc 1 holds the globally-first occurrence -> never flagged
+    assert 1 not in spans and 3 not in spans
+    # doc 2's copy is flagged as ONE maximal island covering the 12 tokens
+    assert spans[2].span_start == 0 and spans[2].span_end == 11
+    assert spans[2].span_tokens == 12
+
+
+def test_strip_duplicate_spans_keep_first_and_passthrough(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, "alpha " + boiler),
+        (2, boiler + " omega end"),
+        (3, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.strip_duplicate_spans(df, window=8).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text == "alpha " + boiler
+    assert out[2].n_removed == 10 and out[2].clean_text == "omega end"
+    # docs shorter than the window never produce windows -> untouched
+    assert out[3].n_removed == 0 and out[3].clean_text == "short doc"
+    assert out[2].n_tokens == 12
+
+
+def test_strip_duplicate_spans_flag_all_mode(spark):
+    boiler = " ".join(f"b{i}" for i in range(9))
+    rows = [(1, boiler + " tail1 x"), (2, boiler + " tail2 y")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in D.strip_duplicate_spans(df, window=8, keep_first=False).collect()
+    }
+    # keep_first=False strips BOTH occurrences (boilerplate-filter form)
+    assert out[1].n_removed == 9 and out[1].clean_text == "tail1 x"
+    assert out[2].n_removed == 9 and out[2].clean_text == "tail2 y"
+
+
+def test_duplicate_spans_intra_doc_repeat(spark):
+    run = " ".join(f"r{i}" for i in range(8))
+    mid = " ".join(f"m{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(7, run + " " + mid + " " + run)], ["doc_id", "text"]
+    )
+    spans = D.duplicate_spans(df, window=8, keep_first=True).collect()
+    # the same 8-token window repeats within one doc: the second
+    # occurrence (pos 18..25) is flagged, the first kept
+    assert len(spans) == 1
+    assert spans[0].span_start == 18 and spans[0].span_end == 25

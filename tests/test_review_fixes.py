@@ -251,9 +251,9 @@ def test_merge_equi_pairs_robust(spark, tmp_table, sample_df):
     t = DeltaTable(tmp_table)
     src = spark.createDataFrame([("1",)], "id string")
     m = t.merge(src, "target.`id` = source.`id`")
-    assert m._equi_join_pairs() == [("id", "id")]
+    assert m._equi_join_pairs() == [("id", "id", False)]
     m2 = t.merge(src, "upper(target.id) = source.id AND target.id = source.id")
-    assert m2._equi_join_pairs() == [("id", "id")]
+    assert m2._equi_join_pairs() == [("id", "id", False)]
     m3 = t.merge(src, "target.id = concat(source.id, '_x')")
     assert m3._equi_join_pairs() == []
     m4 = t.merge(src, "target.id = source.id OR target.id = source.id")
@@ -271,22 +271,23 @@ def test_merge_equi_pairs_ast_precision(spark, tmp_table, sample_df):
     # OR inside a parenthesized sibling conjunct: (a AND (b OR c)) — the
     # equi pair from `a` is still binding for every matched row
     m = t.merge(src, "target.id = source.id AND (target.id = '1' OR source.id = '2')")
-    assert m._equi_join_pairs() == [("id", "id")]
+    assert m._equi_join_pairs() == [("id", "id", False)]
     # top-level OR → no binding conjuncts at all
     m2 = t.merge(src, "(target.id = source.id AND target.id = '1') OR source.id = '2'")
     assert m2._equi_join_pairs() == []
-    # null-safe equality must NOT bind: min/max pruning drops null matches
+    # null-safe equality binds with the nullsafe flag set (the strip
+    # phase only prunes on it when the source values contain no NULL)
     m3 = t.merge(src, "target.id <=> source.id")
-    assert m3._equi_join_pairs() == []
+    assert m3._equi_join_pairs() == [("id", "id", True)]
     # reversed order + odd casing + whitespace
     m4 = t.merge(src, "  SOURCE.id   =  TARGET.`id`  ")
-    assert m4._equi_join_pairs() == [("id", "id")]
+    assert m4._equi_join_pairs() == [("id", "id", False)]
     # 1-part and 3-part attributes never bind
     m5 = t.merge(src, "id = source.id AND cat.target.id = source.id")
     assert m5._equi_join_pairs() == []
     # regex fallback: parenthesized OR is not top-level (safe to keep
     # sibling pairs), but an unparenthesized top-level OR disables all
     m6 = t.merge(src, "target.id = source.id AND (target.id = '1' OR source.id = '2')")
-    assert m6._equi_join_pairs_regex() == [("id", "id")]
+    assert m6._equi_join_pairs_regex() == [("id", "id", False)]
     m7 = t.merge(src, "target.id = source.id OR target.price = source.price")
     assert m7._equi_join_pairs_regex() == []
