@@ -171,3 +171,59 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return resample_gap_fill(ev, bucket="hour", by="user_id")
+
+
+@query(
+    "q_events_interval_join",
+    """
+    WITH e AS (SELECT event_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ls,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                           + floor(greatest(value, 0) * 60) AS BIGINT) AS le,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events),
+    b AS (SELECT CAST(floor(min(ls) / 3600.0) * 3600 AS BIGINT) AS h0,
+                 CAST(floor(max(ls) / 3600.0) * 3600 AS BIGINT) AS h1
+          FROM e),
+    w AS (SELECT unnest(range(h0, h1 + 1, 3600)) AS rs FROM b),
+    j AS (SELECT w.rs, e.event_id, e.cents
+          FROM w JOIN e ON e.ls <= w.rs + 899 AND w.rs <= e.le)
+    SELECT rs AS w_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_val_cents
+    FROM j GROUP BY rs
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via the bucketized equi-join strategy
+    (functions/rangejoin.py): each event spans [ts, ts + value minutes],
+    joined against the first-15-minutes window of every hour in the
+    stream's range (window table generated declaratively from one
+    min/max aggregate — no driver collect). The naive theta-join plan
+    would be a nested-loop product; bucketizing makes it a shuffled
+    hash join on the hour key. The oracle runs the plain non-equi join
+    in DuckDB — same pairs, different algorithm."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.functions.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts_ts")).cast("long")
+    e = ev.withColumn("ts_ts", F.col("ts").cast("timestamp")).select(
+        F.col("event_id"),
+        sec.alias("ls"),
+        (sec + F.floor(F.greatest(F.col("value"), F.lit(0.0)) * 60).cast("long")).alias("le"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = e.agg(
+        (F.floor(F.min("ls") / 3600.0) * 3600).cast("long").alias("h0"),
+        (F.floor(F.max("ls") / 3600.0) * 3600).cast("long").alias("h1"),
+    )
+    wins = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.lit(3600).cast("long"))).alias("rs")
+    ).withColumn("re", F.col("rs") + F.lit(899).cast("long"))
+    joined = interval_join(e, wins, "ls", "le", "rs", "re", bucket_width=3600)
+    return joined.groupBy(F.col("rs").alias("w_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_val_cents"),
+    )
