@@ -1010,3 +1010,107 @@ def ann_recall(
             F.round(F.col("n_hits").cast("double") / F.lit(float(k)), 4),
         )
     )
+
+
+def sq8_bounds(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension min/max over the corpus as a single-row DataFrame
+    (``mn``/``mx`` array<double>) — the scalar-quantization model.
+
+    Scale shape: posexplode -> groupBy(dim) min/max. The partial
+    aggregate combines each task's rows down to ``dim`` rows before the
+    shuffle, so the exchange moves O(partitions * dim) scalars no matter
+    the corpus size; the final assembly is one dim-row sort into two
+    arrays. Fully declarative — the model never touches the driver."""
+    byd = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    return byd.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mn"))), lambda s: s["mn"]
+        ).alias("mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mx"))), lambda s: s["mx"]
+        ).alias("mx"),
+    )
+
+
+def sq8_quantize(
+    df: DataFrame,
+    bounds: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar int8 quantization: each dimension mapped to a 0..255 code
+    on the corpus's per-dimension [min, max] range — 4x smaller than
+    float32, 8x smaller than the double math it replaces, the standard
+    cheap compression tier under PQ. Returns (vec_id, codes array<int>).
+
+    The code is ``floor((x - mn) / (mx - mn) * 255 + 0.5)`` (explicit
+    half-up — identical IEEE arithmetic in Spark and DuckDB, unlike the
+    engines' differing round() conventions); constant dimensions encode
+    to 0. The single-row bounds model is broadcast, never shuffled with
+    the data."""
+    b = bounds if bounds is not None else sq8_bounds(df, vec_col)
+    mn, mx = F.col("mn"), F.col("mx")
+    code = lambda v, i: (  # noqa: E731
+        F.when(F.element_at(mx, i + 1) == F.element_at(mn, i + 1), F.lit(0))
+        .otherwise(
+            F.floor(
+                (v - F.element_at(mn, i + 1))
+                / (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
+                * F.lit(255.0)
+                + F.lit(0.5)
+            )
+        )
+        .cast("int")
+    )
+    return (
+        df.crossJoin(F.broadcast(b))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col).cast("array<double>"), code).alias("codes"),
+        )
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by cosine over scalar-quantized vectors
+    (asymmetric: the stored side is dequantized from its int8 codes, the
+    query stays full-precision). Output (id, score) descending — the
+    same contract as cosine_topk, so recall is directly measurable
+    against the exact scan.
+
+    Scale shape: one bounds aggregate (dim-row shuffle), then a pure map
+    over the codes — dequantize + dot + norm are codegen array
+    expressions; top-k is TakeOrdered. At 100 TB the codes table is the
+    materialized artifact (4x smaller scans than raw float32) and the
+    bounds ride in the table config like build_ivf_index's centroids."""
+    b = sq8_bounds(df, vec_col)
+    q = _query_vec_column(query_vec)
+    mn, mx = F.col("mn"), F.col("mx")
+    dequant = lambda c, i: (  # noqa: E731
+        F.element_at(mn, i + 1)
+        + c.cast("double")
+        * (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
+        / F.lit(255.0)
+    )
+    codes = sq8_quantize(df, bounds=b, vec_col=vec_col, id_col=id_col)
+    deq = codes.crossJoin(F.broadcast(b)).select(
+        "vec_id", F.transform("codes", dequant).alias("y")
+    )
+    return (
+        deq.select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine(F.col("y"), q), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )

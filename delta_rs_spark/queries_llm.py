@@ -1800,3 +1800,38 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.strip_duplicate_spans(
         doubled, window=8, min_count=2, keep_first=True
     )
+
+
+@query(
+    "llm_sq8_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    d AS (SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS i FROM v),
+    b AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+    c AS (SELECT d.vec_id, d.i,
+                 CASE WHEN b.mx = b.mn THEN 0
+                      ELSE floor((d.x - b.mn) / (b.mx - b.mn) * 255.0 + 0.5) END
+                   AS code,
+                 b.mn, b.mx
+          FROM d JOIN b USING (i)),
+    dq AS (SELECT vec_id, i, mn + code * (mx - mn) / 255.0 AS y FROM c),
+    q AS (SELECT unnest(e) AS qx, unnest(range(1, len(e) + 1)) AS i
+          FROM v WHERE vec_id = 0),
+    s AS (SELECT dq.vec_id, sum(dq.y * q.qx) AS dp, sum(dq.y * dq.y) AS n2
+          FROM dq JOIN q USING (i) GROUP BY dq.vec_id),
+    qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM q)
+    SELECT vec_id AS id,
+           round(dp / (sqrt(n2) * (SELECT qn FROM qn)), 4) AS score
+    FROM s
+    ORDER BY score DESC, id ASC
+    LIMIT 10
+    """,
+)
+def llm_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) approximate top-k (similarity.sq8_topk):
+    per-dimension min/max bounds aggregate -> 0..255 codes -> asymmetric
+    cosine of dequantized vectors vs the full-precision query. The
+    oracle replays bounds, the half-up quantization grid, dequantization
+    and the ranked cosine in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.sq8_topk(emb, _query_vector(spark, sf_dir), k=10)

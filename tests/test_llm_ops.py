@@ -1038,3 +1038,29 @@ def test_duplicate_spans_intra_doc_repeat(spark):
     # occurrence (pos 18..25) is flagged, the first kept
     assert len(spans) == 1
     assert spans[0].span_start == 18 and spans[0].span_end == 25
+
+
+def test_sq8_quantize_codes_in_range_and_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(-i), 42.0, float(i * i % 7)]) for i in range(32)],
+        ["vec_id", "embedding"],
+    )
+    codes = {r.vec_id: r.codes for r in S.sq8_quantize(emb).collect()}
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    # constant dimension (42.0) encodes to 0 everywhere
+    assert all(cs[2] == 0 for cs in codes.values())
+    # extremes of each varying dimension hit the grid ends
+    assert codes[0][0] == 0 and codes[31][0] == 255
+    assert codes[31][1] == 0 and codes[0][1] == 255
+    again = {r.vec_id: r.codes for r in S.sq8_quantize(emb).collect()}
+    assert codes == again
+
+
+def test_sq8_topk_recall_vs_exact(spark, emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = [r.id for r in S.cosine_topk(emb, q, k=10).collect()]
+    approx = [r.id for r in S.sq8_topk(emb, q, k=10).collect()]
+    # 8-bit quantization error is tiny relative to cosine gaps: near-total
+    # agreement with the exact scan, and the self-match must survive
+    assert len(set(exact) & set(approx)) >= 8
+    assert approx[0] == 0
