@@ -88,6 +88,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_ann_recall",  # IVF recall@k vs exact cosine (index-quality eval)
     "llm_span_dedup",  # exact substring-span dedup (rolling-window fingerprints)
     "llm_sq8_topk",  # int8 scalar-quantized approximate top-k
+    "llm_hashed_classifier",  # feature-hashed n-gram logistic classifier
 )
 
 

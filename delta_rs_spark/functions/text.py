@@ -790,3 +790,165 @@ def score_quality_classifier(
     return df.select(
         *cols, score.alias("score"), (score >= F.lit(0.5)).alias("is_quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed n-gram classifier (fastText-style hashing trick)
+# ---------------------------------------------------------------------------
+
+def _md5_bucket(col: Column, n_buckets: int) -> Column:
+    """60-bit md5-derived hash mod n_buckets — the dedup.hash64("md5")
+    formula inlined (text.py cannot import dedup without a cycle);
+    DuckDB reproduces it as ('0x' || substr(md5(g),1,15))::BIGINT % D."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sparse hashed bag-of-n-grams: unigrams + word bigrams hashed into
+    ``n_buckets`` buckets (the fastText/Vowpal hashing trick — fixed
+    model width, no vocabulary pass, collisions are the accepted noise).
+    Returns (id, bucket, x) with x = bucket count / total grams in doc —
+    docs with no tokens produce no rows (bias-only).
+
+    Scale shape: one explode of the gram array and ONE shuffle keyed by
+    (id, bucket); the per-doc total rides alongside the explode instead
+    of a second window pass."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    bi = F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        1,
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+    )
+    grams = F.concat(toks, bi)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(grams).alias("__tot"),
+            F.explode(grams).alias("__g"),
+        )
+        .groupBy("id", _md5_bucket(F.col("__g"), n_buckets).alias("bucket"))
+        .agg(
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.max("__tot").cast("double")
+            ).alias("x")
+        )
+    )
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    n_iter: int = 2,
+    lr: float = 0.5,
+) -> tuple[float, list[float]]:
+    """Distributed logistic regression over hashed n-gram features — the
+    fastText-shaped "train a topic/quality filter from a labeled seed
+    set" step, with a model that is a fixed-width dense vector instead
+    of train_quality_classifier's four hand-crafted signals. Same
+    cross-engine GD discipline as that function: sigmoid snapped to a
+    1e-6 grid; every data-dependent sum (the per-doc logit AND the
+    per-bucket gradients) quantized to BIGINT on a 1e9 grid so partial
+    aggregation is order-independent; weight updates driver-side on the
+    integer sums (model-sized traffic only: n_buckets+2 scalars/iter).
+
+    Returns (bias, weights[n_buckets])."""
+    # the sparse feature frame feeds 2 jobs per iteration (logit +
+    # gradient) — persist it once instead of re-tokenizing/re-hashing the
+    # corpus each pass; it is docs x <=n_buckets rows, far smaller than
+    # the text it came from
+    sp = hashed_ngram_features(df, text_col, id_col, n_buckets).persist()
+    ydoc = df.select(
+        F.col(id_col).alias("id"),
+        F.when(label, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    bias, w = 0.0, [0.0] * n_buckets
+    for _ in range(n_iter):
+        wlit = F.array(*[F.lit(v) for v in w])
+        zq = sp.groupBy("id").agg(
+            F.sum(
+                F.round(
+                    F.element_at(wlit, F.col("bucket").cast("int") + 1)
+                    * F.col("x")
+                    * F.lit(1e9)
+                ).cast("long")
+            ).alias("zq")
+        )
+        z = F.lit(bias) + F.coalesce(F.col("zq"), F.lit(0)).cast("double") / F.lit(1e9)
+        p = F.round((F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6)) / F.lit(1e6)
+        scored = ydoc.join(zq, "id", "left").select(
+            "id", (p - F.col("y")).alias("d")
+        )
+        brow = scored.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("d") * F.lit(1e9)).cast("long")).alias("s"),
+        ).collect()[0]
+        grows = (
+            scored.join(sp, "id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.round((F.col("d") * F.col("x")) * F.lit(1e9)).cast("long")
+                ).alias("s")
+            )
+            .collect()
+        )
+        n = float(brow["n"])
+        bias = bias - lr * (float(brow["s"]) / 1e9 / n)
+        for r in grows:
+            b = int(r["bucket"])
+            w[b] = w[b] - lr * (float(r["s"]) / 1e9 / n)
+    sp.unpersist()
+    return bias, w
+
+
+def score_hashed_classifier(
+    df: DataFrame,
+    bias: float,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a trained hashed-n-gram classifier:
+    (id_col, score, is_match) — score = sigmoid(bias + w.x) on the same
+    quantized-logit grid the trainer used (so the oracle's replay is
+    exact), fence at 0.5 on the rounded score. One explode + one
+    (id, bucket) aggregation; the model rides as plan literals."""
+    sp = hashed_ngram_features(df, text_col, id_col, len(weights))
+    wlit = F.array(*[F.lit(v) for v in weights])
+    zq = sp.groupBy("id").agg(
+        F.sum(
+            F.round(
+                F.element_at(wlit, F.col("bucket").cast("int") + 1)
+                * F.col("x")
+                * F.lit(1e9)
+            ).cast("long")
+        ).alias("zq")
+    )
+    z = F.lit(bias) + F.coalesce(F.col("zq"), F.lit(0)).cast("double") / F.lit(1e9)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(zq, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            score.alias("score"),
+            (score >= F.lit(0.5)).alias("is_match"),
+        )
+    )

@@ -1835,3 +1835,78 @@ def llm_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the ranked cosine in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.sq8_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+_HASH_BUCKET_SQL = "('0x' || substr(md5(g), 1, 15))::BIGINT % 64"
+
+
+@query(
+    "llm_hashed_classifier",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, list_filter({_TOKENS_SQL}, t -> t != '') AS ws
+                FROM documents),
+    gr AS (SELECT doc_id,
+                  list_concat(ws,
+                    CASE WHEN len(ws) >= 2
+                         THEN list_transform(range(1, len(ws)),
+                                             i -> ws[i] || ' ' || ws[i+1])
+                         ELSE []::VARCHAR[] END) AS gs
+           FROM tk),
+    ex AS (SELECT doc_id, len(gs) AS tot, unnest(gs) AS g FROM gr),
+    sp AS (SELECT doc_id, {_HASH_BUCKET_SQL} AS bucket,
+                  count(*)::DOUBLE / max(tot)::DOUBLE AS x
+           FROM ex GROUP BY 1, 2),
+    ydoc AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+             FROM documents),
+    -- iteration 1: all weights 0 -> z = 0 -> p = 0.5 exactly
+    b1 AS (SELECT count(*)::DOUBLE AS n,
+                  sum(CAST(round((0.5 - y) * 1000000000.0) AS BIGINT)) AS s
+           FROM ydoc),
+    g1 AS (SELECT sp.bucket,
+                  sum(CAST(round(((0.5 - y) * x) * 1000000000.0) AS BIGINT)) AS s
+           FROM sp JOIN ydoc USING (doc_id) GROUP BY 1),
+    bias1 AS (SELECT 0.0 - 0.5 * (CAST(s AS DOUBLE) / 1000000000.0 / n) AS b
+              FROM b1),
+    w1 AS (SELECT bucket, 0.0 - 0.5 * (CAST(g1.s AS DOUBLE) / 1000000000.0 / b1.n) AS w
+           FROM g1 CROSS JOIN b1),
+    -- iteration 2
+    zq2 AS (SELECT sp.doc_id,
+                   sum(CAST(round(w1.w * sp.x * 1000000000.0) AS BIGINT)) AS zq
+            FROM sp JOIN w1 USING (bucket) GROUP BY 1),
+    d2 AS (SELECT ydoc.doc_id, ydoc.y,
+                  round((1.0 / (1.0 + exp(-(bias1.b + CAST(coalesce(zq2.zq, 0) AS DOUBLE) / 1000000000.0)))) * 1000000.0) / 1000000.0 - ydoc.y AS d
+           FROM ydoc LEFT JOIN zq2 USING (doc_id) CROSS JOIN bias1),
+    b2 AS (SELECT count(*)::DOUBLE AS n,
+                  sum(CAST(round(d * 1000000000.0) AS BIGINT)) AS s
+           FROM d2),
+    g2 AS (SELECT sp.bucket,
+                  sum(CAST(round((d2.d * sp.x) * 1000000000.0) AS BIGINT)) AS s
+           FROM sp JOIN d2 USING (doc_id) GROUP BY 1),
+    bias2 AS (SELECT bias1.b - 0.5 * (CAST(b2.s AS DOUBLE) / 1000000000.0 / b2.n) AS b
+              FROM bias1 CROSS JOIN b2),
+    w2 AS (SELECT w1.bucket,
+                  w1.w - 0.5 * (CAST(g2.s AS DOUBLE) / 1000000000.0 / b2.n) AS w
+           FROM w1 JOIN g2 USING (bucket) CROSS JOIN b2),
+    -- scoring pass with the trained model
+    zq3 AS (SELECT sp.doc_id,
+                   sum(CAST(round(w2.w * sp.x * 1000000000.0) AS BIGINT)) AS zq
+            FROM sp JOIN w2 USING (bucket) GROUP BY 1),
+    sc AS (SELECT d.doc_id,
+                  round(1.0 / (1.0 + exp(-(bias2.b + CAST(coalesce(zq3.zq, 0) AS DOUBLE) / 1000000000.0))), 6) AS score
+           FROM documents d LEFT JOIN zq3 ON d.doc_id = zq3.doc_id
+           CROSS JOIN bias2)
+    SELECT doc_id, score, score >= 0.5 AS is_match FROM sc
+    """,
+)
+def llm_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed n-gram classifier (text.train_hashed_classifier +
+    score): fastText-shaped hashing trick — unigram+bigram md5 buckets
+    (D=64), normalized counts, 2 full-batch GD iterations with lang='en'
+    as the stand-in label, then a scoring pass. Unlike the 4-feature
+    quality classifier, BOTH the per-doc logit and the per-bucket
+    gradients are data-dependent sums, so each is quantized to BIGINT on
+    a 1e9 grid (order-independent partial aggregation); the oracle
+    replays hashing, both iterations, and scoring entirely in SQL."""
+    docs = _docs(spark, sf_dir)
+    bias, w = X.train_hashed_classifier(docs, F.col("lang") == "en", n_buckets=64)
+    return X.score_hashed_classifier(docs, bias, w)

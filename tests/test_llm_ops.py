@@ -1064,3 +1064,42 @@ def test_sq8_topk_recall_vs_exact(spark, emb):
     # agreement with the exact scan, and the self-match must survive
     assert len(set(exact) & set(approx)) >= 8
     assert approx[0] == 0
+
+
+def test_hashed_classifier_separates_planted_classes(spark):
+    pos = [(i, "the quick brown fox jumps over the lazy dog again " * 3) for i in range(20)]
+    neg = [(i + 100, "zzz qqq vvv kkk xxx www yyy uuu ttt sss " * 3) for i in range(20)]
+    df = spark.createDataFrame(pos + neg, ["doc_id", "text"])
+    bias, w = X.train_hashed_classifier(
+        df, F.col("doc_id") < 100, n_buckets=64, n_iter=2
+    )
+    assert len(w) == 64
+    out = {r.doc_id: r for r in X.score_hashed_classifier(df, bias, w).collect()}
+    # every positive doc must outscore every negative doc after 2 GD steps
+    assert min(out[i].score for i in range(20)) > max(
+        out[i + 100].score for i in range(20)
+    )
+    # determinism: retraining yields the identical model
+    bias2, w2 = X.train_hashed_classifier(
+        df, F.col("doc_id") < 100, n_buckets=64, n_iter=2
+    )
+    assert bias == bias2 and w == w2
+
+
+def test_hashed_classifier_empty_doc_bias_only(spark):
+    df = spark.createDataFrame(
+        [(1, "some tokens here"), (2, "")], ["doc_id", "text"]
+    )
+    bias, w = X.train_hashed_classifier(df, F.col("doc_id") == 1, n_buckets=16)
+    out = {r.doc_id: r for r in X.score_hashed_classifier(df, bias, w).collect()}
+    # the empty doc scores sigmoid(bias) — finite, present, no crash
+    assert 0.0 <= out[2].score <= 1.0
+    assert set(out) == {1, 2}
+
+
+def test_hashed_ngram_features_normalized(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    rows = X.hashed_ngram_features(df, n_buckets=8).collect()
+    # 3 unigrams + 2 bigrams = 5 grams; x sums to 1 over the doc
+    assert abs(sum(r.x for r in rows) - 1.0) < 1e-12
+    assert all(0 <= r.bucket < 8 for r in rows)
