@@ -89,6 +89,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_span_dedup",  # exact substring-span dedup (rolling-window fingerprints)
     "llm_sq8_topk",  # int8 scalar-quantized approximate top-k
     "llm_hashed_classifier",  # feature-hashed n-gram logistic classifier
+    "llm_bpe_vocab",  # distributed BPE vocabulary induction
 )
 
 

@@ -1910,3 +1910,79 @@ def llm_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     bias, w = X.train_hashed_classifier(docs, F.col("lang") == "en", n_buckets=64)
     return X.score_hashed_classifier(docs, bias, w)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """BPE replay: per round, count adjacent pairs (freq-weighted), pick
+    the argmax (tie -> space-joined pair string, == tuple order since
+    symbols are space-free), then apply the left-to-right
+    non-overlapping merge via the candidate-run parity rewrite (within
+    each run of consecutive candidate starts, the scan merges offsets
+    0, 2, 4, ...)."""
+    blocks = [
+        f"""
+    w0 AS (SELECT w, count(*)::BIGINT AS freq FROM
+             (SELECT unnest(list_filter({_TOKENS_SQL}, t -> t != '')) AS w
+              FROM documents)
+           GROUP BY w),
+    s0 AS (SELECT w, freq, unnest(regexp_extract_all(w, '.')) AS sym,
+                  unnest(range(0, len(regexp_extract_all(w, '.')))) AS pos
+           FROM w0)"""
+    ]
+    for i in range(n_merges):
+        blocks.append(f"""
+    p{i} AS (SELECT pair, sum(freq) AS n FROM (
+               SELECT freq,
+                      sym || ' ' || lead(sym) OVER (PARTITION BY w ORDER BY pos)
+                        AS pair
+               FROM s{i})
+             WHERE pair IS NOT NULL GROUP BY pair),
+    t{i} AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+             FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1),
+    c{i} AS (SELECT s.w, s.pos
+             FROM s{i} s
+             JOIN s{i} s2 ON s.w = s2.w AND s2.pos = s.pos + 1
+             CROSS JOIN t{i} t
+             WHERE s.sym = t.a AND s2.sym = t.b),
+    r{i} AS (SELECT w, pos,
+                    pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS rid
+             FROM c{i}),
+    v{i} AS (SELECT w, pos FROM
+               (SELECT w, pos, min(pos) OVER (PARTITION BY w, rid) AS p0
+                FROM r{i})
+             WHERE (pos - p0) % 2 = 0),
+    s{i + 1} AS (SELECT w, freq,
+                        row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+                        sym
+                 FROM (SELECT s.w, s.freq, s.pos,
+                              CASE WHEN v.pos IS NOT NULL THEN t.a || t.b
+                                   ELSE s.sym END AS sym
+                       FROM s{i} s
+                       CROSS JOIN t{i} t
+                       LEFT JOIN v{i} v ON s.w = v.w AND s.pos = v.pos
+                       LEFT JOIN v{i} v2 ON s.w = v2.w AND s.pos = v2.pos + 1
+                       WHERE v2.pos IS NULL))""")
+    return (
+        "WITH" + ",".join(blocks) + f"""
+    SELECT sym AS symbol, CAST(sum(freq) AS BIGINT) AS n
+    FROM s{n_merges} GROUP BY sym
+    """
+    )
+
+
+@query("llm_bpe_vocab", _bpe_oracle(3))
+def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (vocab.bpe_learn +
+    bpe_vocab): 3 merge rounds over the corpus word-frequency table —
+    pair counting is an explode + integer-sum aggregation over DISTINCT
+    words (vocabulary-sized, not corpus-sized), only the winning pair
+    crosses the driver per round, and the merge scan is a JVM array
+    fold. The oracle replays every round: pair counts, the
+    deterministically tie-broken argmax, and the non-overlapping merge
+    via the candidate-run parity rewrite. Output = the final subword
+    vocabulary with corpus frequencies."""
+    from delta_rs_spark.functions.vocab import bpe_learn, bpe_vocab
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_learn(docs, n_merges=3)
+    return bpe_vocab(docs, merges)

@@ -1103,3 +1103,36 @@ def test_hashed_ngram_features_normalized(spark):
     # 3 unigrams + 2 bigrams = 5 grams; x sums to 1 over the doc
     assert abs(sum(r.x for r in rows) - 1.0) < 1e-12
     assert all(0 <= r.bucket < 8 for r in rows)
+
+
+def test_bpe_learn_textbook_corpus(spark):
+    from delta_rs_spark.functions.vocab import bpe_learn, bpe_segment, bpe_vocab
+
+    df = spark.createDataFrame([(1, "low low low lower lowest")], ["doc_id", "text"])
+    merges = bpe_learn(df, n_merges=3)
+    # (l,o) x5 ties (o,w) x5 -> pair-string tiebreak; then (lo,w) x5; then (low,e) x2
+    assert merges == [("l", "o", 5), ("lo", "w", 5), ("low", "e", 2)]
+    vocab = {r.symbol: r.n for r in bpe_vocab(df, merges).collect()}
+    assert vocab == {"low": 3, "lowe": 2, "r": 1, "s": 1, "t": 1}
+    seg = bpe_segment(df, merges).collect()[0].pieces
+    assert seg == ["low", "low", "low", "lowe", "r", "lowe", "s", "t"]
+
+
+def test_bpe_merge_nonoverlapping_runs(spark):
+    from delta_rs_spark.functions.vocab import bpe_learn, bpe_vocab
+
+    # 'aaaa' with merge (a,a): the scan takes positions 0 and 2 -> 'aa','aa'
+    df = spark.createDataFrame([(1, "aaaa aaa b")], ["doc_id", "text"])
+    merges = bpe_learn(df, n_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    vocab = {r.symbol: r.n for r in bpe_vocab(df, merges).collect()}
+    # aaaa -> [aa, aa]; aaa -> [aa, a]
+    assert vocab == {"aa": 3, "a": 1, "b": 1}
+
+
+def test_bpe_learn_deterministic(spark, docs):
+    from delta_rs_spark.functions.vocab import bpe_learn
+
+    m1 = bpe_learn(docs, n_merges=2)
+    m2 = bpe_learn(docs, n_merges=2)
+    assert m1 == m2 and len(m1) == 2
