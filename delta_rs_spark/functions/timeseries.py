@@ -65,3 +65,54 @@ def resample_gap_fill(
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         fill.cast("long").alias("filled_cents"),
     )
+
+
+def trailing_zscore_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str = "event_type",
+    bucket_seconds: int = 3600,
+    lookback: int = 24,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Windowed anomaly detection over an event stream: bucket events
+    per (group, time bucket), then score each bucket's count against
+    the mean/stddev of the PRECEDING ``lookback`` buckets (trailing
+    frame — the score never peeks at its own value or the future, so
+    the batch definition replays the streaming one). Returns
+    (by, bucket_ts, n, z, is_anomaly); z is NULL until two prior
+    buckets exist or when the trailing counts are constant.
+
+    Scale shape: one partial-aggregated groupBy to bucket counts
+    (corpus -> |groups| x |buckets| rows), then one window pass keyed
+    by group — the window input is the bucketed series, not the raw
+    events, so the sort is tiny regardless of event volume. Skewed
+    groups are a non-issue at series granularity."""
+    sec = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))).cast("long")
+    bucket = (F.floor(sec / F.lit(bucket_seconds)) * F.lit(bucket_seconds)).cast(
+        "long"
+    )
+    counts = (
+        df.select(F.col(by), bucket.alias("bucket_ts"))
+        .groupBy(by, "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        W.partitionBy(by)
+        .orderBy("bucket_ts")
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg(F.col("n").cast("double")).over(w)
+    sd = F.stddev_samp(F.col("n").cast("double")).over(w)
+    z = F.when(
+        sd.isNull() | (sd == F.lit(0.0)), F.lit(None).cast("double")
+    ).otherwise(F.round((F.col("n").cast("double") - mu) / sd, 4))
+    return counts.select(
+        by,
+        "bucket_ts",
+        F.col("n").cast("long").alias("n"),
+        z.alias("z"),
+        # a bucket with no usable baseline is NOT an anomaly (non-null
+        # boolean -> directly usable as a filter/partition column)
+        F.coalesce(F.abs(z) >= F.lit(threshold), F.lit(False)).alias("is_anomaly"),
+    )

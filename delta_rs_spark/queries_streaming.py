@@ -227,3 +227,42 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("sum_val_cents"),
     )
+
+
+@query(
+    "q_events_anomaly_zscore",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 3600)
+                           * 3600 AS BIGINT) AS bucket_ts
+               FROM events),
+    c AS (SELECT event_type, bucket_ts, count(*)::BIGINT AS n
+          FROM e GROUP BY 1, 2),
+    s AS (SELECT event_type, bucket_ts, n,
+                 avg(n::DOUBLE) OVER w AS mu,
+                 stddev_samp(n::DOUBLE) OVER w AS sd
+          FROM c
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, bucket_ts, n,
+           CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                ELSE round((n::DOUBLE - mu) / sd, 4) END AS z,
+           coalesce(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                         ELSE abs(round((n::DOUBLE - mu) / sd, 4)) >= 2.0 END,
+                    FALSE) AS is_anomaly
+    FROM s
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection over the event stream
+    (timeseries.trailing_zscore_anomalies): hourly per-type counts
+    scored against the preceding 24 buckets' mean/stddev — the trailing
+    frame never reads its own bucket, so the batch definition is the
+    streaming one. The oracle replays bucketing, the trailing frame,
+    and the guarded z-score in SQL."""
+    from delta_rs_spark.functions.timeseries import trailing_zscore_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return trailing_zscore_anomalies(
+        ev, ts_col="ts", by="event_type", bucket_seconds=3600, lookback=24
+    )

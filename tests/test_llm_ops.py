@@ -1136,3 +1136,38 @@ def test_bpe_learn_deterministic(spark, docs):
     m1 = bpe_learn(docs, n_merges=2)
     m2 = bpe_learn(docs, n_merges=2)
     assert m1 == m2 and len(m1) == 2
+
+
+def test_trailing_zscore_flags_planted_spike(spark):
+    from datetime import datetime, timedelta
+
+    from delta_rs_spark.functions.timeseries import trailing_zscore_anomalies
+
+    base = datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # 30 steady hours of ~10 events, then one 100-event spike hour
+    for h in range(31):
+        n = 100 if h == 30 else 10 + (h % 3)  # mild jitter -> nonzero stddev
+        for _ in range(n):
+            rows.append((eid, base + timedelta(hours=h, minutes=1), "click"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = {r.bucket_ts: r for r in trailing_zscore_anomalies(df).collect()}
+    assert len(out) == 31
+    spike_ts = int((base + timedelta(hours=30)).timestamp())
+    spike = out[spike_ts]
+    assert spike.is_anomaly and spike.z > 10
+    # steady hours with a settled baseline (>= 10 prior buckets smooth
+    # out the jitter; the first few buckets may flag on 2-sample noise,
+    # which is the definition working, not a bug) are not anomalous
+    settled = int((base + timedelta(hours=10)).timestamp())
+    steady = [
+        r
+        for ts, r in out.items()
+        if ts != spike_ts and ts >= settled and r.z is not None
+    ]
+    assert steady and all(not r.is_anomaly for r in steady)
+    # the first bucket has no baseline: z NULL, is_anomaly FALSE not NULL
+    first = out[int(base.timestamp())]
+    assert first.z is None and first.is_anomaly is False
