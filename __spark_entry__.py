@@ -90,6 +90,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_sq8_topk",  # int8 scalar-quantized approximate top-k
     "llm_hashed_classifier",  # feature-hashed n-gram logistic classifier
     "llm_bpe_vocab",  # distributed BPE vocabulary induction
+    "llm_quality_calibration",  # per-source percentile quality calibration
 )
 
 

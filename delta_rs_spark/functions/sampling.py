@@ -190,3 +190,48 @@ def domain_cap(
         .filter(F.col("rank_in_domain") <= cap)
         .drop("__q")
     )
+
+
+def calibrate_quality_per_source(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Per-domain quality calibration: raw quality scores are not
+    comparable ACROSS sources (a mid-tier web page outscores a top-tier
+    forum post on raw heuristics), so global filtering by raw score
+    skews the mix toward whichever domain's score distribution sits
+    higher. Replace each doc's score with its percentile rank WITHIN its
+    source, then keep the top ``keep_frac`` of every source — the
+    standard mix-preserving quality cut. Returns (id, source, score,
+    pct, keep); pct is percent_rank (0 = worst in source, 1 = best),
+    keep = pct >= 1 - keep_frac, both deterministic via the
+    (score, id) ordering.
+
+    Scale shape: one codegen scoring map + ONE window shuffle keyed by
+    source. Source skew (one giant domain) is percentile-rank's known
+    cost center; a production run at 100 TB would pre-aggregate to
+    score-histogram ranks per source (same result on a 1e-6 grid) —
+    at gate scale the exact window is the honest oracle-checkable
+    form."""
+    from delta_rs_spark.functions.text import quality_score
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(source_col).orderBy(
+        F.asc("score"), F.asc(id_col)
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        quality_score(F.col(text_col)).alias("score"),
+    )
+    pct = F.round(F.percent_rank().over(w), 6)
+    return scored.select(
+        id_col,
+        source_col,
+        "score",
+        pct.alias("pct"),
+        (pct >= F.lit(1.0) - F.lit(keep_frac)).alias("keep"),
+    )

@@ -1986,3 +1986,39 @@ def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     merges = bpe_learn(docs, n_merges=3)
     return bpe_vocab(docs, merges)
+
+
+@query(
+    "llm_quality_calibration",
+    f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             len({_TOKENS_SQL})::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}'))::DOUBLE AS sw,
+             len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS pn
+      FROM documents),
+    s AS (SELECT doc_id, source,
+                 round(0.5 * least(n_tok / 64.0, 1.0)
+                     + 0.5 * least(sw / greatest(n_tok, 1.0) * 4.0, 1.0)
+                     - 0.25 * least(pn / greatest(n_char, 1.0) * 10.0, 1.0), 6)
+                   AS score
+          FROM m),
+    r AS (SELECT doc_id, source, score,
+                 round(percent_rank() OVER (PARTITION BY source
+                                            ORDER BY score ASC, doc_id ASC), 6)
+                   AS pct
+          FROM s)
+    SELECT doc_id, source, score, pct, pct >= 0.5 AS keep FROM r
+    """,
+)
+def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality calibration (sampling.calibrate_quality_per_
+    source): raw quality scores replaced by their percentile rank WITHIN
+    each source, top half of every source kept — the mix-preserving
+    quality cut (global raw-score filtering would skew the mix toward
+    the domain whose score distribution sits highest). Oracle replays
+    scoring, the per-source percent_rank with the deterministic
+    (score, id) ordering, and the fence."""
+    docs = _docs(spark, sf_dir)
+    return SA.calibrate_quality_per_source(docs, keep_frac=0.5)

@@ -1171,3 +1171,26 @@ def test_trailing_zscore_flags_planted_spike(spark):
     # the first bucket has no baseline: z NULL, is_anomaly FALSE not NULL
     first = out[int(base.timestamp())]
     assert first.z is None and first.is_anomaly is False
+
+
+def test_quality_calibration_per_source_fractions(spark):
+    from delta_rs_spark.functions.sampling import calibrate_quality_per_source
+
+    rows = []
+    # source A: long/high-quality docs; source B: terse low-score docs —
+    # a global raw-score cut would keep almost only A
+    for i in range(40):
+        rows.append((i, "A", "the quick brown fox is seen and the dog was there " * (i % 5 + 2)))
+    for i in range(20):
+        rows.append((100 + i, "B", "x y z " * (i % 3 + 1)))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = calibrate_quality_per_source(df, keep_frac=0.5).collect()
+    kept = {(r.source, r.doc_id) for r in out if r.keep}
+    a = sum(1 for s, _ in kept if s == "A")
+    b = sum(1 for s, _ in kept if s == "B")
+    # the cut preserves the mix: ~half of EACH source survives
+    assert 18 <= a <= 22 and 8 <= b <= 12
+    # pct spans [0, 1] within each source
+    for src in ("A", "B"):
+        ps = sorted(r.pct for r in out if r.source == src)
+        assert ps[0] == 0.0 and ps[-1] == 1.0
