@@ -815,12 +815,17 @@ def hashed_ngram_features(
     """Sparse hashed bag-of-n-grams: unigrams + word bigrams hashed into
     ``n_buckets`` buckets (the fastText/Vowpal hashing trick — fixed
     model width, no vocabulary pass, collisions are the accepted noise).
-    Returns (id, bucket, x) with x = bucket count / total grams in doc —
-    docs with no tokens produce no rows (bias-only).
+    Returns (id, bucket, x) with x = bucket count / total grams in doc,
+    PLUS one bias row (bucket = -1, x = 1.0) for every doc — the model's
+    intercept is just another feature, which makes every doc reachable
+    through the frame (empty docs included) and lets the trainer and
+    scorer run logit + gradient in single uniform aggregations.
 
     Scale shape: one explode of the gram array and ONE shuffle keyed by
     (id, bucket); the per-doc total rides alongside the explode instead
-    of a second window pass."""
+    of a second window pass. Callers that reuse the frame across
+    training iterations and scoring should persist it — it is
+    docs x <=n_buckets+1 rows, far smaller than the text it came from."""
     c = F.col(text_col)
     toks = tokens(c)
     bi = F.slice(
@@ -833,7 +838,7 @@ def hashed_ngram_features(
         F.greatest(F.size(toks) - 1, F.lit(0)),
     )
     grams = F.concat(toks, bi)
-    return (
+    feats = (
         df.select(
             F.col(id_col).alias("id"),
             F.size(grams).alias("__tot"),
@@ -847,6 +852,33 @@ def hashed_ngram_features(
             ).alias("x")
         )
     )
+    bias_rows = df.select(
+        F.col(id_col).alias("id"),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    return feats.select("id", F.col("bucket").cast("long").alias("bucket"), "x").union(
+        bias_rows
+    )
+
+
+def _hashed_weight(bias: float, weights: list[float]) -> Column:
+    """Per-row model weight: the bias for the intercept row (bucket -1),
+    else the bucket's weight from the literal array."""
+    wlit = F.array(*[F.lit(v) for v in weights])
+    return F.when(F.col("bucket") == -1, F.lit(bias)).otherwise(
+        F.element_at(wlit, F.col("bucket").cast("int") + 1)
+    )
+
+
+def _hashed_logit_q(bias: float, weights: list[float]) -> Column:
+    """BIGINT-quantized per-row logit contribution round(w*x*1e9) — the
+    full logit (bias included, via the intercept row) is the exact
+    integer sum of these, so partial aggregation is order-independent
+    and DuckDB replays it bit-for-bit."""
+    return F.round(_hashed_weight(bias, weights) * F.col("x") * F.lit(1e9)).cast(
+        "long"
+    )
 
 
 def train_hashed_classifier(
@@ -857,6 +889,7 @@ def train_hashed_classifier(
     n_buckets: int = 64,
     n_iter: int = 2,
     lr: float = 0.5,
+    features: DataFrame | None = None,
 ) -> tuple[float, list[float]]:
     """Distributed logistic regression over hashed n-gram features — the
     fastText-shaped "train a topic/quality filter from a labeled seed
@@ -864,57 +897,55 @@ def train_hashed_classifier(
     of train_quality_classifier's four hand-crafted signals. Same
     cross-engine GD discipline as that function: sigmoid snapped to a
     1e-6 grid; every data-dependent sum (the per-doc logit AND the
-    per-bucket gradients) quantized to BIGINT on a 1e9 grid so partial
-    aggregation is order-independent; weight updates driver-side on the
-    integer sums (model-sized traffic only: n_buckets+2 scalars/iter).
+    per-bucket gradients, bias included via the intercept row) quantized
+    to BIGINT on a 1e9 grid so partial aggregation is order-independent;
+    weight updates driver-side on the integer sums (model-sized traffic
+    only: n_buckets+1 scalars/iter).
+
+    Each iteration is ONE job: the per-doc logit is an id-partitioned
+    window over the persisted (features ⋈ label) frame, the per-bucket
+    gradient the following bucket-keyed aggregation — no second scan,
+    no per-iteration join. Pass ``features`` (from
+    ``hashed_ngram_features``, ideally persisted) to share the frame
+    with the scoring pass.
 
     Returns (bias, weights[n_buckets])."""
-    # the sparse feature frame feeds 2 jobs per iteration (logit +
-    # gradient) — persist it once instead of re-tokenizing/re-hashing the
-    # corpus each pass; it is docs x <=n_buckets rows, far smaller than
-    # the text it came from
-    sp = hashed_ngram_features(df, text_col, id_col, n_buckets).persist()
+    from pyspark.sql import Window as W
+
+    sp = (
+        features
+        if features is not None
+        else hashed_ngram_features(df, text_col, id_col, n_buckets)
+    )
     ydoc = df.select(
         F.col(id_col).alias("id"),
         F.when(label, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     )
+    spy = sp.join(ydoc, "id").persist()
     bias, w = 0.0, [0.0] * n_buckets
     for _ in range(n_iter):
-        wlit = F.array(*[F.lit(v) for v in w])
-        zq = sp.groupBy("id").agg(
-            F.sum(
-                F.round(
-                    F.element_at(wlit, F.col("bucket").cast("int") + 1)
-                    * F.col("x")
-                    * F.lit(1e9)
-                ).cast("long")
-            ).alias("zq")
-        )
-        z = F.lit(bias) + F.coalesce(F.col("zq"), F.lit(0)).cast("double") / F.lit(1e9)
+        zq = F.sum(_hashed_logit_q(bias, w)).over(W.partitionBy("id"))
+        z = zq.cast("double") / F.lit(1e9)
         p = F.round((F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6)) / F.lit(1e6)
-        scored = ydoc.join(zq, "id", "left").select(
-            "id", (p - F.col("y")).alias("d")
-        )
-        brow = scored.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("d") * F.lit(1e9)).cast("long")).alias("s"),
-        ).collect()[0]
+        d = p - F.col("y")
         grows = (
-            scored.join(sp, "id")
-            .groupBy("bucket")
-            .agg(
-                F.sum(
-                    F.round((F.col("d") * F.col("x")) * F.lit(1e9)).cast("long")
-                ).alias("s")
+            spy.select(
+                "bucket",
+                F.round((d * F.col("x")) * F.lit(1e9)).cast("long").alias("__gq"),
             )
+            .groupBy("bucket")
+            .agg(F.sum("__gq").alias("s"), F.count(F.lit(1)).alias("c"))
             .collect()
         )
-        n = float(brow["n"])
-        bias = bias - lr * (float(brow["s"]) / 1e9 / n)
+        # the intercept row count IS the doc count (one bias row per doc)
+        n = next(float(r["c"]) for r in grows if int(r["bucket"]) == -1)
         for r in grows:
             b = int(r["bucket"])
-            w[b] = w[b] - lr * (float(r["s"]) / 1e9 / n)
-    sp.unpersist()
+            if b == -1:
+                bias = bias - lr * (float(r["s"]) / 1e9 / n)
+            else:
+                w[b] = w[b] - lr * (float(r["s"]) / 1e9 / n)
+    spy.unpersist()
     return bias, w
 
 
@@ -924,31 +955,27 @@ def score_hashed_classifier(
     weights: list[float],
     text_col: str = "text",
     id_col: str = "doc_id",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents with a trained hashed-n-gram classifier:
-    (id_col, score, is_match) — score = sigmoid(bias + w.x) on the same
-    quantized-logit grid the trainer used (so the oracle's replay is
-    exact), fence at 0.5 on the rounded score. One explode + one
-    (id, bucket) aggregation; the model rides as plan literals."""
-    sp = hashed_ngram_features(df, text_col, id_col, len(weights))
-    wlit = F.array(*[F.lit(v) for v in weights])
-    zq = sp.groupBy("id").agg(
-        F.sum(
-            F.round(
-                F.element_at(wlit, F.col("bucket").cast("int") + 1)
-                * F.col("x")
-                * F.lit(1e9)
-            ).cast("long")
-        ).alias("zq")
+    (id_col, score, is_match) — score = sigmoid of the quantized logit
+    (the grid the trainer used, so the oracle's replay is exact), fence
+    at 0.5 on the rounded score. One bucket aggregation per doc; the
+    intercept row guarantees every doc (even empty ones) appears. Pass
+    the same persisted ``features`` frame used for training to skip
+    re-hashing the corpus."""
+    sp = (
+        features
+        if features is not None
+        else hashed_ngram_features(df, text_col, id_col, len(weights))
     )
-    z = F.lit(bias) + F.coalesce(F.col("zq"), F.lit(0)).cast("double") / F.lit(1e9)
+    zq = sp.groupBy("id").agg(
+        F.sum(_hashed_logit_q(bias, weights)).alias("zq")
+    )
+    z = F.col("zq").cast("double") / F.lit(1e9)
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(zq, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            score.alias("score"),
-            (score >= F.lit(0.5)).alias("is_match"),
-        )
+    return zq.select(
+        F.col("id").alias(id_col),
+        score.alias("score"),
+        (score >= F.lit(0.5)).alias("is_match"),
     )

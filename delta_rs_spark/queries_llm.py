@@ -1853,63 +1853,65 @@ _HASH_BUCKET_SQL = "('0x' || substr(md5(g), 1, 15))::BIGINT % 64"
                          ELSE []::VARCHAR[] END) AS gs
            FROM tk),
     ex AS (SELECT doc_id, len(gs) AS tot, unnest(gs) AS g FROM gr),
-    sp AS (SELECT doc_id, {_HASH_BUCKET_SQL} AS bucket,
-                  count(*)::DOUBLE / max(tot)::DOUBLE AS x
-           FROM ex GROUP BY 1, 2),
+    sp0 AS (SELECT doc_id, {_HASH_BUCKET_SQL} AS bucket,
+                   count(*)::DOUBLE / max(tot)::DOUBLE AS x
+            FROM ex GROUP BY 1, 2),
+    -- intercept row per doc: the bias is feature bucket -1 with x = 1
+    spb AS (SELECT doc_id, bucket, x FROM sp0
+            UNION ALL
+            SELECT doc_id, -1 AS bucket, 1.0 AS x FROM documents),
     ydoc AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
              FROM documents),
+    n0 AS (SELECT count(*)::DOUBLE AS n FROM documents),
     -- iteration 1: all weights 0 -> z = 0 -> p = 0.5 exactly
-    b1 AS (SELECT count(*)::DOUBLE AS n,
-                  sum(CAST(round((0.5 - y) * 1000000000.0) AS BIGINT)) AS s
-           FROM ydoc),
-    g1 AS (SELECT sp.bucket,
+    g1 AS (SELECT spb.bucket,
                   sum(CAST(round(((0.5 - y) * x) * 1000000000.0) AS BIGINT)) AS s
-           FROM sp JOIN ydoc USING (doc_id) GROUP BY 1),
-    bias1 AS (SELECT 0.0 - 0.5 * (CAST(s AS DOUBLE) / 1000000000.0 / n) AS b
-              FROM b1),
-    w1 AS (SELECT bucket, 0.0 - 0.5 * (CAST(g1.s AS DOUBLE) / 1000000000.0 / b1.n) AS w
-           FROM g1 CROSS JOIN b1),
+           FROM spb JOIN ydoc USING (doc_id) GROUP BY 1),
+    w1 AS (SELECT bucket,
+                  0.0 - 0.5 * (CAST(g1.s AS DOUBLE) / 1000000000.0 / n0.n) AS w
+           FROM g1 CROSS JOIN n0),
     -- iteration 2
-    zq2 AS (SELECT sp.doc_id,
-                   sum(CAST(round(w1.w * sp.x * 1000000000.0) AS BIGINT)) AS zq
-            FROM sp JOIN w1 USING (bucket) GROUP BY 1),
-    d2 AS (SELECT ydoc.doc_id, ydoc.y,
-                  round((1.0 / (1.0 + exp(-(bias1.b + CAST(coalesce(zq2.zq, 0) AS DOUBLE) / 1000000000.0)))) * 1000000.0) / 1000000.0 - ydoc.y AS d
-           FROM ydoc LEFT JOIN zq2 USING (doc_id) CROSS JOIN bias1),
-    b2 AS (SELECT count(*)::DOUBLE AS n,
-                  sum(CAST(round(d * 1000000000.0) AS BIGINT)) AS s
-           FROM d2),
-    g2 AS (SELECT sp.bucket,
-                  sum(CAST(round((d2.d * sp.x) * 1000000000.0) AS BIGINT)) AS s
-           FROM sp JOIN d2 USING (doc_id) GROUP BY 1),
-    bias2 AS (SELECT bias1.b - 0.5 * (CAST(b2.s AS DOUBLE) / 1000000000.0 / b2.n) AS b
-              FROM bias1 CROSS JOIN b2),
+    zq2 AS (SELECT spb.doc_id,
+                   sum(CAST(round(w1.w * spb.x * 1000000000.0) AS BIGINT)) AS zq
+            FROM spb JOIN w1 USING (bucket) GROUP BY 1),
+    d2 AS (SELECT ydoc.doc_id,
+                  round((1.0 / (1.0 + exp(-(CAST(zq2.zq AS DOUBLE) / 1000000000.0)))) * 1000000.0) / 1000000.0 - ydoc.y AS d
+           FROM ydoc JOIN zq2 USING (doc_id)),
+    g2 AS (SELECT spb.bucket,
+                  sum(CAST(round((d2.d * spb.x) * 1000000000.0) AS BIGINT)) AS s
+           FROM spb JOIN d2 USING (doc_id) GROUP BY 1),
     w2 AS (SELECT w1.bucket,
-                  w1.w - 0.5 * (CAST(g2.s AS DOUBLE) / 1000000000.0 / b2.n) AS w
-           FROM w1 JOIN g2 USING (bucket) CROSS JOIN b2),
+                  w1.w - 0.5 * (CAST(g2.s AS DOUBLE) / 1000000000.0 / n0.n) AS w
+           FROM w1 JOIN g2 USING (bucket) CROSS JOIN n0),
     -- scoring pass with the trained model
-    zq3 AS (SELECT sp.doc_id,
-                   sum(CAST(round(w2.w * sp.x * 1000000000.0) AS BIGINT)) AS zq
-            FROM sp JOIN w2 USING (bucket) GROUP BY 1),
-    sc AS (SELECT d.doc_id,
-                  round(1.0 / (1.0 + exp(-(bias2.b + CAST(coalesce(zq3.zq, 0) AS DOUBLE) / 1000000000.0))), 6) AS score
-           FROM documents d LEFT JOIN zq3 ON d.doc_id = zq3.doc_id
-           CROSS JOIN bias2)
-    SELECT doc_id, score, score >= 0.5 AS is_match FROM sc
+    zq3 AS (SELECT spb.doc_id,
+                   sum(CAST(round(w2.w * spb.x * 1000000000.0) AS BIGINT)) AS zq
+            FROM spb JOIN w2 USING (bucket) GROUP BY 1)
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(CAST(zq AS DOUBLE) / 1000000000.0))), 6)
+             AS score,
+           round(1.0 / (1.0 + exp(-(CAST(zq AS DOUBLE) / 1000000000.0))), 6) >= 0.5
+             AS is_match
+    FROM zq3
     """,
 )
 def llm_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed n-gram classifier (text.train_hashed_classifier +
     score): fastText-shaped hashing trick — unigram+bigram md5 buckets
     (D=64), normalized counts, 2 full-batch GD iterations with lang='en'
-    as the stand-in label, then a scoring pass. Unlike the 4-feature
-    quality classifier, BOTH the per-doc logit and the per-bucket
-    gradients are data-dependent sums, so each is quantized to BIGINT on
-    a 1e9 grid (order-independent partial aggregation); the oracle
-    replays hashing, both iterations, and scoring entirely in SQL."""
+    as the stand-in label, then a scoring pass. The intercept is feature
+    bucket -1 (x=1 on every doc), making logit and gradient single
+    uniform aggregations — one job per training iteration — and BOTH are
+    quantized to BIGINT on a 1e9 grid (order-independent partial
+    aggregation). The hashed feature frame is built once, persisted, and
+    shared by training and scoring. The oracle replays hashing, both
+    iterations, and scoring entirely in SQL."""
     docs = _docs(spark, sf_dir)
-    bias, w = X.train_hashed_classifier(docs, F.col("lang") == "en", n_buckets=64)
-    return X.score_hashed_classifier(docs, bias, w)
+    sp = X.hashed_ngram_features(docs, n_buckets=64).persist()
+    bias, w = X.train_hashed_classifier(
+        docs, F.col("lang") == "en", n_buckets=64, features=sp
+    )
+    return X.score_hashed_classifier(docs, bias, w, features=sp)
 
 
 def _bpe_oracle(n_merges: int) -> str:

@@ -1100,9 +1100,17 @@ def test_hashed_classifier_empty_doc_bias_only(spark):
 def test_hashed_ngram_features_normalized(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     rows = X.hashed_ngram_features(df, n_buckets=8).collect()
-    # 3 unigrams + 2 bigrams = 5 grams; x sums to 1 over the doc
-    assert abs(sum(r.x for r in rows) - 1.0) < 1e-12
-    assert all(0 <= r.bucket < 8 for r in rows)
+    # 3 unigrams + 2 bigrams = 5 grams; gram weights sum to 1 over the
+    # doc, plus exactly one intercept row (bucket -1, x = 1)
+    gram_rows = [r for r in rows if r.bucket >= 0]
+    bias_rows = [r for r in rows if r.bucket == -1]
+    assert abs(sum(r.x for r in gram_rows) - 1.0) < 1e-12
+    assert all(0 <= r.bucket < 8 for r in gram_rows)
+    assert len(bias_rows) == 1 and bias_rows[0].x == 1.0
+    # empty docs still get their intercept row
+    empty = spark.createDataFrame([(2, "")], ["doc_id", "text"])
+    erows = X.hashed_ngram_features(empty, n_buckets=8).collect()
+    assert [(r.bucket, r.x) for r in erows] == [(-1, 1.0)]
 
 
 def test_bpe_learn_textbook_corpus(spark):
