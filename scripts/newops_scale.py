@@ -87,10 +87,12 @@ def span_dedup(docs):
 
 
 def hashed_clf(docs):
+    sp = X.hashed_ngram_features(docs, n_buckets=64).persist()
     bias, w = X.train_hashed_classifier(
-        docs, F.length("text") > 100, n_buckets=64, n_iter=2
+        docs, F.length("text") > 100, n_buckets=64, n_iter=2, features=sp
     )
-    return X.score_hashed_classifier(docs, bias, w)
+    out = X.score_hashed_classifier(docs, bias, w, features=sp)
+    return out
 
 
 def bpe3(docs):
@@ -135,6 +137,10 @@ def main() -> None:
         rec = {"k": k, "n_docs": n_docs}
         for name, op in doc_ops.items():
             rec[name] = timed(lambda: op(docs))
+            # the classifier persists its shared feature frame; drop all
+            # cached frames between ops so one op's cache never pressures
+            # the next measurement's heap
+            spark.catalog.clearCache()
         docs.unpersist()
         rows.append(rec)
         print(f"done k={k}: {rec}", file=sys.stderr)
