@@ -91,6 +91,10 @@ _FIRST_WITNESS_NEEDED = (
     "llm_hashed_classifier",  # feature-hashed n-gram logistic classifier
     "llm_bpe_vocab",  # distributed BPE vocabulary induction
     "llm_quality_calibration",  # per-source percentile quality calibration
+    "llm_bm25_topk",  # BM25 sparse retrieval (one corpus pass, broadcast queries)
+    "llm_importance_resampling",  # DSIR-style target-domain data selection
+    "llm_length_buckets",  # length-bucketed batch assembly + padding audit
+    "llm_perplexity_buckets",  # CCNet head/middle/tail LM-score tiers
 )
 
 

@@ -56,3 +56,50 @@ def pack_sequences(
         first_chunk.cast("long").alias("chunk_id"),
         (last_chunk - first_chunk + 1).cast("long").alias("n_chunks"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    bucket_width: int = 32,
+    batch_size: int = 8,
+    token_count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assembly — the padding-efficiency step for
+    fine-tuning / eval pipelines that pad to the batch max instead of
+    packing: group documents into ``bucket_width``-token length buckets,
+    fill fixed-size batches within each bucket (longest-first, id
+    tie-break), and report each batch's padding waste so the pipeline
+    can audit the token overhead before committing GPU time.
+
+    Returns one row per (bucket, batch_id): ``n_docs``, ``max_tok``,
+    ``sum_tok``, and ``padding`` = n_docs * max_tok - sum_tok (tokens
+    burned on pad). All-integer arithmetic — bit-reproducible anywhere.
+
+    Scale shape: ONE window shuffle keyed by bucket plus the batch
+    aggregation on the same key (no second shuffle — (bucket, batch_id)
+    is bucket-prefixed). Bucket count is |max_len / bucket_width|, so
+    windows stay narrow; a pathologically hot bucket is the same
+    two-phase-top-N story as domain_cap and splits fine under AQE."""
+    n_tok = F.col(token_count_col).cast("long")
+    bucket = F.floor(n_tok / F.lit(bucket_width)).cast("long").alias("bucket")
+    w = W.partitionBy("bucket").orderBy(F.col("n_tok").desc(), F.col(id_col).asc())
+    batch = F.floor((F.row_number().over(w) - 1) / F.lit(batch_size))
+    return (
+        df.select(F.col(id_col), n_tok.alias("n_tok"), bucket)
+        .withColumn("batch_id", batch.cast("long"))
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_tok",
+            "sum_tok",
+            (F.col("n_docs") * F.col("max_tok") - F.col("sum_tok")).alias("padding"),
+        )
+    )

@@ -192,6 +192,136 @@ def domain_cap(
     )
 
 
+def importance_resampling(
+    df: DataFrame,
+    target: Column,
+    vocab_size: int = 128,
+    keep_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much its unigram distribution looks like a TARGET domain versus
+    the raw corpus, then keep the top ``keep_frac``. The standard move
+    for "I have 100 TB of web text and 1 GB of the distribution I
+    actually want" — the target here is any boolean Column over the
+    corpus itself (e.g. ``source == 'curated'``).
+
+    Model: vocabulary = top ``vocab_size`` corpus terms by collection
+    frequency (term ASC tie-break); add-one-smoothed unigram probs over
+    that vocabulary for target and raw; per-doc importance weight =
+    mean over the doc's in-vocab token OCCURRENCES of
+    ln(p_target(w) / p_raw(w)). Docs with no in-vocab tokens weight 0.
+
+    Determinism: each term's log-ratio is snapped to a 1e-6 grid (the
+    one transcendental), the per-(doc,term) contribution tf * lambda is
+    basic-op exact, quantized to BIGINT on a 1e9 grid, and the per-doc
+    mean is derived from the integer sum — so the keep cut's ordering
+    (weight DESC, id ASC) is bit-reproducible in the DuckDB oracle.
+
+    Scale shape: one explode + groupBy(doc, term) shuffle (shared shape
+    with tfidf/BM25 postings), ONE vocabulary-sized aggregation joined
+    back by broadcast, one groupBy(doc) integer sum, one global
+    percent_rank window for the cut. Corpus-global state = the
+    (vocab_size)-row lambda table; nothing row-scaled hits the driver.
+    At 100 TB the single-partition global window is the known cost
+    center — production would histogram the 6dp weights and derive the
+    fence from counts; gate scale keeps the exact oracle-checkable
+    window.
+    """
+    from pyspark.sql import Window as W
+
+    from delta_rs_spark.functions.text import tokens
+
+    term_rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        target.cast("boolean").alias("is_tgt"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    counts = term_rows.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("n_tgt"),
+    )
+    vocab = counts.orderBy(
+        F.col("n_raw").desc(), F.col("term").asc()
+    ).limit(vocab_size)
+
+    # Smoothing totals: three scalars to the driver (vocab-sized agg).
+    tot = vocab.select(
+        F.sum("n_raw").alias("raw"), F.sum("n_tgt").alias("tgt")
+    ).first()
+    tot_raw, tot_tgt = float(tot["raw"]), float(tot["tgt"])
+    v = float(vocab_size)
+
+    # lambda(term) = ln(p_tgt / p_raw), snapped to the 1e-6 grid.
+    # p_* are IEEE divisions of exact integers — identical in SQL.
+    lam_q = (
+        F.round(
+            F.log(
+                (
+                    (F.col("n_tgt").cast("double") + F.lit(1.0))
+                    / F.lit(tot_tgt + v)
+                )
+                / (
+                    (F.col("n_raw").cast("double") + F.lit(1.0))
+                    / F.lit(tot_raw + v)
+                )
+            )
+            * F.lit(1e6)
+        )
+        / F.lit(1e6)
+    ).alias("lam")
+
+    doc_terms = term_rows.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    per_doc = (
+        doc_terms.join(F.broadcast(vocab.select("term", lam_q)), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("tf").cast("double") * F.col("lam") * F.lit(1e9)).cast(
+                    "long"
+                )
+            ).alias("sum_q"),
+            F.sum("tf").alias("n_vocab_tokens"),
+        )
+    )
+    joined = df.select(F.col(id_col).alias("doc_id")).join(
+        per_doc, "doc_id", "left"
+    )
+    # 6dp weight via an integer micro-grid: round-to-INTEGER is
+    # boundary-safe across engines (both round half away from zero on
+    # the same double), unlike round(x, 6) whose decimal-vs-scaled
+    # implementations disagree when x sits on a 1e-6 half-boundary
+    # (sum_q/n/1e9 is rational — it lands on boundaries for real).
+    weight = F.coalesce(
+        F.round(
+            F.col("sum_q").cast("double")
+            / (F.col("n_vocab_tokens").cast("double") * F.lit(1000.0))
+        ).cast("long")
+        / F.lit(1e6),
+        F.lit(0.0),
+    )
+    w = W.orderBy(F.asc("weight"), F.asc("doc_id"))
+    pct = F.round(F.percent_rank().over(w), 6)
+    return (
+        joined.select(
+            "doc_id",
+            F.coalesce("n_vocab_tokens", F.lit(0)).alias("n_vocab_tokens"),
+            weight.alias("weight"),
+        )
+        .select(
+            "doc_id",
+            "n_vocab_tokens",
+            "weight",
+            pct.alias("pct"),
+            (pct >= F.lit(1.0) - F.lit(keep_frac)).alias("keep"),
+        )
+    )
+
+
 def calibrate_quality_per_source(
     df: DataFrame,
     source_col: str = "source",

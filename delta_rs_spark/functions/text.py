@@ -649,6 +649,56 @@ def bigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus-fit bigram LM (``bigram_logprob``), rank
+    WITHIN its source, and label head / middle / tail thirds — the
+    standard "keep head+middle for pretraining, route tail to heavier
+    filtering" split. Ranking per source, not globally, for the same
+    reason as ``calibrate_quality_per_source``: LM scores are not
+    comparable across domains, and a global cut would crush whichever
+    domain the LM models worst.
+
+    Docs with < 2 tokens have no bigrams and are excluded (the LM cannot
+    score them), matching bigram_logprob.
+
+    Determinism: mean_logprob is bigram_logprob's 4dp output; the
+    ordering key is (mean_logprob DESC, id ASC) and bucket fences are
+    exact-rational percent_rank comparisons — the oracle replays model
+    fit, scoring, ranking and labeling.
+
+    Scale shape: bigram_logprob's plan (one doc-keyed reduction +
+    broadcast count tables) plus a doc-keyed equi-join to re-attach the
+    narrow (id, source) label column and ONE window shuffle keyed by
+    source. Nothing new crosses the driver."""
+    scored = bigram_logprob(df, text_col, id_col)
+    labeled = scored.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")),
+        "doc_id",
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("mean_logprob").desc(), F.col("doc_id").asc()
+    )
+    pct = F.round(F.percent_rank().over(w), 6)
+    bucket = (
+        F.when(pct < F.lit(1.0) / F.lit(3.0), F.lit("head"))
+        .when(pct < F.lit(2.0) / F.lit(3.0), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return labeled.select(
+        "doc_id",
+        "source",
+        "mean_logprob",
+        pct.alias("pct"),
+        bucket.alias("bucket"),
+    )
+
+
 def corpus_profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

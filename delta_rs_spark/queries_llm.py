@@ -2024,3 +2024,188 @@ def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score, id) ordering, and the fence."""
     docs = _docs(spark, sf_dir)
     return SA.calibrate_quality_per_source(docs, keep_frac=0.5)
+
+
+_CLEAN_TOKENS_SQL = f"list_filter({_TOKENS_SQL}, t -> t != '')"
+
+
+@query(
+    "llm_bm25_topk",
+    f"""
+    WITH post AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl FROM (
+        SELECT doc_id,
+               len({_CLEAN_TOKENS_SQL})::BIGINT AS dl,
+               unnest({_CLEAN_TOKENS_SQL}) AS term
+        FROM documents)
+      GROUP BY doc_id, term),
+    scal AS (SELECT count(*)::DOUBLE AS n,
+                    (sum(len({_CLEAN_TOKENS_SQL}))::DOUBLE)
+                      / (count(*)::DOUBLE) AS avgdl
+             FROM documents),
+    q AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id,
+                   unnest(list_slice({_CLEAN_TOKENS_SQL}, 1, 6)) AS term
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id ASC LIMIT 4))),
+    dfreq AS (SELECT p.term, count(*)::BIGINT AS df
+              FROM post p GROUP BY p.term),
+    idf AS (SELECT d.term,
+                   round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                         * 1000000.0) / 1000000.0 AS idf
+            FROM dfreq d CROSS JOIN scal s
+            WHERE d.term IN (SELECT term FROM q)),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             round(i.idf * ((p.tf::DOUBLE * 2.2)
+                   / (p.tf::DOUBLE
+                      + 1.2 * (0.25 + 0.75 * (p.dl::DOUBLE / s.avgdl))))
+                   * 1000000000.0)::BIGINT AS c
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN idf i ON p.term = i.term
+      CROSS JOIN scal s),
+    sc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_q
+           FROM contrib GROUP BY query_id, doc_id),
+    r AS (SELECT query_id, doc_id, score_q,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_q DESC, doc_id ASC)
+                   AS rank
+          FROM sc)
+    SELECT query_id, rank::BIGINT AS rank, doc_id,
+           round(score_q::DOUBLE / 1000000000.0, 6) AS score
+    FROM r WHERE rank <= 10
+    """,
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (retrieval.bm25_topk): the 4 lowest-id
+    docs' first 6 tokens form the query set; one inverted-index pass
+    over the corpus scores all queries at once (queries broadcast into
+    the postings scan — the corpus is never rescanned per query). IDF
+    is snapped to a 1e-6 grid, per-(query,doc,term) contributions are
+    BIGINT-quantized on a 1e9 grid, and ranking is (score_q DESC,
+    doc_id ASC) — the oracle replays postings, scalars, IDF, scoring
+    and the cut exactly."""
+    from delta_rs_spark.functions.retrieval import bm25_topk, head_term_queries
+
+    docs = _docs(spark, sf_dir)
+    return bm25_topk(docs, head_term_queries(docs, n_queries=4, n_terms=6), k=10)
+
+
+@query(
+    "llm_importance_resampling",
+    f"""
+    WITH tr AS (SELECT doc_id, source = 'src0' AS is_tgt,
+                       unnest({_CLEAN_TOKENS_SQL}) AS term
+                FROM documents),
+    cnt AS (SELECT term, count(*)::BIGINT AS n_raw,
+                   sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS n_tgt
+            FROM tr GROUP BY term),
+    vocab AS (SELECT term, n_raw, n_tgt FROM cnt
+              ORDER BY n_raw DESC, term ASC LIMIT 128),
+    tot AS (SELECT sum(n_raw)::DOUBLE AS traw, sum(n_tgt)::DOUBLE AS ttgt
+            FROM vocab),
+    lam AS (SELECT v.term,
+                   round(ln(((v.n_tgt::DOUBLE + 1.0) / (t.ttgt + 128.0))
+                            / ((v.n_raw::DOUBLE + 1.0) / (t.traw + 128.0)))
+                         * 1000000.0) / 1000000.0 AS lam
+            FROM vocab v CROSS JOIN tot t),
+    dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM tr GROUP BY doc_id, term),
+    pd AS (SELECT dt.doc_id,
+                  sum(round(dt.tf::DOUBLE * l.lam * 1000000000.0)::BIGINT)::BIGINT
+                    AS sum_q,
+                  sum(dt.tf)::BIGINT AS n_vocab_tokens
+           FROM dt JOIN lam l ON dt.term = l.term
+           GROUP BY dt.doc_id),
+    j AS (SELECT d.doc_id,
+                 coalesce(pd.n_vocab_tokens, 0)::BIGINT AS n_vocab_tokens,
+                 coalesce(round(pd.sum_q::DOUBLE
+                                / (pd.n_vocab_tokens::DOUBLE * 1000.0))::BIGINT
+                          / 1000000.0, 0.0) AS weight
+          FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+    r AS (SELECT doc_id, n_vocab_tokens, weight,
+                 round(percent_rank() OVER (ORDER BY weight ASC, doc_id ASC), 6)
+                   AS pct
+          FROM j)
+    SELECT doc_id, n_vocab_tokens, weight, pct, pct >= 0.5 AS keep FROM r
+    """,
+)
+def llm_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (sampling.importance_resampling):
+    target domain = source 'src0'; vocabulary = top-128 corpus terms;
+    per-doc weight = mean in-vocab ln(p_tgt/p_raw), top half kept. The
+    log-ratio is 1e-6-grid snapped per term and contributions are
+    BIGINT-quantized, so the oracle replays vocabulary selection,
+    smoothing, scoring and the percentile cut bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    return SA.importance_resampling(
+        docs, F.col("source") == "src0", vocab_size=128, keep_frac=0.5
+    )
+
+
+@query(
+    "llm_length_buckets",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      len({_CLEAN_TOKENS_SQL})::BIGINT AS n_tok
+               FROM documents),
+    r AS (SELECT (n_tok // 32)::BIGINT AS bucket, n_tok,
+                 row_number() OVER (PARTITION BY (n_tok // 32)
+                                    ORDER BY n_tok DESC, doc_id ASC) AS rn
+          FROM d)
+    SELECT bucket, ((rn - 1) // 8)::BIGINT AS batch_id,
+           count(*)::BIGINT AS n_docs,
+           max(n_tok)::BIGINT AS max_tok,
+           sum(n_tok)::BIGINT AS sum_tok,
+           (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS padding
+    FROM r GROUP BY bucket, ((rn - 1) // 8)
+    """,
+)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly (packing.length_bucket_batches):
+    32-token buckets, 8-doc batches filled longest-first with id
+    tie-break, per-batch padding-waste accounting. All-integer
+    arithmetic; the oracle replays bucketing, the in-bucket window and
+    the batch aggregation."""
+    from delta_rs_spark.functions.packing import length_bucket_batches
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", X.token_count("text").cast("long").alias("n_tokens")
+    )
+    return length_bucket_batches(docs, bucket_width=32, batch_size=8)
+
+
+@query(
+    "llm_perplexity_buckets",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NE_TOKENS_SQL} AS a FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(a), 1)), i -> a[i])) AS w1,
+                  unnest(list_transform(range(1, greatest(len(a), 1)), i -> a[i + 1])) AS w2
+           FROM tk),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c) AS cc FROM c2 GROUP BY 1),
+    sc AS (SELECT doc_id, round(avg(ln(c * 1.0 / cc)), 4) AS mean_logprob
+           FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+           GROUP BY doc_id),
+    lb AS (SELECT s.doc_id, d.source, s.mean_logprob,
+                  round(percent_rank() OVER (
+                          PARTITION BY d.source
+                          ORDER BY s.mean_logprob DESC, s.doc_id ASC), 6)
+                    AS pct
+           FROM sc s JOIN documents d USING (doc_id))
+    SELECT doc_id, source, mean_logprob, pct,
+           CASE WHEN pct < 1.0 / 3.0 THEN 'head'
+                WHEN pct < 2.0 / 3.0 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lb
+    """,
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity tiers (text.perplexity_
+    buckets): corpus-fit bigram-LM score per doc, percent_rank WITHIN
+    source (best score first), thirds labeled. The oracle replays the
+    LM fit, scoring, per-source ranking and the fences."""
+    docs = _docs(spark, sf_dir)
+    return X.perplexity_buckets(docs)

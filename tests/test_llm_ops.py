@@ -1202,3 +1202,110 @@ def test_quality_calibration_per_source_fractions(spark):
     for src in ("A", "B"):
         ps = sorted(r.pct for r in out if r.source == src)
         assert ps[0] == 0.0 and ps[-1] == 1.0
+
+
+def test_bm25_ranks_exact_term_match_first(spark):
+    from delta_rs_spark.functions.retrieval import bm25_topk
+
+    rows = [
+        (0, "zebra quagga okapi"),              # rare terms, the planted hit
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog and a cat"),
+        (4, "zebra stripes are common here today"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = spark.createDataFrame(
+        [(7, "zebra"), (7, "quagga"), (7, "okapi")], ["query_id", "term"]
+    )
+    out = bm25_topk(corpus, q, k=3).collect()
+    assert out[0].query_id == 7 and out[0].rank == 1 and out[0].doc_id == 0
+    # doc 4 shares one rare term -> present but below the full match
+    by_rank = {r.rank: r.doc_id for r in out}
+    assert by_rank[2] == 4
+    assert all(r.score > 0 for r in out)
+
+
+def test_bm25_length_normalization(spark):
+    from delta_rs_spark.functions.retrieval import bm25_topk
+
+    # same tf for 'fox', but doc 1 is much longer -> lower score
+    rows = [
+        (0, "fox den"),
+        (1, "fox " + "filler " * 40),
+        (2, "unrelated words entirely"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = spark.createDataFrame([(1, "fox")], ["query_id", "term"])
+    out = {r.doc_id: r.score for r in bm25_topk(corpus, q, k=5).collect()}
+    assert 2 not in out
+    assert out[0] > out[1]
+
+
+def test_importance_resampling_prefers_target_like_docs(spark):
+    from delta_rs_spark.functions.sampling import importance_resampling
+
+    rows = []
+    for i in range(30):  # target domain: fruit vocabulary
+        rows.append((i, "tgt", "apple banana cherry apple banana " * 3))
+    for i in range(30, 60):  # raw-only domain: metal vocabulary
+        rows.append((i, "web", "iron copper zinc nickel cobalt " * 3))
+    # a web doc that LOOKS like the target -> should out-weight its peers
+    rows.append((99, "web", "apple banana apple cherry banana apple"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = importance_resampling(
+        df, F.col("source") == "tgt", vocab_size=16, keep_frac=0.5
+    ).collect()
+    w = {r.doc_id: r.weight for r in out}
+    keep = {r.doc_id for r in out if r.keep}
+    assert w[99] > w[30]  # target-like web doc beats metal web doc
+    assert w[0] > 0 and w[30] < 0  # in-domain positive, off-domain negative
+    assert 99 in keep and 0 in keep and 30 not in keep
+    assert len(out) == 61  # every doc scored, including any no-vocab docs
+
+
+def test_length_buckets_padding_accounting(spark):
+    from delta_rs_spark.functions.packing import length_bucket_batches
+
+    # bucket 0: lengths 1..9 (9 docs -> batches of 8 + 1)
+    rows = [(i, i) for i in range(1, 10)]
+    # bucket 2: two docs of 64 and 70 tokens
+    rows += [(100, 64), (101, 70)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = {(r.bucket, r.batch_id): r for r in length_bucket_batches(
+        df, bucket_width=32, batch_size=8).collect()}
+    b0 = out[(0, 0)]
+    assert b0.n_docs == 8 and b0.max_tok == 9  # longest-first fill
+    assert b0.padding == 8 * 9 - sum(range(2, 10))
+    assert out[(0, 1)].n_docs == 1 and out[(0, 1)].padding == 0
+    b2 = out[(2, 0)]
+    assert b2.n_docs == 2 and b2.max_tok == 70 and b2.padding == 6
+
+
+def test_perplexity_buckets_tier_semantics(spark):
+    from delta_rs_spark.functions.text import perplexity_buckets
+
+    import random
+
+    words = "the cat sat on the mat and the cat sat".split()
+    rows = []
+    for i in range(12):  # fluent: repeats the corpus's dominant bigrams
+        rows.append((i, "A", " ".join(words)))
+    for i in range(12, 18):  # scrambled: same words, each doc a distinct
+        w = words[:]         # rare-bigram order -> low p(w2|w1)
+        random.Random(i).shuffle(w)
+        rows.append((i, "A", " ".join(w)))
+    for i in range(20, 26):  # second source, its own distribution
+        rows.append((i, "B", "alpha beta gamma alpha beta gamma alpha beta"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = perplexity_buckets(df).collect()
+    by_id = {r.doc_id: r for r in out}
+    # fluent docs hold the head of source A; scrambled docs sit in the tail
+    assert by_id[0].bucket == "head"
+    assert by_id[17].bucket == "tail"
+    assert by_id[0].mean_logprob > by_id[17].mean_logprob
+    # each source is ranked independently: B spans pct 0..1 on its own
+    b_pcts = sorted(r.pct for r in out if r.source == "B")
+    assert b_pcts[0] == 0.0 and b_pcts[-1] == 1.0
+    # every scored doc gets exactly one tier label
+    assert {r.bucket for r in out} <= {"head", "middle", "tail"}

@@ -278,3 +278,41 @@ def test_kmeans_update_is_partial_aggregated(spark):
     p = plan_of(out, "simple")
     # final assignment is a pure map pass over the scan: no shuffle at all
     assert "Exchange" not in p
+
+
+def test_bm25_query_and_idf_joins_are_broadcast(spark):
+    from delta_rs_spark.functions.retrieval import bm25_topk, head_term_queries
+
+    docs = load_table(spark, SF, "documents")
+    df = bm25_topk(docs, head_term_queries(docs))
+    p = plan_of(df, "simple")
+    # the corpus postings stream must stay put: query terms and the
+    # (query-vocabulary-sized) idf table ride broadcasts into it — a
+    # sort-merge here would shuffle the whole inverted index per query set
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_importance_resampling_lambda_join_is_broadcast(spark):
+    from delta_rs_spark.functions.sampling import importance_resampling
+
+    docs = load_table(spark, SF, "documents")
+    df = importance_resampling(docs, F.col("source") == "src0")
+    p = plan_of(df, "simple")
+    # the vocab/log-ratio table is vocab_size rows -> broadcast, and the
+    # corpus-wide term stream is never cartesian-paired with anything
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_length_buckets_single_shuffle(spark):
+    from delta_rs_spark.functions.packing import length_bucket_batches
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.lit(10).alias("n_tokens")
+    )
+    p = plan_of(length_bucket_batches(docs), "simple")
+    # one exchange keyed by bucket: the window and the (bucket, batch)
+    # aggregation share it — a second shuffle would mean the groupBy key
+    # lost its bucket prefix
+    assert p.count("Exchange") == 1
