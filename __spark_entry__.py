@@ -81,6 +81,14 @@ _RELATIONAL_REPRESENTATIVES = (
 # take window positions immediately after the category representatives.
 # (r05's 14 first-witness entries all went green in CORRECTNESS_r05.json
 # and moved to the rotated tail; their slots go to the staleness tail.)
+#
+# r06 NOTE: 15 first-witness entries put the mandatory prefix at 52 —
+# two past the driver's observed 50-51 budget. Ordered so the two
+# SIMPLEST new operators (epoch_permutation: pure hash+rank;
+# source_divergence: one vocab-grid aggregation) sit last and absorb a
+# possible one-round deferral; both are dtype-strict mirror-green at
+# sf0.01 AND sf0.1 this round, and r07's 12+ graduations clear the
+# backlog entirely.
 _FIRST_WITNESS_NEEDED = (
     # new in r06 (previously pytest-only operators):
     "llm_embedding_outliers",  # embedding-space outlier filter (percentile fence)
@@ -95,6 +103,9 @@ _FIRST_WITNESS_NEEDED = (
     "llm_importance_resampling",  # DSIR-style target-domain data selection
     "llm_length_buckets",  # length-bucketed batch assembly + padding audit
     "llm_perplexity_buckets",  # CCNet head/middle/tail LM-score tiers
+    "llm_token_budget_cap",  # per-source token-denominated mixing prefix
+    "llm_epoch_permutation",  # deterministic (shard, pos) training order
+    "llm_source_divergence",  # per-source KL drift vs the corpus
 )
 
 

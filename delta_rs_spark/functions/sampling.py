@@ -192,6 +192,93 @@ def domain_cap(
     )
 
 
+def token_budget_cap(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source TOKEN budgets — the "sample 50B tokens of web, 5B of
+    code" mixing primitive. domain_cap bounds documents; training mixes
+    are specified in tokens, so this ranks each source's docs by quality
+    (DESC, id ASC) and keeps the prefix whose cumulative token count
+    stays within the source's budget (a doc that would cross the line is
+    dropped, as are all below it — the deterministic greedy prefix).
+
+    Returns (id, source, n_tokens, cum_tokens, keep); all-integer
+    arithmetic, so the cut is bit-reproducible in any engine.
+
+    Scale shape: one scoring map + ONE window shuffle keyed by source
+    (rank and running sum share the frame). Same heavy-domain caveat as
+    domain_cap; budgets bound survivors, so the two-phase top-N rewrite
+    applies if a domain's raw volume concentrates one task."""
+    from pyspark.sql import Window as W
+
+    from delta_rs_spark.functions.text import quality_score, token_count
+
+    budget = F.lit(int(default_budget))
+    for k in sorted(budgets):  # sorted: plan text stable across runs
+        budget = F.when(F.col(source_col) == k, F.lit(int(budgets[k]))).otherwise(
+            budget
+        )
+    w = (
+        W.partitionBy(source_col)
+        .orderBy(F.desc("__q"), F.asc(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            token_count(text_col).cast("long").alias("n_tokens"),
+            quality_score(text_col).alias("__q"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            "cum_tokens",
+            (F.col("cum_tokens") <= budget).alias("keep"),
+        )
+    )
+
+
+def epoch_permutation(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "epoch-0",
+) -> DataFrame:
+    """Deterministic global training order for one epoch: every doc gets
+    (shard, pos) from its id hash — shard = md5-bucket mod n_shards
+    (assign_shards' mapping), pos = the doc's rank within its shard by
+    (md5-bucket, id). Reshuffling an epoch = changing ``salt``
+    ("epoch-1", ...). The order is a pure function of (id, salt,
+    n_shards): re-exports reproduce it, any engine can audit it, and a
+    trainer resuming mid-epoch can recompute exactly which docs remain —
+    the reproducibility property RNG shuffles cannot give at 100 TB.
+
+    Scale shape: one hash map + ONE window shuffle keyed by shard
+    (ranks only within shards — no global total order is materialized;
+    the global order is the (shard, pos) lexicographic composite)."""
+    from pyspark.sql import Window as W
+
+    h = _hash_bucket(F.col(id_col), salt)
+    w = W.partitionBy("shard").orderBy(F.asc("__h"), F.asc(id_col))
+    return (
+        df.select(
+            F.col(id_col),
+            h.alias("__h"),
+            (h % F.lit(n_shards)).cast("int").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .select(id_col, "shard", "pos")
+    )
+
+
 def importance_resampling(
     df: DataFrame,
     target: Column,

@@ -649,6 +649,79 @@ def bigram_logprob(
     )
 
 
+def source_divergence(
+    df: DataFrame,
+    vocab_size: int = 128,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source distribution drift: KL(p_source || p_corpus) over the
+    top-``vocab_size`` corpus vocabulary with add-one smoothing — the
+    data-mix diagnostic that catches a source whose content shifted
+    between ingests (crawl drift, upstream re-scrape, pipeline bug)
+    before it contaminates a training mix. Output: one row per source
+    with doc/token totals and the divergence.
+
+    Determinism: per-(source,term) ln(ratio) snapped to a 1e-6 grid,
+    multiplied by the exact-rational p_source and BIGINT-quantized on a
+    1e9 grid; the per-source sum is integer; the reported kl is derived
+    from it on an integer micro-grid (no round(x,6) half-boundary
+    exposure).
+
+    Scale shape: one explode + (source, term) count shuffle, a
+    vocabulary-sized corpus table broadcast back, a |sources|-row
+    result. Corpus-global state = the vocab table; nothing row-scaled
+    crosses the driver."""
+    term_rows = df.select(
+        F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("term")
+    )
+    st = term_rows.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_st"))
+    corpus = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    vocab = corpus.orderBy(F.col("n_t").desc(), F.col("term").asc()).limit(vocab_size)
+    tot_corpus = float(
+        vocab.agg(F.sum("n_t")).first()[0]
+    )  # one scalar (vocab-sized agg)
+    v = float(vocab_size)
+
+    # per-source in-vocab token totals (needed for p_source smoothing)
+    sv = st.join(F.broadcast(vocab.select("term")), "term")
+    stot = sv.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+
+    # grid: every source x every vocab term (absent terms still
+    # contribute their smoothed mass) — |sources| x vocab_size rows
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .join(sv, ["source", "term"], "left")
+        .select(
+            "source",
+            "n_s",
+            "term",
+            "n_t",
+            F.coalesce("n_st", F.lit(0)).alias("n_st"),
+        )
+    )
+    p_src = (F.col("n_st").cast("double") + F.lit(1.0)) / (
+        F.col("n_s").cast("double") + F.lit(v)
+    )
+    p_cor = (F.col("n_t").cast("double") + F.lit(1.0)) / F.lit(tot_corpus + v)
+    lam = F.round(F.log(p_src / p_cor) * F.lit(1e6)) / F.lit(1e6)
+    contrib_q = F.round(p_src * lam * F.lit(1e9)).cast("long")
+    per_source = grid.groupBy("source").agg(
+        F.max("n_s").alias("n_vocab_tokens"),
+        F.sum(contrib_q).alias("kl_q"),
+    )
+    kl = F.round(F.col("kl_q").cast("double") / F.lit(1000.0)).cast("long") / F.lit(
+        1e6
+    )
+    docs = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        per_source.join(docs, "source")
+        .select("source", "n_docs", "n_vocab_tokens", kl.alias("kl"))
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     text_col: str = "text",

@@ -2209,3 +2209,110 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM fit, scoring, per-source ranking and the fences."""
     docs = _docs(spark, sf_dir)
     return X.perplexity_buckets(docs)
+
+
+@query(
+    "llm_token_budget_cap",
+    f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             len({_TOKENS_SQL})::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}'))::DOUBLE AS sw,
+             len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS pn
+      FROM documents),
+    s AS (SELECT doc_id, source, n_tok::BIGINT AS n_tokens,
+                 round(0.5 * least(n_tok / 64.0, 1.0)
+                     + 0.5 * least(sw / greatest(n_tok, 1.0) * 4.0, 1.0)
+                     - 0.25 * least(pn / greatest(n_char, 1.0) * 10.0, 1.0), 6)
+                   AS score
+          FROM m),
+    r AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY score DESC, doc_id ASC
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum_tokens
+          FROM s)
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           cum_tokens <= (CASE source WHEN 'src0' THEN 5000
+                                      WHEN 'src1' THEN 3000
+                                      ELSE 2000 END) AS keep
+    FROM r
+    """,
+)
+def llm_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgets (sampling.token_budget_cap): quality-
+    ranked greedy prefix per source until the source's token budget is
+    hit — the token-denominated mixing primitive (domain_cap bounds
+    documents; mixes are specified in tokens). All-integer cumsum; the
+    oracle replays scoring, the running total, and the budget fence."""
+    docs = _docs(spark, sf_dir)
+    return SA.token_budget_cap(
+        docs, {"src0": 5000, "src1": 3000}, default_budget=2000
+    )
+
+
+@query(
+    "llm_epoch_permutation",
+    f"""
+    WITH a AS (SELECT doc_id,
+                      ('0x' || substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000000 AS h
+               FROM documents)
+    SELECT doc_id,
+           CAST(h % 16 AS INTEGER) AS shard,
+           (row_number() OVER (PARTITION BY h % 16
+                               ORDER BY h ASC, doc_id ASC) - 1)::BIGINT AS pos
+    FROM a
+    """,
+)
+def llm_epoch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch ordering (sampling.epoch_permutation):
+    (shard, pos) from the id's md5 bucket — reproducible training order
+    with no RNG state, re-shuffled per epoch by changing the salt. The
+    oracle recomputes the hash, the shard split, and the within-shard
+    rank."""
+    docs = _docs(spark, sf_dir)
+    return SA.epoch_permutation(docs, n_shards=16, salt="epoch-0")
+
+
+@query(
+    "llm_source_divergence",
+    f"""
+    WITH tr AS (SELECT source, unnest({_NE_TOKENS_SQL}) AS term FROM documents),
+    st AS (SELECT source, term, count(*)::BIGINT AS n_st FROM tr GROUP BY 1, 2),
+    corpus AS (SELECT term, sum(n_st)::BIGINT AS n_t FROM st GROUP BY 1),
+    vocab AS (SELECT term, n_t FROM corpus ORDER BY n_t DESC, term ASC LIMIT 128),
+    tc AS (SELECT sum(n_t)::DOUBLE AS tot FROM vocab),
+    sv AS (SELECT st.source, st.term, st.n_st FROM st JOIN vocab USING (term)),
+    stot AS (SELECT source, sum(n_st)::BIGINT AS n_s FROM sv GROUP BY 1),
+    grid AS (SELECT s.source, s.n_s, v.term, v.n_t,
+                    coalesce(x.n_st, 0)::BIGINT AS n_st
+             FROM stot s CROSS JOIN vocab v
+             LEFT JOIN sv x ON x.source = s.source AND x.term = v.term),
+    c AS (SELECT source, n_s,
+                 round(((n_st::DOUBLE + 1.0) / (n_s::DOUBLE + 128.0))
+                       * (round(ln(((n_st::DOUBLE + 1.0) / (n_s::DOUBLE + 128.0))
+                                   / ((n_t::DOUBLE + 1.0)
+                                      / ((SELECT tot FROM tc) + 128.0)))
+                                * 1000000.0) / 1000000.0)
+                       * 1000000000.0)::BIGINT AS cq
+          FROM grid),
+    ps AS (SELECT source, max(n_s)::BIGINT AS n_vocab_tokens,
+                  sum(cq)::BIGINT AS kl_q
+           FROM c GROUP BY 1),
+    d AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1)
+    SELECT ps.source, d.n_docs, ps.n_vocab_tokens,
+           round(ps.kl_q::DOUBLE / 1000.0)::BIGINT / 1000000.0 AS kl
+    FROM ps JOIN d USING (source)
+    """,
+)
+def llm_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift (text.source_divergence):
+    KL(p_source || p_corpus) over the top-128 corpus vocabulary with
+    add-one smoothing — the data-mix drift diagnostic. Log-ratios on a
+    1e-6 grid, contributions BIGINT-quantized, kl derived on the
+    integer micro-grid; the oracle replays vocabulary selection,
+    smoothing, the source x vocab grid, and the quantized sum."""
+    docs = _docs(spark, sf_dir)
+    return X.source_divergence(docs, vocab_size=128)

@@ -1309,3 +1309,58 @@ def test_perplexity_buckets_tier_semantics(spark):
     assert b_pcts[0] == 0.0 and b_pcts[-1] == 1.0
     # every scored doc gets exactly one tier label
     assert {r.bucket for r in out} <= {"head", "middle", "tail"}
+
+
+def test_token_budget_cap_greedy_prefix(spark):
+    from delta_rs_spark.functions.sampling import token_budget_cap
+
+    rows = []
+    for i in range(10):  # ~20 tokens each, quality rises with repetition
+        rows.append((i, "A", "the cat sat on the mat and it was good " * 2))
+    rows.append((50, "B", "word " * 30))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.doc_id: r for r in token_budget_cap(
+        df, {"A": 45}, default_budget=10).collect()}
+    # A docs tie on quality -> id order; 20-token docs, budget 45 -> 2 kept
+    kept_a = [i for i in range(10) if out[i].keep]
+    assert kept_a == [0, 1]
+    assert out[0].cum_tokens == 20 and out[1].cum_tokens == 40
+    assert not out[2].keep and out[2].cum_tokens == 60
+    # B's single 30-token doc exceeds the 10-token default budget
+    assert not out[50].keep
+
+
+def test_epoch_permutation_is_deterministic_and_dense(spark):
+    from delta_rs_spark.functions.sampling import epoch_permutation
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: (r.shard, r.pos) for r in epoch_permutation(df, 8).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in epoch_permutation(df, 8).collect()}
+    assert a == b  # pure function of (id, salt)
+    # positions are dense 0..n-1 within every shard
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for s, p in a.values():
+        by_shard[s].append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # a different salt draws a different order
+    c = {r.doc_id: (r.shard, r.pos)
+         for r in epoch_permutation(df, 8, salt="epoch-1").collect()}
+    assert c != a
+
+
+def test_source_divergence_flags_drifted_source(spark):
+    from delta_rs_spark.functions.text import source_divergence
+
+    rows = []
+    for i in range(40):  # two sources sharing the corpus distribution
+        rows.append((i, "A", "alpha beta gamma delta epsilon zeta"))
+        rows.append((100 + i, "B", "alpha beta gamma delta epsilon zeta"))
+    for i in range(10):  # C: disjoint vocabulary -> large KL
+        rows.append((200 + i, "C", "xenon krypton argon neon helium radon"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in source_divergence(df, vocab_size=12).collect()}
+    assert out["A"].kl == out["B"].kl  # identical distributions
+    assert out["C"].kl > out["A"].kl + 0.5  # drifted source stands out
+    assert out["A"].n_docs == 40 and out["C"].n_docs == 10

@@ -316,3 +316,30 @@ def test_length_buckets_single_shuffle(spark):
     # aggregation share it — a second shuffle would mean the groupBy key
     # lost its bucket prefix
     assert p.count("Exchange") == 1
+
+
+def test_epoch_permutation_no_global_sort(spark):
+    from delta_rs_spark.functions.sampling import epoch_permutation
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    p = plan_of(epoch_permutation(docs, 16), "simple")
+    # ranks live within shards: one hash-partitioned exchange, never a
+    # global range-partitioned sort (the 100 TB ordering bottleneck)
+    assert "rangepartitioning" not in p.lower()
+    assert p.count("Exchange") == 1
+
+
+def test_token_budget_cap_single_window_shuffle(spark):
+    from delta_rs_spark.functions.sampling import token_budget_cap
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(token_budget_cap(docs, {"src0": 1000}), "simple")
+    assert p.count("Exchange") == 1  # one source-keyed window
+
+def test_source_divergence_vocab_joins_are_broadcast(spark):
+    from delta_rs_spark.functions.text import source_divergence
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(source_divergence(docs), "simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
