@@ -940,6 +940,11 @@ def ann_recall(
     import math as _math
 
     assigned, centroids = ivf_assign(df, n_lists, vec_col, id_col)
+    # Both rankings read the same corpus: materialize ONE assignment pass
+    # and serve the exact side from it too (it ignores __list) — without
+    # this the eval pays three base scans plus an assignment-matmul
+    # recompute (measured 4.4s -> 1.8s warm at sf0.1)
+    assigned = assigned.localCheckpoint(eager=True)
     anchors = (
         df.orderBy(F.col(id_col).asc())
         .limit(n_anchors)
@@ -975,7 +980,7 @@ def ann_recall(
         )
 
     exact = _topk(
-        df.crossJoin(F.broadcast(anchors))
+        assigned.crossJoin(F.broadcast(anchors))
         .filter(F.col(id_col) != F.col("anchor_id"))
         .select(
             "anchor_id",

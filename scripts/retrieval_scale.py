@@ -72,11 +72,36 @@ def buckets(docs):
     return length_bucket_batches(lens, bucket_width=32, batch_size=8)
 
 
+def budget(docs):
+    from delta_rs_spark.functions.sampling import token_budget_cap
+
+    return token_budget_cap(docs, {"src0": 5000, "src1": 3000}, default_budget=2000)
+
+
+def epoch(docs):
+    from delta_rs_spark.functions.sampling import epoch_permutation
+
+    return epoch_permutation(docs, n_shards=16)
+
+
+def kl(docs):
+    from delta_rs_spark.functions.text import source_divergence
+
+    return source_divergence(docs, vocab_size=128)
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, 16]
     spark = get_spark("retrieval-scale")
 
-    ops = {"bm25": bm25, "dsir": dsir, "buckets": buckets}
+    ops = {
+        "bm25": bm25,
+        "dsir": dsir,
+        "buckets": buckets,
+        "budget": budget,
+        "epoch": epoch,
+        "kl": kl,
+    }
     warm = scaled_corpus(spark, 1).localCheckpoint()
     for op in ops.values():
         op(warm).write.format("noop").mode("overwrite").save()
