@@ -1,0 +1,249 @@
+"""CDF-driven dedup-index synchronization.
+
+The incremental dedup indexes (functions/dedup.py: exact-fingerprint
+and MinHash band-bucket) handle APPEND-only growth via their update_*
+helpers — but a production corpus table also takes DELETEs (takedowns,
+retention) and UPDATEs (re-extraction), and a stale index then vetoes
+documents that no longer exist or misses near-dups of rewritten text.
+This module keeps an index equal to its source table's CURRENT state by
+following the source's change feed — the same composition as
+operators/incremental.py's aggregate maintenance, and the loop the
+reference's users wire by hand from its primitives: ``load_cdf``
+(crates/core/src/operations/load_cdf.rs) for the change stream, MERGE
+(operations/merge) for the apply, and the per-application transaction
+watermark (``txn`` actions, python/deltalake/table.py
+transaction_version) committed ATOMICALLY with the apply for
+exactly-once — a replayed sync is a no-op, never a double-apply.
+
+Cost is O(changes), never O(corpus): each sync reads only the CDF range
+since the watermark and merges per-document final states; the index is
+never rebuilt and the source is never rescanned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.log.commit import DeltaError
+
+_CT = "_change_type"
+_CV = "_commit_version"
+
+
+def _final_states(changes, id_col: str):
+    """Per-document FINAL state over a CDF range: the latest of
+    insert / update_postimage / delete wins (preimages carry no final
+    information). Ties within one commit cannot pair these kinds for
+    one id (a commit is a single operation), but the ordering is made
+    total anyway (version DESC, kind ASC) so the reduction is
+    deterministic by construction."""
+    w = W.partitionBy(id_col).orderBy(
+        F.col(_CV).desc(), F.col(_CT).asc()
+    )
+    return (
+        changes.filter(F.col(_CT).isin("insert", "update_postimage", "delete"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def sync_fingerprint_index(
+    spark: SparkSession,
+    source_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str | None = None,
+) -> dict[str, Any]:
+    """Keep the exact-dedup index (id, fp) equal to the source table's
+    current rows. First call snapshots the source and stamps the
+    watermark; later calls merge the CDF range's per-document final
+    states: delete -> index row removed, update -> fp rewritten,
+    insert -> row added. One MERGE, watermark rides the same commit.
+
+    Returns {"initialized", "applied_through", "n_change_rows"}."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.functions.dedup import _DEDUP_PARAMS_KEY
+    from delta_rs_spark.functions.text import fingerprint
+    from delta_rs_spark.operators.cdf import load_cdf
+    from delta_rs_spark.properties import CommitProperties
+
+    app_id = app_id or f"delta-rs-spark/fp-index:{os.path.abspath(index_path)}"
+    latest = snap_mod.latest_version(source_path)
+    if latest is None:
+        raise DeltaError(f"not a Delta table: {source_path}")
+
+    if not DeltaTable.is_deltatable(index_path):
+        src = DeltaTable(source_path, spark=spark, version=latest).to_df()
+        rows = src.select(
+            F.col(id_col).alias("id"), fingerprint(text_col).alias("fp")
+        )
+        write_deltalake(
+            index_path,
+            rows,
+            configuration={_DEDUP_PARAMS_KEY: '{"kind": "fp"}'},
+            commit_properties=CommitProperties(app_transactions=[(app_id, latest)]),
+        )
+        return {"initialized": True, "applied_through": latest, "n_change_rows": 0}
+
+    idx = DeltaTable(index_path, spark=spark)
+    last = idx.transaction_version(app_id)
+    if last is None:
+        raise DeltaError(
+            f"{index_path} exists but carries no watermark for {app_id!r}; "
+            "refusing to guess the applied version"
+        )
+    if last >= latest:
+        return {"initialized": False, "applied_through": last, "n_change_rows": 0}
+
+    changes = load_cdf(
+        spark, source_path, starting_version=last + 1, ending_version=latest
+    )
+    finals = _final_states(changes, id_col).select(
+        F.col(id_col).alias("id"),
+        fingerprint(text_col).alias("fp"),
+        F.col(_CT).alias("__act"),
+    )
+    m = (
+        idx.merge(
+            finals,
+            "t.id <=> s.id",
+            source_alias="s",
+            target_alias="t",
+            commit_properties=CommitProperties(app_transactions=[(app_id, latest)]),
+        )
+        .when_matched_delete(predicate="s.__act = 'delete'")
+        .when_matched_update({"fp": "s.fp"})
+        .when_not_matched_insert(
+            {"id": "s.id", "fp": "s.fp"}, predicate="s.__act != 'delete'"
+        )
+        .execute()
+    )
+    return {
+        "initialized": False,
+        "applied_through": latest,
+        "n_change_rows": int(m["num_source_rows"]),
+        "metrics": m,
+    }
+
+
+def sync_band_index(
+    spark: SparkSession,
+    source_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    hash_fn: str = "xx",
+) -> dict[str, Any]:
+    """Keep the near-dup band index (id, band, bucket) equal to the
+    source's current rows. LSH parameters freeze in the index config at
+    init (later calls read them back — param args are ignored then,
+    like the probe/append helpers). A rewritten doc re-derives ALL its
+    band rows (band keys are fixed 0..bands-1, so a matched-update per
+    band covers it); a deleted doc contributes one delete row per band.
+    One MERGE on (id, band), watermark rides the same commit.
+
+    Returns {"initialized", "applied_through", "n_change_rows"}."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.functions.dedup import (
+        _DEDUP_PARAMS_KEY,
+        _band_buckets,
+        minhash_signatures,
+    )
+    from delta_rs_spark.operators.cdf import load_cdf
+    from delta_rs_spark.properties import CommitProperties
+
+    app_id = app_id or f"delta-rs-spark/band-index:{os.path.abspath(index_path)}"
+    latest = snap_mod.latest_version(source_path)
+    if latest is None:
+        raise DeltaError(f"not a Delta table: {source_path}")
+
+    if not DeltaTable.is_deltatable(index_path):
+        src = DeltaTable(source_path, spark=spark, version=latest).to_df()
+        sigs = minhash_signatures(
+            src, text_col, id_col, num_perm, shingle_size, hash_fn
+        )
+        write_deltalake(
+            index_path,
+            _band_buckets(sigs, num_perm, bands),
+            partition_by=["band"],
+            configuration={
+                _DEDUP_PARAMS_KEY: json.dumps(
+                    {
+                        "kind": "minhash-bands",
+                        "num_perm": num_perm,
+                        "bands": bands,
+                        "shingle_size": shingle_size,
+                        "hash_fn": hash_fn,
+                    }
+                )
+            },
+            commit_properties=CommitProperties(app_transactions=[(app_id, latest)]),
+        )
+        return {"initialized": True, "applied_through": latest, "n_change_rows": 0}
+
+    idx = DeltaTable(index_path, spark=spark)
+    last = idx.transaction_version(app_id)
+    if last is None:
+        raise DeltaError(
+            f"{index_path} exists but carries no watermark for {app_id!r}; "
+            "refusing to guess the applied version"
+        )
+    if last >= latest:
+        return {"initialized": False, "applied_through": last, "n_change_rows": 0}
+
+    p = json.loads(idx.metadata().configuration[_DEDUP_PARAMS_KEY])
+    changes = load_cdf(
+        spark, source_path, starting_version=last + 1, ending_version=latest
+    )
+    finals = _final_states(changes, id_col)
+    live = finals.filter(F.col(_CT) != "delete")
+    sigs = minhash_signatures(
+        live, text_col, id_col, p["num_perm"], p["shingle_size"], p["hash_fn"]
+    )
+    upserts = _band_buckets(sigs, p["num_perm"], p["bands"]).select(
+        "id", "band", "bucket", F.lit("upsert").alias("__act")
+    )
+    dels = (
+        finals.filter(F.col(_CT) == "delete")
+        .select(F.col(id_col).alias("id"))
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(int(p["bands"]) - 1))).alias("band"),
+            F.lit(None).cast("long").alias("bucket"),
+            F.lit("delete").alias("__act"),
+        )
+    )
+    m = (
+        idx.merge(
+            upserts.unionByName(dels),
+            "t.id <=> s.id AND t.band <=> s.band",
+            source_alias="s",
+            target_alias="t",
+            commit_properties=CommitProperties(app_transactions=[(app_id, latest)]),
+        )
+        .when_matched_delete(predicate="s.__act = 'delete'")
+        .when_matched_update({"bucket": "s.bucket"})
+        .when_not_matched_insert(
+            {"id": "s.id", "band": "s.band", "bucket": "s.bucket"},
+            predicate="s.__act != 'delete'",
+        )
+        .execute()
+    )
+    return {
+        "initialized": False,
+        "applied_through": latest,
+        "n_change_rows": int(m["num_source_rows"]),
+        "metrics": m,
+    }

@@ -2316,3 +2316,52 @@ def llm_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing, the source x vocab grid, and the quantized sum."""
     docs = _docs(spark, sf_dir)
     return X.source_divergence(docs, vocab_size=128)
+
+
+@query(
+    "llm_fp_index_sync",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    after_del AS (SELECT * FROM base WHERE NOT coalesce(doc_id % 7 = 0, false)),
+    after_upd AS (SELECT doc_id,
+                         CASE WHEN doc_id % 5 = 0 THEN text || ' syncmark'
+                              ELSE text END AS text
+                  FROM after_del),
+    appended AS (SELECT doc_id + 100000 AS doc_id, text FROM base
+                 WHERE doc_id % 3 = 0),
+    final AS (SELECT * FROM after_upd UNION ALL SELECT * FROM appended)
+    SELECT doc_id AS id, {_FP_SQL} AS fp FROM final
+    """,
+)
+def llm_fp_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-driven dedup-index sync (operators/index_sync.py): initialize
+    the exact-fingerprint index from a CDF-enabled corpus snapshot, run
+    a delete (takedown) + update (re-extraction) + append (new crawl),
+    then sync — load_cdf from the watermark, per-document final states,
+    one MERGE (delete -> row removed, update -> fp rewritten, insert ->
+    row added) with the watermark in the same commit. The oracle
+    recomputes the index from the replayed mutation sequence, proving
+    the O(changes) path lands exactly where an O(corpus) rebuild does."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.operators.index_sync import sync_fingerprint_index
+    from delta_rs_spark.queries_delta import _scratch
+
+    src = _scratch("fp_sync_src", sf_dir)
+    idx = _scratch("fp_sync_idx", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_deltalake(
+        src, docs, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    sync_fingerprint_index(spark, src, idx)
+    dt = DeltaTable(src, spark=spark)
+    dt.delete("doc_id % 7 = 0")
+    dt.update({"text": "concat(text, ' syncmark')"}, predicate="doc_id % 5 = 0")
+    write_deltalake(
+        src,
+        docs.filter("doc_id % 3 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        ),
+        mode="append",
+    )
+    sync_fingerprint_index(spark, src, idx)
+    return DeltaTable(idx, spark=spark).to_df()

@@ -156,3 +156,77 @@ def test_incremental_agg_partitioned(spark, tmp_path):
         maintain_aggregate(
             spark, src, str(tmp_path / "aggx"), ["k"], "v", partition_by=["v"]
         )
+
+
+def test_fp_index_sync_tracks_mutations(spark, tmp_path):
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.operators.index_sync import sync_fingerprint_index
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    rows = [(i, f"document number {i} body") for i in range(20)]
+    write_deltalake(
+        src,
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    r0 = sync_fingerprint_index(spark, src, idx)
+    assert r0["initialized"] and DeltaTable(idx, spark=spark).to_df().count() == 20
+
+    dt = DeltaTable(src, spark=spark)
+    dt.delete("doc_id < 5")
+    dt.update({"text": "'rewritten body'"}, predicate="doc_id = 7")
+    write_deltalake(
+        src,
+        spark.createDataFrame([(100, "brand new doc")], ["doc_id", "text"]),
+        mode="append",
+    )
+    r1 = sync_fingerprint_index(spark, src, idx)
+    assert not r1["initialized"]
+
+    got = {r.id: r.fp for r in DeltaTable(idx, spark=spark).to_df().collect()}
+    assert set(got) == set(range(5, 20)) | {100}  # deletes gone, insert in
+    from delta_rs_spark.functions.text import fingerprint
+    import pyspark.sql.functions as F
+    exp7 = spark.createDataFrame([("rewritten body",)], ["text"]).select(
+        fingerprint("text")).first()[0]
+    assert got[7] == exp7  # update rewrote the fingerprint
+    assert got[8] != exp7
+
+    # replay is a no-op (watermark): a third sync applies nothing
+    r2 = sync_fingerprint_index(spark, src, idx)
+    assert r2["n_change_rows"] == 0 and r2["applied_through"] == r1["applied_through"]
+
+
+def test_band_index_sync_tracks_mutations(spark, tmp_path):
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.functions.dedup import near_dup_candidates_against_index
+    from delta_rs_spark.operators.index_sync import sync_band_index
+
+    src, idx = str(tmp_path / "bsrc"), str(tmp_path / "bidx")
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, text_a), (2, "completely unrelated words about spark plans"),
+            (3, text_a + " tail")]
+    write_deltalake(
+        src,
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    sync_band_index(spark, src, idx, num_perm=32, bands=8, hash_fn="md5")
+    t = DeltaTable(idx, spark=spark)
+    assert t.to_df().count() == 3 * 8  # every doc x every band
+
+    dt = DeltaTable(src, spark=spark)
+    dt.delete("doc_id = 3")  # takedown the near-dup of doc 1
+    dt.update({"text": f"'{text_a} rewritten'"}, predicate="doc_id = 2")
+    sync_band_index(spark, src, idx)
+    t.refresh()
+    out = t.to_df()
+    assert out.count() == 2 * 8
+    assert out.filter("id = 3").count() == 0
+
+    # a probe batch near-dup of text_a now hits BOTH remaining docs (2 was
+    # rewritten toward text_a), and never the deleted doc 3
+    probe = spark.createDataFrame([(99, text_a + " extra")], ["doc_id", "text"])
+    cands = {r.index_id for r in
+             near_dup_candidates_against_index(spark, idx, probe).collect()}
+    assert 1 in cands and 3 not in cands
