@@ -230,3 +230,62 @@ def test_band_index_sync_tracks_mutations(spark, tmp_path):
     cands = {r.index_id for r in
              near_dup_candidates_against_index(spark, idx, probe).collect()}
     assert 1 in cands and 3 not in cands
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_fp_index_sync_random_mutation_fuzz(spark, tmp_path, seed):
+    """Seeded random DELETE/UPDATE/append/sync interleavings: after every
+    sync the index must equal the fingerprints of the source's CURRENT
+    rows (an O(changes) follower landing exactly where an O(corpus)
+    rebuild would) — the same differential discipline as
+    test_differential_mutations, aimed at the watermark/final-state
+    reduction logic."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.functions.text import fingerprint
+    from delta_rs_spark.operators.index_sync import sync_fingerprint_index
+
+    rng = random.Random(seed)
+    src, idx = str(tmp_path / f"s{seed}"), str(tmp_path / f"i{seed}")
+    write_deltalake(
+        src,
+        spark.createDataFrame(
+            [(i, f"text body {i} alpha") for i in range(40)], ["doc_id", "text"]
+        ),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    sync_fingerprint_index(spark, src, idx)
+    next_id = 1000
+
+    def check():
+        cur = DeltaTable(src, spark=spark).to_df().select(
+            F.col("doc_id").alias("id"), fingerprint("text").alias("fp")
+        )
+        got = {(r.id, r.fp) for r in DeltaTable(idx, spark=spark).to_df().collect()}
+        want = {(r.id, r.fp) for r in cur.collect()}
+        assert got == want
+
+    for step in range(12):
+        op = rng.choice(["delete", "update", "append", "sync"])
+        dt = DeltaTable(src, spark=spark)
+        if op == "delete":
+            dt.delete(f"doc_id % {rng.randint(3, 9)} = {rng.randint(0, 2)}")
+        elif op == "update":
+            dt.update(
+                {"text": f"concat(text, ' v{step}')"},
+                predicate=f"doc_id % {rng.randint(2, 7)} = {rng.randint(0, 1)}",
+            )
+        elif op == "append":
+            rows = [(next_id + j, f"fresh {seed}-{step}-{j}") for j in range(5)]
+            next_id += 100
+            write_deltalake(
+                src, spark.createDataFrame(rows, ["doc_id", "text"]), mode="append"
+            )
+        else:
+            sync_fingerprint_index(spark, src, idx)
+            check()
+    sync_fingerprint_index(spark, src, idx)
+    check()
