@@ -104,6 +104,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_length_buckets",  # length-bucketed batch assembly + padding audit
     "llm_perplexity_buckets",  # CCNet head/middle/tail LM-score tiers
     "llm_fp_index_sync",  # CDF-driven dedup-index synchronization
+    "llm_classifier_auc",  # exact tie-aware ROC-AUC model eval
     "llm_token_budget_cap",  # per-source token-denominated mixing prefix
     "llm_epoch_permutation",  # deterministic (shard, pos) training order
     "llm_source_divergence",  # per-source KL drift vs the corpus

@@ -649,6 +649,59 @@ def bigram_logprob(
     )
 
 
+def classifier_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+) -> DataFrame:
+    """Exact ROC-AUC of a classifier score against a binary label — the
+    eval a pipeline runs before trusting a learned quality/topic filter
+    at corpus scale. Uses the rank-sum identity with AVERAGE ranks for
+    ties, in doubled-rank integer form: per distinct score s,
+    rank2(s) = 2·|{rows below s}| + n(s) + 1 (= min_rank + max_rank of
+    the tie group), num2 = Σ_pos rank2 − P(P+1), AUC = num2 / (2·P·N).
+    Everything up to the final division is exact integer arithmetic;
+    the division is reproduced with identical IEEE association in the
+    oracle and reported on the integer micro-grid.
+
+    Scale shape: ONE groupBy(score) aggregation (map-side combined),
+    then a window over DISTINCT scores — classifier scores in this repo
+    live on a snapped 1e-6 sigmoid grid, so the window input is
+    grid-bounded, not corpus-bounded; the result is a single row
+    (n_pos, n_neg, auc). Degenerate labels (P=0 or N=0) yield NULL auc
+    rather than a misleading number."""
+    g = (
+        scored.groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        )
+    )
+    w = W.orderBy(F.asc("s")).rowsBetween(W.unboundedPreceding, -1)
+    rank2 = F.lit(2) * F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("n") + F.lit(1)
+    agg = g.select(
+        "n", "n_pos", (F.col("n_pos") * rank2).alias("pos_rank2")
+    ).agg(
+        F.sum("n_pos").alias("p"),
+        (F.sum("n") - F.sum("n_pos")).alias("nneg"),
+        F.sum("pos_rank2").alias("sum_pos_rank2"),
+    )
+    num2 = F.col("sum_pos_rank2") - F.col("p") * (F.col("p") + F.lit(1))
+    denom = F.lit(2) * F.col("p") * F.col("nneg")
+    auc = F.when(
+        (F.col("p") > 0) & (F.col("nneg") > 0),
+        F.round(
+            num2.cast("double") * F.lit(1e6) / denom.cast("double")
+        ).cast("long")
+        / F.lit(1e6),
+    )
+    return agg.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
 def source_divergence(
     df: DataFrame,
     vocab_size: int = 128,

@@ -2365,3 +2365,72 @@ def llm_fp_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sync_fingerprint_index(spark, src, idx)
     return DeltaTable(idx, spark=spark).to_df()
+
+
+@query(
+    "llm_classifier_auc",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len({_TOKENS_SQL})::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}'))::DOUBLE AS sw,
+             len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS pn
+      FROM documents),
+    f AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             least(n_tok / 64.0, 1.0) AS x1,
+             least(sw / greatest(n_tok, 1.0) * 4.0, 1.0) AS x2,
+             least(pn / greatest(n_char, 1.0) * 10.0, 1.0) AS x3
+          FROM m),
+    w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3),
+    g1 AS (SELECT {_lr_grad(_lr_z('w0'))} FROM f CROSS JOIN w0),
+    w1 AS (SELECT w0.a0 - 0.5 * (CAST(g1.s0 AS DOUBLE)/1000000000.0/g1.n) AS a0,
+                  w0.a1 - 0.5 * (CAST(g1.s1 AS DOUBLE)/1000000000.0/g1.n) AS a1,
+                  w0.a2 - 0.5 * (CAST(g1.s2 AS DOUBLE)/1000000000.0/g1.n) AS a2,
+                  w0.a3 - 0.5 * (CAST(g1.s3 AS DOUBLE)/1000000000.0/g1.n) AS a3
+           FROM g1 CROSS JOIN w0),
+    g2 AS (SELECT {_lr_grad(_lr_z('w1'))} FROM f CROSS JOIN w1),
+    w2 AS (SELECT w1.a0 - 0.5 * (CAST(g2.s0 AS DOUBLE)/1000000000.0/g2.n) AS a0,
+                  w1.a1 - 0.5 * (CAST(g2.s1 AS DOUBLE)/1000000000.0/g2.n) AS a1,
+                  w1.a2 - 0.5 * (CAST(g2.s2 AS DOUBLE)/1000000000.0/g2.n) AS a2,
+                  w1.a3 - 0.5 * (CAST(g2.s3 AS DOUBLE)/1000000000.0/g2.n) AS a3
+           FROM g2 CROSS JOIN w1),
+    scored AS (SELECT doc_id, y,
+                      round(1.0/(1.0+exp(-{_lr_z('w2')})), 6) AS score
+               FROM f CROSS JOIN w2),
+    g AS (SELECT score AS s, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+          FROM scored GROUP BY score),
+    r AS (SELECT n, n_pos,
+                 n_pos * (2 * coalesce(sum(n) OVER (ORDER BY s ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          + n + 1) AS pos_rank2
+          FROM g),
+    a AS (SELECT sum(n_pos)::BIGINT AS p,
+                 (sum(n) - sum(n_pos))::BIGINT AS nneg,
+                 sum(pos_rank2)::BIGINT AS spr FROM r)
+    SELECT p AS n_pos, nneg AS n_neg,
+           CASE WHEN p > 0 AND nneg > 0 THEN
+             round((spr - p * (p + 1))::DOUBLE * 1000000.0
+                   / (2 * p * nneg)::DOUBLE)::BIGINT / 1000000.0
+           END AS auc
+    FROM a
+    """,
+)
+def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact ROC-AUC (text.classifier_auc) of the logistic
+    quality classifier against the lang='en' label it was trained on —
+    the eval step before trusting a learned filter. Tie-aware rank-sum
+    in doubled-rank integer form; ONE groupBy(score) + a window over
+    DISTINCT grid scores, single-row output. The oracle replays the
+    classifier (both GD iterations) AND the AUC arithmetic."""
+    docs = _docs(spark, sf_dir)
+    w = X.train_quality_classifier(docs, F.col("lang") == "en")
+    scored = X.score_quality_classifier(docs, w).join(
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("long").alias("y"),
+        ),
+        "doc_id",
+    )
+    return X.classifier_auc(scored, score_col="score", label_col="y")

@@ -1364,3 +1364,29 @@ def test_source_divergence_flags_drifted_source(spark):
     assert out["A"].kl == out["B"].kl  # identical distributions
     assert out["C"].kl > out["A"].kl + 0.5  # drifted source stands out
     assert out["A"].n_docs == 40 and out["C"].n_docs == 10
+
+
+def test_classifier_auc_known_values(spark):
+    from delta_rs_spark.functions.text import classifier_auc
+
+    # perfect separation -> 1.0
+    rows = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    assert classifier_auc(df).first().auc == 1.0
+    # perfect inversion -> 0.0
+    inv = spark.createDataFrame([(s, 1 - y) for s, y in rows], ["score", "y"])
+    assert classifier_auc(inv).first().auc == 0.0
+    # all scores tied -> 0.5 exactly (average-rank tie handling)
+    tied = spark.createDataFrame([(0.5, 1)] * 3 + [(0.5, 0)] * 5, ["score", "y"])
+    assert classifier_auc(tied).first().auc == 0.5
+    # hand-computed mixed case: scores .9(+) .7(-) .7(+) .3(-)
+    mix = spark.createDataFrame(
+        [(0.9, 1), (0.7, 0), (0.7, 1), (0.3, 0)], ["score", "y"]
+    )
+    r = mix_r = classifier_auc(mix).first()
+    # ranks asc: .3->1, .7 ties ->2.5, .9->4; sum_pos = 2.5+4 = 6.5
+    # auc = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    assert r.auc == 0.875 and r.n_pos == 2 and r.n_neg == 2
+    # degenerate label -> NULL, not a fake number
+    ones = spark.createDataFrame([(0.4, 1), (0.6, 1)], ["score", "y"])
+    assert classifier_auc(ones).first().auc is None
