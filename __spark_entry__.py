@@ -82,11 +82,12 @@ _RELATIONAL_REPRESENTATIVES = (
 # (r05's 14 first-witness entries all went green in CORRECTNESS_r05.json
 # and moved to the rotated tail; their slots go to the staleness tail.)
 #
-# r06 NOTE: 15 first-witness entries put the mandatory prefix at 52 —
-# two past the driver's observed 50-51 budget. Ordered so the two
-# SIMPLEST new operators (epoch_permutation: pure hash+rank;
-# source_divergence: one vocab-grid aggregation) sit last and absorb a
-# possible one-round deferral; both are dtype-strict mirror-green at
+# r06 NOTE: 17 first-witness entries put the mandatory prefix at 54 —
+# past the driver's observed 50-51 budget, so the tail ~4 entries of
+# this tuple defer one round. Ordered so the SIMPLEST new operators
+# (token_budget_cap: one window; epoch_permutation: pure hash+rank;
+# source_divergence: one vocab-grid aggregation) sit last and absorb
+# the deferral; every r06 entry here is dtype-strict mirror-green at
 # sf0.01 AND sf0.1 this round, and r07's 12+ graduations clear the
 # backlog entirely.
 _FIRST_WITNESS_NEEDED = (
