@@ -1390,3 +1390,89 @@ def test_classifier_auc_known_values(spark):
     # degenerate label -> NULL, not a fake number
     ones = spark.createDataFrame([(0.4, 1), (0.6, 1)], ["score", "y"])
     assert classifier_auc(ones).first().auc is None
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_classifier_auc_differential_vs_pure_python(spark, seed):
+    """Random scores/labels vs an independent tie-aware rank-sum AUC in
+    pure Python (the textbook average-rank formula, no shared code) —
+    plus the flip-label identity AUC' = 1 - AUC."""
+    import random
+
+    from delta_rs_spark.functions.text import classifier_auc
+
+    rng = random.Random(seed)
+    rows = [
+        (round(rng.choice([0.1, 0.25, 0.5, 0.5, 0.7, 0.9]), 6), rng.randint(0, 1))
+        for _ in range(200)
+    ]
+
+    def ref_auc(pairs):
+        s = sorted(pairs, key=lambda p: p[0])
+        ranks, i = {}, 0
+        while i < len(s):
+            j = i
+            while j < len(s) and s[j][0] == s[i][0]:
+                j += 1
+            avg = (i + 1 + j) / 2.0  # average of ranks i+1 .. j
+            ranks[s[i][0]] = avg
+            i = j
+        p = sum(y for _, y in pairs)
+        n = len(pairs) - p
+        sum_pos = sum(ranks[x] for x, y in pairs if y)
+        return (sum_pos - p * (p + 1) / 2.0) / (p * n)
+
+    df = spark.createDataFrame(rows, ["score", "y"])
+    got = classifier_auc(df).first().auc
+    assert abs(got - ref_auc(rows)) < 1e-6
+    flipped = spark.createDataFrame([(s, 1 - y) for s, y in rows], ["score", "y"])
+    assert abs(classifier_auc(flipped).first().auc - (1.0 - got)) < 2e-6
+
+
+@pytest.mark.parametrize("seed", [5, 29])
+def test_bm25_differential_vs_pure_python(spark, seed):
+    """Random word-salad corpora + random queries vs an independent
+    pure-Python Robertson/Okapi BM25 (binarized query tf, k1=1.2,
+    b=0.75) — rank order AND 6dp scores must agree."""
+    import math
+    import random
+
+    from delta_rs_spark.functions.retrieval import bm25_topk
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 40)))) for i in range(60)
+    ]
+    queries = [(qi, rng.sample(vocab, 4)) for qi in range(3)]
+
+    def ref_topk(k=10, k1=1.2, b=0.75):
+        docs = {i: t.split() for i, t in corpus}
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        out = {}
+        for qi, terms in queries:
+            scores = {}
+            for term in set(terms):
+                df_t = sum(1 for t in docs.values() if term in t)
+                if df_t == 0:
+                    continue
+                idf = round(math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5)) * 1e6) / 1e6
+                for i, t in docs.items():
+                    tf = t.count(term)
+                    if tf:
+                        c = idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (len(t) / avgdl))))
+                        scores[i] = scores.get(i, 0) + int(round(c * 1e9))
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            out[qi] = [(i, round(s / 1e9, 6)) for i, s in ranked]
+        return out
+
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    qdf = spark.createDataFrame(
+        [(qi, t) for qi, ts in queries for t in ts], ["query_id", "term"]
+    )
+    got = {}
+    for r in bm25_topk(cdf, qdf, k=10).collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    want = ref_topk()
+    assert got == {qi: v for qi, v in want.items() if v}
