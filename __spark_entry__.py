@@ -82,14 +82,15 @@ _RELATIONAL_REPRESENTATIVES = (
 # (r05's 14 first-witness entries all went green in CORRECTNESS_r05.json
 # and moved to the rotated tail; their slots go to the staleness tail.)
 #
-# r06 NOTE: 17 first-witness entries would have pushed the mandatory
-# prefix to 54; trimming the three redundant aggregation-variant
-# representatives (see above) brings it to 51 — the last entry
-# (source_divergence, deliberately the simplest: one vocab-grid
-# aggregation) sits at position 51, the upper edge of the driver's
-# observed 50-51 budget, and defers at most one round. Every r06 entry
-# here is dtype-strict mirror-green at sf0.01 AND sf0.1 this round,
-# and r07's 12+ graduations clear the backlog entirely.
+# r06 NOTE: 18 first-witness entries would have pushed the mandatory
+# prefix well past the window; trimming the three redundant
+# aggregation-variant representatives (see above) brings it to 52 —
+# the last two entries (source_divergence at position 51, the upper
+# edge of the driver's observed 50-51 budget; band_index_sync at 52,
+# placed last on purpose because it is the costliest at 6.5s warm)
+# defer at most one round. Every r06 entry here is dtype-strict
+# mirror-green at sf0.01 AND sf0.1 this round, and r07's 12+
+# graduations clear the backlog entirely.
 _FIRST_WITNESS_NEEDED = (
     # new in r06 (previously pytest-only operators):
     "llm_embedding_outliers",  # embedding-space outlier filter (percentile fence)
@@ -109,6 +110,9 @@ _FIRST_WITNESS_NEEDED = (
     "llm_token_budget_cap",  # per-source token-denominated mixing prefix
     "llm_epoch_permutation",  # deterministic (shard, pos) training order
     "llm_source_divergence",  # per-source KL drift vs the corpus
+    "llm_band_index_sync",  # near-dup index sync + probe (6.5s warm — last
+    #                         on purpose: defers to r07 rather than
+    #                         displacing cheaper first witnesses)
 )
 
 

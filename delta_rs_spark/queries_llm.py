@@ -2367,6 +2367,82 @@ def llm_fp_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTable(idx, spark=spark).to_df()
 
 
+_FINAL_STATE_SQL = """
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    after_del AS (SELECT * FROM base WHERE NOT coalesce(doc_id % 7 = 0, false)),
+    after_upd AS (SELECT doc_id,
+                         CASE WHEN doc_id % 5 = 0 THEN text || ' syncmark'
+                              ELSE text END AS text
+                  FROM after_del),
+    appended AS (SELECT doc_id + 100000 AS doc_id, text FROM base
+                 WHERE doc_id % 3 = 0),
+    final AS (SELECT * FROM after_upd UNION ALL SELECT * FROM appended)
+"""
+
+
+@query(
+    "llm_band_index_sync",
+    f"""
+    WITH {_FINAL_STATE_SQL},
+    {_MINHASH_SIG_SQL.replace("FROM documents", "FROM final")
+                     .replace("CROSS JOIN perms", "CROSS JOIN perms WHERE i < 16")},
+    banded AS (SELECT doc_id, b, sig[4*b+1:4*b+4] AS bsig
+               FROM sig CROSS JOIN range(4) r(b)),
+    probe AS (SELECT doc_id AS new_id, b, bsig FROM banded WHERE doc_id % 3 = 0),
+    hist AS (SELECT doc_id AS index_id, b, bsig FROM banded)
+    SELECT DISTINCT new_id, index_id
+    FROM probe JOIN hist ON probe.b = hist.b AND probe.bsig = hist.bsig
+    WHERE new_id != index_id
+    """,
+)
+def llm_band_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-driven near-dup index sync (operators/index_sync.py
+    sync_band_index): initialize the MinHash band index from a
+    CDF-enabled corpus, replay the same delete + update + append as the
+    fp-sync gate, sync (rewritten docs re-derive ALL band rows, deleted
+    docs emit per-band delete rows, one MERGE + watermark), then PROBE
+    the current doc_id%3 batch through it. The oracle re-derives the
+    index from the final corpus state and joins on raw signature slices
+    (the probe-gate convention: identical semantics modulo 64-bit
+    bucket-hash collisions) — so a stale row (a deleted doc still
+    vetoing, an updated doc's old buckets) breaks the hash compare."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.functions.dedup import near_dup_candidates_against_index
+    from delta_rs_spark.operators.index_sync import sync_band_index
+    from delta_rs_spark.queries_delta import _scratch
+
+    src = _scratch("band_sync_src", sf_dir)
+    idx = _scratch("band_sync_idx", sf_dir)
+    # 200-doc subset and 16 perms x 4 bands: sync semantics are
+    # independent of corpus size AND of the LSH parameter choice (the
+    # full 64x16 config's banding correctness is llm_band_index_probe's
+    # job; the dedup curves own its scale story) — the gate cost is
+    # commit/partition-bound, and 16 band partitions in every write and
+    # merge measured 11-12s warm vs the ~5s gate budget
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        "doc_id < 200"
+    )
+    write_deltalake(
+        src, docs, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    sync_band_index(
+        spark, src, idx, hash_fn="md5", num_perm=16, bands=4
+    )
+    dt = DeltaTable(src, spark=spark)
+    dt.delete("doc_id % 7 = 0")
+    dt.update({"text": "concat(text, ' syncmark')"}, predicate="doc_id % 5 = 0")
+    write_deltalake(
+        src,
+        docs.filter("doc_id % 3 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        ),
+        mode="append",
+    )
+    sync_band_index(spark, src, idx)
+    probe = DeltaTable(src, spark=spark).to_df().filter(F.col("doc_id") % 3 == 0)
+    return near_dup_candidates_against_index(spark, idx, probe)
+
+
 @query(
     "llm_classifier_auc",
     f"""
