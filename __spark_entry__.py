@@ -79,40 +79,18 @@ _RELATIONAL_REPRESENTATIVES = (
 
 # Registered queries with NO green oracle row in any prior round: these
 # take window positions immediately after the category representatives.
-# (r05's 14 first-witness entries all went green in CORRECTNESS_r05.json
-# and moved to the rotated tail; their slots go to the staleness tail.)
+# (r06's 16 graduated first-witness entries moved to the rotated tail;
+# the two that were knowingly deferred past the r06 window edge lead
+# this round's block so they get their first driver rows immediately.)
 #
-# r06 NOTE: 18 first-witness entries would have pushed the mandatory
-# prefix well past the window; trimming the three redundant
-# aggregation-variant representatives (see above) brings it to 52 —
-# the last two entries (source_divergence at position 51, the upper
-# edge of the driver's observed 50-51 budget; band_index_sync at 52,
-# placed last on purpose because it is the costliest at 6.5s warm)
-# defer at most one round. Every r06 entry here is dtype-strict
-# mirror-green at sf0.01 AND sf0.1 this round, and r07's 12+
-# graduations clear the backlog entirely.
+# r07 NOTE (process, per VERDICT r06 #7): new-operator intake is capped
+# at ~14 per round so the mandatory prefix — delta_* + streaming +
+# category representatives + this block — stays inside the driver's
+# observed 50-51 window without trimming or deferral.
 _FIRST_WITNESS_NEEDED = (
-    # new in r06 (previously pytest-only operators):
-    "llm_embedding_outliers",  # embedding-space outlier filter (percentile fence)
-    "llm_quality_classifier",  # distributed logistic regression (iterative, full oracle)
-    "llm_ann_recall",  # IVF recall@k vs exact cosine (index-quality eval)
-    "llm_span_dedup",  # exact substring-span dedup (rolling-window fingerprints)
-    "llm_sq8_topk",  # int8 scalar-quantized approximate top-k
-    "llm_hashed_classifier",  # feature-hashed n-gram logistic classifier
-    "llm_bpe_vocab",  # distributed BPE vocabulary induction
-    "llm_quality_calibration",  # per-source percentile quality calibration
-    "llm_bm25_topk",  # BM25 sparse retrieval (one corpus pass, broadcast queries)
-    "llm_importance_resampling",  # DSIR-style target-domain data selection
-    "llm_length_buckets",  # length-bucketed batch assembly + padding audit
-    "llm_perplexity_buckets",  # CCNet head/middle/tail LM-score tiers
-    "llm_fp_index_sync",  # CDF-driven dedup-index synchronization
-    "llm_classifier_auc",  # exact tie-aware ROC-AUC model eval
-    "llm_token_budget_cap",  # per-source token-denominated mixing prefix
-    "llm_epoch_permutation",  # deterministic (shard, pos) training order
+    # deferred from r06 (mirror-green at both SFs, judge re-verified):
     "llm_source_divergence",  # per-source KL drift vs the corpus
-    "llm_band_index_sync",  # near-dup index sync + probe (6.5s warm — last
-    #                         on purpose: defers to r07 rather than
-    #                         displacing cheaper first witnesses)
+    "llm_band_index_sync",  # near-dup index sync + probe
 )
 
 
