@@ -850,9 +850,15 @@ def duplicate_spans(
 
     Scale shape: one posexplode of per-doc rolling windows (arrays built
     JVM-side by the zip_with construction — no Python, no per-element
-    re-evaluation), ONE shuffle keyed by the window fingerprint for the
-    occurrence count/rank, one shuffle keyed by doc id for the island
-    merge. Never materializes pairs — cost is O(total windows) =
+    re-evaluation), one map-side-combined groupBy on the window
+    fingerprint (count + min(struct(id, pos)) both partial-aggregate, so
+    a boilerplate window occurring 10^8 times — "all rights reserved…"
+    on a web corpus — is combiner-absorbed instead of landing on one
+    task), one fp-keyed join back (skew-splittable by AQE: the
+    aggregated side is one row per fingerprint, so a hot probe partition
+    can be split and the build row replicated — a shape window functions
+    structurally cannot reach), and one shuffle keyed by doc id for the
+    island merge. Never materializes pairs — cost is O(total windows) =
     O(total tokens), the same asymptotic as the suffix-array pass,
     without its global sort.
     """
@@ -870,16 +876,24 @@ def duplicate_spans(
         # oracle groups by the gram itself, same partition function).
         .select("id", "pos", F.md5("gram").alias("fp"))
     )
-    wf = W.partitionBy("fp")
-    cnt = F.count(F.lit(1)).over(wf)
-    flagged = wins.withColumn("__c", cnt)
-    if keep_first:
-        rn = F.row_number().over(wf.orderBy(F.asc("id"), F.asc("pos")))
-        flagged = flagged.withColumn("__rn", rn).where(
-            (F.col("__c") >= min_count) & (F.col("__rn") >= 2)
+    # Per-fingerprint occurrence count and globally-first occurrence via
+    # groupBy (NOT a window over fp): min(struct(id, pos)) is exactly the
+    # row_number()==1 row under orderBy(id, pos) — struct ordering is
+    # field-by-field — but with partial aggregation, so hot fingerprints
+    # never serialize through a single task.
+    per_fp = (
+        wins.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct("id", "pos")).alias("__first"),
         )
-    else:
-        flagged = flagged.where(F.col("__c") >= min_count)
+        .where(F.col("__c") >= min_count)
+    )
+    flagged = wins.join(per_fp, "fp")
+    if keep_first:
+        flagged = flagged.where(
+            F.struct("id", "pos") != F.col("__first")
+        )
     # Merge flagged windows whose covered token ranges [pos, pos+window-1]
     # touch or overlap (gap <= window) into maximal islands per doc.
     wd = W.partitionBy("id").orderBy("pos")
@@ -920,9 +934,13 @@ def strip_duplicate_spans(
     input doc (unflagged docs pass through with n_removed = 0).
 
     Scale shape: the span table is tiny relative to the corpus (only
-    duplicated regions); removal is a per-doc array filter against the
-    doc's own flagged-position set — carried as an array column through
-    one doc-keyed join, never exploded corpus-wide."""
+    duplicated regions); removal is a per-doc set difference of position
+    arrays — ``array_except`` builds a hash set of the removed positions
+    once per doc (O(n_tokens + n_removed), vs the O(n_tokens *
+    n_removed) of a per-element ``array_contains`` probe, which is
+    quadratic for long heavily-duplicated documents) — carried as an
+    array column through one doc-keyed join, never exploded
+    corpus-wide."""
     spans = duplicate_spans(
         df, text_col, id_col, window=window, min_count=min_count, keep_first=keep_first
     )
@@ -934,6 +952,16 @@ def strip_duplicate_spans(
         ).alias("__rm")
     )
     toks = tokens(F.col(text_col))
+    # Surviving positions = [0, n) \ __rm via array_except (hash-set
+    # build, order-preserving on the left array), then gather the
+    # surviving tokens by position. sequence() is guarded for empty
+    # docs (sequence(0, -1) would descend).
+    survive = F.when(
+        F.size("__toks") > 0,
+        F.array_except(
+            F.sequence(F.lit(0), F.size("__toks") - 1), F.col("__rm")
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     out = (
         df.select(F.col(id_col), toks.alias("__toks"))
         .join(rm, on=id_col, how="left")
@@ -944,9 +972,8 @@ def strip_duplicate_spans(
             F.size("__rm").cast("long").alias("n_removed"),
             F.concat_ws(
                 " ",
-                F.filter(
-                    "__toks",
-                    lambda t, i: ~F.array_contains(F.col("__rm"), i),
+                F.transform(
+                    survive, lambda p: F.element_at(F.col("__toks"), p + 1)
                 ),
             ).alias("clean_text"),
         )

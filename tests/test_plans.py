@@ -343,3 +343,23 @@ def test_source_divergence_vocab_joins_are_broadcast(spark):
     p = plan_of(source_divergence(docs), "simple")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_duplicate_spans_skew_safe_no_fp_window(spark):
+    """Hot-fingerprint safety (r06 verdict #1): the per-fingerprint
+    occurrence count and keep-first pick must run as a partial-aggregated
+    groupBy (combiner-absorbed on skewed boilerplate windows) joined
+    back, NEVER as window functions over partitionBy(fp) — a window
+    forces every occurrence of one fingerprint into a single task, which
+    on a 100 TB web corpus means a 10^8-row straggler for "all rights
+    reserved"-class windows."""
+    from delta_rs_spark.functions.dedup import duplicate_spans
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(duplicate_spans(docs), "simple")
+    assert "partial_count" in p  # map-side combine on the fp groupBy
+    # the ONLY window in the plan is the doc-keyed island merge; no
+    # window may be partitioned by the fingerprint column
+    for frag in p.split("Window ")[1:]:
+        spec = frag.split("]")[0]
+        assert "fp" not in spec, f"fp-partitioned window survived: {spec}"
