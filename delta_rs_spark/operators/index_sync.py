@@ -215,9 +215,23 @@ def sync_band_index(
     upserts = _band_buckets(sigs, p["num_perm"], p["bands"]).select(
         "id", "band", "bucket", F.lit("upsert").alias("__act")
     )
+    # A live final state can still yield NO signature: an UPDATE that
+    # shrinks a doc below shingle_size produces zero shingles, so
+    # minhash_signatures emits no row and no upserts are generated —
+    # without an explicit delete its PRE-update band rows would persist,
+    # vetoing near-dups against text that no longer exists (the index's
+    # contract is "equals the source's CURRENT state"). Anti-join the
+    # live ids against the signature ids and emit per-band delete rows
+    # exactly like the delete path. (The fp sync is immune: fingerprint
+    # is total, every live doc gets a row.) Change-batch sized, so the
+    # anti-join rides the same O(changes) cost envelope.
+    sigless = live.select(F.col(id_col).alias("id")).join(
+        sigs.select("id").distinct(), "id", "left_anti"
+    )
     dels = (
         finals.filter(F.col(_CT) == "delete")
         .select(F.col(id_col).alias("id"))
+        .unionByName(sigless)
         .select(
             "id",
             F.explode(F.sequence(F.lit(0), F.lit(int(p["bands"]) - 1))).alias("band"),

@@ -289,3 +289,73 @@ def test_fp_index_sync_random_mutation_fuzz(spark, tmp_path, seed):
             check()
     sync_fingerprint_index(spark, src, idx)
     check()
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_band_index_sync_shrink_below_shingle_fuzz(spark, tmp_path, seed):
+    """r06 advice (index_sync.py): an UPDATE that shrinks a doc below
+    shingle_size yields no minhash signature, so no upsert rows — the
+    sync must emit explicit per-band deletes for signature-less live
+    docs or the doc's PRE-update band rows persist and veto near-dups
+    against text that no longer exists. Differential check: after every
+    sync, the index must equal a from-scratch band build of the source's
+    CURRENT rows (shrunken docs correctly absent from both)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.functions.dedup import _band_buckets, minhash_signatures
+    from delta_rs_spark.operators.index_sync import sync_band_index
+
+    rng = random.Random(seed)
+    src, idx = str(tmp_path / f"bs{seed}"), str(tmp_path / f"bi{seed}")
+    write_deltalake(
+        src,
+        spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon doc {i} zeta") for i in range(24)],
+            ["doc_id", "text"],
+        ),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    sync_band_index(spark, src, idx, num_perm=16, bands=4, hash_fn="md5")
+    next_id = 1000
+
+    def check():
+        cur = DeltaTable(src, spark=spark).to_df()
+        want_df = _band_buckets(
+            minhash_signatures(cur, num_perm=16, shingle_size=3, hash_fn="md5"),
+            16,
+            4,
+        )
+        got = {(r.id, r.band, r.bucket)
+               for r in DeltaTable(idx, spark=spark).to_df().collect()}
+        want = {(r.id, r.band, r.bucket) for r in want_df.collect()}
+        assert got == want
+
+    for step in range(10):
+        op = rng.choice(["shrink", "grow", "delete", "append", "sync"])
+        dt = DeltaTable(src, spark=spark)
+        if op == "shrink":
+            # 1-2 tokens: below shingle_size=3 -> zero shingles, no sig
+            dt.update(
+                {"text": f"'tiny{step}'" if step % 2 else f"'t{step} u{step}'"},
+                predicate=f"doc_id % {rng.randint(3, 6)} = {rng.randint(0, 2)}",
+            )
+        elif op == "grow":
+            dt.update(
+                {"text": f"concat(text, ' regrown tokens v{step} more words here')"},
+                predicate=f"doc_id % {rng.randint(2, 5)} = {rng.randint(0, 1)}",
+            )
+        elif op == "delete":
+            dt.delete(f"doc_id % {rng.randint(4, 9)} = {rng.randint(0, 3)}")
+        elif op == "append":
+            rows = [(next_id + j, f"fresh words {seed} {step} {j} tail") for j in range(4)]
+            next_id += 100
+            write_deltalake(
+                src, spark.createDataFrame(rows, ["doc_id", "text"]), mode="append"
+            )
+        else:
+            sync_band_index(spark, src, idx)
+            check()
+    sync_band_index(spark, src, idx)
+    check()
