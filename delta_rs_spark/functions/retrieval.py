@@ -75,6 +75,11 @@ def bm25_topk(
     n_docs, sum_dl = corpus.select(
         F.count(F.lit(1)), F.sum(F.size(tokens(text_col)))
     ).first()
+    if not n_docs:  # empty corpus: sum_dl is NULL and avgdl undefined
+        id_t = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, rank int, doc_id {id_t}, score double"
+        )
     avgdl = float(sum_dl) / float(n_docs)
 
     # Document frequency per term, restricted to query terms (broadcast

@@ -653,6 +653,7 @@ def classifier_auc(
     scored: DataFrame,
     score_col: str = "score",
     label_col: str = "y",
+    max_distinct_scores: int = 2_000_001,
 ) -> DataFrame:
     """Exact ROC-AUC of a classifier score against a binary label — the
     eval a pipeline runs before trusting a learned quality/topic filter
@@ -668,8 +669,16 @@ def classifier_auc(
     then a window over DISTINCT scores — classifier scores in this repo
     live on a snapped 1e-6 sigmoid grid, so the window input is
     grid-bounded, not corpus-bounded; the result is a single row
-    (n_pos, n_neg, auc). Degenerate labels (P=0 or N=0) yield NULL auc
-    rather than a misleading number."""
+    (n_pos, n_neg, auc). The grid precondition is ENFORCED, not
+    assumed: if the caller's score column carries more than
+    ``max_distinct_scores`` distinct values (an unsnapped raw float
+    would make the global rank window corpus-bounded — one task
+    sorting every distinct score), scores are binned to
+    ``max_distinct_scores`` equal-width bins over [min, max] first and
+    the result is a binned-AUC approximation (bin resolution ~5e-7 on
+    a [0, 1] score at the default bound — far below any decision
+    threshold's precision). Degenerate labels (P=0 or N=0) yield NULL
+    auc rather than a misleading number."""
     g = (
         scored.groupBy(F.col(score_col).alias("s"))
         .agg(
@@ -677,6 +686,20 @@ def classifier_auc(
             F.sum(F.col(label_col).cast("long")).alias("n_pos"),
         )
     )
+    nd, lo, hi = g.agg(F.count(F.lit(1)), F.min("s"), F.max("s")).first()
+    if nd and nd > max_distinct_scores:
+        width = (float(hi) - float(lo)) / float(max_distinct_scores)
+        bin_idx = F.least(
+            F.floor((F.col("s") - F.lit(float(lo))) / F.lit(width)),
+            F.lit(max_distinct_scores - 1),
+        )
+        g = (
+            g.withColumn(
+                "s", F.lit(float(lo)) + (bin_idx + F.lit(0.5)) * F.lit(width)
+            )
+            .groupBy("s")
+            .agg(F.sum("n").alias("n"), F.sum("n_pos").alias("n_pos"))
+        )
     w = W.orderBy(F.asc("s")).rowsBetween(W.unboundedPreceding, -1)
     rank2 = F.lit(2) * F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("n") + F.lit(1)
     agg = g.select(
@@ -736,9 +759,21 @@ def source_divergence(
     )  # one scalar (vocab-sized agg)
     v = float(vocab_size)
 
-    # per-source in-vocab token totals (needed for p_source smoothing)
+    # per-source in-vocab token totals (needed for p_source smoothing).
+    # Driven from the DOCS table with a left join, not from the vocab
+    # join: a source whose tokens are ALL outside the top vocabulary —
+    # the maximally drifted source, exactly the one the report exists
+    # to surface — must appear with n_s = 0 (pure-smoothing KL), not
+    # silently vanish from the result.
+    docs = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     sv = st.join(F.broadcast(vocab.select("term")), "term")
-    stot = sv.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    stot = (
+        docs.select("source")
+        .join(sv.groupBy("source").agg(F.sum("n_st").alias("n_s")), "source", "left")
+        .select("source", F.coalesce("n_s", F.lit(0).cast("long")).alias("n_s"))
+    )
 
     # grid: every source x every vocab term (absent terms still
     # contribute their smoothed mass) — |sources| x vocab_size rows
@@ -765,9 +800,6 @@ def source_divergence(
     )
     kl = F.round(F.col("kl_q").cast("double") / F.lit(1000.0)).cast("long") / F.lit(
         1e6
-    )
-    docs = df.groupBy(F.col(source_col).alias("source")).agg(
-        F.count(F.lit(1)).alias("n_docs")
     )
     return (
         per_source.join(docs, "source")

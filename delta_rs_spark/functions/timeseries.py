@@ -74,6 +74,7 @@ def trailing_zscore_anomalies(
     bucket_seconds: int = 3600,
     lookback: int = 24,
     threshold: float = 2.0,
+    fill_gaps: bool = True,
 ) -> DataFrame:
     """Windowed anomaly detection over an event stream: bucket events
     per (group, time bucket), then score each bucket's count against
@@ -83,8 +84,19 @@ def trailing_zscore_anomalies(
     (by, bucket_ts, n, z, is_anomaly); z is NULL until two prior
     buckets exist or when the trailing counts are constant.
 
+    With ``fill_gaps`` (default) the per-group bucket series is
+    densified to EVERY bucket between the group's first and last event
+    before the window runs, so (a) the trailing frame always spans
+    ``lookback`` buckets of real wall-clock time, never an arbitrary
+    stretch across a gap, and (b) a zero-event bucket — the dropout,
+    the anomaly a monitor most needs — gets an n=0 row and can be
+    flagged. ``fill_gaps=False`` scores only non-empty buckets (the
+    r06 behavior; gaps are skipped and dropouts are out of scope).
+
     Scale shape: one partial-aggregated groupBy to bucket counts
-    (corpus -> |groups| x |buckets| rows), then one window pass keyed
+    (corpus -> |groups| x |buckets| rows); the gap spine is generated
+    from a |groups|-row min/max aggregate (grid-bounded, like
+    resample_gap_fill — never event-scaled); then one window pass keyed
     by group — the window input is the bucketed series, not the raw
     events, so the sort is tiny regardless of event volume. Skewed
     groups are a non-issue at series granularity."""
@@ -97,6 +109,22 @@ def trailing_zscore_anomalies(
         .groupBy(by, "bucket_ts")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if fill_gaps:
+        spine = (
+            counts.groupBy(by)
+            .agg(F.min("bucket_ts").alias("__mn"), F.max("bucket_ts").alias("__mx"))
+            .select(
+                by,
+                F.explode(
+                    F.sequence(
+                        "__mn", "__mx", F.lit(int(bucket_seconds)).cast("long")
+                    )
+                ).alias("bucket_ts"),
+            )
+        )
+        counts = spine.join(counts, [by, "bucket_ts"], "left").withColumn(
+            "n", F.coalesce("n", F.lit(0).cast("long"))
+        )
     w = (
         W.partitionBy(by)
         .orderBy("bucket_ts")

@@ -2285,7 +2285,12 @@ def llm_epoch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (SELECT term, n_t FROM corpus ORDER BY n_t DESC, term ASC LIMIT 128),
     tc AS (SELECT sum(n_t)::DOUBLE AS tot FROM vocab),
     sv AS (SELECT st.source, st.term, st.n_st FROM st JOIN vocab USING (term)),
-    stot AS (SELECT source, sum(n_st)::BIGINT AS n_s FROM sv GROUP BY 1),
+    -- driven from the docs table: a fully out-of-vocab source keeps a
+    -- row with n_s = 0 (pure-smoothing KL) instead of vanishing
+    stot AS (SELECT d.source, coalesce(s.n_s, 0)::BIGINT AS n_s
+             FROM (SELECT DISTINCT source FROM documents) d
+             LEFT JOIN (SELECT source, sum(n_st)::BIGINT AS n_s
+                        FROM sv GROUP BY 1) s USING (source)),
     grid AS (SELECT s.source, s.n_s, v.term, v.n_t,
                     coalesce(x.n_st, 0)::BIGINT AS n_st
              FROM stot s CROSS JOIN vocab v

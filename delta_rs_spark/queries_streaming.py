@@ -238,10 +238,20 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events),
     c AS (SELECT event_type, bucket_ts, count(*)::BIGINT AS n
           FROM e GROUP BY 1, 2),
+    spine AS (SELECT event_type,
+                     unnest(generate_series(mn, mx, 3600)) AS bucket_ts
+              FROM (SELECT event_type, min(bucket_ts) AS mn,
+                           max(bucket_ts) AS mx
+                    FROM c GROUP BY 1)),
+    cf AS (SELECT s.event_type, s.bucket_ts,
+                  coalesce(c.n, 0)::BIGINT AS n
+           FROM spine s
+           LEFT JOIN c ON s.event_type = c.event_type
+                      AND s.bucket_ts = c.bucket_ts),
     s AS (SELECT event_type, bucket_ts, n,
                  avg(n::DOUBLE) OVER w AS mu,
                  stddev_samp(n::DOUBLE) OVER w AS sd
-          FROM c
+          FROM cf
           WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
     SELECT event_type, bucket_ts, n,
@@ -258,8 +268,11 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (timeseries.trailing_zscore_anomalies): hourly per-type counts
     scored against the preceding 24 buckets' mean/stddev — the trailing
     frame never reads its own bucket, so the batch definition is the
-    streaming one. The oracle replays bucketing, the trailing frame,
-    and the guarded z-score in SQL."""
+    streaming one. The per-type series is gap-filled to n=0 buckets
+    first, so the trailing frame spans real wall-clock time and a
+    zero-event hour (dropout) is scoreable. The oracle replays
+    bucketing, the generate_series spine, the trailing frame, and the
+    guarded z-score in SQL."""
     from delta_rs_spark.functions.timeseries import trailing_zscore_anomalies
 
     ev = load_table(spark, sf_dir, "events")
