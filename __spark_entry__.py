@@ -91,6 +91,9 @@ _FIRST_WITNESS_NEEDED = (
     # deferred from r06 (mirror-green at both SFs, judge re-verified):
     "llm_source_divergence",  # per-source KL drift vs the corpus
     "llm_band_index_sync",  # near-dup index sync + probe
+    # new in r07 (the r06 verdict's "oracle the live-stream pair"):
+    "llm_stream_ingest_replay",  # composed corpus ingest at fixed batch bounds
+    "llm_stream_stateful_dedup",  # real applyInPandasWithState stream + oracle
 )
 
 

@@ -2515,3 +2515,95 @@ def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return X.classifier_auc(scored, score_col="score", label_col="y")
+
+
+def _ingest_replay_oracle() -> str:
+    """SQL twin of replay_corpus_ingest over documents split into 3
+    batches by doc_id % 3 (batch order 0,1,2), empty initial index,
+    gate = lang 'en' / quality >= 0.5 / 20 <= tokens <= 100000 (the
+    llm_corpus_pipeline thresholds, whose SQL replay is long-proven).
+
+    Semantics replayed exactly: within a batch the min-id doc per
+    fingerprint is the only candidate (the probe's keep-first window);
+    a fingerprint enters the index ONLY when a batch's candidate passes
+    the gate (rejected docs are never indexed, so later copies get a
+    fresh chance); the corpus holds the candidate of the FIRST batch
+    whose candidate passed."""
+    count_exprs = []
+    for lg, markers in X.LANG_MARKER_TOKENS.items():
+        lits = ", ".join(f"'{mk}'" for mk in markers)
+        count_exprs.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ({lits}))) AS c_{lg}"
+        )
+    count_exprs.append(f"len(regexp_extract_all(text, '{X.ZH_CHAR_RE}')) AS c_zh")
+    counts = ",\n             ".join(count_exprs)
+    langs = sorted([*X.LANG_MARKER_TOKENS, "zh"])
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    whens = " ".join(
+        f"WHEN c_{lg} > 0 AND c_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id, doc_id % 3 AS b,
+             {counts},
+             len({_TOKENS_SQL})::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             len(regexp_extract_all(lower(text), '{X.STOPWORD_RE}'))::DOUBLE AS sw,
+             len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS pn,
+             {_FP_SQL} AS fp
+      FROM documents),
+    s AS (SELECT doc_id, b, fp,
+                 CASE {whens} ELSE 'und' END AS lang_pred,
+                 round(0.5 * least(n_tok / 64.0, 1.0)
+                     + 0.5 * least(sw / greatest(n_tok, 1.0) * 4.0, 1.0)
+                     - 0.25 * least(pn / greatest(n_char, 1.0) * 10.0, 1.0), 6) AS quality,
+                 CAST(n_tok AS BIGINT) AS n_tokens
+          FROM m),
+    cand AS (SELECT fp, b, min(doc_id) AS keep_id FROM s GROUP BY fp, b),
+    pass AS (SELECT c.fp, c.b, c.keep_id
+             FROM cand c JOIN s ON s.doc_id = c.keep_id AND s.b = c.b
+             WHERE s.lang_pred = 'en' AND s.quality >= 0.5
+               AND s.n_tokens >= 20 AND s.n_tokens <= 100000),
+    first AS (SELECT fp, min(b) AS b0 FROM pass GROUP BY fp)
+    SELECT d.doc_id, d.source, d.text
+    FROM pass p
+    JOIN first f ON p.fp = f.fp AND p.b = f.b0
+    JOIN documents d ON d.doc_id = p.keep_id
+    """
+
+
+@query("llm_stream_ingest_replay", _ingest_replay_oracle())
+def llm_stream_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed streaming corpus ingest (streaming/ingest.py) at
+    fixed micro-batch boundaries: documents split into 3 batches by
+    doc_id % 3, replayed through the SAME per-batch processor the live
+    foreachBatch stream runs (process_corpus_batch — index probe +
+    within-batch keep-first + lang/quality/length gate + exactly-once
+    corpus append + index advance), from an empty fingerprint index.
+    Returns the final corpus Delta table; the oracle derives the same
+    survivor set in pure SQL. The r06 verdict's 'oracle the live-stream
+    pair' item: stream-vs-replay equivalence is pinned separately by
+    test_streaming.py's differential (same processor, availableNow
+    file-source stream)."""
+    import os as _os
+    import shutil as _shutil
+
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.functions.dedup import build_fingerprint_index
+    from delta_rs_spark.streaming.ingest import replay_corpus_ingest
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_ingest_replay"
+    _shutil.rmtree(root, ignore_errors=True)
+    _os.makedirs(root, exist_ok=True)
+    corpus, index = f"{root}/corpus", f"{root}/fp_index"
+
+    build_fingerprint_index(docs.limit(0), index)  # empty initial index
+    batches = [docs.filter(F.col("doc_id") % 3 == b) for b in (0, 1, 2)]
+    replay_corpus_ingest(
+        batches, corpus, index, lang="en", min_quality=0.5, min_tokens=20
+    )
+    return DeltaTable(corpus, spark=spark).to_df(
+        columns=["doc_id", "source", "text"]
+    )

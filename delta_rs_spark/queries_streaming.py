@@ -279,3 +279,87 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_zscore_anomalies(
         ev, ts_col="ts", by="event_type", bucket_seconds=3600, lookback=24
     )
+
+
+@query(
+    "llm_stream_stateful_dedup",
+    """
+    WITH s AS (SELECT doc_id, doc_id % 3 AS b,
+                      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+               FROM documents),
+    cand AS (SELECT fp, b, min(doc_id) AS doc_id FROM s GROUP BY fp, b),
+    first AS (SELECT fp, min(b) AS b0 FROM cand GROUP BY fp)
+    SELECT c.fp AS fingerprint, c.doc_id
+    FROM cand c JOIN first f ON c.fp = f.fp AND c.b = f.b0
+    """,
+)
+def llm_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful streaming dedup (streaming/stateful.py
+    dedup_stream, applyInPandasWithState): a REAL structured stream —
+    file source, one parquet file per micro-batch, modification times
+    forced so batch order is doc_id % 3 = 0, 1, 2, availableNow
+    trigger — emits only the first row ever seen per fingerprint across
+    batches into a memory sink. Each batch is pre-deduped to its min-id
+    row per fingerprint (within-batch arrival order inside a pandas
+    group is not deterministic; cross-batch state is what this gate
+    pins — within-batch first-row selection is pytest territory). The
+    oracle computes the same first-batch winner per fingerprint in SQL."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.functions.text import fingerprint
+    from delta_rs_spark.streaming.stateful import dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = (
+        docs.select(
+            fingerprint("text").alias("fingerprint"),
+            "doc_id",
+            (F.col("doc_id") % 3).alias("b"),
+        )
+        .groupBy("fingerprint", "b")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_stateful_dedup"
+    _shutil.rmtree(root, ignore_errors=True)
+    stream_dir, ckpt = f"{root}/in", f"{root}/ckpt"
+    _os.makedirs(stream_dir, exist_ok=True)
+    for b in (0, 1, 2):
+        staging = f"{root}/stage{b}"
+        rows.filter(F.col("b") == b).select("fingerprint", "doc_id").coalesce(
+            1
+        ).write.parquet(staging)
+        part = next(
+            p for p in _os.listdir(staging) if p.endswith(".parquet")
+        )
+        dst = f"{stream_dir}/b{b}.parquet"
+        _os.rename(f"{staging}/{part}", dst)
+        _shutil.rmtree(staging, ignore_errors=True)
+        # FileStreamSource orders by modification time: pin batch order
+        _os.utime(dst, (1_600_000_000 + b * 100, 1_600_000_000 + b * 100))
+
+    src = (
+        spark.readStream.schema("fingerprint string, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    global _STATEFUL_GATE_SEQ
+    _STATEFUL_GATE_SEQ += 1
+    sink = f"stateful_dedup_gate_{_os.getpid()}_{_STATEFUL_GATE_SEQ}"
+    q = (
+        dedup_stream(src, key_col="fingerprint")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("fingerprint", "doc_id")
+
+
+_STATEFUL_GATE_SEQ = 0

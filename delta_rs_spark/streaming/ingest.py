@@ -18,12 +18,88 @@ corpus-sized):
    append, so a crash between the two replays the batch (corpus append
    dedupes via txn, index append re-adds the same fps, which is
    harmless for an anti-join index).
+
+``process_corpus_batch`` is the single batch processor; the live
+stream (``start_corpus_ingest``) and the deterministic batch replay
+(``replay_corpus_ingest``) both call it, so the replay IS the stream's
+semantics at fixed micro-batch boundaries — the property the
+stream-vs-replay differential test and the driver-gate oracle rely on.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def process_corpus_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.0,
+    min_tokens: int = 1,
+    app_id: str = "corpus-ingest",
+    band_index_path: str | None = None,
+) -> None:
+    """Process ONE ingest micro-batch (shared by the live stream and
+    the deterministic replay — see module docstring for the 4 steps)."""
+    from delta_rs_spark.functions.dedup import (
+        dedup_against_fingerprint_index,
+        near_dup_candidates_against_index,
+        update_band_index,
+        update_fingerprint_index,
+    )
+    from delta_rs_spark.functions.text import corpus_filter_report
+    from delta_rs_spark.writer import write_deltalake
+
+    spark = batch_df.sparkSession
+    fresh = dedup_against_fingerprint_index(
+        spark, index_path, batch_df, text_col, id_col
+    )
+    if band_index_path is not None:
+        near = near_dup_candidates_against_index(
+            spark, band_index_path, fresh, text_col, id_col
+        ).select(F.col("new_id").alias("__nd_id")).distinct()
+        fresh = fresh.join(
+            F.broadcast(near),
+            fresh[id_col] == F.col("__nd_id"),
+            "left_anti",
+        )
+    report = corpus_filter_report(
+        fresh,
+        text_col,
+        id_col,
+        lang=lang,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+    )
+    kept_ids = report.filter(F.col("reason") == "kept").select("doc_id")
+    kept = fresh.join(
+        F.broadcast(kept_ids),
+        fresh[id_col] == kept_ids["doc_id"],
+        "left_semi",
+    )
+    # The survivor frame is consumed 2-3x below (corpus append, fp index
+    # append, optional band index append) — pin the batch-sized result so
+    # the probe + gate pipeline runs once per batch, not once per sink.
+    kept = kept.localCheckpoint(eager=True)
+    # exactly-once: the txn (app_id, batch_id) makes replays no-ops
+    write_deltalake(
+        corpus_path,
+        kept,
+        mode="append",
+        txn_app_id=app_id,
+        txn_version=batch_id,
+    )
+    update_fingerprint_index(spark, index_path, kept, text_col, id_col)
+    if band_index_path is not None:
+        update_band_index(spark, band_index_path, kept, text_col, id_col)
 
 
 def start_corpus_ingest(
@@ -48,57 +124,57 @@ def start_corpus_ingest(
     before the quality gate, and survivors' band buckets are appended so
     later batches see them. Both probes stay batch-vs-index joins; the
     historical text is never rescanned."""
-    from delta_rs_spark.functions.dedup import (
-        dedup_against_fingerprint_index,
-        near_dup_candidates_against_index,
-        update_band_index,
-        update_fingerprint_index,
-    )
-    from delta_rs_spark.functions.text import corpus_filter_report
-    from delta_rs_spark.writer import write_deltalake
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        fresh = dedup_against_fingerprint_index(
-            spark, index_path, batch_df, text_col, id_col
-        )
-        if band_index_path is not None:
-            near = near_dup_candidates_against_index(
-                spark, band_index_path, fresh, text_col, id_col
-            ).select(F.col("new_id").alias("__nd_id")).distinct()
-            fresh = fresh.join(
-                F.broadcast(near),
-                fresh[id_col] == F.col("__nd_id"),
-                "left_anti",
-            )
-        report = corpus_filter_report(
-            fresh,
-            text_col,
-            id_col,
+        process_corpus_batch(
+            batch_df,
+            batch_id,
+            corpus_path,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
             lang=lang,
             min_quality=min_quality,
             min_tokens=min_tokens,
+            app_id=app_id,
+            band_index_path=band_index_path,
         )
-        kept_ids = report.filter(F.col("reason") == "kept").select("doc_id")
-        kept = fresh.join(
-            F.broadcast(kept_ids),
-            fresh[id_col] == kept_ids["doc_id"],
-            "left_semi",
-        )
-        # exactly-once: the txn (app_id, batch_id) makes replays no-ops
-        write_deltalake(
-            corpus_path,
-            kept,
-            mode="append",
-            txn_app_id=app_id,
-            txn_version=batch_id,
-        )
-        update_fingerprint_index(spark, index_path, kept, text_col, id_col)
-        if band_index_path is not None:
-            update_band_index(spark, band_index_path, kept, text_col, id_col)
 
     return (
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def replay_corpus_ingest(
+    batches: Iterable[DataFrame],
+    corpus_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.0,
+    min_tokens: int = 1,
+    app_id: str = "corpus-ingest",
+    band_index_path: str | None = None,
+) -> None:
+    """Deterministic batch replay of the ingest stream: run the SAME
+    per-batch processor over an explicit sequence of batch frames
+    (batch_id = position). Used by the driver-gate oracle query and the
+    stream-vs-replay differential test; also the recovery tool for
+    re-running a bounded ingest window without the streaming engine."""
+    for batch_id, batch_df in enumerate(batches):
+        process_corpus_batch(
+            batch_df,
+            batch_id,
+            corpus_path,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            lang=lang,
+            min_quality=min_quality,
+            min_tokens=min_tokens,
+            app_id=app_id,
+            band_index_path=band_index_path,
+        )

@@ -598,3 +598,77 @@ def test_resample_gap_fill_semantics(spark):
         (1, h0 + 10800, 1, 400),
         (2, h0 + 18000, 1, 750),
     ]
+
+
+def test_corpus_ingest_stream_equals_replay(spark, tmp_path):
+    """r06 verdict #5 differential: the LIVE ingest stream (file source,
+    mtime-pinned batch order, maxFilesPerTrigger=1, availableNow) must
+    commit exactly the corpus the deterministic batch replay
+    (replay_corpus_ingest) produces from the same batch sequence — the
+    property that lets the driver-gate oracle stand in for the stream."""
+    import os
+
+    from delta_rs_spark.functions.dedup import build_fingerprint_index
+    from delta_rs_spark.streaming.ingest import (
+        replay_corpus_ingest,
+        start_corpus_ingest,
+    )
+
+    base = "the sun and the moon is that with was the sky "
+    batches_rows = [
+        # b0: two keepers, one junk, an intra-batch dup pair (20/21)
+        [(20, base * 3), (21, base * 3), (22, "a boat of the river to and is was that " * 3), (23, "zz qq")],
+        # b1: cross-batch dup of 20, a fresh keeper, a dup of the junk
+        # doc (never indexed -> re-gated and re-rejected)
+        [(30, base * 3), (31, "the cat and the dog went to the market " * 3), (32, "zz qq")],
+        # b2: dup of b1's keeper + one fresh
+        [(40, "the cat and the dog went to the market " * 3), (41, "the king and the queen of the north is " * 3)],
+    ]
+    frames = [
+        spark.createDataFrame(rows, ["doc_id", "text"]) for rows in batches_rows
+    ]
+
+    # --- replay path
+    r_corpus, r_index = str(tmp_path / "r_corpus"), str(tmp_path / "r_idx")
+    build_fingerprint_index(frames[0].limit(0), r_index)
+    replay_corpus_ingest(frames, r_corpus, r_index, min_quality=0.0, min_tokens=5)
+
+    # --- live stream path: one parquet file per batch, mtimes pin order
+    s_corpus, s_index = str(tmp_path / "s_corpus"), str(tmp_path / "s_idx")
+    build_fingerprint_index(frames[0].limit(0), s_index)
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    for b, fr in enumerate(frames):
+        stage = str(tmp_path / f"stage{b}")
+        fr.coalesce(1).write.parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"b{b}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_600_000_000 + b * 100,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_corpus_ingest(
+        stream, s_corpus, s_index, str(tmp_path / "ckpt"),
+        min_quality=0.0, min_tokens=5,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r.doc_id, r.text) for r in DeltaTable(s_corpus).to_df().collect()
+    )
+    want = sorted(
+        (r.doc_id, r.text) for r in DeltaTable(r_corpus).to_df().collect()
+    )
+    assert got == want
+    # sanity on the semantics themselves: intra-batch keep-first (20
+    # beats 21), cross-batch index veto (30, 40 dropped), junk never
+    # ingested, never indexed
+    assert [d for d, _ in want] == [20, 22, 31, 41]
+    # and the fp indexes agree with each other too
+    gi = sorted(r.fp for r in DeltaTable(s_index).to_df().collect())
+    ri = sorted(r.fp for r in DeltaTable(r_index).to_df().collect())
+    assert gi == ri
