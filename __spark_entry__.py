@@ -94,6 +94,9 @@ _FIRST_WITNESS_NEEDED = (
     # new in r07 (the r06 verdict's "oracle the live-stream pair"):
     "llm_stream_ingest_replay",  # composed corpus ingest at fixed batch bounds
     "llm_stream_stateful_dedup",  # real applyInPandasWithState stream + oracle
+    # new in r07 (operator coverage):
+    "llm_gopher_rules",  # Gopher quality-rule battery (integer thresholds)
+    "llm_rrf_hybrid_retrieval",  # BM25 + Dirichlet-QL reciprocal-rank fusion
 )
 
 

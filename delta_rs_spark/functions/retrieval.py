@@ -170,3 +170,136 @@ def head_term_queries(
         )
         .distinct()
     )
+
+
+def ql_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    mu: float = 300.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by Dirichlet-smoothed query
+    likelihood (Zhai & Lafferty 2004) — the language-modeling ranker
+    classically hybridized with BM25. Uses the sparse decomposition
+      score(q,d) = sum_{t in q, tf>0} ln(1 + tf / (mu * p(t|C)))
+                 + |q| * ln(mu / (dl + mu))
+    so only MATCHED postings are scored (docs matching no query term
+    are not candidates, the standard top-k contract).
+
+    Determinism: both transcendentals are snapped to the 1e-6 integer
+    grid per term (BIGINT contributions, integer sums); p(t|C) =
+    ctf/total is evaluated with identical IEEE association in the SQL
+    oracle.
+
+    Scale shape: identical to bm25_topk — ONE postings build with
+    map-side combine, a query-vocabulary-sized ctf table broadcast
+    back, the query frame broadcast into the postings scan, one
+    groupBy(query, doc) integer sum + one per-query top-k window;
+    corpus-global state = one scalar (total tokens) + the ctf table."""
+    q = queries.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("term").cast("string").alias("term"),
+    ).distinct()
+
+    postings = (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(text_col)).alias("dl"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    total = corpus.select(F.sum(F.size(tokens(text_col)))).first()[0]
+    if not total:  # empty corpus (or all-empty docs): no candidates
+        id_t = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, rank int, doc_id {id_t}, score double"
+        )
+    total = float(total)
+
+    ctf = (
+        postings.groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+        .join(F.broadcast(q.select("term").distinct()), "term")
+    )
+    # matched-term contribution on the 1e-6 integer grid
+    cq = F.round(
+        F.log(
+            F.lit(1.0)
+            + F.col("tf").cast("double")
+            / (F.lit(mu) * F.col("ctf").cast("double") / F.lit(total))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    matched = (
+        postings.join(F.broadcast(q), "term")
+        .join(F.broadcast(ctf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(cq).alias("mq"), F.max("dl").alias("dl"))
+    )
+    nq = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    len_q = F.round(
+        F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu))) * F.lit(1e6)
+    ).cast("long")
+    scored = matched.join(F.broadcast(nq), "query_id").select(
+        "query_id",
+        "doc_id",
+        (F.col("mq") + F.col("nq") * len_q).alias("score_q"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            (F.col("score_q").cast("double") / F.lit(1e6)).alias("score"),
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N rankers'
+    (query_id, rank, doc_id) frames: rrf(q,d) = sum_r 1/(k + rank_r),
+    the standard score-free hybrid used to combine lexical and
+    LM/dense retrieval. Contributions are BIGINT-quantized on a 1e9
+    grid (1e9/(60+rank) never lands on a .5 boundary: the odd divisors
+    of 2e9 are powers of 5, none in a plausible k+rank range), summed
+    exactly, final order (rrf_q DESC, doc_id ASC).
+
+    Scale shape: a union of ranker outputs (each already top-k-bounded,
+    so |queries| x k x N rows total — NOT corpus-scaled) and one
+    groupBy(query, doc) integer sum + one per-query top-k window."""
+    u = rankings[0].select("query_id", "rank", "doc_id")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("query_id", "rank", "doc_id"))
+    contrib = F.round(
+        F.lit(1e9) / (F.lit(float(k)) + F.col("rank").cast("double"))
+    ).cast("long")
+    g = u.groupBy("query_id", "doc_id").agg(F.sum(contrib).alias("rrf_q"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            (
+                F.round(F.col("rrf_q").cast("double") / F.lit(1000.0)).cast("long")
+                / F.lit(1e6)
+            ).alias("rrf_score"),
+        )
+    )

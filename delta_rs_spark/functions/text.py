@@ -1187,3 +1187,110 @@ def score_hashed_classifier(
         score.alias("score"),
         (score >= F.lit(0.5)).alias("is_match"),
     )
+
+
+# Gopher rule 7's required-stopword lexicon (Rae et al. 2021 §A1.1.2:
+# "contains at least two of the following English words")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1.2 —
+    the filter battery MassiveWeb/C4-class pipelines run before
+    training): word-count bounds, mean word length in [3, 10],
+    symbol-to-word ratio <= 0.1 ('#' and ellipses), <= 90% of lines
+    bullet-led, <= 30% of lines ellipsis-terminated, >= 80% of words
+    containing an alphabetic character, and >= 2 distinct required
+    stopwords present. Returns one row per doc with the raw counts,
+    each rule verdict, and the conjunction ``keep``.
+
+    Determinism: every threshold is evaluated in INTEGER arithmetic
+    (3*n <= chars, 10*symbols <= words, ...) — no float ratio ever
+    crosses an engine boundary; the display mean_word_len is derived on
+    the 1e4 integer micro-grid.
+
+    Scale shape: one codegen projection per document — array/regexp
+    expressions only, no shuffle, no UDF; composes with any scan."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks).cast("long")
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), F.lit(0))
+    ).cast("long")
+    lines = nonblank_lines(c)
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.substring(l, 1, 1).isin("-", "*", "•"))
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    lower_toks = F.transform(toks, lambda t: F.lower(t))
+    n_req_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_toks, s),
+        )
+    ).cast("long")
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        char_sum.alias("char_sum"),
+        n_symbols.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        bullet_lines.alias("bullet_lines"),
+        ellipsis_lines.alias("ellipsis_lines"),
+        alpha_words.alias("alpha_words"),
+        n_req_stop.alias("n_req_stopwords"),
+    )
+    r_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_mean = (F.lit(3) * F.col("n_words") <= F.col("char_sum")) & (
+        F.col("char_sum") <= F.lit(10) * F.col("n_words")
+    )
+    r_symbol = F.lit(10) * F.col("n_symbols") <= F.col("n_words")
+    r_bullet = F.lit(10) * F.col("bullet_lines") <= F.lit(9) * F.col("n_lines")
+    r_ellipsis = F.lit(10) * F.col("ellipsis_lines") <= F.lit(3) * F.col("n_lines")
+    r_alpha = F.lit(10) * F.col("alpha_words") >= F.lit(8) * F.col("n_words")
+    r_stop = F.col("n_req_stopwords") >= 2
+    mean_wl = F.when(
+        F.col("n_words") > 0,
+        F.round(F.col("char_sum") * F.lit(10000.0) / F.col("n_words"))
+        .cast("long")
+        / F.lit(10000.0),
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        "n_symbols",
+        "n_lines",
+        "bullet_lines",
+        "ellipsis_lines",
+        "alpha_words",
+        "n_req_stopwords",
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_word_len"),
+        r_symbol.alias("r_symbol_ratio"),
+        r_bullet.alias("r_bullet_lines"),
+        r_ellipsis.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        (
+            r_words & r_mean & r_symbol & r_bullet & r_ellipsis & r_alpha & r_stop
+        ).alias("keep"),
+    )

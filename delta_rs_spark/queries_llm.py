@@ -2607,3 +2607,169 @@ def llm_stream_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTable(corpus, spark=spark).to_df(
         columns=["doc_id", "source", "text"]
     )
+
+
+@query(
+    "llm_gopher_rules",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks,
+             list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                         l -> l != '') AS lines,
+             len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::BIGINT AS n_symbols
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS char_sum,
+             n_symbols,
+             len(lines)::BIGINT AS n_lines,
+             len(list_filter(lines, l -> left(l, 1) IN ('-', '*', '•')))::BIGINT AS bullet_lines,
+             len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))::BIGINT AS ellipsis_lines,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha_words,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(list_transform(toks, x -> lower(x)), s)))::BIGINT
+               AS n_req_stopwords
+      FROM t)
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0
+                THEN round(char_sum * 10000.0 / n_words)::BIGINT / 10000.0 END AS mean_word_len,
+           n_symbols, n_lines, bullet_lines, ellipsis_lines, alpha_words, n_req_stopwords,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (3 * n_words <= char_sum AND char_sum <= 10 * n_words) AS r_mean_word_len,
+           (10 * n_symbols <= n_words) AS r_symbol_ratio,
+           (10 * bullet_lines <= 9 * n_lines) AS r_bullet_lines,
+           (10 * ellipsis_lines <= 3 * n_lines) AS r_ellipsis_lines,
+           (10 * alpha_words >= 8 * n_words) AS r_alpha_words,
+           (n_req_stopwords >= 2) AS r_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (3 * n_words <= char_sum AND char_sum <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (10 * bullet_lines <= 9 * n_lines)
+            AND (10 * ellipsis_lines <= 3 * n_lines)
+            AND (10 * alpha_words >= 8 * n_words)
+            AND (n_req_stopwords >= 2)) AS keep
+    FROM m
+    """,
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (text.gopher_quality_report, Rae et
+    al. 2021 §A1.1.2): word-count bounds, mean-word-length band,
+    symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, required-stopword presence — one codegen projection, no
+    shuffle, every threshold in integer arithmetic. The oracle replays
+    all seven rules and the conjunction in SQL."""
+    docs = _docs(spark, sf_dir)
+    return X.gopher_quality_report(docs)
+
+
+@query(
+    "llm_rrf_hybrid_retrieval",
+    f"""
+    WITH post AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl FROM (
+        SELECT doc_id,
+               len({_CLEAN_TOKENS_SQL})::BIGINT AS dl,
+               unnest({_CLEAN_TOKENS_SQL}) AS term
+        FROM documents)
+      GROUP BY doc_id, term),
+    scal AS (SELECT count(*)::DOUBLE AS n,
+                    (sum(len({_CLEAN_TOKENS_SQL}))::DOUBLE)
+                      / (count(*)::DOUBLE) AS avgdl,
+                    sum(len({_CLEAN_TOKENS_SQL}))::DOUBLE AS total
+             FROM documents),
+    q AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id,
+                   unnest(list_slice({_CLEAN_TOKENS_SQL}, 1, 6)) AS term
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id ASC LIMIT 4))),
+    -- BM25 side (identical arithmetic to the llm_bm25_topk oracle)
+    dfreq AS (SELECT p.term, count(*)::BIGINT AS df
+              FROM post p GROUP BY p.term),
+    idf AS (SELECT d.term,
+                   round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                         * 1000000.0) / 1000000.0 AS idf
+            FROM dfreq d CROSS JOIN scal s
+            WHERE d.term IN (SELECT term FROM q)),
+    bcontrib AS (
+      SELECT q.query_id, p.doc_id,
+             round(i.idf * ((p.tf::DOUBLE * 2.2)
+                   / (p.tf::DOUBLE
+                      + 1.2 * (0.25 + 0.75 * (p.dl::DOUBLE / s.avgdl))))
+                   * 1000000000.0)::BIGINT AS c
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN idf i ON p.term = i.term
+      CROSS JOIN scal s),
+    bsc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_q
+            FROM bcontrib GROUP BY query_id, doc_id),
+    brank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_q DESC, doc_id ASC)
+                       AS rank
+              FROM bsc),
+    -- Dirichlet query-likelihood side (mu = 300)
+    ctf AS (SELECT p.term, sum(p.tf)::BIGINT AS ctf
+            FROM post p GROUP BY p.term),
+    qcontrib AS (
+      SELECT q.query_id, p.doc_id, p.dl,
+             round(ln(1.0 + p.tf::DOUBLE
+                            / (300.0 * c.ctf::DOUBLE / s.total))
+                   * 1000000.0)::BIGINT AS cq
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN ctf c ON p.term = c.term
+      CROSS JOIN scal s),
+    nq AS (SELECT query_id, count(*)::BIGINT AS nq FROM q GROUP BY query_id),
+    qsc AS (SELECT m.query_id, m.doc_id,
+                   (m.mq + n.nq * round(ln(300.0 / (m.dl::DOUBLE + 300.0))
+                                        * 1000000.0)::BIGINT)::BIGINT AS score_q
+            FROM (SELECT query_id, doc_id, sum(cq)::BIGINT AS mq,
+                         max(dl)::BIGINT AS dl
+                  FROM qcontrib GROUP BY query_id, doc_id) m
+            JOIN nq n USING (query_id)),
+    qrank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_q DESC, doc_id ASC)
+                       AS rank
+              FROM qsc),
+    -- reciprocal-rank fusion of the two top-20 lists (k = 60)
+    u AS (SELECT query_id, doc_id, rank FROM brank WHERE rank <= 20
+          UNION ALL
+          SELECT query_id, doc_id, rank FROM qrank WHERE rank <= 20),
+    fused AS (SELECT query_id, doc_id,
+                     sum(round(1000000000.0 / (60.0 + rank::DOUBLE))::BIGINT)
+                       ::BIGINT AS rrf_q
+              FROM u GROUP BY query_id, doc_id),
+    fr AS (SELECT query_id, doc_id, rrf_q,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_q DESC, doc_id ASC) AS rank
+           FROM fused)
+    SELECT query_id, rank::INTEGER AS rank, doc_id,
+           round(rrf_q::DOUBLE / 1000.0)::BIGINT / 1000000.0 AS rrf_score
+    FROM fr WHERE rank <= 10
+    """,
+)
+def llm_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (retrieval.ql_topk + retrieval.rrf_fuse): BM25
+    and Dirichlet-smoothed query likelihood (mu=300, Zhai & Lafferty
+    2004) each rank the corpus top-20 for the 4-query head-term set,
+    then reciprocal-rank fusion (Cormack et al. 2009, k=60) merges the
+    lists into a final top-10 — the lexical/LM hybrid every RAG-style
+    data pipeline runs. Both rankers share ONE postings build; fusion
+    inputs are top-k-bounded (never corpus-scaled). The oracle replays
+    postings, both scorers' grid-snapped transcendentals, both
+    rankings, and the quantized fusion."""
+    from delta_rs_spark.functions.retrieval import (
+        bm25_topk,
+        head_term_queries,
+        ql_topk,
+        rrf_fuse,
+    )
+
+    docs = _docs(spark, sf_dir)
+    qs = head_term_queries(docs, n_queries=4, n_terms=6)
+    b = bm25_topk(docs, qs, k=20)
+    l = ql_topk(docs, qs, k=20, mu=300.0)
+    return rrf_fuse([b, l], k=60, topk=10)

@@ -1570,3 +1570,84 @@ def test_classifier_auc_bins_unsnapped_scores(spark):
     a1 = classifier_auc(df2).first().auc
     a2 = classifier_auc(df2, max_distinct_scores=101).first().auc
     assert a1 == a2
+
+
+def test_gopher_rules_planted_violations(spark):
+    from delta_rs_spark.functions.text import gopher_quality_report
+
+    good = "the cat and dog that live with us have gone to the park " * 5
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "word " * 10),                           # too few words
+        (2, "supercalifragilisticexpialidocious " * 60),  # mean word len > 10
+        (3, ("# " + good.split(" ", 1)[1] + " # # # # # # # # # # # # # ") * 3),  # symbol ratio
+        (4, "\n".join("- " + l for l in [good[:40]] * 9) + "\n" + good),  # 9 of 10 lines bulleted = exactly 90% -> allowed
+        (5, "xx yy zz " * 20),                       # no required stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality_report(df).collect()}
+    assert out[0].keep
+    assert not out[1].r_word_count and not out[1].keep
+    assert not out[2].r_mean_word_len and not out[2].keep
+    assert not out[3].r_symbol_ratio and not out[3].keep
+    assert out[4].r_bullet_lines  # exactly 90% bulleted is allowed
+    assert not out[5].r_stopwords and not out[5].keep
+    # counts are reported, booleans are never NULL
+    for r in out.values():
+        for f in ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                  "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+                  "r_stopwords", "keep"):
+            assert getattr(r, f) is not None
+
+
+def test_gopher_rules_all_bullets_fails(spark):
+    from delta_rs_spark.functions.text import gopher_quality_report
+
+    text = "\n".join("- the item of and that" for _ in range(20))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    r = gopher_quality_report(df, min_words=10).first()
+    assert not r.r_bullet_lines and not r.keep
+
+
+def test_ql_topk_ranks_exact_match_and_length_norm(spark):
+    from delta_rs_spark.functions.retrieval import ql_topk
+
+    rows = [
+        (0, "zebra quagga okapi"),
+        (1, "zebra " + "filler " * 60),
+        (2, "entirely unrelated words here"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = spark.createDataFrame(
+        [(7, "zebra"), (7, "quagga"), (7, "okapi")], ["query_id", "term"]
+    )
+    out = ql_topk(corpus, q, k=5).collect()
+    assert out[0].rank == 1 and out[0].doc_id == 0  # full match wins
+    got = {r.doc_id for r in out}
+    assert got == {0, 1}  # doc 2 matches nothing -> not a candidate
+
+    # empty corpus guard (same contract as bm25_topk)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    eo = ql_topk(empty, q)
+    assert eo.count() == 0 and [f.name for f in eo.schema.fields] == [
+        "query_id", "rank", "doc_id", "score",
+    ]
+
+
+def test_rrf_fusion_consensus_beats_single_ranker(spark):
+    from delta_rs_spark.functions.retrieval import rrf_fuse
+
+    # doc 5 is rank 2 in BOTH rankers; docs 1 and 9 are rank 1 in one
+    # ranker each and absent from the other. RRF: doc 5 = 2/(60+2),
+    # docs 1/9 = 1/61 -> consensus wins.
+    a = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 5), (1, 3, 3)], ["query_id", "rank", "doc_id"]
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 9), (1, 2, 5), (1, 3, 4)], ["query_id", "rank", "doc_id"]
+    )
+    out = rrf_fuse([a, b], k=60, topk=5).collect()
+    assert out[0].doc_id == 5 and out[0].rank == 1
+    assert abs(out[0].rrf_score - 2 / 62) < 1e-5
+    # ties (1 vs 9, both 1/61) break by doc_id ascending
+    assert [r.doc_id for r in out[1:3]] == [1, 9]

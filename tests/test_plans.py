@@ -363,3 +363,44 @@ def test_duplicate_spans_skew_safe_no_fp_window(spark):
     for frag in p.split("Window ")[1:]:
         spec = frag.split("]")[0]
         assert "fp" not in spec, f"fp-partitioned window survived: {spec}"
+
+
+def test_gopher_rules_shuffle_free(spark):
+    """The rule battery is a pure codegen projection: no exchange, no
+    UDF — it must compose with any scan at zero shuffle cost."""
+    from delta_rs_spark.functions.text import gopher_quality_report
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(gopher_quality_report(docs), "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ql_topk_joins_are_broadcast(spark):
+    """Query-likelihood shares bm25's shape: the query frame and the
+    query-vocabulary-sized ctf table broadcast into the postings scan;
+    no sort-merge join may appear on the corpus-sized side."""
+    from delta_rs_spark.functions.retrieval import head_term_queries, ql_topk
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(ql_topk(docs, head_term_queries(docs)), "simple")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_rrf_fuse_input_bounded_single_agg_shuffle(spark):
+    """Fusion aggregates the top-k-bounded union: one hash aggregate
+    with map-side combine over |queries| x k x N rows, never a
+    corpus-scaled shuffle."""
+    from delta_rs_spark.functions.retrieval import (
+        bm25_topk,
+        head_term_queries,
+        ql_topk,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    qs = head_term_queries(docs)
+    p = plan_of(rrf_fuse([bm25_topk(docs, qs, k=20), ql_topk(docs, qs, k=20)]), "simple")
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
