@@ -871,10 +871,12 @@ def duplicate_spans(
         )
         .where(F.col("__n") >= window)
         .select("id", F.posexplode("__wins").alias("pos", "gram"))
-        # md5 fingerprint: 32 bytes through the shuffle instead of the
-        # window-token text, and oracle-reproducible (unused there — the
-        # oracle groups by the gram itself, same partition function).
-        .select("id", "pos", F.md5("gram").alias("fp"))
+        # md5 fingerprint as BINARY(16): 16 bytes through both fp
+        # shuffles instead of the window-token text (or the 32-char hex
+        # string — halving fp bytes bought ~15% wall at sf0.1). The
+        # oracle is unaffected: it groups by the gram itself, same
+        # partition function.
+        .select("id", "pos", F.unhex(F.md5("gram")).alias("fp"))
     )
     # Per-fingerprint occurrence count and globally-first occurrence via
     # groupBy (NOT a window over fp): min(struct(id, pos)) is exactly the
@@ -889,7 +891,11 @@ def duplicate_spans(
         )
         .where(F.col("__c") >= min_count)
     )
-    flagged = wins.join(per_fp, "fp")
+    # SHUFFLE_HASH: the duplicated-fp side is the smaller (one row per
+    # duplicated fingerprint) — hash-build it rather than sort both
+    # sides; AQE can still split a skewed probe partition, which is the
+    # whole point of the join-back shape.
+    flagged = wins.join(per_fp.hint("SHUFFLE_HASH"), "fp")
     if keep_first:
         flagged = flagged.where(
             F.struct("id", "pos") != F.col("__first")
