@@ -97,6 +97,8 @@ _FIRST_WITNESS_NEEDED = (
     # new in r07 (operator coverage):
     "llm_gopher_rules",  # Gopher quality-rule battery (integer thresholds)
     "llm_rrf_hybrid_retrieval",  # BM25 + Dirichlet-QL reciprocal-rank fusion
+    "llm_ngram_diversity",  # per-source TTR + bigram diversity (collapse screen)
+    "llm_zipf_fit",  # Zipf slope/r2 over top-256 terms (synthetic-text screen)
 )
 
 

@@ -1294,3 +1294,163 @@ def gopher_quality_report(
             r_words & r_mean & r_symbol & r_bullet & r_ellipsis & r_alpha & r_stop
         ).alias("keep"),
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source lexical-diversity report: unigram type-token ratio and
+    bigram distinct ratio — the collapse detectors for synthetic /
+    templated / looped-generation text (a source whose distinct-bigram
+    share craters while TTR holds is repeating phrase structure; both
+    cratering is mode collapse). One row per source: (source, n_docs,
+    n_tokens, distinct_tokens, ttr, n_bigrams, distinct_bigrams,
+    bigram_diversity); ratios on the 1e-6 integer micro-grid, NULL when
+    the denominator is zero.
+
+    Scale shape: unigram and bigram streams are tagged and unioned so
+    ONE (source, kind, gram) groupBy with map-side combine carries both
+    (grams collapse to distinct before anything corpus-sized shuffles
+    twice); the second aggregation is |sources| x 2-sized. No driver
+    state at all."""
+    toks = tokens(text_col)
+    uni = df.select(
+        F.col(source_col).alias("source"),
+        F.lit("u").alias("kind"),
+        F.explode(toks).alias("gram"),
+    )
+    bi = df.select(
+        F.col(source_col).alias("source"),
+        F.lit("b").alias("kind"),
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, F.greatest(F.size(toks), F.lit(1))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+                # zip_with pads the shorter side with NULL; concat_ws
+                # drops nulls, so the padded tail equals its w1 alone —
+                # strip it by requiring a separator
+                lambda g: g.contains(" "),
+            )
+        ).alias("gram"),
+    )
+    counts = (
+        uni.unionByName(bi)
+        .groupBy("source", "kind", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source", "kind")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("distinct_"),
+        )
+    )
+    wide = counts.groupBy("source").agg(
+        F.max(F.when(F.col("kind") == "u", F.col("total"))).alias("n_tokens"),
+        F.max(F.when(F.col("kind") == "u", F.col("distinct_"))).alias(
+            "distinct_tokens"
+        ),
+        F.max(F.when(F.col("kind") == "b", F.col("total"))).alias("n_bigrams"),
+        F.max(F.when(F.col("kind") == "b", F.col("distinct_"))).alias(
+            "distinct_bigrams"
+        ),
+    )
+    docs = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+    def ratio(num: str, den: str):
+        return F.when(
+            F.coalesce(F.col(den), F.lit(0)) > 0,
+            F.round(F.col(num) * F.lit(1e6) / F.col(den)).cast("long")
+            / F.lit(1e6),
+        )
+
+    return (
+        docs.join(wide, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("distinct_tokens", F.lit(0)).cast("long").alias(
+                "distinct_tokens"
+            ),
+            ratio("distinct_tokens", "n_tokens").alias("ttr"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("distinct_bigrams", F.lit(0)).cast("long").alias(
+                "distinct_bigrams"
+            ),
+            ratio("distinct_bigrams", "n_bigrams").alias("bigram_diversity"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    vocab_size: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the top-``vocab_size`` corpus terms: the
+    least-squares slope/intercept/r^2 of ln(freq) against ln(rank) —
+    natural text sits near slope -1 with high r^2; templated or
+    model-looped corpora bend the curve (the standard quick screen for
+    synthetic contamination of a pretraining mix). Single-row output
+    (n_terms, slope, intercept, r2).
+
+    Determinism: ln(rank) and ln(freq) are snapped to the 1e-6 integer
+    grid; ALL five least-squares sums (Sx, Sy, Sxy, Sxx, Syy) are exact
+    BIGINT aggregations of those grid values (order-independent); the
+    closed-form division runs once on identical integers in both
+    engines, and r^2's squared numerator is evaluated in DOUBLE after
+    the integer differences (the integer square would overflow int64).
+
+    Scale shape: one (term) groupBy with map-side combine, a
+    vocab_size-row ranked table, one single-row aggregate — the fit
+    never sees more than ``vocab_size`` rows after the frequency
+    table."""
+    freqs = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(vocab_size)
+    )
+    w = W.orderBy(F.col("freq").desc(), F.col("term").asc())
+    pts = freqs.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * F.lit(1e6))
+        .cast("long")
+        .alias("xq"),
+        F.round(F.log(F.col("freq").cast("double")) * F.lit(1e6))
+        .cast("long")
+        .alias("yq"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    num = (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("v") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / denx
+    intercept = (
+        F.col("sy").cast("double") / F.lit(1e6)
+        - slope * (F.col("sx").cast("double") / F.lit(1e6))
+    ) / F.col("v").cast("double")
+    r2 = num * num / (denx * deny)
+
+    def grid6(c):
+        return F.round(c * F.lit(1e6)).cast("long") / F.lit(1e6)
+
+    return s.select(
+        F.col("v").cast("long").alias("n_terms"),
+        grid6(slope).alias("slope"),
+        grid6(intercept).alias("intercept"),
+        grid6(r2).alias("r2"),
+    )

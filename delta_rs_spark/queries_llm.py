@@ -2773,3 +2773,82 @@ def llm_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bm25_topk(docs, qs, k=20)
     l = ql_topk(docs, qs, k=20, mu=300.0)
     return rrf_fuse([b, l], k=60, topk=10)
+
+
+@query(
+    "llm_ngram_diversity",
+    f"""
+    WITH tk AS (SELECT source, {_NE_TOKENS_SQL} AS a FROM documents),
+    uni AS (SELECT source, unnest(a) AS gram FROM tk),
+    bi AS (SELECT source,
+                  unnest(list_transform(range(1, greatest(len(a), 1)),
+                                        i -> a[i] || ' ' || a[i + 1])) AS gram
+           FROM tk),
+    u AS (SELECT source, count(*)::BIGINT AS n_tokens,
+                 count(DISTINCT gram)::BIGINT AS distinct_tokens
+          FROM uni GROUP BY source),
+    b AS (SELECT source, count(*)::BIGINT AS n_bigrams,
+                 count(DISTINCT gram)::BIGINT AS distinct_bigrams
+          FROM bi GROUP BY source),
+    d AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source)
+    SELECT d.source, d.n_docs,
+           coalesce(u.n_tokens, 0) AS n_tokens,
+           coalesce(u.distinct_tokens, 0) AS distinct_tokens,
+           CASE WHEN coalesce(u.n_tokens, 0) > 0
+                THEN round(u.distinct_tokens * 1000000.0 / u.n_tokens)::BIGINT
+                     / 1000000.0 END AS ttr,
+           coalesce(b.n_bigrams, 0) AS n_bigrams,
+           coalesce(b.distinct_bigrams, 0) AS distinct_bigrams,
+           CASE WHEN coalesce(b.n_bigrams, 0) > 0
+                THEN round(b.distinct_bigrams * 1000000.0 / b.n_bigrams)::BIGINT
+                     / 1000000.0 END AS bigram_diversity
+    FROM d LEFT JOIN u USING (source) LEFT JOIN b USING (source)
+    """,
+)
+def llm_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity (text.ngram_diversity): unigram
+    type-token ratio + bigram distinct ratio — the mode-collapse /
+    templated-text screen for a data mix. One tagged-union groupBy
+    carries both gram streams; ratios on the 1e-6 micro-grid. The
+    oracle replays tokenization, bigram assembly, both distinct counts
+    and the ratios in SQL."""
+    docs = _docs(spark, sf_dir)
+    return X.ngram_diversity(docs)
+
+
+@query(
+    "llm_zipf_fit",
+    f"""
+    WITH f AS (SELECT term, count(*)::BIGINT AS freq
+               FROM (SELECT unnest({_NE_TOKENS_SQL}) AS term FROM documents)
+               GROUP BY term ORDER BY freq DESC, term ASC LIMIT 256),
+    p AS (SELECT round(ln((row_number() OVER (ORDER BY freq DESC, term ASC))::DOUBLE)
+                       * 1000000.0)::BIGINT AS xq,
+                 round(ln(freq::DOUBLE) * 1000000.0)::BIGINT AS yq
+          FROM f),
+    s AS (SELECT count(*)::BIGINT AS v, sum(xq)::BIGINT AS sx,
+                 sum(yq)::BIGINT AS sy, sum(xq * yq)::BIGINT AS sxy,
+                 sum(xq * xq)::BIGINT AS sxx, sum(yq * yq)::BIGINT AS syy
+          FROM p)
+    SELECT v AS n_terms,
+           round(((v * sxy - sx * sy)::DOUBLE / (v * sxx - sx * sx)::DOUBLE)
+                 * 1000000.0)::BIGINT / 1000000.0 AS slope,
+           round(((sy::DOUBLE / 1000000.0
+                   - ((v * sxy - sx * sy)::DOUBLE / (v * sxx - sx * sx)::DOUBLE)
+                     * (sx::DOUBLE / 1000000.0)) / v::DOUBLE)
+                 * 1000000.0)::BIGINT / 1000000.0 AS intercept,
+           round((((v * sxy - sx * sy)::DOUBLE * (v * sxy - sx * sy)::DOUBLE)
+                  / ((v * sxx - sx * sx)::DOUBLE * (v * syy - sy * sy)::DOUBLE))
+                 * 1000000.0)::BIGINT / 1000000.0 AS r2
+    FROM s
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (text.zipf_fit): least-squares slope/intercept/r2
+    of ln(freq) vs ln(rank) over the top-256 corpus terms — natural
+    text sits near slope -1; synthetic or looped corpora bend the
+    curve. All five regression sums are exact BIGINT aggregations of
+    1e-6-grid log values; the oracle replays the frequency table, the
+    grid, and the closed form."""
+    docs = _docs(spark, sf_dir)
+    return X.zipf_fit(docs, vocab_size=256)

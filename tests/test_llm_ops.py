@@ -1651,3 +1651,39 @@ def test_rrf_fusion_consensus_beats_single_ranker(spark):
     assert abs(out[0].rrf_score - 2 / 62) < 1e-5
     # ties (1 vs 9, both 1/61) break by doc_id ascending
     assert [r.doc_id for r in out[1:3]] == [1, 9]
+
+
+def test_ngram_diversity_flags_repetitive_source(spark):
+    from delta_rs_spark.functions.text import ngram_diversity
+
+    rows = []
+    # A: varied text (high diversity); B: one phrase looped (collapsed)
+    for i in range(10):
+        rows.append((i, "A", f"alpha{i} beta{i} gamma{i} delta{i} eps{i}"))
+        rows.append((100 + i, "B", "the same phrase again " * 5))
+    out = {r.source: r for r in ngram_diversity(
+        spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    ).collect()}
+    assert out["A"].ttr == 1.0  # every token unique corpus-wide
+    assert out["A"].bigram_diversity == 1.0
+    assert out["B"].ttr < 0.05 and out["B"].bigram_diversity < 0.05
+    assert out["A"].n_docs == 10 and out["B"].n_tokens == 10 * 20
+    # exact bigram accounting: n_tokens - 1 bigram per doc
+    assert out["A"].n_bigrams == 10 * 4
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    from delta_rs_spark.functions.text import zipf_fit
+
+    # plant freq(term_i) = 1024 / i for i in 1..16 -> ln f = ln 1024 - ln r
+    # exactly: slope -1, r2 ~ 1
+    words = []
+    for i in range(1, 17):
+        words += [f"t{i:02d}"] * (1024 // i)
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    r = zipf_fit(df, vocab_size=16).first()
+    assert r.n_terms == 16
+    assert abs(r.slope + 1.0) < 0.02  # 1024//i truncation = tiny bend
+    assert r.r2 > 0.999
+    assert abs(r.intercept - 6.9315) < 0.02  # ln 1024

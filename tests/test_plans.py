@@ -404,3 +404,27 @@ def test_rrf_fuse_input_bounded_single_agg_shuffle(spark):
     p = plan_of(rrf_fuse([bm25_topk(docs, qs, k=20), ql_topk(docs, qs, k=20)]), "simple")
     assert "partial_sum" in p
     assert "CartesianProduct" not in p
+
+
+def test_ngram_diversity_tagged_union_partial_agg(spark):
+    """Both gram streams ride ONE tagged-union aggregation pipeline with
+    map-side combine; nothing corpus-sized shuffles more than the
+    (source, kind, gram) collapse requires."""
+    from delta_rs_spark.functions.text import ngram_diversity
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(ngram_diversity(docs), "simple")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_zipf_fit_topk_no_global_sort(spark):
+    """The frequency cut is TakeOrdered (per-partition top-V + merge),
+    never a range-partitioned global sort; the rank window runs over at
+    most vocab_size rows (documented bounded single partition)."""
+    from delta_rs_spark.functions.text import zipf_fit
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(zipf_fit(docs), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
