@@ -28,6 +28,27 @@ from pyspark.sql import functions as F
 from delta_rs_spark.functions.text import tokens
 
 
+def build_postings(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shared inverted-index frame (doc_id, term, tf, dl) both
+    rankers score from — build it once (and optionally persist /
+    localCheckpoint it) when running BM25 and query-likelihood over the
+    same corpus, e.g. for hybrid fusion: the corpus is tokenized and
+    shuffled ONCE instead of once per ranker."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(text_col)).alias("dl"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
 def bm25_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -36,6 +57,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` corpus documents per query by BM25.
 
@@ -59,15 +81,8 @@ def bm25_topk(
         F.col("term").cast("string").alias("term"),
     ).distinct()
 
-    postings = (
-        corpus.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(text_col)).alias("dl"),
-            F.explode(tokens(text_col)).alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-    )
+    if postings is None:
+        postings = build_postings(corpus, text_col, id_col)
 
     # Corpus scalars: N docs, average doc length. Two numbers to the
     # driver (same contract as tfidf_top_terms' n_docs); avgdl is the
@@ -179,6 +194,7 @@ def ql_topk(
     mu: float = 300.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by Dirichlet-smoothed query
     likelihood (Zhai & Lafferty 2004) — the language-modeling ranker
@@ -203,15 +219,8 @@ def ql_topk(
         F.col("term").cast("string").alias("term"),
     ).distinct()
 
-    postings = (
-        corpus.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(text_col)).alias("dl"),
-            F.explode(tokens(text_col)).alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-    )
+    if postings is None:
+        postings = build_postings(corpus, text_col, id_col)
     total = corpus.select(F.sum(F.size(tokens(text_col)))).first()[0]
     if not total:  # empty corpus (or all-empty docs): no candidates
         id_t = corpus.schema[id_col].dataType.simpleString()

@@ -2763,6 +2763,7 @@ def llm_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings, and the quantized fusion."""
     from delta_rs_spark.functions.retrieval import (
         bm25_topk,
+        build_postings,
         head_term_queries,
         ql_topk,
         rrf_fuse,
@@ -2770,8 +2771,11 @@ def llm_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     qs = head_term_queries(docs, n_queries=4, n_terms=6)
-    b = bm25_topk(docs, qs, k=20)
-    l = ql_topk(docs, qs, k=20, mu=300.0)
+    # ONE corpus tokenization/shuffle feeds both rankers (pinned so the
+    # two consumers don't recompute it)
+    postings = build_postings(docs).localCheckpoint(eager=True)
+    b = bm25_topk(docs, qs, k=20, postings=postings)
+    l = ql_topk(docs, qs, k=20, mu=300.0, postings=postings)
     return rrf_fuse([b, l], k=60, topk=10)
 
 
