@@ -99,6 +99,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_rrf_hybrid_retrieval",  # BM25 + Dirichlet-QL reciprocal-rank fusion
     "llm_ngram_diversity",  # per-source TTR + bigram diversity (collapse screen)
     "llm_zipf_fit",  # Zipf slope/r2 over top-256 terms (synthetic-text screen)
+    "llm_semantic_contamination",  # embedding-space benchmark decontamination
 )
 
 

@@ -1119,3 +1119,51 @@ def sq8_topk(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.92,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus
+    vector, the maximum cosine against ANY benchmark vector and the
+    benchmark id achieving it (ties -> lowest id); ``contaminated`` is
+    the ``threshold`` flag. The semantic complement of the n-gram
+    containment pass (text.containment_scores): paraphrased or
+    re-formatted test items that share no 5-gram still collide in
+    embedding space.
+
+    Scale shape: the benchmark frame is broadcast (eval sets are
+    thousands of rows, never corpus-scaled); per-(corpus x bench)
+    cosines reduce through groupBy(id).agg(max(struct(...))) — partial
+    aggregation, so the shuffle carries ONE row per corpus vector, not
+    |bench| rows, and skewed ids cannot exist (ids are unique). No
+    driver state."""
+    b = F.broadcast(
+        bench.select(
+            F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__bv")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__cv")
+    ).crossJoin(b).select(
+        "id",
+        "bench_id",
+        F.round(cosine(F.col("__cv"), F.col("__bv")), 4).alias("cos"),
+    )
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(
+                F.col("cos"), (-F.col("bench_id")).alias("__nb")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        (-F.col("b.__nb")).cast("long").alias("bench_id"),
+        F.col("b.cos").alias("max_cos"),
+        (F.col("b.cos") >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -2856,3 +2856,35 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, and the closed form."""
     docs = _docs(spark, sf_dir)
     return X.zipf_fit(docs, vocab_size=256)
+
+
+@query(
+    "llm_semantic_contamination",
+    """
+    WITH bench AS (SELECT vec_id AS bench_id, embedding FROM embeddings
+                   WHERE vec_id < 8),
+    sc AS (SELECT c.vec_id, b.bench_id,
+                  round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) AS cos
+           FROM embeddings c CROSS JOIN bench b),
+    r AS (SELECT vec_id, bench_id, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, bench_id ASC) AS rn
+          FROM sc)
+    SELECT vec_id, bench_id, cos AS max_cos,
+           cos >= 0.92 AS contaminated
+    FROM r WHERE rn = 1
+    """,
+)
+def llm_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (similarity.semantic_contamination): max cosine of every corpus
+    vector against the 8-vector benchmark set (vec_id < 8), argmax id
+    with lowest-id tie-break, threshold flag at 0.92 — the semantic
+    complement of the n-gram containment pass, catching paraphrased
+    test items. Bench side broadcast; the reduction is a
+    partial-aggregated max(struct), one row per corpus vector through
+    the shuffle. The oracle replays the cross scoring and the argmax."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 8)
+    return S.semantic_contamination(emb, bench, threshold=0.92)

@@ -1687,3 +1687,37 @@ def test_zipf_fit_recovers_planted_slope(spark):
     assert abs(r.slope + 1.0) < 0.02  # 1024//i truncation = tiny bend
     assert r.r2 > 0.999
     assert abs(r.intercept - 6.9315) < 0.02  # ln 1024
+
+
+def test_semantic_contamination_flags_planted_paraphrase(spark):
+    from delta_rs_spark.functions.similarity import semantic_contamination
+
+    def unit(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    bench_rows = [(0, unit([1.0, 0.0, 0.0, 0.0])), (1, unit([0.0, 1.0, 0.0, 0.0]))]
+    corpus_rows = [
+        (10, unit([0.99, 0.05, 0.0, 0.0])),   # near-copy of bench 0
+        (11, unit([0.0, 0.0, 1.0, 0.0])),     # orthogonal -> clean
+        (12, unit([0.6, 0.6, 0.0, 0.0])),     # between both, below 0.92
+    ]
+    bench = spark.createDataFrame(bench_rows, ["vec_id", "embedding"])
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in
+           semantic_contamination(corpus, bench, threshold=0.92).collect()}
+    assert out[10].contaminated and out[10].bench_id == 0
+    assert not out[11].contaminated
+    assert not out[12].contaminated
+    # ties break to the LOWEST bench id: vec 12 is equidistant
+    assert out[12].bench_id == 0
+    assert out[10].max_cos > 0.99
+
+
+def test_semantic_contamination_self_is_contaminated(spark):
+    from delta_rs_spark.functions.similarity import semantic_contamination
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_contamination(df, df, threshold=0.99).collect()
+    assert all(r.contaminated and r.bench_id == r.vec_id for r in out)

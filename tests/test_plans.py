@@ -428,3 +428,16 @@ def test_zipf_fit_topk_no_global_sort(spark):
     p = plan_of(zipf_fit(docs), "simple")
     assert "TakeOrderedAndProject" in p
     assert "rangepartitioning" not in p.lower()
+
+
+def test_semantic_contamination_broadcast_and_partial_max(spark):
+    """Bench side broadcasts; the argmax reduces with map-side combine
+    (partial_max) so one row per corpus vector crosses the shuffle."""
+    from delta_rs_spark.functions.similarity import semantic_contamination
+
+    emb = load_table(spark, SF, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 8)
+    p = plan_of(semantic_contamination(emb, bench), "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_max" in p
+    assert "CartesianProduct" not in p
