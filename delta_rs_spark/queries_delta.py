@@ -519,3 +519,70 @@ def delta_incremental_agg_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     maintain_aggregate(spark, src, agg, ["l_returnflag"], "qty")
     return DeltaTable(agg, spark=spark).to_df()
+
+
+@query(
+    "delta_scd2_op",
+    """
+    WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg
+                  FROM customer WHERE c_custkey < 900)
+    SELECT k, seg,
+           1::INTEGER AS effective_from,
+           CASE WHEN k % 3 = 0 THEN 2::INTEGER END AS effective_to,
+           (k % 3 != 0) AS is_current
+    FROM base
+    UNION ALL
+    SELECT k, seg || '_V2', 2::INTEGER, NULL::INTEGER, TRUE
+    FROM base WHERE k % 3 = 0
+    UNION ALL
+    SELECT k + 1000000, 'NEWSEG', 2::INTEGER, NULL::INTEGER, TRUE
+    FROM base WHERE k % 5 = 0
+    """,
+)
+def delta_scd2_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators/scd.py apply_scd2):
+    seed the dimension from customer (batch 1), then apply one update
+    batch (batch 2) that changes every k%3==0 segment, repeats every
+    k%3==1 segment verbatim (must be a no-op), and introduces brand-new
+    keys — all in ONE staged-union MERGE (close + new version + new key
+    atomically). The oracle reconstructs the full history table in SQL:
+    changed keys get a closed row and a new current row, unchanged and
+    untouched keys keep their original open row, new keys appear at
+    batch 2."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.operators.scd import apply_scd2
+
+    path = _scratch("scd2", sf_dir)
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_custkey < 900")
+        .select(F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg"))
+    )
+    seed = base.select(
+        "k",
+        "seg",
+        F.lit(1).cast("int").alias("effective_from"),
+        F.lit(None).cast("int").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    write_deltalake(path, seed)
+
+    updates = (
+        base.select(
+            "k",
+            F.when(
+                F.col("k") % 3 == 0, F.concat("seg", F.lit("_V2"))
+            ).otherwise(F.col("seg")).alias("seg"),
+        )
+        .where((F.col("k") % 3 == 0) | (F.col("k") % 3 == 1))
+        .unionByName(
+            base.where(F.col("k") % 5 == 0).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                F.lit("NEWSEG").alias("seg"),
+            )
+        )
+    )
+    apply_scd2(spark, path, updates, key="k", attrs=["seg"], batch_version=2)
+    return DeltaTable(path, spark=spark).to_df(
+        columns=["k", "seg", "effective_from", "effective_to", "is_current"]
+    )

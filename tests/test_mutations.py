@@ -447,3 +447,49 @@ def test_merge_early_filter_nullsafe_pairs(spark, tmp_path):
     early2 = mb2._strip_target_only_predicate(src_null, ["bucket"])
     # neither column may prune: the null key could match null rows
     assert early2 is None or ("IN" not in early2 and ">=" not in early2)
+
+
+def test_scd2_close_insert_new_and_noop(spark, tmp_path):
+    """SCD2 via one staged-union MERGE (operators/scd.py): changed keys
+    get their current row closed AND a new current version inserted;
+    unchanged keys are untouched; brand-new keys insert; history rows
+    never move. Two consecutive batches verify re-application."""
+    import pyspark.sql.functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.operators.scd import apply_scd2
+
+    path = str(tmp_path / "dim")
+    seed = spark.createDataFrame(
+        [(1, "GOLD", 1, None, True), (2, "SILVER", 1, None, True),
+         (3, "BRONZE", 1, None, True)],
+        "k int, seg string, effective_from int, effective_to int, is_current boolean",
+    )
+    write_deltalake(path, seed)
+
+    # batch 2: change k=1, no-op k=2, new k=9
+    up = spark.createDataFrame([(1, "PLATINUM"), (2, "SILVER"), (9, "NEW")],
+                               "k int, seg string")
+    m = apply_scd2(spark, path, up, key="k", attrs=["seg"], batch_version=2)
+    rows = {(r.k, r.seg, r.effective_from, r.effective_to, r.is_current)
+            for r in DeltaTable(path, spark=spark).to_df().collect()}
+    assert rows == {
+        (1, "GOLD", 1, 2, False), (1, "PLATINUM", 2, None, True),
+        (2, "SILVER", 1, None, True),
+        (3, "BRONZE", 1, None, True),
+        (9, "NEW", 2, None, True),
+    }
+
+    # batch 3: change k=9 again; k=1 unchanged at its NEW value
+    up3 = spark.createDataFrame([(9, "NEWER"), (1, "PLATINUM")], "k int, seg string")
+    apply_scd2(spark, path, up3, key="k", attrs=["seg"], batch_version=3)
+    rows = {(r.k, r.seg, r.effective_from, r.effective_to, r.is_current)
+            for r in DeltaTable(path, spark=spark).to_df().collect()}
+    assert (9, "NEW", 2, 3, False) in rows and (9, "NEWER", 3, None, True) in rows
+    assert (1, "PLATINUM", 2, None, True) in rows  # untouched
+    # exactly one current row per key, history intact
+    cur = [r for r in rows if r[4]]
+    assert sorted(k for k, *_ in cur) == [1, 2, 3, 9]
+    # 5 rows after batch 2, +1 new version in batch 3 (the close edits
+    # an existing row in place)
+    assert len(rows) == 6
