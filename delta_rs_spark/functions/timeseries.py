@@ -144,3 +144,48 @@ def trailing_zscore_anomalies(
         # boolean -> directly usable as a filter/partition column)
         F.coalesce(F.abs(z) >= F.lit(threshold), F.lit(False)).alias("is_anomaly"),
     )
+
+
+def value_percentiles(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "event_type",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact nearest-rank percentiles per group on the integer-cent
+    grid: p-th percentile = the smallest cent value whose cumulative
+    count reaches ceil(p * n). Returns one row per group:
+    (by, n, p50, p90, p99, ...) with values in original units
+    (cents / 100).
+
+    Grid semantics are the determinism AND scale contract: quantizing
+    to cents first means the ordered window runs over DISTINCT cents
+    per group (bounded by the value range x 100 — NEVER by event
+    volume; a hot group costs the same as a cold one), the
+    cumulative-count reduction gets map-side combine on (group, cent),
+    and ties need no arbitrary row order. Exact continuous-value
+    quantiles at 100 TB are a per-group sort by construction — use
+    approx_percentile for that; this is the exact, replayable monitor
+    shape."""
+    cents = F.floor(F.col(value_col) * F.lit(100.0)).cast("long")
+    g = (
+        df.select(F.col(by), cents.alias("c"))
+        .groupBy(by, "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = W.partitionBy(by).orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy(by)
+    ranked = g.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for p in percentiles:
+        name = f"p{int(p * 100)}"
+        target = F.ceil(F.lit(p) * F.col("n"))
+        aggs.append(
+            (
+                F.min(F.when(F.col("cum") >= target, F.col("c"))).cast("double")
+                / F.lit(100.0)
+            ).alias(name)
+        )
+    return ranked.groupBy(by).agg(*aggs)

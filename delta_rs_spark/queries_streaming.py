@@ -363,3 +363,36 @@ def llm_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STATEFUL_GATE_SEQ = 0
+
+
+@query(
+    "q_events_value_percentiles",
+    """
+    WITH g AS (SELECT event_type,
+                      CAST(floor(value * 100.0) AS BIGINT) AS c,
+                      count(*)::BIGINT AS cnt
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, c, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM g)
+    SELECT event_type,
+           max(n)::BIGINT AS n,
+           min(CASE WHEN cum >= ceil(0.5 * n) THEN c END)::DOUBLE / 100.0 AS p50,
+           min(CASE WHEN cum >= ceil(0.9 * n) THEN c END)::DOUBLE / 100.0 AS p90,
+           min(CASE WHEN cum >= ceil(0.99 * n) THEN c END)::DOUBLE / 100.0 AS p99
+    FROM r GROUP BY 1
+    """,
+)
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 of event value per type on the
+    integer-cent grid (timeseries.value_percentiles) — the latency/value
+    SLO monitor shape. The grid makes the ordered window DISTINCT-cents
+    sized (never event-volume sized — a hot type costs the same as a
+    cold one) and removes tie ambiguity; the oracle replays the grid,
+    the cumulative counts, and the nearest-rank picks."""
+    from delta_rs_spark.functions.timeseries import value_percentiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return value_percentiles(ev)

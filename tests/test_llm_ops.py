@@ -1721,3 +1721,20 @@ def test_semantic_contamination_self_is_contaminated(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = semantic_contamination(df, df, threshold=0.99).collect()
     assert all(r.contaminated and r.bench_id == r.vec_id for r in out)
+
+
+def test_value_percentiles_nearest_rank_exact(spark):
+    from delta_rs_spark.functions.timeseries import value_percentiles
+
+    # 100 known values 0.01..1.00 for one group: p50 = 0.50, p90 = 0.90,
+    # p99 = 0.99 under nearest-rank (ceil(p*n)-th smallest)
+    rows = [(i, "a", (i + 1) / 100.0) for i in range(100)]
+    # second group with heavy ties: 90x 1.00 + 10x 5.00
+    rows += [(200 + i, "b", 1.00 if i < 90 else 5.00) for i in range(100)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = {r.event_type: r for r in value_percentiles(df).collect()}
+    a = out["a"]
+    assert a.n == 100 and abs(a.p50 - 0.50) < 1e-9 and abs(a.p90 - 0.90) < 1e-9
+    assert abs(a.p99 - 0.99) < 1e-9
+    b = out["b"]
+    assert b.p50 == 1.00 and b.p90 == 1.00 and b.p99 == 5.00

@@ -441,3 +441,15 @@ def test_semantic_contamination_broadcast_and_partial_max(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "partial_max" in p
     assert "CartesianProduct" not in p
+
+
+def test_value_percentiles_window_over_grid_not_events(spark):
+    """The ordered window must run over the (group, cent) collapse —
+    partial_count proves the map-side combine that bounds the window
+    input by the value grid, never by event volume."""
+    from delta_rs_spark.functions.timeseries import value_percentiles
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(value_percentiles(ev), "simple")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
