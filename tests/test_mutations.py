@@ -493,3 +493,69 @@ def test_scd2_close_insert_new_and_noop(spark, tmp_path):
     # 5 rows after batch 2, +1 new version in batch 3 (the close edits
     # an existing row in place)
     assert len(rows) == 6
+
+
+@pytest.mark.parametrize("seed", [13, 47])
+def test_scd2_random_batch_fuzz(spark, tmp_path, seed):
+    """Differential SCD2 fuzz: random update batches (change / no-op /
+    new-key mixes) applied through the one-MERGE operator must land
+    exactly where an independent pure-Python SCD2 simulator lands —
+    full history table compared after every batch."""
+    import random
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.operators.scd import apply_scd2
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"scd_fuzz_{seed}")
+    segs = ["A", "B", "C", "D"]
+
+    # model: key -> list of [seg, from, to, current]
+    model: dict[int, list[list]] = {
+        k: [[segs[k % 4], 1, None, True]] for k in range(20)
+    }
+    seed_rows = [(k, v[0][0], 1, None, True) for k, v in model.items()]
+    write_deltalake(
+        path,
+        spark.createDataFrame(
+            seed_rows,
+            "k int, seg string, effective_from int, effective_to int, is_current boolean",
+        ),
+    )
+
+    next_key = 100
+    for batch in range(2, 7):
+        ups = {}
+        for k in rng.sample(sorted(model), k=rng.randint(3, 8)):
+            cur = next(r for r in model[k] if r[3])
+            # 50% force a change, else random (may equal current = no-op)
+            s = rng.choice([x for x in segs if x != cur[0]]) if rng.random() < 0.5 else rng.choice(segs)
+            ups[k] = s
+        for _ in range(rng.randint(0, 3)):  # brand-new keys
+            ups[next_key] = rng.choice(segs)
+            next_key += 1
+
+        up_df = spark.createDataFrame(
+            sorted(ups.items()), "k int, seg string"
+        )
+        apply_scd2(spark, path, up_df, key="k", attrs=["seg"], batch_version=batch)
+
+        for k, s in ups.items():
+            if k not in model:
+                model[k] = [[s, batch, None, True]]
+                continue
+            cur = next(r for r in model[k] if r[3])
+            if cur[0] != s:
+                cur[2], cur[3] = batch, False
+                model[k].append([s, batch, None, True])
+
+        got = sorted(
+            (r.k, r.seg, r.effective_from, r.effective_to, r.is_current)
+            for r in DeltaTable(path, spark=spark).to_df().collect()
+        )
+        want = sorted(
+            (k, seg, f, t, c)
+            for k, rows in model.items()
+            for seg, f, t, c in rows
+        )
+        assert got == want, f"batch {batch}: diverged"
