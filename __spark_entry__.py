@@ -100,6 +100,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_ngram_diversity",  # per-source TTR + bigram diversity (collapse screen)
     "llm_zipf_fit",  # Zipf slope/r2 over top-256 terms (synthetic-text screen)
     "llm_semantic_contamination",  # embedding-space benchmark decontamination
+    "llm_bm25_hard_negatives",  # DPR-style lexical hard-negative mining
 )
 
 

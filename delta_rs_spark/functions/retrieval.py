@@ -312,3 +312,46 @@ def rrf_fuse(
             ).alias("rrf_score"),
         )
     )
+
+
+def bm25_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Lexical hard-negative mining (the DPR recipe, Karpukhin 2020):
+    for each query, the top BM25-ranked corpus documents that are NOT
+    among the query's known positives — the highest-value negatives for
+    training a dense retriever, because they are lexically confusable
+    with the answer. ``positives`` is a (query_id, doc_id) frame.
+
+    Returns (query_id, rank, doc_id, score) with rank re-numbered over
+    the surviving negatives.
+
+    Scale shape: one bm25_topk pass fetching k + max positives per
+    query (top-k-bounded), a broadcast anti-join against the positives
+    frame (training labels — never corpus-scaled), one re-rank window
+    over <= k+p rows per query."""
+    pos = positives.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+    ).distinct()
+    # fetch enough candidates that excluding every positive still
+    # leaves k negatives (a scalar count to the driver: label-sized)
+    max_pos = pos.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    fetch = k + int(max_pos or 0)
+    ranked = bm25_topk(
+        corpus, queries, k=fetch, text_col=text_col, id_col=id_col,
+        postings=postings,
+    )
+    negs = ranked.join(F.broadcast(pos), ["query_id", "doc_id"], "left_anti")
+    w = W.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        negs.withColumn("nrank", F.row_number().over(w))
+        .filter(F.col("nrank") <= k)
+        .select("query_id", F.col("nrank").alias("rank"), "doc_id", "score")
+    )

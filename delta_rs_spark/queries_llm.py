@@ -2888,3 +2888,79 @@ def llm_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") < 8)
     return S.semantic_contamination(emb, bench, threshold=0.92)
+
+
+@query(
+    "llm_bm25_hard_negatives",
+    f"""
+    WITH post AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl FROM (
+        SELECT doc_id,
+               len({_CLEAN_TOKENS_SQL})::BIGINT AS dl,
+               unnest({_CLEAN_TOKENS_SQL}) AS term
+        FROM documents)
+      GROUP BY doc_id, term),
+    scal AS (SELECT count(*)::DOUBLE AS n,
+                    (sum(len({_CLEAN_TOKENS_SQL}))::DOUBLE)
+                      / (count(*)::DOUBLE) AS avgdl
+             FROM documents),
+    q AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id,
+                   unnest(list_slice({_CLEAN_TOKENS_SQL}, 1, 6)) AS term
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id ASC LIMIT 4))),
+    dfreq AS (SELECT p.term, count(*)::BIGINT AS df
+              FROM post p GROUP BY p.term),
+    idf AS (SELECT d.term,
+                   round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                         * 1000000.0) / 1000000.0 AS idf
+            FROM dfreq d CROSS JOIN scal s
+            WHERE d.term IN (SELECT term FROM q)),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             round(i.idf * ((p.tf::DOUBLE * 2.2)
+                   / (p.tf::DOUBLE
+                      + 1.2 * (0.25 + 0.75 * (p.dl::DOUBLE / s.avgdl))))
+                   * 1000000000.0)::BIGINT AS c
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN idf i ON p.term = i.term
+      CROSS JOIN scal s),
+    sc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_q
+           FROM contrib GROUP BY query_id, doc_id),
+    r AS (SELECT query_id, doc_id, score_q,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_q DESC, doc_id ASC)
+                   AS rank
+          FROM sc),
+    -- the query's own source doc is the positive (the DPR in-batch
+    -- setup); fetch k+1 candidates, exclude, re-rank
+    negs AS (SELECT query_id, doc_id, score_q, rank FROM r
+             WHERE rank <= 11 AND doc_id != query_id),
+    rr AS (SELECT query_id, doc_id, score_q,
+                  (row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rank ASC))::INTEGER AS nrank
+           FROM negs)
+    SELECT query_id, nrank AS rank, doc_id,
+           round(score_q::DOUBLE / 1000000000.0, 6) AS score
+    FROM rr WHERE nrank <= 10
+    """,
+)
+def llm_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical hard-negative mining (retrieval.bm25_hard_negatives, the
+    DPR recipe): top BM25 candidates per query minus the query's known
+    positive (its own source document) — the standard negatives source
+    for training dense retrievers. Fetches k + max-positives candidates,
+    broadcast anti-joins the label frame, re-ranks. The oracle replays
+    bm25, the exclusion and the re-rank."""
+    from delta_rs_spark.functions.retrieval import (
+        bm25_hard_negatives,
+        head_term_queries,
+    )
+
+    docs = _docs(spark, sf_dir)
+    qs = head_term_queries(docs, n_queries=4, n_terms=6)
+    positives = qs.select("query_id").distinct().select(
+        "query_id", F.col("query_id").alias("doc_id")
+    )
+    return bm25_hard_negatives(docs, qs, positives, k=10)

@@ -1738,3 +1738,23 @@ def test_value_percentiles_nearest_rank_exact(spark):
     assert abs(a.p99 - 0.99) < 1e-9
     b = out["b"]
     assert b.p50 == 1.00 and b.p90 == 1.00 and b.p99 == 5.00
+
+
+def test_bm25_hard_negatives_excludes_positives_reranks(spark):
+    from delta_rs_spark.functions.retrieval import bm25_hard_negatives
+
+    rows = [
+        (0, "zebra quagga okapi"),            # the positive for query 7
+        (1, "zebra quagga herd"),             # top hard negative
+        (2, "zebra stripes"),                 # weaker negative
+        (3, "the cat sat on the mat"),        # no match -> absent
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = spark.createDataFrame(
+        [(7, "zebra"), (7, "quagga"), (7, "okapi")], ["query_id", "term"]
+    )
+    pos = spark.createDataFrame([(7, 0)], ["query_id", "doc_id"])
+    out = bm25_hard_negatives(corpus, q, pos, k=3).collect()
+    got = [(r.rank, r.doc_id) for r in out]
+    assert got == [(1, 1), (2, 2)]  # positive excluded, ranks renumbered
+    assert all(r.doc_id != 0 for r in out)
