@@ -289,6 +289,8 @@ def rrf_fuse(
     Scale shape: a union of ranker outputs (each already top-k-bounded,
     so |queries| x k x N rows total — NOT corpus-scaled) and one
     groupBy(query, doc) integer sum + one per-query top-k window."""
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
     u = rankings[0].select("query_id", "rank", "doc_id")
     for r in rankings[1:]:
         u = u.unionByName(r.select("query_id", "rank", "doc_id"))

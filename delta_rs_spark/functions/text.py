@@ -653,7 +653,7 @@ def classifier_auc(
     scored: DataFrame,
     score_col: str = "score",
     label_col: str = "y",
-    max_distinct_scores: int = 2_000_001,
+    max_distinct_scores: int | None = 2_000_001,
 ) -> DataFrame:
     """Exact ROC-AUC of a classifier score against a binary label — the
     eval a pipeline runs before trusting a learned quality/topic filter
@@ -677,8 +677,15 @@ def classifier_auc(
     ``max_distinct_scores`` equal-width bins over [min, max] first and
     the result is a binned-AUC approximation (bin resolution ~5e-7 on
     a [0, 1] score at the default bound — far below any decision
-    threshold's precision). Degenerate labels (P=0 or N=0) yield NULL
-    auc rather than a misleading number."""
+    threshold's precision). The enforcement is folded into the
+    returned PLAN (a broadcast 1-row stats frame + a conditional
+    re-bin of the distinct-score table), so the function stays purely
+    compositional — no driver job runs until the caller executes the
+    frame, and the conditional pass runs over the already-reduced
+    distinct-score table, never the corpus. Pass
+    ``max_distinct_scores=None`` to skip the check entirely when the
+    producer guarantees a snapped grid. Degenerate labels (P=0 or N=0)
+    yield NULL auc rather than a misleading number."""
     g = (
         scored.groupBy(F.col(score_col).alias("s"))
         .agg(
@@ -686,17 +693,30 @@ def classifier_auc(
             F.sum(F.col(label_col).cast("long")).alias("n_pos"),
         )
     )
-    nd, lo, hi = g.agg(F.count(F.lit(1)), F.min("s"), F.max("s")).first()
-    if nd and nd > max_distinct_scores:
-        width = (float(hi) - float(lo)) / float(max_distinct_scores)
+    if max_distinct_scores is not None:
+        # In-plan enforcement: the 1-row (nd, lo, hi) stats frame is
+        # broadcast onto the distinct-score table; when nd exceeds the
+        # bound every score is re-centered to its equal-width bin,
+        # otherwise the when() resolves to the identity. Both the stats
+        # agg and the conditional re-bin read the already-reduced
+        # distinct-score table (grid- or bound-sized), not the corpus.
+        stats = g.agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.min("s").alias("__lo"),
+            F.max("s").alias("__hi"),
+        )
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(max_distinct_scores))
         bin_idx = F.least(
-            F.floor((F.col("s") - F.lit(float(lo))) / F.lit(width)),
+            F.floor((F.col("s") - F.col("__lo")) / width),
             F.lit(max_distinct_scores - 1),
         )
+        s_checked = F.when(
+            F.col("__nd") > F.lit(max_distinct_scores),
+            F.col("__lo") + (bin_idx + F.lit(0.5)) * width,
+        ).otherwise(F.col("s"))
         g = (
-            g.withColumn(
-                "s", F.lit(float(lo)) + (bin_idx + F.lit(0.5)) * F.lit(width)
-            )
+            g.crossJoin(F.broadcast(stats))
+            .select(s_checked.alias("s"), "n", "n_pos")
             .groupBy("s")
             .agg(F.sum("n").alias("n"), F.sum("n_pos").alias("n_pos"))
         )
@@ -1402,10 +1422,15 @@ def zipf_fit(
 
     Determinism: ln(rank) and ln(freq) are snapped to the 1e-6 integer
     grid; ALL five least-squares sums (Sx, Sy, Sxy, Sxx, Syy) are exact
-    BIGINT aggregations of those grid values (order-independent); the
-    closed-form division runs once on identical integers in both
-    engines, and r^2's squared numerator is evaluated in DOUBLE after
-    the integer differences (the integer square would overflow int64).
+    BIGINT aggregations of those grid values (order-independent). Each
+    sum is then cast to DOUBLE BEFORE the closed-form products are
+    formed: the grid sums themselves fit int64 at any corpus size
+    (|Sxy| <= 256 * (5.6e6 * yq_max)), but the pairwise products do
+    not — v*Syy and Sy^2 exceed 2^63 once top-term frequencies reach
+    ~2e5 (any sf>=1 corpus), which previously wrapped silently in
+    Spark while the DuckDB oracle raised out-of-range. The double
+    products are the SAME IEEE operations on the SAME integers in both
+    engines, so the result stays bit-deterministic.
 
     Scale shape: one (term) groupBy with map-side combine, a
     vocab_size-row ranked table, one single-row aggregate — the fit
@@ -1435,14 +1460,28 @@ def zipf_fit(
         F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
         F.sum(F.col("yq") * F.col("yq")).alias("syy"),
     )
-    num = (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    denx = (F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("v") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return _zipf_closed_form(s)
+
+
+def _zipf_closed_form(s: DataFrame) -> DataFrame:
+    """Closed-form least squares over a single-row sums frame
+    (v, sx, sy, sxy, sxx, syy on the 1e-6 grid). Split out so the
+    int64-overflow regression test can feed handcrafted sums without
+    building a 38M-token corpus.
+
+    Every sum is cast to double BEFORE multiplying: v*syy and sy*sy
+    overflow int64 for large corpora (see zipf_fit docstring)."""
+    vd = F.col("v").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    num = vd * sxyd - sxd * syd
+    denx = vd * sxxd - sxd * sxd
+    deny = vd * syyd - syd * syd
     slope = num / denx
-    intercept = (
-        F.col("sy").cast("double") / F.lit(1e6)
-        - slope * (F.col("sx").cast("double") / F.lit(1e6))
-    ) / F.col("v").cast("double")
+    intercept = (syd / F.lit(1e6) - slope * (sxd / F.lit(1e6))) / vd
     r2 = num * num / (denx * deny)
 
     def grid6(c):

@@ -146,17 +146,31 @@ def trailing_zscore_anomalies(
     )
 
 
+def _percentile_name(p: float) -> str:
+    """Column name for percentile ``p`` derived from its FULL decimal
+    repr: 0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9, 0.005 -> p0_5.
+    The old f"p{int(p*100)}" truncated (0.999 -> p99, colliding with
+    0.99; 0.005 -> p0)."""
+    from decimal import Decimal
+
+    d = (Decimal(repr(p)) * 100).normalize()
+    if d == d.to_integral_value():
+        return f"p{int(d)}"
+    return "p" + str(d).replace(".", "_")
+
+
 def value_percentiles(
     df: DataFrame,
     value_col: str = "value",
     by: str = "event_type",
     percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    max_distinct_cents: int | None = 2_000_001,
 ) -> DataFrame:
     """Exact nearest-rank percentiles per group on the integer-cent
     grid: p-th percentile = the smallest cent value whose cumulative
     count reaches ceil(p * n). Returns one row per group:
-    (by, n, p50, p90, p99, ...) with values in original units
-    (cents / 100).
+    (by, n, p50, p90, p99, ..., coarsened) with values in original
+    units (cents / 100).
 
     Grid semantics are the determinism AND scale contract: quantizing
     to cents first means the ordered window runs over DISTINCT cents
@@ -166,26 +180,92 @@ def value_percentiles(
     and ties need no arbitrary row order. Exact continuous-value
     quantiles at 100 TB are a per-group sort by construction — use
     approx_percentile for that; this is the exact, replayable monitor
-    shape."""
+    shape.
+
+    The grid precondition is ENFORCED, not assumed (same treatment as
+    text.classifier_auc): an arbitrary caller column (microseconds,
+    bytes) can make the cent grid effectively unbounded and recreate
+    exactly the corpus-sized single-task window this operator exists
+    to avoid. Per-group distinct-cent counts are computed in-plan on
+    the already-reduced (group, cent) table; any group above
+    ``max_distinct_cents`` has its cents coarsened to equal-width
+    integer bins (bin floor) over [min, max] and is flagged
+    ``coarsened = true`` in the output — nearest-rank on the coarsened
+    grid under-reads by < bin width. Pass ``max_distinct_cents=None``
+    to skip (producer guarantees a bounded domain). No driver job runs
+    either way — the check is part of the returned plan.
+
+    Rank targets are exact integer arithmetic: ceil(p*n) is computed
+    as (p_num*n + p_den-1) div p_den from p's decimal repr, so a
+    double ceil can never round a boundary differently from a
+    decimal-exact SQL oracle. (p_num * n must fit int64: fine for
+    6-decimal percentiles up to ~9e12 rows per group.)"""
+    from decimal import Decimal
+    from fractions import Fraction
+
+    names = [_percentile_name(p) for p in percentiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate percentile columns: {names}")
+    for p in percentiles:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"percentile out of range (0, 1]: {p}")
+
     cents = F.floor(F.col(value_col) * F.lit(100.0)).cast("long")
     g = (
         df.select(F.col(by), cents.alias("c"))
         .groupBy(by, "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if max_distinct_cents is not None:
+        stats = g.groupBy(by).agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.min("c").alias("__lo"),
+            F.max("c").alias("__hi"),
+        )
+        # integer bin width = ceil(span / bound), >= 1; coarsened cent =
+        # bin floor. All-integer so both engines agree bit-for-bit.
+        over = F.col("__nd") > F.lit(max_distinct_cents)
+        g = (
+            g.join(stats, by)
+            .withColumn(
+                "__w",
+                F.expr(
+                    f"(__hi - __lo + {int(max_distinct_cents)}) div "
+                    f"{int(max_distinct_cents)}"
+                ),
+            )
+            .select(
+                F.col(by),
+                F.when(
+                    over,
+                    F.col("__lo")
+                    + F.expr("((c - __lo) div __w) * __w"),
+                ).otherwise(F.col("c")).alias("c"),
+                "cnt",
+                over.alias("coarsened"),
+            )
+            .groupBy(by, "c", "coarsened")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        g = g.withColumn("coarsened", F.lit(False))
     wcum = W.partitionBy(by).orderBy("c").rowsBetween(W.unboundedPreceding, 0)
     wall = W.partitionBy(by)
     ranked = g.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
         "n", F.sum("cnt").over(wall)
     )
     aggs = [F.max("n").cast("long").alias("n")]
-    for p in percentiles:
-        name = f"p{int(p * 100)}"
-        target = F.ceil(F.lit(p) * F.col("n"))
+    for p, name in zip(percentiles, names):
+        frac = Fraction(Decimal(repr(p)))
+        target = F.expr(
+            f"(({frac.numerator} * n) + {frac.denominator - 1}) div "
+            f"{frac.denominator}"
+        )
         aggs.append(
             (
                 F.min(F.when(F.col("cum") >= target, F.col("c"))).cast("double")
                 / F.lit(100.0)
             ).alias(name)
         )
+    aggs.append(F.max("coarsened").alias("coarsened"))
     return ranked.groupBy(by).agg(*aggs)

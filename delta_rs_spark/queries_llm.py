@@ -2833,18 +2833,23 @@ def llm_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT count(*)::BIGINT AS v, sum(xq)::BIGINT AS sx,
                  sum(yq)::BIGINT AS sy, sum(xq * yq)::BIGINT AS sxy,
                  sum(xq * xq)::BIGINT AS sxx, sum(yq * yq)::BIGINT AS syy
-          FROM p)
+          FROM p),
+    -- every sum cast to DOUBLE BEFORE the products: v*syy and sy*sy
+    -- overflow int64 once top-term freqs reach ~2e5 (mirrors zipf_fit)
+    d AS (SELECT v, v::DOUBLE AS vd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+                 sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd
+          FROM s)
     SELECT v AS n_terms,
-           round(((v * sxy - sx * sy)::DOUBLE / (v * sxx - sx * sx)::DOUBLE)
+           round(((vd * sxyd - sxd * syd) / (vd * sxxd - sxd * sxd))
                  * 1000000.0)::BIGINT / 1000000.0 AS slope,
-           round(((sy::DOUBLE / 1000000.0
-                   - ((v * sxy - sx * sy)::DOUBLE / (v * sxx - sx * sx)::DOUBLE)
-                     * (sx::DOUBLE / 1000000.0)) / v::DOUBLE)
+           round(((syd / 1000000.0
+                   - ((vd * sxyd - sxd * syd) / (vd * sxxd - sxd * sxd))
+                     * (sxd / 1000000.0)) / vd)
                  * 1000000.0)::BIGINT / 1000000.0 AS intercept,
-           round((((v * sxy - sx * sy)::DOUBLE * (v * sxy - sx * sy)::DOUBLE)
-                  / ((v * sxx - sx * sx)::DOUBLE * (v * syy - sy * sy)::DOUBLE))
+           round((((vd * sxyd - sxd * syd) * (vd * sxyd - sxd * syd))
+                  / ((vd * sxxd - sxd * sxd) * (vd * syyd - syd * syd)))
                  * 1000000.0)::BIGINT / 1000000.0 AS r2
-    FROM s
+    FROM d
     """,
 )
 def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

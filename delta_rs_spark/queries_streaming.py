@@ -375,13 +375,20 @@ _STATEFUL_GATE_SEQ = 0
     r AS (SELECT event_type, c, cnt,
                  sum(cnt) OVER (PARTITION BY event_type ORDER BY c
                                 ROWS UNBOUNDED PRECEDING) AS cum,
-                 sum(cnt) OVER (PARTITION BY event_type) AS n
+                 sum(cnt) OVER (PARTITION BY event_type) AS n,
+                 count(*) OVER (PARTITION BY event_type) AS ndc
           FROM g)
     SELECT event_type,
            max(n)::BIGINT AS n,
            min(CASE WHEN cum >= ceil(0.5 * n) THEN c END)::DOUBLE / 100.0 AS p50,
            min(CASE WHEN cum >= ceil(0.9 * n) THEN c END)::DOUBLE / 100.0 AS p90,
-           min(CASE WHEN cum >= ceil(0.99 * n) THEN c END)::DOUBLE / 100.0 AS p99
+           min(CASE WHEN cum >= ceil(0.99 * n) THEN c END)::DOUBLE / 100.0 AS p99,
+           -- the engine's enforced grid bound: a group whose distinct-
+           -- cent count exceeds 2,000,001 is coarsened and flagged;
+           -- the events value domain stays far below it (cents here
+           -- live in a bounded SLO range), so this replays the flag
+           -- computation, not a constant
+           (max(ndc) > 2000001) AS coarsened
     FROM r GROUP BY 1
     """,
 )

@@ -291,3 +291,132 @@ def test_merge_equi_pairs_ast_precision(spark, tmp_table, sample_df):
     assert m6._equi_join_pairs_regex() == [("id", "id", False)]
     m7 = t.merge(src, "target.id = source.id OR target.price = source.price")
     assert m7._equi_join_pairs_regex() == []
+
+
+# --- r08 ADVICE fixes -------------------------------------------------
+
+
+def test_zipf_closed_form_survives_int64_overflow(spark):
+    """r08 ADVICE #1: v*Syy and Sy^2 in BIGINT wrap once top-term
+    frequencies reach ~2e5 (any sf>=1 corpus). The closed form must
+    cast every sum to double BEFORE the products. Handcrafted sums for
+    a 256-term corpus with freq = 2e8/rank (a ~100B-token corpus) —
+    the exact scenario the old code silently corrupted."""
+    import math
+
+    from delta_rs_spark.functions.text import _zipf_closed_form
+
+    v = 256
+    xq = [round(math.log(r) * 1e6) for r in range(1, v + 1)]
+    yq = [round(math.log(2e8 / r) * 1e6) for r in range(1, v + 1)]
+    sx, sy = sum(xq), sum(yq)
+    sxy = sum(a * b for a, b in zip(xq, yq))
+    sxx = sum(a * a for a in xq)
+    syy = sum(b * b for b in yq)
+    # the overflow scenario is real: both old BIGINT products wrap
+    assert v * syy > 2**63 and sy * sy > 2**63
+    s = spark.createDataFrame(
+        [(v, sx, sy, sxy, sxx, syy)],
+        "v long, sx long, sy long, sxy long, sxx long, syy long",
+    )
+    row = _zipf_closed_form(s).first()
+    # double-reference (same IEEE ops the oracle runs)
+    num = float(v) * float(sxy) - float(sx) * float(sy)
+    denx = float(v) * float(sxx) - float(sx) * float(sx)
+    deny = float(v) * float(syy) - float(sy) * float(sy)
+    assert row["slope"] == round(num / denx * 1e6) / 1e6
+    assert row["r2"] == round(num * num / (denx * deny) * 1e6) / 1e6
+    # planted slope -1, near-perfect fit
+    assert abs(row["slope"] - (-1.0)) < 1e-3 and row["r2"] > 0.999
+
+
+def test_rrf_fuse_empty_rankings_raises(spark):
+    from delta_rs_spark.functions.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
+
+
+def test_classifier_auc_is_lazy(spark):
+    """r08 ADVICE #3: the distinct-score bound check must be part of
+    the returned plan, not an eager driver job. A score column whose
+    evaluation raises proves no job runs at call time."""
+    from pyspark.sql.types import DoubleType
+
+    from delta_rs_spark.functions.text import classifier_auc
+
+    def boom(x):
+        raise RuntimeError("executed at call time")
+
+    boom_udf = F.udf(boom, DoubleType())
+    df = spark.range(8).select(
+        boom_udf("id").alias("score"), (F.col("id") % 2).cast("int").alias("y")
+    )
+    out = classifier_auc(df)  # must not raise: purely compositional
+    with pytest.raises(Exception):
+        out.first()  # ...and the plan does evaluate the column
+
+
+def test_value_percentiles_unique_names_and_exact_ceil(spark):
+    """r08 ADVICE #2: p-column names derive from the full decimal
+    (0.999 no longer collides with 0.99; 0.005 is not p0) and the rank
+    target is integer-exact ceil (double 0.07*100 = 7.000000000000001
+    would ceil to 8 and mis-pick the 8th value)."""
+    from delta_rs_spark.functions.timeseries import (
+        _percentile_name,
+        value_percentiles,
+    )
+
+    assert _percentile_name(0.5) == "p50"
+    assert _percentile_name(0.999) == "p99_9"
+    assert _percentile_name(0.005) == "p0_5"
+    assert _percentile_name(0.07) == "p7"
+
+    rows = [(i, "a", (i + 1) / 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    r = value_percentiles(df, percentiles=(0.07, 0.99, 0.999)).first()
+    assert abs(r.p7 - 0.07) < 1e-9  # exact ceil: 7th value, not 8th
+    assert abs(r.p99 - 0.99) < 1e-9
+    assert abs(r.p99_9 - 1.00) < 1e-9  # ceil(0.999*100) = 100th value
+    assert r.coarsened is False
+
+    with pytest.raises(ValueError, match="duplicate percentile"):
+        value_percentiles(df, percentiles=(0.99, 0.99))
+    with pytest.raises(ValueError, match="out of range"):
+        value_percentiles(df, percentiles=(1.5,))
+
+
+def test_value_percentiles_wide_domain_coarsens(spark):
+    """r08 VERDICT #1: an unbounded caller domain (microsecond-scale
+    values) must not recreate a corpus-sized single-task window — the
+    per-group distinct-cent count is capped in-plan; groups above the
+    bound are binned (bin floor) and flagged, groups below stay
+    exact."""
+    from delta_rs_spark.functions.timeseries import value_percentiles
+
+    wide = [(i, "wide", float(i * 1000)) for i in range(5000)]  # 5000 cents
+    narrow = [(9000 + i, "narrow", (i + 1) / 10.0) for i in range(10)]
+    df = spark.createDataFrame(wide + narrow, ["event_id", "event_type", "value"])
+    out = {r.event_type: r for r in value_percentiles(df, max_distinct_cents=100).collect()}
+
+    w = out["wide"]
+    assert w.coarsened is True and w.n == 5000
+    # bin width = ceil(span/100) cents; bin-floor under-reads < width
+    span = 4999 * 1000 * 100 + 1
+    width_dollars = -(-span // 100) / 100.0
+    exact_p50 = 2499 * 1000.0  # 2500th smallest value
+    assert exact_p50 - width_dollars <= w.p50 <= exact_p50
+    exact_p99 = 4949 * 1000.0
+    assert exact_p99 - width_dollars <= w.p99 <= exact_p99
+
+    nr = out["narrow"]
+    assert nr.coarsened is False and nr.n == 10
+    assert abs(nr.p50 - 0.5) < 1e-9 and abs(nr.p99 - 1.0) < 1e-9
+
+    # the coarsened (group, cent) table respects the bound
+    from pyspark.sql import functions as SF
+
+    cents = df.select(
+        "event_type", SF.floor(SF.col("value") * 100.0).cast("long").alias("c")
+    ).distinct()
+    assert cents.filter(SF.col("event_type") == "wide").count() == 5000  # input really was wide
