@@ -54,8 +54,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # from the repo's own per-round records. Consequences: (a) the window
 # slots left after the mandatory prefix always go to the longest-unseen
 # entries, so every registry entry is re-witnessed within
-# ceil(tail_pool / free_slots) rounds (currently 64 / 8 => <= 8 rounds,
-# tightening as first-witness entries graduate and free their slots);
+# ceil(tail_pool / free_slots) rounds — the bound is pinned as an
+# invariant (not arithmetic in this comment) by
+# tests/test_gate_window.py::test_max_staleness_is_bounded;
 # (b) an entry that loses its green row — or a brand-new entry missing
 # from _FIRST_WITNESS_NEEDED — has last_green 0 and sorts to the FRONT
 # of the tail, directly after the first-witness block, so a red can no
@@ -79,28 +80,20 @@ _RELATIONAL_REPRESENTATIVES = (
 
 # Registered queries with NO green oracle row in any prior round: these
 # take window positions immediately after the category representatives.
-# (r06's 16 graduated first-witness entries moved to the rotated tail;
-# the two that were knowingly deferred past the r06 window edge lead
-# this round's block so they get their first driver rows immediately.)
+# (The 10 r07 first-witness entries all got green CORRECTNESS_r07 rows
+# and graduated to the staleness-rotated tail — the prefix drops
+# 46 -> ~37, so ~13 rotation slots now go to the longest-unseen tail
+# entries each round; the max re-witness period is pinned mechanically
+# in tests/test_gate_window.py::test_max_staleness_is_bounded.)
 #
-# r07 NOTE (process, per VERDICT r06 #7): new-operator intake is capped
-# at ~14 per round so the mandatory prefix — delta_* + streaming +
-# category representatives + this block — stays inside the driver's
-# observed 50-51 window without trimming or deferral.
+# Process (per VERDICT r06 #7): new-operator intake is capped at ~14
+# per round so the mandatory prefix — delta_* + streaming + category
+# representatives + this block — stays inside the driver's observed
+# 50-51 window without trimming or deferral.
 _FIRST_WITNESS_NEEDED = (
-    # deferred from r06 (mirror-green at both SFs, judge re-verified):
-    "llm_source_divergence",  # per-source KL drift vs the corpus
-    "llm_band_index_sync",  # near-dup index sync + probe
-    # new in r07 (the r06 verdict's "oracle the live-stream pair"):
-    "llm_stream_ingest_replay",  # composed corpus ingest at fixed batch bounds
-    "llm_stream_stateful_dedup",  # real applyInPandasWithState stream + oracle
-    # new in r07 (operator coverage):
-    "llm_gopher_rules",  # Gopher quality-rule battery (integer thresholds)
-    "llm_rrf_hybrid_retrieval",  # BM25 + Dirichlet-QL reciprocal-rank fusion
-    "llm_ngram_diversity",  # per-source TTR + bigram diversity (collapse screen)
-    "llm_zipf_fit",  # Zipf slope/r2 over top-256 terms (synthetic-text screen)
-    "llm_semantic_contamination",  # embedding-space benchmark decontamination
-    "llm_bm25_hard_negatives",  # DPR-style lexical hard-negative mining
+    # new in r08 (q_events_late_watermark, the other r08 gate, sits in
+    # the always-witnessed streaming plane and needs no slot here):
+    "llm_dense_hybrid_retrieval",  # BM25 + exact-cosine dense RRF hybrid
 )
 
 

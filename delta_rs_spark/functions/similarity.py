@@ -67,6 +67,69 @@ def cosine_topk(
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
 
+def dense_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_shards: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch exact dense retrieval: per-query cosine top-``k`` of a
+    (small) query frame against the vector corpus, returned in the
+    (query_id, rank, doc_id, score) ranking shape ``rrf_fuse`` consumes
+    — the dense half of lexical+dense hybrid retrieval (the production
+    RRF composition).
+
+    Scale shape: the query frame is BROADCAST onto ONE corpus scan
+    (|corpus| x |queries| scored rows, no shuffle to form the pairs),
+    and the top-k is two-phase so no single task ever sorts the
+    corpus: phase 1 ranks within (query, doc_id mod ``n_shards``) —
+    n_shards * |queries| parallel partitions of |corpus|/n_shards rows
+    each — keeping k per shard; phase 2 ranks the surviving
+    n_shards*k rows per query. The global top-k is exact (it is
+    contained in the union of per-shard top-ks). Scores are snapped to
+    the 4dp grid with doc-id tiebreak (the cross-engine cosine idiom).
+    For corpus-scale QUERY sets, pre-bucket both sides through a
+    materialized ANN index (ivf_topk_indexed / lsh_topk_indexed)
+    instead of broadcasting."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(q_id_col).cast("long").alias("query_id"),
+        F.col(q_vec_col).alias("__qv"),
+    )
+    scored = (
+        vectors.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("__v")
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine(F.col("__v"), F.col("__qv")), 4).alias("score"),
+        )
+    )
+    w1 = W.partitionBy("query_id", F.pmod(F.col("doc_id"), F.lit(n_shards))).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        scored.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG; no numpy needed
     at plan-build time, reproducible across runs/sessions)."""

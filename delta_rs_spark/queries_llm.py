@@ -2780,6 +2780,112 @@ def llm_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dense_hybrid_retrieval",
+    f"""
+    WITH post AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl FROM (
+        SELECT doc_id,
+               len({_CLEAN_TOKENS_SQL})::BIGINT AS dl,
+               unnest({_CLEAN_TOKENS_SQL}) AS term
+        FROM documents)
+      GROUP BY doc_id, term),
+    scal AS (SELECT count(*)::DOUBLE AS n,
+                    (sum(len({_CLEAN_TOKENS_SQL}))::DOUBLE)
+                      / (count(*)::DOUBLE) AS avgdl
+             FROM documents),
+    q AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id,
+                   unnest(list_slice({_CLEAN_TOKENS_SQL}, 1, 6)) AS term
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id ASC LIMIT 4))),
+    -- BM25 side (identical arithmetic to the llm_bm25_topk oracle)
+    dfreq AS (SELECT p.term, count(*)::BIGINT AS df
+              FROM post p GROUP BY p.term),
+    idf AS (SELECT d.term,
+                   round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                         * 1000000.0) / 1000000.0 AS idf
+            FROM dfreq d CROSS JOIN scal s
+            WHERE d.term IN (SELECT term FROM q)),
+    bcontrib AS (
+      SELECT q.query_id, p.doc_id,
+             round(i.idf * ((p.tf::DOUBLE * 2.2)
+                   / (p.tf::DOUBLE
+                      + 1.2 * (0.25 + 0.75 * (p.dl::DOUBLE / s.avgdl))))
+                   * 1000000000.0)::BIGINT AS c
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN idf i ON p.term = i.term
+      CROSS JOIN scal s),
+    bsc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_q
+            FROM bcontrib GROUP BY query_id, doc_id),
+    brank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_q DESC, doc_id ASC)
+                       AS rank
+              FROM bsc),
+    -- dense side: exact cosine of the 4 query vectors against every
+    -- corpus vector, 4dp grid, doc-id tiebreak (replays dense_topk's
+    -- two-phase top-k, whose global result equals the flat ranking)
+    dq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 4),
+    dsc AS (SELECT dq.query_id, e.vec_id AS doc_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], dq.qv),
+                         4) AS score
+            FROM embeddings e CROSS JOIN dq),
+    drank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC)
+                       AS rank
+              FROM dsc),
+    -- reciprocal-rank fusion of the two top-20 lists (k = 60)
+    u AS (SELECT query_id, doc_id, rank FROM brank WHERE rank <= 20
+          UNION ALL
+          SELECT query_id, doc_id, rank FROM drank WHERE rank <= 20),
+    fused AS (SELECT query_id, doc_id,
+                     sum(round(1000000000.0 / (60.0 + rank::DOUBLE))::BIGINT)
+                       ::BIGINT AS rrf_q
+              FROM u GROUP BY query_id, doc_id),
+    fr AS (SELECT query_id, doc_id, rrf_q,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_q DESC, doc_id ASC) AS rank
+           FROM fused)
+    SELECT query_id, rank::INTEGER AS rank, doc_id,
+           round(rrf_q::DOUBLE / 1000.0)::BIGINT / 1000000.0 AS rrf_score
+    FROM fr WHERE rank <= 10
+    """,
+)
+def llm_dense_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense+lexical hybrid retrieval (similarity.dense_topk +
+    retrieval.bm25_topk + retrieval.rrf_fuse) — the actual production
+    hybrid: BM25 ranks the document corpus top-20 for the 4-query
+    head-term set while exact cosine over the embeddings table ranks
+    the same ids dense-side (query vectors = the query docs' own
+    embeddings), and reciprocal-rank fusion (k=60) merges the lists
+    into a final top-10. Coverage is naturally partial per ranker (at
+    sf0.1 only a subset of docs carries an embedding) — RRF's sum over
+    available lists handles that by construction. Dense side is a
+    broadcast of 4 query vectors over ONE corpus scan with a two-phase
+    sharded top-k (no task ever sorts the whole corpus); lexical side
+    is posting-bounded; fusion inputs are top-k-bounded. The oracle
+    replays postings, BM25's grid-snapped arithmetic, the 4dp cosine
+    grid, both rankings, and the quantized fusion."""
+    from delta_rs_spark.functions.retrieval import (
+        bm25_topk,
+        head_term_queries,
+        rrf_fuse,
+    )
+    from delta_rs_spark.functions.similarity import dense_topk
+
+    docs = _docs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = head_term_queries(docs, n_queries=4, n_terms=6)
+    lex = bm25_topk(docs, qs, k=20)
+    qvecs = emb.filter(F.col("vec_id") < 4)
+    den = dense_topk(emb, qvecs, k=20, q_id_col="vec_id")
+    return rrf_fuse([lex, den], k=60, topk=10)
+
+
+@query(
     "llm_ngram_diversity",
     f"""
     WITH tk AS (SELECT source, {_NE_TOKENS_SQL} AS a FROM documents),

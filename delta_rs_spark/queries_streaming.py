@@ -403,3 +403,132 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return value_percentiles(ev)
+
+
+_LATE_GATE_SEQ = 0
+
+
+@query(
+    "q_events_late_watermark",
+    """
+    WITH raw AS (SELECT event_id,
+                        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+                        event_type,
+                        CAST(floor(value * 100) AS BIGINT) AS cents
+                 FROM events),
+    bounds AS (SELECT min(sec) AS mn, max(sec) AS mx FROM raw),
+    -- arrival batch: three time-chunks of the stream, with every 50th
+    -- event displaced into the LAST batch (chunk-0 stragglers arrive
+    -- two batches late -> genuinely beyond the watermark's grace)
+    e AS (SELECT r.event_id, r.sec, r.event_type, r.cents,
+                 CASE WHEN r.event_id % 50 = 0 THEN 2
+                      ELSE least(((r.sec - b.mn) * 3) // (b.mx - b.mn + 1), 2)
+                 END AS arr,
+                 (r.sec // 3600) * 3600 AS ws
+          FROM raw r CROSS JOIN bounds b),
+    -- Spark's TWO-watermark rule (SPARK-24634, verified on this engine
+    -- build): late-event FILTERING in batch k uses the watermark of
+    -- batch k-1 (max event time through batch k-2, minus the delay),
+    -- while EVICTION/emission in batch k uses the current watermark
+    -- (max through batch k-1, minus delay); both compare window END
+    -- with <=, and a trailing no-data batch finalizes every window the
+    -- final watermark passed
+    bm AS (SELECT arr, max(sec) AS bmax FROM e GROUP BY arr),
+    wmt AS (SELECT arr,
+                   max(bmax) OVER (ORDER BY arr
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 2 PRECEDING) - 1800 AS wm_late,
+                   max(bmax) OVER (ORDER BY arr) - 1800 AS wm_after
+            FROM bm),
+    surv AS (SELECT e.ws, e.event_type, e.cents
+             FROM e JOIN wmt ON e.arr = wmt.arr
+             WHERE wmt.wm_late IS NULL OR e.ws + 3600 > wmt.wm_late),
+    fin AS (SELECT max(wm_after) AS final_wm FROM wmt)
+    SELECT s.ws AS window_start, s.event_type,
+           count(*)::BIGINT AS n_events,
+           sum(s.cents)::BIGINT AS sum_val_cents
+    FROM surv s CROSS JOIN fin f
+    WHERE s.ws + 3600 <= f.final_wm
+    GROUP BY 1, 2
+    """,
+)
+def q_events_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order late-data semantics under a REAL watermarked stream
+    (streaming/windows.py tumbling_cents): the events table is split
+    into three time-chunk files with every 50th event displaced into
+    the LAST batch, streamed through a file source with pinned
+    modification times (one file per micro-batch, availableNow), a
+    30-minute watermark, and an append-mode tumbling 1-hour aggregate
+    into a memory sink. This is the one streaming behavior the
+    event-time-ordered batch replays never exercise — and the drop
+    rule is subtler than the docs' summary (probed on this engine
+    build, SPARK-24634): late events are filtered against the
+    PREVIOUS batch's watermark while eviction uses the current one, so
+    chunk-0 stragglers arriving two batches late are DROPPED
+    (window_end <= lagged wm), chunk-1 stragglers arriving one batch
+    late are ADMITTED into still-live state even when the current
+    watermark already passed their window, and trailing windows the
+    final watermark never passed are withheld by append mode. The
+    oracle replays the per-batch max event times, the two lagged
+    watermarks, the drop rule, and the final-watermark emission rule
+    in SQL."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.streaming.windows import tumbling_cents
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts_ts")).cast("long")
+    base = ev.select(
+        "event_id",
+        "ts_ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        sec.alias("sec"),
+    )
+    bounds = base.agg(F.min("sec").alias("mn"), F.max("sec").alias("mx"))
+    arr = F.when(F.col("event_id") % 50 == 0, F.lit(2).cast("long")).otherwise(
+        F.least(F.expr("((sec - mn) * 3) div (mx - mn + 1)"), F.lit(2).cast("long"))
+    )
+    staged = base.crossJoin(F.broadcast(bounds)).select(
+        "ts_ts", "event_type", "cents", arr.alias("arr")
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/late_watermark"
+    _shutil.rmtree(root, ignore_errors=True)
+    stream_dir, ckpt = f"{root}/in", f"{root}/ckpt"
+    _os.makedirs(stream_dir, exist_ok=True)
+    for b in (0, 1, 2):
+        staging = f"{root}/stage{b}"
+        staged.filter(F.col("arr") == b).select(
+            "ts_ts", "event_type", "cents"
+        ).coalesce(1).write.parquet(staging)
+        part = next(p for p in _os.listdir(staging) if p.endswith(".parquet"))
+        dst = f"{stream_dir}/b{b}.parquet"
+        _os.rename(f"{staging}/{part}", dst)
+        _shutil.rmtree(staging, ignore_errors=True)
+        # FileStreamSource orders by modification time: pin batch order
+        _os.utime(dst, (1_600_000_000 + b * 100, 1_600_000_000 + b * 100))
+
+    src = (
+        spark.readStream.schema("ts_ts timestamp, event_type string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    global _LATE_GATE_SEQ
+    _LATE_GATE_SEQ += 1
+    sink = f"late_watermark_gate_{_os.getpid()}_{_LATE_GATE_SEQ}"
+    q = (
+        tumbling_cents(src, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -33,6 +33,40 @@ def tumbling_counts(
     )
 
 
+def tumbling_cents(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts_ts",
+    by: str = "event_type",
+    cents_col: str = "cents",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling per-group event counts + integer-cent value sums — the
+    oracle-friendly windowed aggregate (BIGINT sum is order-independent,
+    unlike a float sum, so a late-data replay can be compared
+    hash-exact). With ``watermark`` set on a streaming input this is
+    the canonical watermarked append-mode aggregate: a window emits
+    exactly once, when the watermark passes its end; rows arriving
+    after their window was finalized are dropped by the engine
+    (window_end <= watermark at the row's batch)."""
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_len).alias("w"), by)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents_col).alias("sum_val_cents"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            by,
+            "n_events",
+            "sum_val_cents",
+        )
+    )
+
+
 def sliding_value_sums(
     events: DataFrame,
     window_len: str = "1 hour",

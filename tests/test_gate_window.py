@@ -59,3 +59,38 @@ def test_every_registry_entry_has_an_oracle():
         f"oracle-less entries: {missing} — the registry has been "
         "oracle-complete since r07 (streaming included); keep it that way"
     )
+
+
+def test_max_staleness_is_bounded():
+    """r08 (VERDICT r07 #2): re-witness latency must be an invariant,
+    not arithmetic in a comment. With the current prefix size, the
+    free slots per round must re-witness the whole rotated tail within
+    a bounded number of rounds, and no already-green entry may
+    currently be staler than that bound allows."""
+    e = _entry_module()
+    names = list(e.queries().keys())
+    prefix = [n for n in names if e._plane_rank(n) <= 3]
+    tail = [n for n in names if e._plane_rank(n) == 4]
+    # driver window is 50-51; use the conservative 48 the prefix pin uses
+    free_slots = 48 - len(prefix)
+    assert free_slots >= 8, (
+        f"prefix has grown to {len(prefix)}: only {free_slots} rotation "
+        "slots left — graduate first-witness entries or trim the prefix"
+    )
+    bound = -(-len(tail) // free_slots)  # ceil
+    assert bound <= 12, (
+        f"re-witness period ceil({len(tail)}/{free_slots}) = {bound} "
+        "rounds — the tail outgrew the window; tighten the prefix"
+    )
+    # observed staleness: no green entry's last driver row may be older
+    # than the bound (+1 round of grace for intake timing) behind the
+    # newest round on record
+    current = max(e._LAST_GREEN.values(), default=0)
+    stale = {
+        n: current - e._LAST_GREEN[n]
+        for n in tail
+        if n in e._LAST_GREEN and current - e._LAST_GREEN[n] > bound + 1
+    }
+    assert not stale, (
+        f"entries staler than the {bound}-round re-witness bound: {stale}"
+    )

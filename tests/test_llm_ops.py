@@ -1758,3 +1758,40 @@ def test_bm25_hard_negatives_excludes_positives_reranks(spark):
     got = [(r.rank, r.doc_id) for r in out]
     assert got == [(1, 1), (2, 2)]  # positive excluded, ranks renumbered
     assert all(r.doc_id != 0 for r in out)
+
+
+def test_dense_topk_two_phase_equals_flat_ranking(spark):
+    """dense_topk's sharded two-phase top-k must equal the flat
+    per-query ranking (score desc 4dp, id asc), for k larger and
+    smaller than a shard's contribution."""
+    import math
+    import random
+
+    from delta_rs_spark.functions.similarity import dense_topk
+
+    rng = random.Random(13)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    qs = emb.filter(F.col("vec_id") < 3)
+
+    def ref(k):
+        out = {}
+        for qi, qv in vecs[:3]:
+            qn = math.sqrt(sum(x * x for x in qv))
+            scored = []
+            for di, dv in vecs:
+                dn = math.sqrt(sum(x * x for x in dv))
+                c = sum(x * y for x, y in zip(qv, dv)) / (qn * dn)
+                scored.append((round(c, 4), di))
+            ranked = sorted(scored, key=lambda t: (-t[0], t[1]))[:k]
+            out[qi] = [(r + 1, di, s) for r, (s, di) in enumerate(ranked)]
+        return out
+
+    for k, shards in ((7, 4), (25, 32)):
+        got = {}
+        rows = dense_topk(emb, qs, k=k, n_shards=shards, q_id_col="vec_id").collect()
+        for r in rows:
+            got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+        for qi in got:
+            got[qi].sort()
+        assert got == ref(k), f"mismatch at k={k}, shards={shards}"

@@ -453,3 +453,19 @@ def test_value_percentiles_window_over_grid_not_events(spark):
     p = plan_of(value_percentiles(ev), "simple")
     assert "partial_count" in p
     assert "CartesianProduct" not in p
+
+
+def test_dense_topk_broadcast_queries_sharded_topk(spark):
+    """dense_topk (r08): the query frame must be BROADCAST onto the
+    corpus scan (BroadcastNestedLoopJoin, never CartesianProduct) and
+    the phase-1 ranking window must be partitioned by (query, shard) —
+    no single task ever sorts the corpus."""
+    from delta_rs_spark.functions.similarity import dense_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    p = plan_of(dense_topk(emb, qs, k=20, q_id_col="vec_id"), "simple")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    # phase-1 window keys: query_id AND the doc shard
+    assert "pmod" in p

@@ -672,3 +672,63 @@ def test_corpus_ingest_stream_equals_replay(spark, tmp_path):
     gi = sorted(r.fp for r in DeltaTable(s_index).to_df().collect())
     ri = sorted(r.fp for r in DeltaTable(r_index).to_df().collect())
     assert gi == ri
+
+
+def test_two_watermark_rule_lag_filter_current_eviction(spark, tmp_path):
+    """r08: pins the SPARK-24634 two-watermark contract the
+    q_events_late_watermark oracle replays — late events are filtered
+    against the PREVIOUS batch's watermark while eviction uses the
+    current one. Batch 2's 10:59 row has window_end (11:00) <= the
+    current watermark (11:30) but > the previous one (10:00): it must
+    be ADMITTED and merged into the still-live window; the 02:00 row
+    (window_end 03:00 <= previous wm) must be dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "lagwm")
+    os.makedirs(f"{root}/in")
+    batches = {
+        0: ["2024-01-01 10:00:05"],
+        1: ["2024-01-01 11:30:05"],
+        2: ["2024-01-01 10:59:00", "2024-01-01 02:00:00", "2024-01-01 23:00:00"],
+    }
+    for b, times in batches.items():
+        df = spark.createDataFrame([(t,) for t in times], ["s"]).select(
+            F.col("s").cast("timestamp").alias("ts_ts")
+        )
+        stg = f"{root}/stage{b}"
+        df.coalesce(1).write.parquet(stg)
+        part = next(p for p in os.listdir(stg) if p.endswith(".parquet"))
+        os.rename(f"{stg}/{part}", f"{root}/in/b{b}.parquet")
+        os.utime(f"{root}/in/b{b}.parquet", (1_600_000_000 + b * 100,) * 2)
+    src = (
+        spark.readStream.schema("ts_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in")
+    )
+    agg = (
+        src.withWatermark("ts_ts", "0 seconds")
+        .groupBy(F.window("ts_ts", "1 hour").alias("w"))
+        .count()
+        .select(F.col("w.start").cast("string").alias("ws"), "count")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("lagwm_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"] if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    got = {r.ws: r["count"] for r in spark.table("lagwm_sink").collect()}
+    assert got == {
+        "2024-01-01 10:00:00": 2,  # lag-admitted 10:59 row merged in
+        "2024-01-01 11:00:00": 1,
+    }, got  # [23:00,24:00) withheld: its end is past the final wm (23:00)
+    assert dropped == 1  # the 02:00 straggler, beyond the lagged wm
