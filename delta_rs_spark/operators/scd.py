@@ -52,14 +52,43 @@ def apply_scd2(
     from_col: str = "effective_from",
     to_col: str = "effective_to",
     current_col: str = "is_current",
+    validate_unique_keys: bool = True,
 ) -> dict[str, Any]:
     """Apply one SCD2 update batch to the dimension at ``dim_path``.
 
     ``updates`` carries (key, *attrs) — at most one row per key (the
-    caller resolves intra-batch conflicts; a duplicate key raises via
-    the merge's own duplicate-match validation). Returns the merge
-    metrics dict."""
+    caller resolves intra-batch conflicts). Duplicates are rejected
+    up front with a ValueError (one batch-sized aggregate — this is a
+    mutation op, already eager): the merge's own duplicate-match
+    validation catches duplicates of EXISTING keys (two staged source
+    rows match one current row -> MergeError), but a duplicated
+    brand-new key never matches anything and would silently insert two
+    "current" rows, so the explicit check is load-bearing, not belt
+    and braces. ``validate_unique_keys=False`` skips it when the
+    producer guarantees uniqueness (e.g. output of a groupBy).
+
+    Concurrency: the staged-union MERGE reads the whole dimension (the
+    merge condition is not partition-bounded), so a concurrent writer
+    — even an unrelated blind append — raises ConcurrentAppendError
+    cleanly at commit instead of interleaving half an update; the
+    dimension is untouched and the batch can simply be re-applied.
+
+    Returns the merge metrics dict."""
     from delta_rs_spark import DeltaTable
+
+    if validate_unique_keys:
+        dup = (
+            updates.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"apply_scd2 requires at most one update row per {key!r}; "
+                "the batch contains duplicate keys"
+            )
 
     dt = DeltaTable(dim_path, spark=spark)
     cur = dt.to_df(columns=[key, *attrs, current_col]).filter(

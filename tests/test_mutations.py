@@ -559,3 +559,124 @@ def test_scd2_random_batch_fuzz(spark, tmp_path, seed):
             for seg, f, t, c in rows
         )
         assert got == want, f"batch {batch}: diverged"
+
+
+def test_scd2_intra_batch_duplicate_keys_raise(spark, tmp_path):
+    """r08 (VERDICT r07 #6a): a duplicate key inside one update batch
+    must fail cleanly, for BOTH duplicate classes: an existing key's
+    duplicates trip the merge's own duplicate-match validation
+    (MergeError) when the eager check is bypassed, and a brand-new
+    key's duplicates — which the merge CANNOT catch (they match
+    nothing and would insert two current rows) — trip the eager
+    ValueError. Either way the dimension is untouched."""
+    from delta_rs_spark.operators.scd import apply_scd2
+
+    path = str(tmp_path / "dim_dup")
+    seed = spark.createDataFrame(
+        [(1, "GOLD", 1, None, True)],
+        "k int, seg string, effective_from int, effective_to int, is_current boolean",
+    )
+    write_deltalake(path, seed)
+    before = {tuple(r) for r in DeltaTable(path, spark=spark).to_df().collect()}
+
+    # duplicate EXISTING key, eager check bypassed -> the merge's
+    # duplicate-match validation is the raiser
+    dup_existing = spark.createDataFrame(
+        [(1, "PLATINUM"), (1, "SILVER")], "k int, seg string"
+    )
+    with pytest.raises(MergeError, match="duplicate"):
+        apply_scd2(
+            spark, path, dup_existing, key="k", attrs=["seg"],
+            batch_version=2, validate_unique_keys=False,
+        )
+
+    # duplicate BRAND-NEW key -> only the eager check can catch it
+    dup_new = spark.createDataFrame(
+        [(9, "A"), (9, "B")], "k int, seg string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        apply_scd2(spark, path, dup_new, key="k", attrs=["seg"], batch_version=2)
+    # and the default eager check also covers the existing-key case
+    with pytest.raises(ValueError, match="duplicate keys"):
+        apply_scd2(spark, path, dup_existing, key="k", attrs=["seg"], batch_version=2)
+
+    after = {tuple(r) for r in DeltaTable(path, spark=spark).to_df().collect()}
+    assert after == before  # no partial mutation from any failed apply
+
+
+def test_scd2_racing_unrelated_append_conflicts_cleanly(spark, tmp_path, monkeypatch):
+    """r08 (VERDICT r07 #6b): an SCD2 apply racing an unrelated blind
+    append on the same dimension, pinned at BOTH isolation levels. The
+    staged-union MERGE's early filter bounds its read set, so under
+    the default WriteSerializable the interleaved blind append is
+    ALLOWED (reference conflict_checker semantics) — the merge's
+    commit replay retries transparently and both writes land. Under
+    delta.isolationLevel=Serializable the same race raises
+    ConcurrentAppendError cleanly: the dimension shows only the append
+    (no half-applied close/insert) and a plain re-apply succeeds."""
+    from delta_rs_spark.log import commit as C
+    from delta_rs_spark.log.commit import ConcurrentAppendError
+    from delta_rs_spark.operators.scd import apply_scd2
+
+    seed_rows = [(1, "GOLD", 1, None, True), (2, "SILVER", 1, None, True)]
+    seed_schema = (
+        "k int, seg string, effective_from int, effective_to int, is_current boolean"
+    )
+    late_rows_py = [(100, "NEWCO", 1, None, True)]
+    up = spark.createDataFrame([(1, "PLATINUM")], "k int, seg string")
+    real_commit = C.commit
+
+    def run_race(path):
+        state = {"injected": False}
+
+        def racing_commit(table_path, actions, op, read_version, *args, **kwargs):
+            # deterministic interleave: the unrelated append lands
+            # between the merge's snapshot read and its commit attempt
+            if op.operation == "MERGE" and not state["injected"]:
+                state["injected"] = True
+                write_deltalake(
+                    path,
+                    spark.createDataFrame(late_rows_py, seed_schema),
+                    mode="append",
+                )
+            return real_commit(table_path, actions, op, read_version, *args, **kwargs)
+
+        monkeypatch.setattr(C, "commit", racing_commit)
+        try:
+            apply_scd2(spark, path, up, key="k", attrs=["seg"], batch_version=2)
+        finally:
+            monkeypatch.setattr(C, "commit", real_commit)
+
+    def table_rows(path):
+        return {(r.k, r.seg, r.effective_from, r.effective_to, r.is_current)
+                for r in DeltaTable(path, spark=spark).to_df().collect()}
+
+    applied = {
+        (1, "GOLD", 1, 2, False), (1, "PLATINUM", 2, None, True),
+        (2, "SILVER", 1, None, True),
+        (100, "NEWCO", 1, None, True),
+    }
+
+    # --- default WriteSerializable: blind append allowed, merge retries
+    ws = str(tmp_path / "dim_race_ws")
+    write_deltalake(ws, spark.createDataFrame(seed_rows, seed_schema))
+    run_race(ws)  # must NOT raise
+    assert table_rows(ws) == applied
+
+    # --- Serializable: the same race is a clean conflict
+    sz = str(tmp_path / "dim_race_sz")
+    write_deltalake(
+        sz,
+        spark.createDataFrame(seed_rows, seed_schema),
+        configuration={"delta.isolationLevel": "Serializable"},
+    )
+    with pytest.raises(ConcurrentAppendError):
+        run_race(sz)
+    assert table_rows(sz) == {  # append landed; merge left no trace
+        (1, "GOLD", 1, None, True),
+        (2, "SILVER", 1, None, True),
+        (100, "NEWCO", 1, None, True),
+    }
+    # the loser re-applies cleanly against the post-append snapshot
+    apply_scd2(spark, sz, up, key="k", attrs=["seg"], batch_version=2)
+    assert table_rows(sz) == applied
