@@ -169,9 +169,24 @@ def main() -> None:
     # later judge must hand-audit away. min-of-3 + a recorded spread
     # makes one GC pause or foreign load visible instead of recorded.
     n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3")))
+    # Stream-shaped gates run a full Delta commit sequence / a REAL
+    # structured stream (state store, per-batch commits) per invocation;
+    # their latency is commit-floor bound, not plan quality, and
+    # min-of-N just re-pays that floor N times (VERDICT r07 #7). They
+    # get ONE timed sample (after the same warm-up as everyone else —
+    # file staging is cached per process by the gates themselves) and
+    # are recorded under "n1_queries" so the caveat travels with the
+    # number.
+    n1_queries = {
+        "llm_stream_ingest_replay",
+        "llm_stream_stateful_dedup",
+        "q_events_late_watermark",
+    } & set(qs)
     samples: dict[str, list[float]] = {name: [] for name in qs}
-    for _ in range(n_samples):
+    for i in range(n_samples):
         for name, fn in qs.items():
+            if i > 0 and name in n1_queries:
+                continue
             drop_persistent_rdds()
             t0 = time.time()
             df = fn(spark, SF_DIR)
@@ -187,6 +202,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "samples": samples,
+        "n1_queries": sorted(n1_queries),
         "sf": sf_val,
     }
     if contended:
