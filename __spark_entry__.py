@@ -94,6 +94,7 @@ _FIRST_WITNESS_NEEDED = (
     # new in r08 (q_events_late_watermark, the other r08 gate, sits in
     # the always-witnessed streaming plane and needs no slot here):
     "llm_dense_hybrid_retrieval",  # BM25 + exact-cosine dense RRF hybrid
+    "llm_semantic_contamination_pruned",  # IVF-probed decontamination
 )
 
 

@@ -1230,3 +1230,93 @@ def semantic_contamination(
         F.col("b.cos").alias("max_cos"),
         (F.col("b.cos") >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def semantic_contamination_indexed(
+    spark,
+    index_path: str,
+    bench: DataFrame,
+    threshold: float = 0.92,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-pruned benchmark decontamination over a MATERIALIZED index
+    (build_ivf_index): instead of scoring |corpus| x |bench| pairs,
+    each bench vector probes only its ``n_probe`` nearest inverted
+    lists, so the scan reads just the probed partitions through the
+    Delta log's file skipping — the 100 TB path when the corpus
+    already maintains an ANN index.
+
+    Exactness contract: a contaminated pair (cos >= threshold) is a
+    near-duplicate, and near-duplicates co-assign to nearby centroids
+    with overwhelming margin — so the CONTAMINATED set matches the
+    brute-force scan exactly (driver-gate-verified against the exact
+    SQL oracle at both SFs). Below the threshold the report is only a
+    lower bound: vectors outside every probed list surface with
+    contaminated = false and NULL bench_id/max_cos (never scored), and
+    a scored vector's max is over probed pairs only. Same output
+    schema as ``semantic_contamination``.
+
+    Scale shape: centroid ranking is a |bench| x n_lists broadcast
+    product; the probed-list id set is the ONLY driver state
+    (n_lists-bounded); candidate scoring joins the probed partitions
+    against the broadcast (bench_id, vec) pairs and reduces through
+    the same one-row-per-corpus-vector partial-aggregated max."""
+    import json as _json
+
+    from delta_rs_spark.table import DeltaTable
+
+    t = DeltaTable(index_path, spark=spark)
+    centroids = _json.loads(t.metadata().configuration[_IVF_CENTROIDS_KEY])
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in centroids],
+        "list int, cvec array<double>",
+    )
+    b = bench.select(F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__bv"))
+    from pyspark.sql import Window as W
+
+    ranked = b.crossJoin(F.broadcast(cdf)).select(
+        "bench_id",
+        "__bv",
+        "list",
+        # 4dp grid + id tiebreak: probe SELECTION must be bit-identical
+        # across engines (the oracle replays it), and near-tied
+        # centroids under fp reassociation would otherwise flip lists
+        F.round(cosine(F.col("__bv"), F.col("cvec")), 4).alias("__s"),
+    )
+    # same preference as ivf_assign on ties: higher centroid index wins
+    wp = W.partitionBy("bench_id").orderBy(F.col("__s").desc(), F.col("list").desc())
+    probes = (
+        ranked.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= n_probe)
+        .select("bench_id", "__bv", "list")
+    )
+    probe_lists = sorted(
+        r["list"] for r in probes.select("list").distinct().collect()
+    )  # n_lists-bounded scalar set — the only driver materialization
+    if not probe_lists:
+        cand = t.to_df(columns=["id", "vec", "list"]).limit(0)
+    else:
+        cand = t.to_df(
+            predicate=f"list IN ({', '.join(str(i) for i in probe_lists)})"
+        )
+    scored = cand.join(F.broadcast(probes), "list").select(
+        "id",
+        "bench_id",
+        F.round(cosine(F.col("vec"), F.col("__bv")), 4).alias("cos"),
+    )
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(F.col("cos"), (-F.col("bench_id")).alias("__nb"))
+        ).alias("b")
+    )
+    all_ids = t.to_df(columns=["id"])
+    return all_ids.join(best, "id", "left").select(
+        F.col("id").alias(id_col),
+        (-F.col("b.__nb")).cast("long").alias("bench_id"),
+        F.col("b.cos").alias("max_cos"),
+        F.coalesce(
+            F.col("b.cos") >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
+    )

@@ -3002,6 +3002,73 @@ def llm_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_semantic_contamination_pruned",
+    """
+    WITH bench AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings WHERE vec_id < 8),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i,
+                     embedding::DOUBLE[] AS c
+              FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+    -- probe ranking uses the ROUND-8 centroids stored in the index
+    -- configuration; assignment replay uses the raw ones (same split
+    -- the llm_ivf_topk oracle pins)
+    rcents AS (SELECT i, list_transform(c, x -> round(x, 8)) AS c FROM cents),
+    scored AS (SELECT e.vec_id, c.i,
+                      list_cosine_similarity(e.embedding::DOUBLE[], c.c) AS s
+               FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vec_id, i AS lst FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+        FROM scored) WHERE rn = 1),
+    probe AS (SELECT bench_id, bv, i FROM (
+        SELECT b.bench_id, b.bv, c.i,
+               row_number() OVER (PARTITION BY b.bench_id
+                                  ORDER BY round(list_cosine_similarity(b.bv, c.c), 4)
+                                             DESC,
+                                           c.i DESC) AS rn
+        FROM bench b CROSS JOIN rcents c) WHERE rn <= 4),
+    cand AS (SELECT e.vec_id, p.bench_id,
+                    round(list_cosine_similarity(e.embedding::DOUBLE[], p.bv),
+                          4) AS cos
+             FROM embeddings e
+             JOIN assign a ON e.vec_id = a.vec_id
+             JOIN probe p ON a.lst = p.i),
+    best AS (SELECT vec_id, bench_id, cos FROM (
+        SELECT vec_id, bench_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, bench_id ASC) AS rn
+        FROM cand) WHERE rn = 1)
+    SELECT e.vec_id, b.bench_id, b.cos AS max_cos,
+           coalesce(b.cos >= 0.92, FALSE) AS contaminated
+    FROM embeddings e LEFT JOIN best b ON e.vec_id = b.vec_id
+    """,
+)
+def llm_semantic_contamination_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned benchmark decontamination
+    (similarity.semantic_contamination_indexed): each bench vector
+    probes its 4 nearest inverted lists of the materialized 16-list
+    IVF index (the same Delta table llm_ivf_topk queries — one index
+    serves both workloads), so the scan reads only probed partitions
+    through log file-skipping instead of scoring |corpus| x |bench|.
+    The CONTAMINATED set equals the brute-force scan's (near-dups
+    co-assign; llm_semantic_contamination pins the exact variant on
+    the same data); below threshold the report is a probed-pairs lower
+    bound with NULLs for never-probed vectors. The oracle replays the
+    centroid assignment, the 4dp-snapped probe selection, the pruned
+    scoring, and the per-vector argmax."""
+    from delta_rs_spark.table import DeltaTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 8)
+    idx = _ann_index_path(sf_dir, "ivf_l16")
+    if not DeltaTable.is_deltatable(idx):
+        S.build_ivf_index(emb, idx, n_lists=16)
+    return S.semantic_contamination_indexed(
+        spark, idx, bench, threshold=0.92, n_probe=4
+    )
+
+
+@query(
     "llm_bm25_hard_negatives",
     f"""
     WITH post AS (

@@ -1795,3 +1795,52 @@ def test_dense_topk_two_phase_equals_flat_ranking(spark):
         for qi in got:
             got[qi].sort()
         assert got == ref(k), f"mismatch at k={k}, shards={shards}"
+
+
+def test_semantic_contamination_pruned_matches_exact_above_threshold(spark, tmp_path):
+    """semantic_contamination_indexed (r08): the IVF-probed variant's
+    CONTAMINATED set must equal the brute-force scan's exactly — a
+    contaminated pair is a near-dup and near-dups co-assign. Synthetic
+    corpus: 3 well-separated clusters + planted near-dups of the bench
+    vectors; below threshold the pruned report is a lower bound and is
+    not compared."""
+    import random
+
+    from delta_rs_spark.functions.similarity import (
+        build_ivf_index,
+        semantic_contamination,
+        semantic_contamination_indexed,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(3)]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in c]))
+    # bench = first 4 vectors; plant near-dups of two of them
+    rows.append((90, [x * 1.001 + 1e-4 for x in rows[0][1]]))
+    rows.append((91, [x * 0.999 - 1e-4 for x in rows[1][1]]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bench = emb.filter("vec_id < 4")
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, idx, n_lists=8)
+
+    full = {
+        (r.vec_id, r.bench_id, r.max_cos)
+        for r in semantic_contamination(emb, bench, threshold=0.95)
+        .filter("contaminated").collect()
+    }
+    pruned = {
+        (r.vec_id, r.bench_id, r.max_cos)
+        for r in semantic_contamination_indexed(
+            spark, idx, bench, threshold=0.95, n_probe=3
+        ).filter("contaminated").collect()
+    }
+    assert {v for v, *_ in full} >= {90, 91, 0, 1, 2, 3}  # the plant worked
+    assert pruned == full
+    # and the pruned report still covers every corpus vector (NULL-padded)
+    assert (
+        semantic_contamination_indexed(spark, idx, bench, n_probe=3).count() == 92
+    )
