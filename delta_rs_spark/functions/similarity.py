@@ -1240,6 +1240,7 @@ def semantic_contamination_indexed(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    include_unprobed: bool = True,
 ) -> DataFrame:
     """IVF-pruned benchmark decontamination over a MATERIALIZED index
     (build_ivf_index): instead of scoring |corpus| x |bench| pairs,
@@ -1257,6 +1258,14 @@ def semantic_contamination_indexed(
     contaminated = false and NULL bench_id/max_cos (never scored), and
     a scored vector's max is over probed pairs only. Same output
     schema as ``semantic_contamination``.
+
+    ``include_unprobed=True`` NULL-pads the report with every corpus
+    vector outside the probed lists — schema parity with the exact
+    variant, but it re-introduces a full (id-column) scan of the
+    index, which at real scale costs as much as everything the
+    pruning saved. Pass ``include_unprobed=False`` for the scale
+    path: only probed vectors appear, which is all a decontamination
+    consumer filters on anyway.
 
     Scale shape: centroid ranking is a |bench| x n_lists broadcast
     product; the probed-list id set is the ONLY driver state
@@ -1311,8 +1320,9 @@ def semantic_contamination_indexed(
             F.struct(F.col("cos"), (-F.col("bench_id")).alias("__nb"))
         ).alias("b")
     )
-    all_ids = t.to_df(columns=["id"])
-    return all_ids.join(best, "id", "left").select(
+    if include_unprobed:
+        best = t.to_df(columns=["id"]).join(best, "id", "left")
+    return best.select(
         F.col("id").alias(id_col),
         (-F.col("b.__nb")).cast("long").alias("bench_id"),
         F.col("b.cos").alias("max_cos"),

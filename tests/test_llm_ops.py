@@ -1844,3 +1844,21 @@ def test_semantic_contamination_pruned_matches_exact_above_threshold(spark, tmp_
     assert (
         semantic_contamination_indexed(spark, idx, bench, n_probe=3).count() == 92
     )
+    # include_unprobed=False (the scale path): every row scored, no NULL
+    # padding, and it is exactly the scored subset of the padded report —
+    # so the contaminated set is unchanged
+    np_rows = semantic_contamination_indexed(
+        spark, idx, bench, threshold=0.95, n_probe=3, include_unprobed=False
+    ).collect()
+    assert all(r.max_cos is not None for r in np_rows)
+    assert {
+        (r.vec_id, r.bench_id, r.max_cos) for r in np_rows if r.contaminated
+    } == full
+    padded = semantic_contamination_indexed(
+        spark, idx, bench, threshold=0.95, n_probe=3
+    ).collect()
+    assert {(r.vec_id, r.bench_id, r.max_cos) for r in np_rows} == {
+        (r.vec_id, r.bench_id, r.max_cos)
+        for r in padded
+        if r.max_cos is not None
+    }
