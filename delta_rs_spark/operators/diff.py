@@ -1,0 +1,184 @@
+"""Version-to-version logical table diff (north-star extension).
+
+``table_diff`` answers "what changed between version A and version B of
+this table?" WITHOUT requiring CDF to have been enabled when the writes
+happened (the reference's ``load_cdf`` — crates/core/src/operations/
+load_cdf.rs — needs ``delta.enableChangeDataFeed`` at write time; this
+operator reconstructs the same insert/update/delete classification
+after the fact from any two snapshots).
+
+Scale design — the whole point is what it does NOT read:
+
+1. **Add-action diff first.** A Delta data file is immutable, so a file
+   whose (path, deletion-vector descriptor) appears unchanged in BOTH
+   snapshots contributes byte-identical rows to both sides and cannot
+   produce a logical change. Those files are pruned before any IO; only
+   the churned files (present on one side only, or same path with a
+   different DV) are scanned. After a 0.1%-churn MERGE on a 100 TB
+   table, the diff reads ~0.2% of the table, not 200 TB.
+2. **Join bounded by churn.** The full-outer key join and the
+   per-column null-safe comparison run over churned-file rows only.
+   A row rewritten unchanged (compaction, or a co-located row in a
+   rewritten file) joins equal on every compared column and is dropped
+   — OPTIMIZE between the two versions diffs as empty.
+3. **Validation is O(churn) too.** Key uniqueness is only required —
+   and only checked — within the churned row sets; an always-unique key
+   column satisfies it trivially, and the check never scans untouched
+   files.
+
+Semantics: one output row per changed key —
+``change_type ∈ ('insert', 'delete', 'update')`` (CDF naming), with
+``old_<c>`` / ``new_<c>`` for every compared column (NULL on the absent
+side for insert/delete). Compared columns default to the intersection
+of the two snapshots' non-key columns, so schema evolution between the
+versions is tolerated; a column that exists on only one side is ignored
+by the comparison (pass ``compare_cols`` explicitly to fail instead).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delta_rs_spark.log.commit import DeltaError
+from delta_rs_spark.log.snapshot import load_snapshot
+
+
+def _dv_key(add) -> tuple | None:
+    dv = add.deletion_vector
+    if not dv:
+        return None
+    # uniqueId components: same descriptor <=> same surviving row set
+    return (
+        dv.get("storageType"),
+        dv.get("pathOrInlineDv"),
+        dv.get("offset"),
+        dv.get("sizeInBytes"),
+        dv.get("cardinality"),
+    )
+
+
+def churned_files(snap_old, snap_new) -> tuple[list, list]:
+    """Add actions that can contribute a logical difference: files on
+    one side only, plus same-path files whose DV descriptor changed
+    (a DV-soft delete mutates rows without rewriting the file)."""
+    old_sig = {p: _dv_key(a) for p, a in snap_old.files.items()}
+    new_sig = {p: _dv_key(a) for p, a in snap_new.files.items()}
+    old_churn = [
+        a for p, a in snap_old.files.items()
+        if p not in new_sig or new_sig[p] != old_sig[p]
+    ]
+    new_churn = [
+        a for p, a in snap_new.files.items()
+        if p not in old_sig or old_sig[p] != new_sig[p]
+    ]
+    return old_churn, new_churn
+
+
+def table_diff(
+    table,
+    key_cols: list[str],
+    starting_version: int,
+    ending_version: int | None = None,
+    compare_cols: list[str] | None = None,
+    validate_unique_keys: bool = True,
+) -> DataFrame:
+    """Logical diff of ``table`` between two committed versions.
+
+    ``table`` is a DeltaTable handle (its Spark session is used);
+    ``ending_version`` defaults to the handle's current version.
+    Returns ``key_cols + [change_type] + [old_/new_<c> ...]``.
+    """
+    from delta_rs_spark.table import read_snapshot_df
+
+    spark = table.spark
+    uri = table.table_uri
+    if ending_version is None:
+        ending_version = table.version()
+    if starting_version > ending_version:
+        raise ValueError(
+            f"starting_version {starting_version} > ending_version {ending_version}"
+        )
+    snap_old = load_snapshot(uri, starting_version)
+    snap_new = load_snapshot(uri, ending_version)
+
+    def cols_of(snap) -> list[str]:
+        return [f["name"] for f in json.loads(snap.schema_string)["fields"]]
+
+    old_cols, new_cols = cols_of(snap_old), cols_of(snap_new)
+    for k in key_cols:
+        if k not in old_cols or k not in new_cols:
+            raise DeltaError(f"key column {k!r} must exist in both versions")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old_cols if c in set(new_cols) and c not in set(key_cols)
+        ]
+    else:
+        missing = [
+            c for c in compare_cols if c not in old_cols or c not in new_cols
+        ]
+        if missing:
+            raise DeltaError(f"compare columns absent in a version: {missing}")
+
+    old_churn, new_churn = churned_files(snap_old, snap_new)
+    sel = key_cols + compare_cols
+    old_df = read_snapshot_df(spark, snap_old, uri, files=old_churn).select(*sel)
+    new_df = read_snapshot_df(spark, snap_new, uri, files=new_churn).select(*sel)
+
+    if validate_unique_keys:
+        # O(churn): scans only churned files; one count-distinct-free agg
+        for side, df in (("old", old_df), ("new", new_df)):
+            dup = (
+                df.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise DeltaError(
+                    f"table_diff requires unique keys within changed files; "
+                    f"duplicate {dict((k, dup[0][k]) for k in key_cols)} on the "
+                    f"{side} side (pass validate_unique_keys=False to skip)"
+                )
+
+    o = old_df.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new_df.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    # rows present on both sides and equal on every compared column are
+    # physical churn (compaction / co-located rewrites), not changes
+    j = j.filter(
+        F.col("__in_old").isNull() | F.col("__in_new").isNull() | ~same
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        change.alias("change_type"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

@@ -586,3 +586,64 @@ def delta_scd2_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTable(path, spark=spark).to_df(
         columns=["k", "seg", "effective_from", "effective_to", "is_current"]
     )
+
+
+@query(
+    "delta_table_diff_op",
+    """
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_orderkey < 5000)
+    SELECT o_orderkey, 'delete' AS change_type,
+           round(o_totalprice, 2) AS old_total,
+           CAST(NULL AS DOUBLE) AS new_total
+    FROM base WHERE o_orderkey % 11 = 3
+    UNION ALL
+    SELECT o_orderkey, 'update' AS change_type,
+           round(o_totalprice, 2) AS old_total,
+           round(o_totalprice + 100, 2) AS new_total
+    FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 != 3
+    UNION ALL
+    SELECT o_orderkey, 'insert' AS change_type,
+           CAST(NULL AS DOUBLE) AS old_total,
+           round(o_totalprice, 2) AS new_total
+    FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 6000
+    """,
+)
+def delta_table_diff_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version logical diff WITHOUT CDF (operators/diff.py):
+    v0 = orders subset, v1 = UPDATE (+100 on keys % 7), v2 = DELETE
+    (keys % 11 = 3), v3 = append of new keys; diff(v0 -> v3) must
+    classify every key as insert/update/delete by its LOGICAL change —
+    rows co-located in rewritten files but untouched must NOT appear,
+    and the deleted-then-never-updated keys report their ORIGINAL
+    price as old_total (the diff is endpoint-to-endpoint, not a replay
+    of intermediate versions). The oracle derives the same
+    classification arithmetically from the source table."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("table_diff", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter("o_orderkey < 5000").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_deltalake(path, base)  # v0
+    dt = DeltaTable(path, spark=spark)
+    dt.update(
+        {"o_totalprice": "o_totalprice + 100"}, predicate="o_orderkey % 7 = 0"
+    )  # v1
+    dt.delete("o_orderkey % 11 = 3")  # v2
+    write_deltalake(
+        path,
+        orders.filter("o_orderkey >= 5000 AND o_orderkey < 6000").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        mode="append",
+    )  # v3
+    dt.update_incremental()
+    d = dt.diff(["o_orderkey"], starting_version=0, compare_cols=["o_totalprice"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        F.round("old_o_totalprice", 2).alias("old_total"),
+        F.round("new_o_totalprice", 2).alias("new_total"),
+    )

@@ -785,6 +785,28 @@ class DeltaTable:
         self._snapshot = load_snapshot(self.table_uri)
         return metrics
 
+    def diff(
+        self,
+        key_cols: list[str],
+        starting_version: int,
+        ending_version: int | None = None,
+        compare_cols: list[str] | None = None,
+        validate_unique_keys: bool = True,
+    ) -> DataFrame:
+        """Logical insert/update/delete diff between two versions,
+        reconstructed from the snapshots themselves (no CDF required;
+        see operators/diff.py for the churned-file pruning contract)."""
+        from delta_rs_spark.operators.diff import table_diff
+
+        return table_diff(
+            self,
+            key_cols,
+            starting_version,
+            ending_version,
+            compare_cols,
+            validate_unique_keys,
+        )
+
     def repair(
         self,
         dry_run: bool = False,
