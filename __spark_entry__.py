@@ -113,6 +113,7 @@ _FIRST_WITNESS_NEEDED = (
     # the always-witnessed streaming plane and needs no slot here):
     "llm_dense_hybrid_retrieval",  # BM25 + exact-cosine dense RRF hybrid
     "llm_semantic_contamination_pruned",  # IVF-probed decontamination
+    "llm_corpus_datacard",  # one-shuffle ROLLUP corpus summary
 )
 
 

@@ -1493,3 +1493,57 @@ def _zipf_closed_form(s: DataFrame) -> DataFrame:
         grid6(intercept).alias("intercept"),
         grid6(r2).alias("r2"),
     )
+
+
+def corpus_datacard(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    short_tokens: int = 16,
+) -> DataFrame:
+    """One-scan corpus summary ("data card") at three grains in a
+    single shuffle: (source, lang), (source), and grand total via
+    ROLLUP — the release-notes table every corpus ships with (docs,
+    tokens, chars, empty/short counts, language spread, mean length).
+
+    Scale shape: the per-doc metric projection is shuffle-free codegen;
+    ROLLUP computes all three grains with ONE map-side-combined
+    aggregation (Expand x3 before the partial agg), so a 100 TB corpus
+    is read once and the shuffle carries |sources| x |langs| partial
+    rows x3 — never documents. Rollup-generated subtotal rows are
+    labeled '<ALL>' via grouping() (a NULL source value stays NULL and
+    cannot collide with a subtotal). mean_tokens_ppm is an exact BIGINT
+    floor division (tokens x 1e6 / docs) so cross-engine hashes match
+    without float traffic.
+    """
+    s = F.col(source_col)
+    lg = F.col(lang_col)
+    per_doc = docs.select(
+        s.alias("__src"),
+        lg.alias("__lang"),
+        token_count(text_col).alias("__tok"),
+        char_count(text_col).alias("__ch"),
+    )
+    agg = per_doc.rollup("__src", "__lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("total_tokens"),
+        F.sum("__ch").alias("total_chars"),
+        F.sum((F.col("__ch") == 0).cast("long")).alias("empty_docs"),
+        F.sum((F.col("__tok") < short_tokens).cast("long")).alias("short_docs"),
+        F.countDistinct("__lang").alias("distinct_langs"),
+        F.expr("(sum(__tok) * 1000000) div count(1)").alias("mean_tokens_ppm"),
+        F.grouping("__src").alias("__gs"),
+        F.grouping("__lang").alias("__gl"),
+    )
+    return agg.select(
+        F.when(F.col("__gs") == 1, F.lit("<ALL>")).otherwise(F.col("__src")).alias("source"),
+        F.when(F.col("__gl") == 1, F.lit("<ALL>")).otherwise(F.col("__lang")).alias("lang"),
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "empty_docs",
+        "short_docs",
+        "distinct_langs",
+        "mean_tokens_ppm",
+    )

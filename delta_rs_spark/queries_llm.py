@@ -3142,3 +3142,30 @@ def llm_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("query_id").alias("doc_id")
     )
     return bm25_hard_negatives(docs, qs, positives, k=10)
+
+
+@query(
+    "llm_corpus_datacard",
+    f"""
+    WITH m AS (SELECT source, lang,
+                      len({_TOKENS_SQL}) AS tok, length(text) AS ch
+               FROM documents)
+    SELECT CASE WHEN GROUPING(source) = 1 THEN '<ALL>' ELSE source END AS source,
+           CASE WHEN GROUPING(lang) = 1 THEN '<ALL>' ELSE lang END AS lang,
+           count(*)::BIGINT AS n_docs,
+           sum(tok)::BIGINT AS total_tokens,
+           sum(ch)::BIGINT AS total_chars,
+           sum(CASE WHEN ch = 0 THEN 1 ELSE 0 END)::BIGINT AS empty_docs,
+           sum(CASE WHEN tok < 16 THEN 1 ELSE 0 END)::BIGINT AS short_docs,
+           count(DISTINCT lang)::BIGINT AS distinct_langs,
+           (sum(tok)::BIGINT * 1000000) // (count(*)::BIGINT) AS mean_tokens_ppm
+    FROM m GROUP BY ROLLUP(source, lang)
+    """,
+)
+def llm_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (text.corpus_datacard): docs / tokens / chars /
+    empty / short / language-spread / mean-length at (source, lang),
+    (source), and grand-total grain — ONE scan, ONE map-side-combined
+    ROLLUP shuffle carrying only |sources| x |langs| x3 partial rows,
+    grouping()-labeled subtotals, BIGINT-exact mean."""
+    return X.corpus_datacard(_docs(spark, sf_dir))

@@ -1862,3 +1862,42 @@ def test_semantic_contamination_pruned_matches_exact_above_threshold(spark, tmp_
         for r in padded
         if r.max_cos is not None
     }
+
+
+def test_corpus_datacard_grains_null_safety_and_plan(spark):
+    """corpus_datacard (r08): three ROLLUP grains in one pass, real
+    NULL source kept distinct from the '<ALL>' subtotal via
+    grouping(), BIGINT-exact mean, and a plan with a single Expand,
+    no Python, and only group-sized shuffles."""
+    from delta_rs_spark.functions.text import corpus_datacard
+
+    rows = [
+        (1, "a b c d", "en", "web"),
+        (2, "", "en", "web"),
+        (3, "x y", "de", "web"),
+        (4, "tok " * 20, "en", "books"),
+        (5, "solo", "fr", None),  # real NULL source
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = corpus_datacard(docs, short_tokens=3)
+    got = {(r.source, r.lang): r for r in out.collect()}
+
+    # grand total
+    t = got[("<ALL>", "<ALL>")]
+    assert (t.n_docs, t.empty_docs, t.distinct_langs) == (5, 1, 3)
+    assert t.total_tokens == 4 + 0 + 2 + 20 + 1
+    assert t.mean_tokens_ppm == (27 * 1_000_000) // 5
+    # per-source subtotal vs NULL-source row: distinct keys
+    assert got[("web", "<ALL>")].n_docs == 3
+    assert (None, "<ALL>") in got and got[(None, "<ALL>")].n_docs == 1
+    assert got[(None, "fr")].n_docs == 1
+    # detail grain short/empty accounting
+    assert got[("web", "en")].short_docs == 1  # the empty doc; 'a b c d' has 4
+    assert got[("web", "en")].empty_docs == 1
+
+    # post-collect the AQE string carries Final + Initial copies; pin the final
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Expand") == 1
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 2  # partial agg + count-distinct re-agg
