@@ -132,3 +132,79 @@ def test_diff_version_order_and_key_presence_validated(spark, tmp_path):
         dt.diff(["k"], 1, 0)
     with pytest.raises(DeltaError, match="key column"):
         dt.diff(["nope"], 0)
+
+
+def _brute_diff(spark, path, v0, v1, key="k", cmp_cols=("part", "val")):
+    """Reference diff: full scans of both versions, python dict compare."""
+    a = DeltaTable(path, spark=spark, version=v0).to_df().collect()
+    b = DeltaTable(path, spark=spark, version=v1).to_df().collect()
+    old = {r[key]: tuple(r[c] for c in cmp_cols) for r in a}
+    new = {r[key]: tuple(r[c] for c in cmp_cols) for r in b}
+    out = set()
+    for k in old.keys() | new.keys():
+        if k not in new:
+            out.add((k, "delete", old[k], None))
+        elif k not in old:
+            out.add((k, "insert", None, new[k]))
+        elif old[k] != new[k]:
+            out.add((k, "update", old[k], new[k]))
+    return out
+
+
+def test_diff_differential_fuzz(spark, tmp_path):
+    """Seeded random DELETE/UPDATE/append/compact sequences; after every
+    commit, table_diff against EVERY prior version must equal a brute
+    full-scan recompute — including multi-hop spans where intermediate
+    churn cancels out (update then delete, rewrite then compact)."""
+    import random
+
+    rng = random.Random(80)
+    path = str(tmp_path / "t")
+    rows = [(i, f"p{i % 4}", i * 7 % 100) for i in range(300)]
+    dt = _mk(spark, path, rows, partition_by=["part"])
+
+    next_id = 1000
+    for step in range(6):
+        op = rng.choice(["delete", "update", "append", "compact"])
+        if op == "delete":
+            dt.delete(f"val % {rng.randint(5, 11)} = {rng.randint(0, 4)}")
+        elif op == "update":
+            dt.update(
+                {"val": f"val + {rng.randint(1, 9)}"},
+                predicate=f"k % {rng.randint(3, 7)} = {rng.randint(0, 2)}",
+            )
+        elif op == "append":
+            n = rng.randint(5, 40)
+            write_deltalake(
+                path,
+                spark.createDataFrame(
+                    [(next_id + i, f"p{i % 4}", i) for i in range(n)],
+                    ["k", "part", "val"],
+                ),
+                mode="append",
+            )
+            next_id += n
+        else:
+            dt.optimize.compact()
+        dt.update_incremental()
+
+    latest = dt.version()
+    assert latest >= 6
+    for v0 in range(latest + 1):
+        for v1 in (latest, min(v0 + 1, latest)):
+            if v0 > v1:
+                continue
+            got = {
+                (
+                    r.k,
+                    r.change_type,
+                    None if r.old_part is None and r.old_val is None
+                    else (r.old_part, r.old_val),
+                    None if r.new_part is None and r.new_val is None
+                    else (r.new_part, r.new_val),
+                )
+                for r in dt.diff(["k"], v0, v1).collect()
+            }
+            assert got == _brute_diff(spark, path, v0, v1), (
+                f"diff({v0} -> {v1}) diverged from full-scan recompute"
+            )
