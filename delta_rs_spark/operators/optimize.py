@@ -286,6 +286,7 @@ class TableOptimizer:
         writer_properties=None,
         commit_properties=None,
         post_commithook_properties=None,
+        curve: str = "morton",
     ) -> dict[str, Any]:
         from delta_rs_spark.table import _dnf_to_sql, read_snapshot_df
         from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
@@ -293,6 +294,8 @@ class TableOptimizer:
 
         if not columns:
             raise DeltaError("z_order requires at least one column")
+        if curve not in ("morton", "hilbert"):
+            raise DeltaError(f"unknown space-filling curve {curve!r}")
         spark = self.dt.spark
         table_path = self.dt.table_uri
         snapshot = snap_mod.load_snapshot(table_path)
@@ -352,17 +355,19 @@ class TableOptimizer:
         n = len(columns)
 
         @F.pandas_udf(T.LongType())
-        def morton(*cols: pd.Series) -> pd.Series:
+        def zkey(*cols: pd.Series) -> pd.Series:
             import numpy as np
 
             arrs = [c.fillna(0).to_numpy(dtype="int64") for c in cols]
+            if curve == "hilbert":
+                return pd.Series(hilbert_index(arrs, bits))
             out = np.zeros_like(arrs[0])
             for b in range(bits):
                 for i, a in enumerate(arrs):
                     out |= ((a >> b) & 1) << (b * n + i)
             return pd.Series(out)
 
-        keyed = df.withColumn("__zkey", morton(*bucket_cols))
+        keyed = df.withColumn("__zkey", zkey(*bucket_cols))
         total_bytes = sum(a.size for a in adds)
         target = target_size or int(
             snapshot.configuration.get("delta.targetFileSize", DEFAULT_TARGET_SIZE)
@@ -392,13 +397,70 @@ class TableOptimizer:
         metrics = {"numFilesAdded": len(new_adds), "numFilesRemoved": len(removes)}
         op = CommitInfo(
             "OPTIMIZE",
-            {"zOrderBy": columns, **({"predicate": pred} if pred else {})},
+            {
+                "zOrderBy": columns,
+                **({"curve": curve} if curve != "morton" else {}),
+                **({"predicate": pred} if pred else {}),
+            },
             operation_metrics=metrics,
         )
         txn = TransactionInfo(blind_append=False, read_files={r.path for r in removes})
         commit_mod.commit(table_path, list(new_adds) + removes, op, snapshot.version, txn)
         self.dt.refresh()
         return metrics
+
+
+def hilbert_index(arrs: list, bits: int):
+    """Vectorized n-dimensional Hilbert index (Skilling's transform,
+    "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 — public
+    domain): coordinates on a 2^bits grid -> position along the Hilbert
+    curve. Unlike Morton's bit interleave, consecutive curve positions
+    are always grid neighbors, so equal-size file cuts get tighter
+    per-dimension min/max boxes — better stats pruning on box
+    predicates at the same write cost (the sort is the expense, and it
+    is identical).
+
+    arrs: list of int64 numpy arrays (one per dimension), values in
+    [0, 2^bits). Returns an int64 array; requires n*bits <= 63.
+    """
+    import numpy as np
+
+    n = len(arrs)
+    if n * bits > 63:
+        raise DeltaError(f"hilbert key would overflow int64: {n} dims x {bits} bits")
+    x = [a.astype(np.int64).copy() for a in arrs]
+    if n == 1:
+        return x[0]
+    m = np.int64(1) << (bits - 1)
+    # inverse undo excess work (transpose -> Hilbert transpose)
+    q = m
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            on = (x[i] & q) != 0
+            # invert low bits of x[0] where this axis bit is set,
+            # else exchange low bits of x[i] and x[0]
+            x[0] = np.where(on, x[0] ^ p, x[0])
+            t = np.where(on, 0, (x[0] ^ x[i]) & p)
+            x[0] ^= t
+            x[i] ^= t
+        q >>= 1
+    # Gray encode
+    for i in range(1, n):
+        x[i] ^= x[i - 1]
+    t = np.zeros_like(x[0])
+    q = m
+    while q > 1:
+        t = np.where((x[n - 1] & q) != 0, t ^ (q - 1), t)
+        q >>= 1
+    for i in range(n):
+        x[i] ^= t
+    # interleave the transposed coords MSB-first, x[0] most significant
+    out = np.zeros_like(x[0])
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            out = (out << 1) | ((x[i] >> b) & 1)
+    return out
 
 
 def _column_bounds(adds: list, col: str) -> tuple[float | None, float | None]:

@@ -267,3 +267,46 @@ def test_zorder_on_partitioned_table_preserves_clustering(spark, tmp_path):
             spans.append(int(hi) - int(lo))
     assert spans and sum(spans) / len(spans) < 10_000 * 0.6, spans
     assert t.count() == 20_000
+
+
+def test_hilbert_index_is_a_true_hilbert_curve():
+    """hilbert_index (r08): bijective over the full grid and every
+    consecutive curve step moves exactly 1 in exactly one dimension —
+    the locality property Morton interleave does NOT have (Morton takes
+    long diagonal jumps at bit boundaries)."""
+    import numpy as np
+
+    from delta_rs_spark.operators.optimize import hilbert_index
+
+    for n, bits in ((2, 4), (3, 3)):
+        side = 1 << bits
+        grids = np.meshgrid(*[np.arange(side)] * n, indexing="ij")
+        arrs = [g.ravel().astype(np.int64) for g in grids]
+        idx = hilbert_index(arrs, bits)
+        assert sorted(idx.tolist()) == list(range(side**n))
+        order = np.argsort(idx)
+        coords = np.stack(arrs, axis=1)[order]
+        steps = np.abs(np.diff(coords, axis=0)).sum(axis=1)
+        assert (steps == 1).all()
+    # 1-D degenerates to identity; overflow guarded
+    assert hilbert_index([np.arange(8, dtype=np.int64)], 3).tolist() == list(range(8))
+    with pytest.raises(DeltaError, match="overflow"):
+        hilbert_index([np.zeros(1, dtype=np.int64)] * 8, 8)
+
+
+def test_optimize_zorder_hilbert(spark, tmp_table, lineitem):
+    write_deltalake(tmp_table, lineitem.repartition(4))
+    t = DeltaTable(tmp_table)
+    n = t.count()
+    m = t.optimize.z_order(["l_orderkey", "l_partkey"], curve="hilbert")
+    assert m["numFilesAdded"] >= 1
+    assert t.count() == n  # clustering never changes data
+    assert t.history(1)[0]["operationParameters"]["curve"] == "hilbert"
+    from delta_rs_spark.plans.skipping import prune_files
+
+    adds = list(t._snapshot.files.values())
+    if len(adds) > 1:
+        kept = prune_files(adds, "l_orderkey < 100", [])
+        assert len(kept) < len(adds)
+    with pytest.raises(DeltaError, match="curve"):
+        t.optimize.z_order(["l_orderkey"], curve="peano")
