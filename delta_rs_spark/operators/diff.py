@@ -21,10 +21,14 @@ Scale design — the whole point is what it does NOT read:
    A row rewritten unchanged (compaction, or a co-located row in a
    rewritten file) joins equal on every compared column and is dropped
    — OPTIMIZE between the two versions diffs as empty.
-3. **Validation is O(churn) too.** Key uniqueness is only required —
-   and only checked — within the churned row sets; an always-unique key
-   column satisfies it trivially, and the check never scans untouched
-   files.
+3. **Validation is O(churn), lazy, and shuffle-free.** Key uniqueness
+   is only required — and only checked — within the churned row sets.
+   Each side is key-grouped (the same partitioning the join consumes,
+   so the aggregation adds no extra Exchange) and an in-plan
+   ``raise_error`` guard fires on a duplicate during execution — no
+   eager driver job at call time, and the check never scans untouched
+   files. ``validate_unique_keys=False`` downgrades duplicates to
+   "keep one arbitrary row per key" instead of raising.
 
 Semantics: one output row per changed key —
 ``change_type ∈ ('insert', 'delete', 'update')`` (CDF naming), with
@@ -127,36 +131,58 @@ def table_diff(
     old_df = read_snapshot_df(spark, snap_old, uri, files=old_churn).select(*sel)
     new_df = read_snapshot_df(spark, snap_new, uri, files=new_churn).select(*sel)
 
-    if validate_unique_keys:
-        # O(churn): scans only churned files; one count-distinct-free agg
-        for side, df in (("old", old_df), ("new", new_df)):
-            dup = (
-                df.groupBy(*key_cols)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise DeltaError(
-                    f"table_diff requires unique keys within changed files; "
-                    f"duplicate {dict((k, dup[0][k]) for k in key_cols)} on the "
-                    f"{side} side (pass validate_unique_keys=False to skip)"
+    def side_frame(df: DataFrame, side: str, kp: str, vp: str, flag: str) -> DataFrame:
+        """Key-grouped side of the join. Validation is IN the plan, not
+        an eager driver probe: grouping by the key makes duplicates a
+        count, and the raise_error guard fires lazily inside the same
+        aggregation the join reuses the partitioning of — a lazy,
+        O(churn) check with no extra shuffle and no job at call time."""
+        aggs = [F.first(c).alias(f"{vp}{c}") for c in compare_cols]
+        g = df.groupBy(
+            *[F.col(k).alias(f"{kp}{k}") for k in key_cols]
+        ).agg(*aggs, F.count(F.lit(1)).alias("__cnt"))
+        if validate_unique_keys:
+            guard = F.when(F.col("__cnt") == 1, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "table_diff requires unique keys within changed "
+                            f"files; duplicate key on the {side} side: "
+                        ),
+                        *[
+                            F.concat(
+                                F.lit(f"{k}="),
+                                F.col(f"{kp}{k}").cast("string"),
+                                F.lit(" "),
+                            )
+                            for k in key_cols
+                        ],
+                        F.lit("(pass validate_unique_keys=False to keep one "
+                              "arbitrary row per key)"),
+                    )
                 )
+            )
+        else:
+            guard = F.lit(True)
+        return g.select(
+            *[f"{kp}{k}" for k in key_cols],
+            *[f"{vp}{c}" for c in compare_cols],
+            guard.alias(flag),
+        )
 
-    o = old_df.select(
-        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
-        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
-        F.lit(True).alias("__in_old"),
-    )
-    n = new_df.select(
-        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
-        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
-        F.lit(True).alias("__in_new"),
-    )
+    o = side_frame(old_df, "old", "__ok_", "old_", "__in_old")
+    n = side_frame(new_df, "new", "__nk_", "new_", "__in_new")
+    # plain equality, NOT eqNullSafe: <=> repartitions both sides on
+    # (coalesce(k), isnull(k)) and throws away the groupBy partitioning
+    # (4 Exchanges instead of 2 — verified on the physical plan). Under
+    # plain equality the join reuses each side's aggregation shuffle.
+    # NULL-keyed rows therefore never match (null != null): they
+    # surface as delete+insert pairs rather than updates, and multiple
+    # NULL-keyed rows per side are caught by the uniqueness guard
+    # (groupBy collapses them into one counted group).
     cond = None
     for k in key_cols:
-        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
         cond = eq if cond is None else cond & eq
     j = o.join(n, cond, "full_outer")
 

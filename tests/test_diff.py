@@ -102,9 +102,12 @@ def test_diff_duplicate_keys_raise_and_can_be_skipped(spark, tmp_path):
     dt = _mk(spark, path, [(1, "a", 1), (1, "a", 2), (2, "a", 3)], one_file=True)
     dt.delete("val = 3")
     dt.update_incremental()
-    with pytest.raises(DeltaError, match="unique keys"):
-        dt.diff(["k"], 0).collect()
-    # opting out still works for callers with their own guarantees
+    # the guard is IN the plan (no eager driver job at diff() time) and
+    # fires lazily on execution
+    d = dt.diff(["k"], 0)
+    with pytest.raises(Exception, match="unique keys"):
+        d.collect()
+    # opting out downgrades to keep-one-arbitrary-row-per-key
     rows = dt.diff(["k"], 0, validate_unique_keys=False).collect()
     assert {r.change_type for r in rows} <= {"delete", "update"}
 
@@ -208,3 +211,21 @@ def test_diff_differential_fuzz(spark, tmp_path):
             assert got == _brute_diff(spark, path, v0, v1), (
                 f"diff({v0} -> {v1}) diverged from full-scan recompute"
             )
+
+
+def test_diff_plan_reuses_aggregation_shuffle(spark, tmp_path):
+    """The uniqueness guard lives in a key-grouped aggregation whose
+    partitioning the full-outer join must REUSE: exactly one Exchange
+    per side, none added for the join (eqNullSafe would repartition on
+    (coalesce, isnull) and double the shuffles), and no eager job runs
+    at diff() call time."""
+    path = str(tmp_path / "t")
+    dt = _mk(spark, path, [(i, "a", i) for i in range(200)])
+    dt.update({"val": "val + 1"}, predicate="k < 20")
+    dt.update_incremental()
+    d = dt.diff(["k"], 0)  # must not launch a job
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 2
+    assert "Python" not in plan
+    assert d.count() == 20
