@@ -1268,10 +1268,11 @@ def semantic_contamination_indexed(
     consumer filters on anyway.
 
     Scale shape: centroid ranking is a |bench| x n_lists broadcast
-    product; the probed-list id set is the ONLY driver state
-    (n_lists-bounded); candidate scoring joins the probed partitions
-    against the broadcast (bench_id, vec) pairs and reduces through
-    the same one-row-per-corpus-vector partial-aggregated max."""
+    product, computed ONCE and materialized to the driver as the probe
+    frame (|bench| x n_probe rows — eval-set-sized, the only driver
+    state); candidate scoring joins the probed partitions against the
+    re-broadcast (bench_id, vec) pairs and reduces through the same
+    one-row-per-corpus-vector partial-aggregated max."""
     import json as _json
 
     from delta_rs_spark.table import DeltaTable
@@ -1301,16 +1302,20 @@ def semantic_contamination_indexed(
         .filter(F.col("__r") <= n_probe)
         .select("bench_id", "__bv", "list")
     )
-    probe_lists = sorted(
-        r["list"] for r in probes.select("list").distinct().collect()
-    )  # n_lists-bounded scalar set — the only driver materialization
+    # collect the probe frame ONCE — |bench| x n_probe rows, the only
+    # driver materialization — and rebuild it as a local broadcast
+    # frame; leaving `probes` lazy would re-run the whole bench-scan +
+    # centroid-ranking subplan a second time inside the returned plan
+    probe_rows = probes.collect()
+    probe_lists = sorted({r["list"] for r in probe_rows})
     if not probe_lists:
         cand = t.to_df(columns=["id", "vec", "list"]).limit(0)
     else:
         cand = t.to_df(
             predicate=f"list IN ({', '.join(str(i) for i in probe_lists)})"
         )
-    scored = cand.join(F.broadcast(probes), "list").select(
+    probes_local = spark.createDataFrame(probe_rows, probes.schema)
+    scored = cand.join(F.broadcast(probes_local), "list").select(
         "id",
         "bench_id",
         F.round(cosine(F.col("vec"), F.col("__bv")), 4).alias("cos"),

@@ -1532,7 +1532,15 @@ def corpus_datacard(
         F.sum((F.col("__ch") == 0).cast("long")).alias("empty_docs"),
         F.sum((F.col("__tok") < short_tokens).cast("long")).alias("short_docs"),
         F.countDistinct("__lang").alias("distinct_langs"),
-        F.expr("(sum(__tok) * 1000000) div count(1)").alias("mean_tokens_ppm"),
+        # quotient/remainder split: sum(__tok) * 1e6 directly would wrap
+        # int64 at ~9.2e12 total tokens (a 100 TB corpus is ~2.5e13) —
+        # the zipf_fit silent-wrap-vs-oracle-error class; this form is
+        # exact for non-negative sums and stays in range until the SUM
+        # itself overflows
+        F.expr(
+            "(sum(__tok) div count(1)) * 1000000"
+            " + ((sum(__tok) % count(1)) * 1000000) div count(1)"
+        ).alias("mean_tokens_ppm"),
         F.grouping("__src").alias("__gs"),
         F.grouping("__lang").alias("__gl"),
     )

@@ -296,6 +296,15 @@ class TableOptimizer:
             raise DeltaError("z_order requires at least one column")
         if curve not in ("morton", "hilbert"):
             raise DeltaError(f"unknown space-filling curve {curve!r}")
+        # eager, driver-side: 8 bits per dimension must interleave into
+        # int64 without touching the sign bit — Morton would otherwise
+        # silently invert sort order for half the keyspace, Hilbert
+        # would fail mid-job inside the executor UDF
+        if len(columns) * 8 > 63:
+            raise DeltaError(
+                f"z_order supports at most 7 columns (8 bits each in an "
+                f"int64 key); got {len(columns)}"
+            )
         spark = self.dt.spark
         table_path = self.dt.table_uri
         snapshot = snap_mod.load_snapshot(table_path)

@@ -68,10 +68,16 @@ def apply_scd2(
     producer guarantees uniqueness (e.g. output of a groupBy).
 
     Concurrency: the staged-union MERGE reads the whole dimension (the
-    merge condition is not partition-bounded), so a concurrent writer
-    — even an unrelated blind append — raises ConcurrentAppendError
-    cleanly at commit instead of interleaving half an update; the
-    dimension is untouched and the batch can simply be re-applied.
+    merge condition is not partition-bounded). Under the DEFAULT
+    WriteSerializable isolation a concurrent unrelated blind append is
+    permitted — the merge detects the conflict, retries against the
+    new snapshot, and both writes land (no lost update, pinned by
+    tests/test_mutations.py::test_scd2_racing_unrelated_append_conflicts_cleanly).
+    Callers that need appends serialized against dimension maintenance
+    (an append racing the merge could add a key the merge just closed)
+    must set ``delta.isolationLevel=Serializable`` on the table, under
+    which the race raises ConcurrentAppendError cleanly with the
+    dimension untouched and the batch re-appliable.
 
     Returns the merge metrics dict."""
     from delta_rs_spark import DeltaTable

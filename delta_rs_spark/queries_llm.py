@@ -3158,7 +3158,9 @@ def llm_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN ch = 0 THEN 1 ELSE 0 END)::BIGINT AS empty_docs,
            sum(CASE WHEN tok < 16 THEN 1 ELSE 0 END)::BIGINT AS short_docs,
            count(DISTINCT lang)::BIGINT AS distinct_langs,
-           (sum(tok)::BIGINT * 1000000) // (count(*)::BIGINT) AS mean_tokens_ppm
+           (sum(tok)::BIGINT // count(*)::BIGINT) * 1000000
+             + ((sum(tok)::BIGINT % count(*)::BIGINT) * 1000000)
+               // count(*)::BIGINT AS mean_tokens_ppm
     FROM m GROUP BY ROLLUP(source, lang)
     """,
 )

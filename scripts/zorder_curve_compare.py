@@ -51,7 +51,7 @@ def pruned_counts(dt, preds):
     snap = dt._snapshot
     types = col_types_from_schema_json(json.loads(snap.schema_string))
     adds = list(snap.files.values())
-    return [len(prune_files(adds, p, snap.partition_columns, types, None)) for p in adds and preds]
+    return [len(prune_files(adds, p, snap.partition_columns, types, None)) for p in preds]
 
 
 def main() -> None:
@@ -64,11 +64,9 @@ def main() -> None:
     li = load_table(spark, SF_DIR, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
-    row = li.agg(
-        {"l_orderkey": "min"}
-    ).collect()  # bounds for the predicate grid
     import pyspark.sql.functions as F
 
+    # bounds for the predicate grid
     b = li.agg(
         F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
     ).collect()[0]

@@ -1901,3 +1901,16 @@ def test_corpus_datacard_grains_null_safety_and_plan(spark):
     assert plan.count("Expand") == 1
     assert "Python" not in plan
     assert plan.count("Exchange") <= 2  # partial agg + count-distinct re-agg
+
+    # mean_tokens_ppm quotient/remainder form: exact where the naive
+    # sum*1e6 wraps int64 (~9.2e12 total tokens — the zipf_fit class)
+    big = spark.createDataFrame(
+        [(5_000_000_000_000,), (4_999_999_999_999,)], "t long"
+    )
+    got = big.agg(
+        F.expr(
+            "(sum(t) div count(1)) * 1000000"
+            " + ((sum(t) % count(1)) * 1000000) div count(1)"
+        )
+    ).first()[0]
+    assert got == (9_999_999_999_999 * 1_000_000) // 2  # > int64 naive

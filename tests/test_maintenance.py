@@ -310,3 +310,8 @@ def test_optimize_zorder_hilbert(spark, tmp_table, lineitem):
         assert len(kept) < len(adds)
     with pytest.raises(DeltaError, match="curve"):
         t.optimize.z_order(["l_orderkey"], curve="peano")
+    # >7 dims would spill interleaved bits into the int64 sign bit
+    # (silent sort inversion on morton, executor-side crash on hilbert)
+    # — rejected eagerly, before any job launches, for both curves
+    with pytest.raises(DeltaError, match="at most 7"):
+        t.optimize.z_order([f"c{i}" for i in range(8)])
