@@ -114,6 +114,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_dense_hybrid_retrieval",  # BM25 + exact-cosine dense RRF hybrid
     "llm_semantic_contamination_pruned",  # IVF-probed decontamination
     "llm_corpus_datacard",  # one-shuffle ROLLUP corpus summary
+    "llm_frequent_ngrams",  # per-source boilerplate heavy-hitters
 )
 
 

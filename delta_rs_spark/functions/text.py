@@ -1555,3 +1555,55 @@ def corpus_datacard(
         "distinct_langs",
         "mean_tokens_ppm",
     )
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Per-source top-k most frequent word n-grams — the boilerplate
+    DISCOVERY screen (span dedup strips known repeated spans; this
+    surfaces what the repeated spans ARE, per source: headers, cookie
+    banners, license blurbs, template text).
+
+    Scale shape: grams come straight off the token array (no positional
+    self-join); ONE (source, gram) count aggregation with map-side
+    combine is the only corpus-sized shuffle. The top-k rank is
+    TWO-PHASE: a shard-local window over (source, xxhash64(gram) %
+    n_shards) — each task sees at most 1/n_shards of a source's gram
+    table — then a final window over the <= n_shards x k survivors per
+    source. A hot source therefore never serializes its full gram
+    vocabulary through one task (the r07 duplicate_spans lesson applied
+    to ranking). Ties break (count DESC, gram ASC), deterministic
+    across engines.
+    """
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.col(source_col).alias("source"), F.explode(grams).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    shard = F.pmod(F.xxhash64("gram"), F.lit(n_shards))
+    w1 = W.partitionBy("source", shard).orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    survivors = counts.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= k
+    )
+    w2 = W.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "gram", "cnt")
+    )

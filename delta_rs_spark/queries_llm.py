@@ -3171,3 +3171,35 @@ def llm_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROLLUP shuffle carrying only |sources| x |langs| x3 partial rows,
     grouping()-labeled subtotals, BIGINT-exact mean."""
     return X.corpus_datacard(_docs(spark, sf_dir))
+
+
+@query(
+    "llm_frequent_ngrams",
+    f"""
+    WITH tk AS (SELECT source, {_NE_TOKENS_SQL} AS a FROM documents),
+    g AS (SELECT source,
+                 unnest(CASE WHEN len(a) < 2 THEN []::VARCHAR[]
+                        ELSE list_transform(range(1, len(a)),
+                                            i -> array_to_string(a[i:i+1], ' '))
+                        END) AS gram
+          FROM tk),
+    c AS (SELECT source, gram, count(*)::BIGINT AS cnt
+          FROM g GROUP BY source, gram),
+    r AS (SELECT source, gram, cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, gram ASC) AS rank
+          FROM c)
+    SELECT source, rank::BIGINT AS rank, gram, cnt FROM r WHERE rank <= 5
+    """,
+)
+def llm_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 bigrams (text.frequent_ngrams): boilerplate
+    discovery — one map-side-combined (source, gram) count shuffle,
+    then a sharded two-phase rank so a hot source's gram table never
+    runs through a single window task. Oracle replays counts + rank in
+    SQL (the oracle may rank globally; the engine's shard phase is an
+    exact refinement, not an approximation)."""
+    docs = _docs(spark, sf_dir)
+    return X.frequent_ngrams(docs, n=2, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )

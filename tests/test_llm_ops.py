@@ -1914,3 +1914,43 @@ def test_corpus_datacard_grains_null_safety_and_plan(spark):
         )
     ).first()[0]
     assert got == (9_999_999_999_999 * 1_000_000) // 2  # > int64 naive
+
+
+def test_frequent_ngrams_planted_boilerplate_and_shard_invariance(spark):
+    """frequent_ngrams (r08): a planted repeated phrase dominates its
+    source's top bigrams; ties break (count DESC, gram ASC); and the
+    sharded two-phase rank is EXACT — n_shards must not change the
+    result (shard-local top-k keeps every global-top-k candidate
+    because per-gram counts are already global when ranking starts)."""
+    from delta_rs_spark.functions.text import frequent_ngrams
+
+    rows = (
+        [(i, "web", "accept all cookies to continue reading") for i in range(9)]
+        + [(100 + i, "web", f"unique text number {i} here") for i in range(4)]
+        + [(200, "books", "once upon a time")]
+        + [(201, "books", "once upon a midnight")]
+        + [(202, "empty", "solo")]  # 1 token -> no bigrams for this source
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = frequent_ngrams(docs, n=2, k=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append((r.rank, r.gram, r.cnt))
+    for v in by_src.values():
+        v.sort()
+    # the planted banner's bigrams own the web top-3, count 9 each,
+    # alphabetical among equals
+    assert by_src["web"] == [
+        (1, "accept all", 9),
+        (2, "all cookies", 9),
+        (3, "continue reading", 9),  # 'contin...' < 'cookies' ('n' < 'o')
+    ]
+    # ties across the two book lines: 'once upon'/'upon a' count 2 lead,
+    # then gram-ASC among the count-1 grams
+    assert by_src["books"][0] == (1, "once upon", 2)
+    assert by_src["books"][1] == (2, "upon a", 2)
+    assert by_src["books"][2][2] == 1 and by_src["books"][2][1] == "a midnight"
+    assert "empty" not in by_src  # no bigrams, no rows
+    # shard invariance: 1 shard (single global window) == 16 shards
+    one = sorted(map(tuple, frequent_ngrams(docs, n=2, k=3, n_shards=1).collect()))
+    assert one == sorted(map(tuple, out))
