@@ -100,9 +100,10 @@ _RELATIONAL_REPRESENTATIVES = (
 # take window positions immediately after the category representatives.
 # (r08 prefix: 20 delta ops + 4 pinned streaming + 6 representatives +
 # this block — the batch events queries rotate in the tail since r08,
-# so ~15 rotation slots go to the longest-unseen tail entries each
-# round; the max re-witness period is pinned mechanically in
-# tests/test_gate_window.py::test_max_staleness_is_bounded.)
+# so the ~14-16 rotation slots left under the 48-position pin go to
+# the longest-unseen tail entries each round; the exact free-slot
+# count and max re-witness period are pinned mechanically in
+# tests/test_gate_window.py::test_max_staleness_is_bounded, not here.)
 #
 # Process (per VERDICT r06 #7): new-operator intake is capped at ~14
 # per round so the mandatory prefix — delta_* + streaming + category
