@@ -110,12 +110,18 @@ _RELATIONAL_REPRESENTATIVES = (
 # representatives + this block — stays inside the driver's observed
 # 50-51 window without trimming or deferral.
 _FIRST_WITNESS_NEEDED = (
-    # new in r08 (q_events_late_watermark, the other r08 gate, sits in
-    # the always-witnessed streaming plane and needs no slot here):
-    "llm_dense_hybrid_retrieval",  # BM25 + exact-cosine dense RRF hybrid
-    "llm_semantic_contamination_pruned",  # IVF-probed decontamination
-    "llm_corpus_datacard",  # one-shuffle ROLLUP corpus summary
-    "llm_frequent_ngrams",  # per-source boilerplate heavy-hitters
+    # r08 intake (llm_dense_hybrid_retrieval, llm_semantic_contamination_
+    # pruned, llm_corpus_datacard, llm_frequent_ngrams) graduated at r09
+    # open — all four have green r08 rows; the rotation re-witnesses them.
+    #
+    # CONTRACT-CHANGED PINS (r08 ADVICE #3: any query whose engine or
+    # oracle contract changed in a round must be in that round's window
+    # so the change ships with a committed driver row, not just a local
+    # mirror): r09 changed value_percentiles' NULL-group semantics
+    # (null-safe stats join) and the datacard oracle's token SQL
+    # (empty-filtered _NE_TOKENS_SQL). Graduate next round.
+    "q_events_value_percentiles",
+    "llm_corpus_datacard",
 )
 
 

@@ -217,7 +217,12 @@ def value_percentiles(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     if max_distinct_cents is not None:
-        stats = g.groupBy(by).agg(
+        # NULL group keys are in-contract (SQL GROUP BY keeps them), so
+        # the stats join must be null-safe. eqNullSafe over a window:
+        # AQE can skew-split a hot-key join but never a hot-key window,
+        # and the pre-coarsened distinct-cent domain is exactly the
+        # unbounded quantity this guard exists to tame.
+        stats = g.groupBy(F.col(by).alias("__k")).agg(
             F.count(F.lit(1)).alias("__nd"),
             F.min("c").alias("__lo"),
             F.max("c").alias("__hi"),
@@ -226,7 +231,8 @@ def value_percentiles(
         # bin floor. All-integer so both engines agree bit-for-bit.
         over = F.col("__nd") > F.lit(max_distinct_cents)
         g = (
-            g.join(stats, by)
+            g.join(stats, F.col(by).eqNullSafe(F.col("__k")))
+            .drop("__k")
             .withColumn(
                 "__w",
                 F.expr(

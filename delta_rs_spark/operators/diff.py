@@ -20,7 +20,9 @@ Scale design — the whole point is what it does NOT read:
    per-column null-safe comparison run over churned-file rows only.
    A row rewritten unchanged (compaction, or a co-located row in a
    rewritten file) joins equal on every compared column and is dropped
-   — OPTIMIZE between the two versions diffs as empty.
+   — OPTIMIZE between the two versions diffs as empty. Keys join via a
+   single STRUCT column (field-wise null-safe equality), so this holds
+   for NULL-keyed rows too, without eqNullSafe's extra repartition.
 3. **Validation is O(churn), lazy, and shuffle-free.** Key uniqueness
    is only required — and only checked — within the churned row sets.
    Each side is key-grouped (the same partitioning the join consumes,
@@ -88,12 +90,21 @@ def table_diff(
     ending_version: int | None = None,
     compare_cols: list[str] | None = None,
     validate_unique_keys: bool = True,
+    partition_filter: str | None = None,
 ) -> DataFrame:
     """Logical diff of ``table`` between two committed versions.
 
     ``table`` is a DeltaTable handle (its Spark session is used);
     ``ending_version`` defaults to the handle's current version.
     Returns ``key_cols + [change_type] + [old_/new_<c> ...]``.
+
+    ``partition_filter`` scopes the diff to matching partitions of an
+    exact partition-only predicate (e.g. ``"ds = '2026-08-01'"``): the
+    churned-file sets are intersected with the predicate BEFORE any IO,
+    so diffing one partition of a high-churn 100 TB table reads only
+    that partition's churn — never all churn. Non-partition or inexact
+    predicates are rejected (a stats-pruned file may still hold
+    non-matching rows, which would silently widen the result).
     """
     from delta_rs_spark.table import read_snapshot_df
 
@@ -127,11 +138,36 @@ def table_diff(
             raise DeltaError(f"compare columns absent in a version: {missing}")
 
     old_churn, new_churn = churned_files(snap_old, snap_new)
+    if partition_filter:
+        from delta_rs_spark.plans.column_mapping import snapshot_physical_of
+        from delta_rs_spark.plans.skipping import (
+            col_types_from_schema_json,
+            partition_only_predicate,
+            prune_files,
+        )
+
+        def scope(snap, churn):
+            part_cols = snap.partition_columns
+            col_types = col_types_from_schema_json(json.loads(snap.schema_string))
+            if not partition_only_predicate(partition_filter, part_cols, col_types):
+                raise DeltaError(
+                    f"partition_filter {partition_filter!r} must be an exact "
+                    f"partition-only predicate over {part_cols} in both "
+                    "versions (file-level pruning on anything weaker would "
+                    "silently include non-matching rows)"
+                )
+            return prune_files(
+                churn, partition_filter, part_cols, col_types,
+                snapshot_physical_of(snap),
+            )
+
+        old_churn = scope(snap_old, old_churn)
+        new_churn = scope(snap_new, new_churn)
     sel = key_cols + compare_cols
     old_df = read_snapshot_df(spark, snap_old, uri, files=old_churn).select(*sel)
     new_df = read_snapshot_df(spark, snap_new, uri, files=new_churn).select(*sel)
 
-    def side_frame(df: DataFrame, side: str, kp: str, vp: str, flag: str) -> DataFrame:
+    def side_frame(df: DataFrame, side: str, kc: str, vp: str, flag: str) -> DataFrame:
         """Key-grouped side of the join. Validation is IN the plan, not
         an eager driver probe: grouping by the key makes duplicates a
         count, and the raise_error guard fires lazily inside the same
@@ -139,7 +175,7 @@ def table_diff(
         O(churn) check with no extra shuffle and no job at call time."""
         aggs = [F.first(c).alias(f"{vp}{c}") for c in compare_cols]
         g = df.groupBy(
-            *[F.col(k).alias(f"{kp}{k}") for k in key_cols]
+            F.struct(*[F.col(k).alias(k) for k in key_cols]).alias(kc)
         ).agg(*aggs, F.count(F.lit(1)).alias("__cnt"))
         if validate_unique_keys:
             guard = F.when(F.col("__cnt") == 1, F.lit(True)).otherwise(
@@ -152,7 +188,7 @@ def table_diff(
                         *[
                             F.concat(
                                 F.lit(f"{k}="),
-                                F.col(f"{kp}{k}").cast("string"),
+                                F.col(kc).getField(k).cast("string"),
                                 F.lit(" "),
                             )
                             for k in key_cols
@@ -165,26 +201,24 @@ def table_diff(
         else:
             guard = F.lit(True)
         return g.select(
-            *[f"{kp}{k}" for k in key_cols],
+            kc,
             *[f"{vp}{c}" for c in compare_cols],
             guard.alias(flag),
         )
 
-    o = side_frame(old_df, "old", "__ok_", "old_", "__in_old")
-    n = side_frame(new_df, "new", "__nk_", "new_", "__in_new")
-    # plain equality, NOT eqNullSafe: <=> repartitions both sides on
-    # (coalesce(k), isnull(k)) and throws away the groupBy partitioning
-    # (4 Exchanges instead of 2 — verified on the physical plan). Under
-    # plain equality the join reuses each side's aggregation shuffle.
-    # NULL-keyed rows therefore never match (null != null): they
-    # surface as delete+insert pairs rather than updates, and multiple
-    # NULL-keyed rows per side are caught by the uniqueness guard
-    # (groupBy collapses them into one counted group).
-    cond = None
-    for k in key_cols:
-        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
-        cond = eq if cond is None else cond & eq
-    j = o.join(n, cond, "full_outer")
+    o = side_frame(old_df, "old", "__ok", "old_", "__in_old")
+    n = side_frame(new_df, "new", "__nk", "new_", "__in_new")
+    # STRUCT-keyed plain equality: Spark struct comparison is null-safe
+    # field-wise (struct(NULL) = struct(NULL) is TRUE — verified), so a
+    # NULL-keyed row rewritten unchanged (compaction / co-located
+    # rewrite) matches its counterpart and drops with the other
+    # physical churn, keeping "OPTIMIZE diffs as empty" true for NULL
+    # keys. Unlike eqNullSafe on the bare columns — which repartitions
+    # both sides on (coalesce(k), isnull(k)) and throws away the
+    # groupBy partitioning (+2 Exchanges, verified on the physical
+    # plan) — the struct join hash-partitions on the same struct the
+    # aggregation grouped by and reuses each side's shuffle.
+    j = o.join(n, F.col("__ok") == F.col("__nk"), "full_outer")
 
     same = F.lit(True)
     for c in compare_cols:
@@ -199,11 +233,14 @@ def table_diff(
     j = j.filter(
         F.col("__in_old").isNull() | F.col("__in_new").isNull() | ~same
     )
+    # key extraction: the PRESENT side's struct (getField on the NULL
+    # struct of an unmatched full-outer row is NULL, so coalescing the
+    # FIELDS would misread a present-but-NULL key field on an
+    # insert/delete row if the fields were coalesced across sides —
+    # coalesce the STRUCTS first, then project).
+    key_src = F.coalesce(F.col("__ok"), F.col("__nk"))
     return j.select(
-        *[
-            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
-            for k in key_cols
-        ],
+        *[key_src.getField(k).alias(k) for k in key_cols],
         change.alias("change_type"),
         *[F.col(f"old_{c}") for c in compare_cols],
         *[F.col(f"new_{c}") for c in compare_cols],

@@ -352,11 +352,31 @@ class TableOptimizer:
                 if lo is None or hi is None or lo == hi:
                     bucket_cols.append(F.lit(0))
                 else:
+                    # width_bucket(v, lo, hi, 255) - 1 lands in [0, 255]
+                    # for v in [lo, hi] (v == hi -> overflow bucket 256
+                    # -> 255, verified empirically) — but clamp BOTH
+                    # ends anyway: if a stats-parsed bound ever diverges
+                    # from the SQL double cast (decimal/timestamp
+                    # rounding), an out-of-range v would yield -1 or 256
+                    # and violate the curves' [0, 2^bits) precondition
+                    # (-1 >> b is all-ones: max rows would key as if
+                    # adjacent to min rows).
                     bucket_cols.append(
-                        (
-                            F.width_bucket(F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(2**bits - 1))
-                            - 1
-                        ).cast("long")
+                        F.greatest(
+                            F.least(
+                                (
+                                    F.width_bucket(
+                                        F.col(c).cast("double"),
+                                        F.lit(float(lo)),
+                                        F.lit(float(hi)),
+                                        F.lit(2**bits - 1),
+                                    )
+                                    - 1
+                                ).cast("long"),
+                                F.lit(2**bits - 1).cast("long"),
+                            ),
+                            F.lit(0).cast("long"),
+                        )
                     )
             else:
                 bucket_cols.append((F.abs(F.xxhash64(F.col(c))) % (2**bits)).cast("long"))

@@ -3148,7 +3148,7 @@ def llm_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_corpus_datacard",
     f"""
     WITH m AS (SELECT source, lang,
-                      len({_TOKENS_SQL}) AS tok, length(text) AS ch
+                      len({_NE_TOKENS_SQL}) AS tok, length(text) AS ch
                FROM documents)
     SELECT CASE WHEN GROUPING(source) = 1 THEN '<ALL>' ELSE source END AS source,
            CASE WHEN GROUPING(lang) = 1 THEN '<ALL>' ELSE lang END AS lang,

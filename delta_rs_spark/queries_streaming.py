@@ -365,7 +365,18 @@ def llm_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).select("fingerprint", "doc_id")
+    return _drain_memory_sink(spark, sink).select("fingerprint", "doc_id")
+
+
+def _drain_memory_sink(spark: SparkSession, sink: str) -> DataFrame:
+    """Read a completed memory-sink table and DROP it (r08 verdict
+    hygiene: per-invocation sink tables otherwise accumulate for the
+    life of the session). Stream-gate results are a few aggregate rows,
+    so the local copy is model-sized, never data-sized."""
+    out = spark.table(sink)
+    rows, schema = out.collect(), out.schema
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(rows, schema)
 
 
 _STATEFUL_GATE_SEQ = 0
@@ -548,4 +559,4 @@ def q_events_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return _drain_memory_sink(spark, sink)

@@ -792,10 +792,13 @@ class DeltaTable:
         ending_version: int | None = None,
         compare_cols: list[str] | None = None,
         validate_unique_keys: bool = True,
+        partition_filter: str | None = None,
     ) -> DataFrame:
         """Logical insert/update/delete diff between two versions,
         reconstructed from the snapshots themselves (no CDF required;
-        see operators/diff.py for the churned-file pruning contract)."""
+        see operators/diff.py for the churned-file pruning contract).
+        ``partition_filter`` (exact partition-only predicate) scopes
+        the diff to matching partitions' churn before any IO."""
         from delta_rs_spark.operators.diff import table_diff
 
         return table_diff(
@@ -805,6 +808,7 @@ class DeltaTable:
             ending_version,
             compare_cols,
             validate_unique_keys,
+            partition_filter,
         )
 
     def repair(

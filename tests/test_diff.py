@@ -258,3 +258,62 @@ def test_diff_composite_key(spark, tmp_path):
         (2, "g1", "update", 21, 121),
         (4, "g0", "delete", 40, None),
     }
+
+
+def test_diff_null_keyed_unchanged_row_is_not_churn(spark, tmp_path):
+    """r08 ADVICE #4: a NULL-keyed row rewritten UNCHANGED (co-located
+    in a rewritten file) must drop with the other physical churn — the
+    struct-keyed join matches NULL keys field-wise null-safely, so
+    'OPTIMIZE diffs as empty' holds for NULL keys too. A genuinely
+    changed NULL-keyed row classifies as ONE update, never a spurious
+    delete+insert pair."""
+    path = str(tmp_path / "t")
+    rows = [(i, "a", i * 10) for i in range(10)] + [(None, "a", 99)]
+    df = spark.createDataFrame(rows, "k long, part string, val long").coalesce(1)
+    write_deltalake(path, df)
+    dt = DeltaTable(path, spark=spark)
+
+    # rewrite the file via an update that does NOT touch the NULL row
+    dt.update({"val": "val + 1"}, predicate="k = 1")
+    dt.update_incremental()
+    got = {(r.k, r.change_type) for r in dt.diff(["k"], 0).collect()}
+    assert got == {(1, "update")}  # no (None, delete) / (None, insert)
+
+    # now change the NULL-keyed row itself: exactly one UPDATE row
+    dt.update({"val": "val + 1"}, predicate="k IS NULL")
+    dt.update_incremental()
+    nulls = [
+        (r.change_type, r.old_val, r.new_val)
+        for r in dt.diff(["k"], 1, 2).collect()
+    ]
+    assert nulls == [("update", 99, 100)]
+
+
+def test_diff_partition_filter_scopes_churn_before_io(spark, tmp_path):
+    """r08 VERDICT #7: partition_filter intersects the churned sets
+    with an exact partition-only predicate BEFORE any IO. Proof the
+    out-of-filter churn is never scanned: partition 'b' carries a
+    DUPLICATE key whose in-plan uniqueness guard would raise if its
+    file entered either side of the join."""
+    path = str(tmp_path / "t")
+    rows = [(i, "a", i * 10) for i in range(10)] + [
+        (100, "b", 1),
+        (100, "b", 2),  # duplicate key, quarantined in partition b
+    ]
+    dt = _mk(spark, path, rows, partition_by=["part"])
+    dt.update({"val": "val + 1"}, predicate="k < 5 AND part = 'a'")
+    dt.update_incremental()
+    dt.update({"val": "val + 1"}, predicate="k = 100 AND val = 1")
+    dt.update_incremental()
+
+    # unscoped diff scans partition b's churn -> duplicate-key raise
+    with pytest.raises(Exception, match="duplicate key"):
+        dt.diff(["k"], 0).collect()
+
+    scoped = dt.diff(["k"], 0, partition_filter="part = 'a'")
+    got = {(r.k, r.change_type) for r in scoped.collect()}
+    assert got == {(i, "update") for i in range(5)}
+
+    # non-partition / inexact predicates are rejected, not approximated
+    with pytest.raises(DeltaError, match="partition-only"):
+        dt.diff(["k"], 0, partition_filter="val > 3").collect()

@@ -420,3 +420,27 @@ def test_value_percentiles_wide_domain_coarsens(spark):
         "event_type", SF.floor(SF.col("value") * 100.0).cast("long").alias("c")
     ).distinct()
     assert cents.filter(SF.col("event_type") == "wide").count() == 5000  # input really was wide
+
+
+def test_value_percentiles_null_group_kept(spark):
+    """r09 ADVICE (medium): the grid-enforcement stats join must be
+    null-safe — SQL GROUP BY keeps NULL groups, so a NULL `by` key must
+    produce a result row (with the default max_distinct_cents, the
+    r08 null-unsafe inner join silently dropped it)."""
+    from delta_rs_spark.functions.timeseries import value_percentiles
+
+    rows = [(i, None if i < 50 else "a", (i % 10 + 1) / 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+
+    out = {r.event_type: r for r in value_percentiles(df).collect()}
+    assert set(out) == {None, "a"} and out[None].n == 50
+    assert abs(out[None].p50 - 5.0) < 1e-9  # ceil(.5*50)=25th of 5x(1..10)
+    assert out[None].coarsened is False
+
+    # the enforcement path must also coarsen a NULL group, not drop it
+    wide = [(i, None, float(i * 1000)) for i in range(500)]
+    dfw = spark.createDataFrame(
+        wide, "event_id long, event_type string, value double"
+    )
+    w = value_percentiles(dfw, max_distinct_cents=50).first()
+    assert w.event_type is None and w.coarsened is True and w.n == 500

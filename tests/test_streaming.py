@@ -727,8 +727,30 @@ def test_two_watermark_rule_lag_filter_current_eviction(spark, tmp_path):
         for p in q.recentProgress
     )
     got = {r.ws: r["count"] for r in spark.table("lagwm_sink").collect()}
+    spark.catalog.dropTempView("lagwm_sink")
     assert got == {
         "2024-01-01 10:00:00": 2,  # lag-admitted 10:59 row merged in
         "2024-01-01 11:00:00": 1,
     }, got  # [23:00,24:00) withheld: its end is past the final wm (23:00)
     assert dropped == 1  # the 02:00 straggler, beyond the lagged wm
+
+
+def test_stream_gates_drop_their_memory_sinks(spark):
+    """r08 verdict hygiene item: the stateful-dedup and late-watermark
+    gates must not leave their per-invocation memory-sink tables in the
+    catalog after returning (three bench invocations used to retain
+    three result tables each)."""
+    import delta_rs_spark.queries_streaming  # noqa: F401  (registers gates)
+    from delta_rs_spark.queries import registry
+
+    sf_dir = "/root/testdata/sf0.001"
+    reg = registry()
+    for name in ("llm_stream_stateful_dedup", "q_events_late_watermark"):
+        out = reg[name][0](spark, sf_dir)
+        assert out.count() >= 0  # gate ran; result survives the drop
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(("stateful_dedup_gate_", "late_watermark_gate_"))
+    ]
+    assert not leaked, leaked
