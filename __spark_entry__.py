@@ -122,6 +122,8 @@ _FIRST_WITNESS_NEEDED = (
     # (empty-filtered _NE_TOKENS_SQL). Graduate next round.
     "q_events_value_percentiles",
     "llm_corpus_datacard",
+    # new in r09:
+    "llm_fp_index_sync_nocdf",  # retroactive (no-CDF) diff-driven index sync
 )
 
 

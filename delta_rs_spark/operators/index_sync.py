@@ -18,6 +18,21 @@ exactly-once — a replayed sync is a no-op, never a double-apply.
 Cost is O(changes), never O(corpus): each sync reads only the CDF range
 since the watermark and merges per-document final states; the index is
 never rebuilt and the source is never rescanned.
+
+RETROACTIVE (no-CDF) sync: load_cdf requires ``delta.
+enableChangeDataFeed`` at write time, but the migration story — "bring
+an EXISTING corpus's dedup indexes up to date" — starts with tables
+that never had it. ``change_source="diff"`` reconstructs the same
+per-document final states from the two snapshots via ``table_diff``
+(operators/diff.py): add-action diff prunes unchurned files before any
+IO, so the no-CDF path stays O(churn), not O(table). The default
+``"auto"`` follows CDF when the source currently has it enabled and
+falls back to the diff otherwise (a table whose CDF was enabled
+mid-range should pass ``change_source`` explicitly — load_cdf raises on
+pre-enablement commits). The diff path compares ONLY the column the
+index derives from, so a metadata-only rewrite (same text) produces no
+index churn at all — strictly less work than CDF, which must replay
+every change row.
 """
 
 from __future__ import annotations
@@ -39,12 +54,19 @@ _CV = "_commit_version"
 def _final_states(changes, id_col: str):
     """Per-document FINAL state over a CDF range: the latest of
     insert / update_postimage / delete wins (preimages carry no final
-    information). Ties within one commit cannot pair these kinds for
-    one id (a commit is a single operation), but the ordering is made
-    total anyway (version DESC, kind ASC) so the reduction is
-    deterministic by construction."""
+    information). A TRUE CDC feed never pairs these kinds for one id
+    within one commit (a commit is a single operation on unique keys) —
+    but load_cdf's SYNTHESIZED feed for non-CDF commits does: a rewrite
+    emits 'insert' for every surviving row of the new file and 'delete'
+    for every row of the removed one, so a co-located live row carries
+    BOTH at the same version and the alive kind must win (r09: the old
+    kind-ASC tiebreak picked 'delete' and would evict live docs). The
+    ordering stays total (version DESC, alive-before-delete, kind ASC)
+    so the reduction is deterministic by construction."""
     w = W.partitionBy(id_col).orderBy(
-        F.col(_CV).desc(), F.col(_CT).asc()
+        F.col(_CV).desc(),
+        F.when(F.col(_CT) == "delete", F.lit(1)).otherwise(F.lit(0)).asc(),
+        F.col(_CT).asc(),
     )
     return (
         changes.filter(F.col(_CT).isin("insert", "update_postimage", "delete"))
@@ -54,6 +76,53 @@ def _final_states(changes, id_col: str):
     )
 
 
+def _diff_final_states(
+    spark: SparkSession,
+    source_path: str,
+    applied_version: int,
+    latest: int,
+    id_col: str,
+    text_col: str,
+):
+    """CDF-free change reconstruction: ``table_diff`` between the
+    already-applied snapshot and the latest one, projected onto the CDF
+    final-state shape (one row per changed id, ``_change_type`` in
+    insert/update_postimage/delete) that both syncs' merge planning
+    consumes. The diff compares only ``text_col`` — the single column
+    the index derives from — so unrelated-column rewrites produce no
+    rows. table_diff's one-row-per-key output IS already final-state
+    reduced; no window pass is needed."""
+    from delta_rs_spark import DeltaTable
+
+    dt = DeltaTable(source_path, spark=spark, version=latest)
+    d = dt.diff(
+        [id_col], applied_version, latest, compare_cols=[text_col]
+    )
+    return d.select(
+        F.col(id_col),
+        F.when(F.col("change_type") == "delete", F.col(f"old_{text_col}"))
+        .otherwise(F.col(f"new_{text_col}"))
+        .alias(text_col),
+        F.when(F.col("change_type") == "update", F.lit("update_postimage"))
+        .otherwise(F.col("change_type"))
+        .alias(_CT),
+    )
+
+
+def _resolve_change_source(change_source: str, source_path: str, spark) -> str:
+    if change_source not in ("auto", "cdf", "diff"):
+        raise DeltaError(
+            f"change_source must be 'auto', 'cdf' or 'diff': {change_source!r}"
+        )
+    if change_source != "auto":
+        return change_source
+    from delta_rs_spark import DeltaTable
+
+    conf = DeltaTable(source_path, spark=spark).metadata().configuration
+    enabled = str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true"
+    return "cdf" if enabled else "diff"
+
+
 def sync_fingerprint_index(
     spark: SparkSession,
     source_path: str,
@@ -61,12 +130,16 @@ def sync_fingerprint_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     app_id: str | None = None,
+    change_source: str = "auto",
 ) -> dict[str, Any]:
     """Keep the exact-dedup index (id, fp) equal to the source table's
     current rows. First call snapshots the source and stamps the
-    watermark; later calls merge the CDF range's per-document final
+    watermark; later calls merge the change range's per-document final
     states: delete -> index row removed, update -> fp rewritten,
     insert -> row added. One MERGE, watermark rides the same commit.
+    ``change_source``: "cdf" follows the change feed, "diff"
+    reconstructs changes from the snapshots (no CDF required, still
+    O(churn)), "auto" picks by the source's current CDF property.
 
     Returns {"initialized", "applied_through", "n_change_rows"}."""
     from delta_rs_spark import DeltaTable, write_deltalake
@@ -103,14 +176,29 @@ def sync_fingerprint_index(
     if last >= latest:
         return {"initialized": False, "applied_through": last, "n_change_rows": 0}
 
-    changes = load_cdf(
-        spark, source_path, starting_version=last + 1, ending_version=latest
-    )
-    finals = _final_states(changes, id_col).select(
+    resolved = _resolve_change_source(change_source, source_path, spark)
+    if resolved == "cdf":
+        changes = load_cdf(
+            spark, source_path, starting_version=last + 1, ending_version=latest
+        )
+        states = _final_states(changes, id_col)
+    else:
+        states = _diff_final_states(
+            spark, source_path, last, latest, id_col, text_col
+        )
+    finals = states.select(
         F.col(id_col).alias("id"),
         fingerprint(text_col).alias("fp"),
         F.col(_CT).alias("__act"),
     )
+    if resolved == "diff":
+        # MERGE scans its source several times (metrics, touched-file
+        # discovery, apply); the diff plan is snapshot reads + two aggs
+        # + a full-outer join, so re-running it per scan multiplies the
+        # whole reconstruction. Persist the change-batch-sized result
+        # (O(churn), the same bound the merge itself carries) and
+        # release it after the apply.
+        finals = finals.persist()
     m = (
         idx.merge(
             finals,
@@ -126,6 +214,8 @@ def sync_fingerprint_index(
         )
         .execute()
     )
+    if resolved == "diff":
+        finals.unpersist(False)
     return {
         "initialized": False,
         "applied_through": latest,
@@ -145,6 +235,7 @@ def sync_band_index(
     bands: int = 16,
     shingle_size: int = 3,
     hash_fn: str = "xx",
+    change_source: str = "auto",
 ) -> dict[str, Any]:
     """Keep the near-dup band index (id, band, bucket) equal to the
     source's current rows. LSH parameters freeze in the index config at
@@ -153,6 +244,8 @@ def sync_band_index(
     band rows (band keys are fixed 0..bands-1, so a matched-update per
     band covers it); a deleted doc contributes one delete row per band.
     One MERGE on (id, band), watermark rides the same commit.
+    ``change_source`` as in sync_fingerprint_index ("diff" = no-CDF
+    snapshot reconstruction via table_diff, O(churn)).
 
     Returns {"initialized", "applied_through", "n_change_rows"}."""
     from delta_rs_spark import DeltaTable, write_deltalake
@@ -204,10 +297,18 @@ def sync_band_index(
         return {"initialized": False, "applied_through": last, "n_change_rows": 0}
 
     p = json.loads(idx.metadata().configuration[_DEDUP_PARAMS_KEY])
-    changes = load_cdf(
-        spark, source_path, starting_version=last + 1, ending_version=latest
-    )
-    finals = _final_states(changes, id_col)
+    resolved = _resolve_change_source(change_source, source_path, spark)
+    if resolved == "cdf":
+        changes = load_cdf(
+            spark, source_path, starting_version=last + 1, ending_version=latest
+        )
+        finals = _final_states(changes, id_col)
+    else:
+        # persist: the sig/sigless/delete branches below and the MERGE's
+        # own multi-scan each re-evaluate this frame (see fp sync)
+        finals = _diff_final_states(
+            spark, source_path, last, latest, id_col, text_col
+        ).persist()
     live = finals.filter(F.col(_CT) != "delete")
     sigs = minhash_signatures(
         live, text_col, id_col, p["num_perm"], p["shingle_size"], p["hash_fn"]
@@ -255,6 +356,8 @@ def sync_band_index(
         )
         .execute()
     )
+    if resolved == "diff":
+        finals.unpersist(False)
     return {
         "initialized": False,
         "applied_through": latest,

@@ -2372,6 +2372,60 @@ def llm_fp_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTable(idx, spark=spark).to_df()
 
 
+@query(
+    "llm_fp_index_sync_nocdf",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
+    after_del AS (SELECT * FROM base WHERE NOT coalesce(doc_id % 7 = 0, false)),
+    after_upd AS (SELECT doc_id,
+                         CASE WHEN doc_id % 5 = 0 THEN text || ' syncmark'
+                              ELSE text END AS text
+                  FROM after_del),
+    appended AS (SELECT doc_id + 100000 AS doc_id, text FROM base
+                 WHERE doc_id % 3 = 0),
+    final AS (SELECT * FROM after_upd UNION ALL SELECT * FROM appended)
+    SELECT doc_id AS id, {_FP_SQL} AS fp FROM final
+    """,
+)
+def llm_fp_index_sync_nocdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETROACTIVE dedup-index sync (r09, operators/index_sync.py
+    change_source='diff'): the migration story — the source corpus
+    NEVER enabled CDF, yet its fingerprint index is brought up to date
+    after the same delete (takedown) + update (re-extraction) + append
+    (new crawl) sequence as llm_fp_index_sync. change_source='auto'
+    detects the missing CDF property and reconstructs the change set
+    via table_diff (operators/diff.py): the add-action diff prunes
+    unchurned files before IO, so the no-CDF path is O(churn) like the
+    CDF one, never O(table). The oracle recomputes the index from the
+    replayed mutation sequence — a from-scratch rebuild the O(churn)
+    sync must land on exactly."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.operators.index_sync import sync_fingerprint_index
+    from delta_rs_spark.queries_delta import _scratch
+
+    src = _scratch("fp_sync_nocdf_src", sf_dir)
+    idx = _scratch("fp_sync_nocdf_idx", sf_dir)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 600")
+    )
+    write_deltalake(src, docs)  # NO CDF property — the whole point
+    sync_fingerprint_index(spark, src, idx)
+    dt = DeltaTable(src, spark=spark)
+    dt.delete("doc_id % 7 = 0")
+    dt.update({"text": "concat(text, ' syncmark')"}, predicate="doc_id % 5 = 0")
+    write_deltalake(
+        src,
+        docs.filter("doc_id % 3 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        ),
+        mode="append",
+    )
+    sync_fingerprint_index(spark, src, idx)  # auto -> diff reconstruction
+    return DeltaTable(idx, spark=spark).to_df()
+
+
 _FINAL_STATE_SQL = """
     base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
     after_del AS (SELECT * FROM base WHERE NOT coalesce(doc_id % 7 = 0, false)),

@@ -232,14 +232,17 @@ def test_band_index_sync_tracks_mutations(spark, tmp_path):
     assert 1 in cands and 3 not in cands
 
 
-@pytest.mark.parametrize("seed", [11, 23])
-def test_fp_index_sync_random_mutation_fuzz(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,cdf", [(11, True), (23, False)])
+def test_fp_index_sync_random_mutation_fuzz(spark, tmp_path, seed, cdf):
     """Seeded random DELETE/UPDATE/append/sync interleavings: after every
     sync the index must equal the fingerprints of the source's CURRENT
     rows (an O(changes) follower landing exactly where an O(corpus)
     rebuild would) — the same differential discipline as
     test_differential_mutations, aimed at the watermark/final-state
-    reduction logic."""
+    reduction logic. The cdf=False leg (r09) runs the SAME interleavings
+    against a source that never enabled CDF: change_source='auto'
+    resolves to the table_diff reconstruction, which must land on the
+    identical index state."""
     import random
 
     import pyspark.sql.functions as F
@@ -255,7 +258,7 @@ def test_fp_index_sync_random_mutation_fuzz(spark, tmp_path, seed):
         spark.createDataFrame(
             [(i, f"text body {i} alpha") for i in range(40)], ["doc_id", "text"]
         ),
-        configuration={"delta.enableChangeDataFeed": "true"},
+        configuration={"delta.enableChangeDataFeed": "true"} if cdf else None,
     )
     sync_fingerprint_index(spark, src, idx)
     next_id = 1000
@@ -290,8 +293,8 @@ def test_fp_index_sync_random_mutation_fuzz(spark, tmp_path, seed):
     sync_fingerprint_index(spark, src, idx)
     check()
 
-@pytest.mark.parametrize("seed", [7, 31])
-def test_band_index_sync_shrink_below_shingle_fuzz(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,cdf", [(7, True), (31, False)])
+def test_band_index_sync_shrink_below_shingle_fuzz(spark, tmp_path, seed, cdf):
     """r06 advice (index_sync.py): an UPDATE that shrinks a doc below
     shingle_size yields no minhash signature, so no upsert rows — the
     sync must emit explicit per-band deletes for signature-less live
@@ -315,7 +318,7 @@ def test_band_index_sync_shrink_below_shingle_fuzz(spark, tmp_path, seed):
             [(i, f"alpha beta gamma delta epsilon doc {i} zeta") for i in range(24)],
             ["doc_id", "text"],
         ),
-        configuration={"delta.enableChangeDataFeed": "true"},
+        configuration={"delta.enableChangeDataFeed": "true"} if cdf else None,
     )
     sync_band_index(spark, src, idx, num_perm=16, bands=4, hash_fn="md5")
     next_id = 1000
@@ -359,3 +362,62 @@ def test_band_index_sync_shrink_below_shingle_fuzz(spark, tmp_path, seed):
             check()
     sync_band_index(spark, src, idx)
     check()
+
+
+def test_fp_index_sync_nocdf_diff_path(spark, tmp_path):
+    """r08 verdict #1 (retroactive CDF): a corpus table that NEVER
+    enabled CDF can still keep its dedup index current —
+    change_source='auto' resolves to the table_diff reconstruction and
+    lands on the same state as a from-scratch rebuild; explicit 'cdf'
+    on such a table follows load_cdf's SYNTHESIZED feed, whose
+    same-version insert+delete pairs for co-located rewritten rows must
+    reduce alive-wins (the r09 _final_states fix — the old kind-ASC
+    tiebreak evicted live docs); a metadata-only rewrite (same text)
+    produces ZERO change rows on the diff path (strictly less work
+    than CDF)."""
+    import pyspark.sql.functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.functions.text import fingerprint
+    from delta_rs_spark.operators.index_sync import sync_fingerprint_index
+
+    src, idx = str(tmp_path / "nsrc"), str(tmp_path / "nidx")
+    rows = [(i, f"body of document {i}", "keep") for i in range(30)]
+    write_deltalake(
+        src, spark.createDataFrame(rows, ["doc_id", "text", "tag"])
+    )  # no CDF property
+    r0 = sync_fingerprint_index(spark, src, idx)
+    assert r0["initialized"]
+
+    dt = DeltaTable(src, spark=spark)
+    dt.delete("doc_id % 6 = 0")
+    dt.update({"text": "concat(text, ' rewritten')"}, predicate="doc_id % 5 = 1")
+    write_deltalake(
+        src,
+        spark.createDataFrame([(500, "new doc", "keep")], ["doc_id", "text", "tag"]),
+        mode="append",
+    )
+    r1 = sync_fingerprint_index(spark, src, idx)  # auto -> diff
+    cur = DeltaTable(src, spark=spark).to_df().select(
+        F.col("doc_id").alias("id"), fingerprint("text").alias("fp")
+    )
+    got = {(r.id, r.fp) for r in DeltaTable(idx, spark=spark).to_df().collect()}
+    assert got == {(r.id, r.fp) for r in cur.collect()}
+    assert r1["n_change_rows"] > 0
+
+    # explicit 'cdf' follows the synthesized feed: the delete rewrites
+    # a file, so every co-located live doc carries insert+delete at one
+    # version — alive must win or live docs vanish from the index
+    dt.delete("doc_id = 1")
+    sync_fingerprint_index(spark, src, idx, change_source="cdf")
+    cur2 = DeltaTable(src, spark=spark).to_df().select(
+        F.col("doc_id").alias("id"), fingerprint("text").alias("fp")
+    )
+    got2 = {(r.id, r.fp) for r in DeltaTable(idx, spark=spark).to_df().collect()}
+    assert got2 == {(r.id, r.fp) for r in cur2.collect()}
+
+    # index-irrelevant churn: rewriting a NON-text column diffs as zero
+    # change rows (the diff compares only the derived-from column)
+    dt.update({"tag": "'flagged'"}, predicate="doc_id % 2 = 0")
+    r3 = sync_fingerprint_index(spark, src, idx)
+    assert r3["n_change_rows"] == 0
