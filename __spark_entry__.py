@@ -124,6 +124,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_corpus_datacard",
     # new in r09:
     "llm_fp_index_sync_nocdf",  # retroactive (no-CDF) diff-driven index sync
+    "q_events_session_watermark",  # session-window state under a real late stream
 )
 
 

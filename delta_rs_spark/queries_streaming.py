@@ -560,3 +560,169 @@ def q_events_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return _drain_memory_sink(spark, sink)
+
+
+_SESSION_GATE_SEQ = 0
+
+
+@query(
+    "q_events_session_watermark",
+    """
+    WITH raw AS (SELECT event_id,
+                        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+                        user_id,
+                        CAST(floor(value * 100) AS BIGINT) AS cents
+                 FROM events),
+    bounds AS (SELECT min(sec) AS mn, max(sec) AS mx FROM raw),
+    e AS (SELECT r.event_id, r.sec, r.user_id, r.cents,
+                 CASE WHEN r.event_id % 50 = 0 THEN 2
+                      ELSE least(((r.sec - b.mn) * 3) // (b.mx - b.mn + 1), 2)
+                 END AS arr
+          FROM raw r CROSS JOIN bounds b),
+    -- the three watermarks of the replay (max event time through the
+    -- named batches, minus the 30-min delay; stats include rows the
+    -- stateful operator later drops):
+    --   wm1 = through batch 0  (eviction wm of batch 1, ADMISSION lag of batch 2)
+    --   wm2 = through batch 1  (eviction wm of batch 2)
+    --   wmf = through batch 2  (the trailing no-data batch's final eviction)
+    bm AS (SELECT arr, max(sec) AS bmax FROM e GROUP BY arr),
+    wm AS (SELECT max(CASE WHEN arr <= 0 THEN bmax END) - 1800 AS wm1,
+                  max(CASE WHEN arr <= 1 THEN bmax END) - 1800 AS wm2,
+                  max(bmax) - 1800 AS wmf
+           FROM bm),
+    -- S1: session state after batch 1 merged (batches 0-1 are never
+    -- late-filtered; batch 0's eviction wm is undefined, so
+    -- islands(S0 UNION adm1) == islands(batch0 UNION batch1) rows).
+    -- Proto-sessions [sec, sec+1800); touch MERGES (start <= prior end).
+    p01 AS (SELECT user_id, sec AS st, sec + 1800 AS en,
+                   1 AS n, cents AS val
+            FROM e WHERE arr <= 1),
+    i1a AS (SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY st, en
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+            FROM p01),
+    i1b AS (SELECT *, CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS brk
+            FROM i1a),
+    i1c AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+                     ROWS UNBOUNDED PRECEDING) AS g FROM i1b),
+    s1 AS (SELECT user_id, min(st) AS st, max(en) AS en,
+                  sum(n)::BIGINT AS n, sum(val)::BIGINT AS val
+           FROM i1c GROUP BY user_id, g),
+    -- batch-1 eviction: emit end <= wm1 (NON-strict, probed), keep rest
+    e1 AS (SELECT s1.* FROM s1, wm WHERE s1.en <= wm.wm1),
+    r1 AS (SELECT s1.* FROM s1, wm WHERE s1.en > wm.wm1),
+    -- batch 2 admission: two-watermark rule — proto-END must beat the
+    -- LAGGED watermark (wm1, max through batch 0), not the current one
+    p2 AS (SELECT user_id, sec AS st, sec + 1800 AS en, 1 AS n, cents AS val
+           FROM e, wm WHERE arr = 2 AND sec + 1800 > wm.wm1),
+    -- S2 = islands(surviving state UNION admitted batch-2 rows): an
+    -- admitted straggler whose would-be partner session was already
+    -- EVICTED in e1 starts a NEW session here — the split only a real
+    -- per-batch replay shows
+    u2 AS (SELECT user_id, st, en, n, val FROM r1
+           UNION ALL SELECT user_id, st, en, n, val FROM p2),
+    i2a AS (SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY st, en
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+            FROM u2),
+    i2b AS (SELECT *, CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS brk
+            FROM i2a),
+    i2c AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+                     ROWS UNBOUNDED PRECEDING) AS g FROM i2b),
+    s2 AS (SELECT user_id, min(st) AS st, max(en) AS en,
+                  sum(n)::BIGINT AS n, sum(val)::BIGINT AS val
+           FROM i2c GROUP BY user_id, g),
+    e2 AS (SELECT s2.* FROM s2, wm WHERE s2.en <= wm.wm2),
+    -- trailing no-data batch: final watermark evicts; later sessions
+    -- stay withheld in state (append mode emits exactly once)
+    e3 AS (SELECT s2.* FROM s2, wm
+           WHERE s2.en > wm.wm2 AND s2.en <= wm.wmf),
+    outp AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+             UNION ALL SELECT * FROM e3)
+    SELECT user_id, st AS session_start, en AS session_end,
+           n AS n_events, val AS sum_val_cents
+    FROM outp
+    """,
+)
+def q_events_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION windows under a REAL late-data stream
+    (streaming/windows.py session_cents, r09 verdict #4): same staged
+    arrival as q_events_late_watermark — three time-chunk files with
+    every 50th event displaced two batches late, mtime-pinned order,
+    availableNow, 30-min watermark, append mode — but session state
+    semantics differ from tumbling in every phase, all probed on this
+    engine build: proto-sessions [ts, ts+gap) MERGE on touch
+    (gap-boundary inclusive); late rows drop iff proto-end <= the
+    LAGGED watermark (the SPARK-24634 two-watermark rule); eviction
+    during a batch emits sessions with end <= the CURRENT watermark
+    AFTER that batch's rows merged, so an admitted straggler whose
+    partner session was already evicted starts a NEW session — the
+    gap-merge split no batch replay can exhibit. Event times are
+    floored to whole seconds AT STAGING so every boundary comparison
+    is integer-exact in both engines. The oracle unrolls the 3-batch
+    replay: per-batch max event times, the three watermarks, the
+    admission filter, two islands-merge passes with the batch-1
+    eviction between them, and the final-watermark emission."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.streaming.windows import session_cents
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts_ts")).cast("long")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        sec.alias("sec"),
+    )
+    bounds = base.agg(F.min("sec").alias("mn"), F.max("sec").alias("mx"))
+    arr = F.when(F.col("event_id") % 50 == 0, F.lit(2).cast("long")).otherwise(
+        F.least(F.expr("((sec - mn) * 3) div (mx - mn + 1)"), F.lit(2).cast("long"))
+    )
+    staged = base.crossJoin(F.broadcast(bounds)).select(
+        F.timestamp_seconds(F.col("sec")).alias("ts_ts"),
+        "user_id",
+        "cents",
+        arr.alias("arr"),
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/session_watermark"
+    stream_dir = f"{root}/in"
+    if root not in _STAGED_STREAM_DIRS:
+        _shutil.rmtree(root, ignore_errors=True)
+        _os.makedirs(stream_dir, exist_ok=True)
+        for b in (0, 1, 2):
+            staging = f"{root}/stage{b}"
+            staged.filter(F.col("arr") == b).select(
+                "ts_ts", "user_id", "cents"
+            ).coalesce(1).write.parquet(staging)
+            part = next(p for p in _os.listdir(staging) if p.endswith(".parquet"))
+            dst = f"{stream_dir}/b{b}.parquet"
+            _os.rename(f"{staging}/{part}", dst)
+            _shutil.rmtree(staging, ignore_errors=True)
+            _os.utime(dst, (1_600_000_000 + b * 100, 1_600_000_000 + b * 100))
+        _STAGED_STREAM_DIRS.add(root)
+
+    src = (
+        spark.readStream.schema("ts_ts timestamp, user_id long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    global _SESSION_GATE_SEQ
+    _SESSION_GATE_SEQ += 1
+    sink = f"session_watermark_gate_{_os.getpid()}_{_SESSION_GATE_SEQ}"
+    ckpt = f"{root}/ckpt{_SESSION_GATE_SEQ}"
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        session_cents(src, gap="30 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _drain_memory_sink(spark, sink)

@@ -67,6 +67,46 @@ def tumbling_cents(
     )
 
 
+def session_cents(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts_ts",
+    by: str = "user_id",
+    cents_col: str = "cents",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-key session windows with integer-cent sums — the
+    oracle-friendly session aggregate (BIGINT sum is order-independent,
+    so a late-data replay compares hash-exact). With ``watermark`` on a
+    streaming input this is the canonical watermarked append-mode
+    SESSION aggregate, whose state semantics differ from tumbling in
+    every phase (probed on this engine build, r09): proto-sessions
+    [ts, ts+gap) MERGE on touch (start <= other end, gap-boundary
+    inclusive); late rows drop iff proto-END <= the LAGGED watermark
+    (SPARK-24634's two-watermark rule, same as tumbling); eviction
+    during batch k emits sessions with end <= the current watermark
+    AFTER the batch's rows merged — so a late-but-admitted row whose
+    would-be partner session was already evicted starts a NEW session
+    (the split batch replays can never show)."""
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), by)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents_col).alias("sum_val_cents"),
+        )
+        .select(
+            by,
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+            "sum_val_cents",
+        )
+    )
+
+
 def sliding_value_sums(
     events: DataFrame,
     window_len: str = "1 hour",

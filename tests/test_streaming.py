@@ -754,3 +754,79 @@ def test_stream_gates_drop_their_memory_sinks(spark):
         if t.name.startswith(("stateful_dedup_gate_", "late_watermark_gate_"))
     ]
     assert not leaked, leaked
+
+
+def test_session_window_merge_evict_split_rules(spark, tmp_path):
+    """r09: pins the session-window state rules the
+    q_events_session_watermark oracle replays, probed on this engine
+    build — (a) touching proto-sessions [a,b)+[b,c) MERGE (gap boundary
+    inclusive); (b) eviction during a data batch is NON-strict (end <=
+    current watermark) and runs AFTER the batch's rows merged; (c) an
+    admitted late row whose would-be partner session was already
+    evicted starts a NEW session (the split no batch replay shows). If
+    a Spark upgrade changes any of these, this fails readably instead
+    of as a gate hash-diff."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def run(name, batches):
+        root = str(tmp_path / name)
+        os.makedirs(f"{root}/in")
+        for b, rows in batches.items():
+            df = spark.createDataFrame(rows, ["sec", "user_id"]).select(
+                F.timestamp_seconds(F.col("sec")).alias("ts_ts"), "user_id"
+            )
+            stg = f"{root}/stage{b}"
+            df.coalesce(1).write.parquet(stg)
+            part = next(p for p in os.listdir(stg) if p.endswith(".parquet"))
+            os.rename(f"{stg}/{part}", f"{root}/in/b{b}.parquet")
+            os.utime(f"{root}/in/b{b}.parquet", (1_600_000_000 + b * 100,) * 2)
+        src = (
+            spark.readStream.schema("ts_ts timestamp, user_id string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/in")
+        )
+        agg = (
+            src.withWatermark("ts_ts", "0 seconds")
+            .groupBy(F.session_window("ts_ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("w.start").cast("long").alias("s"),
+                F.col("w.end").cast("long").alias("e"),
+                "n",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"sessrules_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.user_id, r.s, r.e, r.n)
+            for r in spark.table(f"sessrules_{name}").collect()
+        )
+        spark.catalog.dropTempView(f"sessrules_{name}")
+        return got
+
+    # (a) touch-merge: [1000,1600) + [1600,2200) become ONE session
+    got = run("touch", {0: [(1000, "u1"), (1600, "u1")], 1: [(90000, "u9")]})
+    assert ("u1", 1000, 2200, 2) in got, got
+
+    # (b)+(c): u1's [1000,1600) evicted at end == wm (non-strict) during
+    # the u3 batch; the later-admitted 1100 row (proto end 1700 > lagged
+    # wm 1600) cannot rejoin it and forms a SEPARATE session
+    got = run(
+        "split",
+        {0: [(1000, "u1"), (1600, "u2")], 1: [(50000, "u3")], 2: [(1100, "u1")]},
+    )
+    assert got == [
+        ("u1", 1000, 1600, 1),
+        ("u1", 1100, 1700, 1),
+        ("u2", 1600, 2200, 1),
+    ], got
