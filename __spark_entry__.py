@@ -125,6 +125,7 @@ _FIRST_WITNESS_NEEDED = (
     # new in r09:
     "llm_fp_index_sync_nocdf",  # retroactive (no-CDF) diff-driven index sync
     "q_events_session_watermark",  # session-window state under a real late stream
+    "llm_dense_hybrid_indexed",  # IVF-index-backed dense half of RRF hybrid
 )
 
 

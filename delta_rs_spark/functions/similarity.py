@@ -410,6 +410,97 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_topk_indexed_multi(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    n_shards: int = 32,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query dense top-k over a MATERIALIZED IVF index — the
+    corpus-scale dense half of hybrid retrieval (``dense_topk``'s
+    docstring routes corpus-scale query sets here, r09): each query
+    probes its ``n_probe`` nearest inverted lists, so the candidate
+    scan reads ONLY the probed partitions through Delta file skipping
+    instead of broadcasting every query over the full corpus. Returns
+    the (query_id, rank, doc_id, score) ranking shape ``rrf_fuse``
+    consumes.
+
+    Probe selection mirrors ``semantic_contamination_indexed`` exactly
+    (ROUND-8 config centroids, 4dp-snapped cosine, higher-list
+    tiebreak) so both index consumers share one replayable convention;
+    the probe frame is collected ONCE (|queries| x n_probe rows, the
+    only driver state) to keep the query-scan subplan out of the
+    returned plan. Recall contract: high-cosine neighbors co-assign to
+    nearby centroids, so the head of each ranking matches brute force;
+    the tail is the standard IVF approximation. Top-k is two-phase
+    (shard by doc id, rank survivors) so no task ever sorts a probed
+    partition set serially."""
+    import json as _json
+
+    from pyspark.sql import Window as W
+
+    from delta_rs_spark.table import DeltaTable
+
+    t = DeltaTable(index_path, spark=spark)
+    centroids = _json.loads(t.metadata().configuration[_IVF_CENTROIDS_KEY])
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in centroids],
+        "list int, cvec array<double>",
+    )
+    q = queries.select(
+        F.col(q_id_col).cast("long").alias("query_id"),
+        F.col(q_vec_col).alias("__qv"),
+    )
+    ranked = q.crossJoin(F.broadcast(cdf)).select(
+        "query_id",
+        "__qv",
+        "list",
+        F.round(cosine(F.col("__qv"), F.col("cvec")), 4).alias("__s"),
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("list").desc()
+    )
+    probes = (
+        ranked.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qv", "list")
+    )
+    probe_rows = probes.collect()
+    probe_lists = sorted({r["list"] for r in probe_rows})
+    if not probe_lists:
+        cand = t.to_df(columns=["id", "vec", "list"]).limit(0)
+    else:
+        cand = t.to_df(
+            predicate=f"list IN ({', '.join(str(i) for i in probe_lists)})"
+        )
+    probes_local = spark.createDataFrame(probe_rows, probes.schema)
+    scored = cand.join(F.broadcast(probes_local), "list").select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        F.round(cosine(F.col("vec"), F.col("__qv")), 4).alias("score"),
+    )
+    w1 = W.partitionBy(
+        "query_id", F.pmod(F.col("doc_id"), F.lit(n_shards))
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    survivors = (
+        scored.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def update_lsh_index(
     spark,
     index_path: str,

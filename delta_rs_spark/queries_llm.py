@@ -2940,6 +2940,137 @@ def llm_dense_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dense_hybrid_indexed",
+    f"""
+    WITH post AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl FROM (
+        SELECT doc_id,
+               len({_CLEAN_TOKENS_SQL})::BIGINT AS dl,
+               unnest({_CLEAN_TOKENS_SQL}) AS term
+        FROM documents)
+      GROUP BY doc_id, term),
+    scal AS (SELECT count(*)::DOUBLE AS n,
+                    (sum(len({_CLEAN_TOKENS_SQL}))::DOUBLE)
+                      / (count(*)::DOUBLE) AS avgdl
+             FROM documents),
+    q AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id,
+                   unnest(list_slice({_CLEAN_TOKENS_SQL}, 1, 6)) AS term
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id ASC LIMIT 4))),
+    -- BM25 side (identical arithmetic to the llm_bm25_topk oracle)
+    dfreq AS (SELECT p.term, count(*)::BIGINT AS df
+              FROM post p GROUP BY p.term),
+    idf AS (SELECT d.term,
+                   round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                         * 1000000.0) / 1000000.0 AS idf
+            FROM dfreq d CROSS JOIN scal s
+            WHERE d.term IN (SELECT term FROM q)),
+    bcontrib AS (
+      SELECT q.query_id, p.doc_id,
+             round(i.idf * ((p.tf::DOUBLE * 2.2)
+                   / (p.tf::DOUBLE
+                      + 1.2 * (0.25 + 0.75 * (p.dl::DOUBLE / s.avgdl))))
+                   * 1000000000.0)::BIGINT AS c
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN idf i ON p.term = i.term
+      CROSS JOIN scal s),
+    bsc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_q
+            FROM bcontrib GROUP BY query_id, doc_id),
+    brank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_q DESC, doc_id ASC)
+                       AS rank
+              FROM bsc),
+    -- dense side over the MATERIALIZED 16-list IVF index: replay the
+    -- centroid assignment (raw centroids, higher-list ties), the
+    -- 4dp-snapped probe selection (ROUND-8 config centroids, top-4
+    -- lists per query), and the rank over probed candidates only
+    dq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 4),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i,
+                     embedding::DOUBLE[] AS c
+              FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+    rcents AS (SELECT i, list_transform(c, x -> round(x, 8)) AS c FROM cents),
+    ascored AS (SELECT e.vec_id, c.i,
+                       list_cosine_similarity(e.embedding::DOUBLE[], c.c) AS s
+                FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vec_id, i AS lst FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+        FROM ascored) WHERE rn = 1),
+    probe AS (SELECT query_id, qv, i FROM (
+        SELECT d.query_id, d.qv, c.i,
+               row_number() OVER (PARTITION BY d.query_id
+                                  ORDER BY round(list_cosine_similarity(d.qv, c.c), 4)
+                                             DESC,
+                                           c.i DESC) AS rn
+        FROM dq d CROSS JOIN rcents c) WHERE rn <= 4),
+    dsc AS (SELECT p.query_id, e.vec_id AS doc_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], p.qv),
+                         4) AS score
+            FROM embeddings e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN probe p ON a.lst = p.i),
+    drank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC)
+                       AS rank
+              FROM dsc),
+    -- reciprocal-rank fusion of the two top-20 lists (k = 60)
+    u AS (SELECT query_id, doc_id, rank FROM brank WHERE rank <= 20
+          UNION ALL
+          SELECT query_id, doc_id, rank FROM drank WHERE rank <= 20),
+    fused AS (SELECT query_id, doc_id,
+                     sum(round(1000000000.0 / (60.0 + rank::DOUBLE))::BIGINT)
+                       ::BIGINT AS rrf_q
+              FROM u GROUP BY query_id, doc_id),
+    fr AS (SELECT query_id, doc_id, rrf_q,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_q DESC, doc_id ASC) AS rank
+           FROM fused)
+    SELECT query_id, rank::INTEGER AS rank, doc_id,
+           round(rrf_q::DOUBLE / 1000.0)::BIGINT / 1000000.0 AS rrf_score
+    FROM fr WHERE rank <= 10
+    """,
+)
+def llm_dense_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-backed dense+lexical hybrid retrieval (r09 verdict #8:
+    similarity.ivf_topk_indexed_multi composed into retrieval.rrf_fuse)
+    — the corpus-scale completion of llm_dense_hybrid_retrieval: the
+    dense half probes the MATERIALIZED 16-list IVF index (the same
+    Delta table llm_ivf_topk and the pruned decontamination query —
+    one index serves all three workloads) instead of broadcasting the
+    queries over a full corpus scan, so each query's candidates come
+    from 4 of 16 list partitions via log file-skipping. BM25 ranks the
+    lexical side as before; RRF (k=60) fuses the two top-20 lists into
+    a final top-10. The oracle replays centroid assignment, 4dp probe
+    selection, the pruned dense rank, BM25's grid-snapped arithmetic,
+    and the quantized fusion."""
+    from delta_rs_spark.functions.retrieval import (
+        bm25_topk,
+        head_term_queries,
+        rrf_fuse,
+    )
+    from delta_rs_spark.functions.similarity import ivf_topk_indexed_multi
+    from delta_rs_spark.table import DeltaTable
+
+    docs = _docs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = head_term_queries(docs, n_queries=4, n_terms=6)
+    lex = bm25_topk(docs, qs, k=20)
+    idx = _ann_index_path(sf_dir, "ivf_l16")
+    if not DeltaTable.is_deltatable(idx):
+        S.build_ivf_index(emb, idx, n_lists=16)
+    qvecs = emb.filter(F.col("vec_id") < 4)
+    den = ivf_topk_indexed_multi(
+        spark, idx, qvecs, k=20, n_probe=4, q_id_col="vec_id"
+    )
+    return rrf_fuse([lex, den], k=60, topk=10)
+
+
+@query(
     "llm_ngram_diversity",
     f"""
     WITH tk AS (SELECT source, {_NE_TOKENS_SQL} AS a FROM documents),

@@ -1797,6 +1797,54 @@ def test_dense_topk_two_phase_equals_flat_ranking(spark):
         assert got == ref(k), f"mismatch at k={k}, shards={shards}"
 
 
+def test_ivf_topk_indexed_multi_head_recall_and_fuse_shape(spark, tmp_path):
+    """ivf_topk_indexed_multi (r09): the multi-query indexed dense
+    ranker's HEAD must match exact dense_topk on planted near-dups
+    (near neighbors co-assign to the probed lists), its output shape
+    must feed rrf_fuse directly, and a query must never return more
+    than k rows."""
+    import random
+
+    from delta_rs_spark.functions.retrieval import rrf_fuse
+    from delta_rs_spark.functions.similarity import (
+        build_ivf_index,
+        dense_topk,
+        ivf_topk_indexed_multi,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(3)]
+    vecs = []
+    for i in range(90):  # 3 well-separated clusters with jitter
+        c = base[i % 3]
+        vecs.append((i, [x + rng.uniform(-0.05, 0.05) for x in c]))
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf_multi")
+    build_ivf_index(emb, idx, n_lists=6)
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    got = ivf_topk_indexed_multi(
+        spark, idx, qs, k=5, n_probe=2, q_id_col="vec_id"
+    )
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    assert set(by_q) == {0, 1, 2}
+    assert all(len(v) <= 5 for v in by_q.values())
+
+    exact = dense_topk(emb, qs, k=5, q_id_col="vec_id").collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for q in (0, 1, 2):  # head-of-ranking agreement on clustered data
+        assert sorted(by_q[q])[:3] == sorted(exact_by_q[q])[:3], q
+
+    fused = rrf_fuse([got, dense_topk(emb, qs, k=5, q_id_col="vec_id")], topk=3)
+    assert fused.columns == ["query_id", "rank", "doc_id", "rrf_score"]
+    assert fused.count() == 9  # 3 queries x top-3
+
+
 def test_semantic_contamination_pruned_matches_exact_above_threshold(spark, tmp_path):
     """semantic_contamination_indexed (r08): the IVF-probed variant's
     CONTAMINATED set must equal the brute-force scan's exactly — a
