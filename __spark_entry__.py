@@ -126,6 +126,7 @@ _FIRST_WITNESS_NEEDED = (
     "llm_fp_index_sync_nocdf",  # retroactive (no-CDF) diff-driven index sync
     "q_events_session_watermark",  # session-window state under a real late stream
     "llm_dense_hybrid_indexed",  # IVF-index-backed dense half of RRF hybrid
+    "llm_incremental_agg_nocdf",  # retroactive (no-CDF) multiset-diff aggregate refresh
 )
 
 

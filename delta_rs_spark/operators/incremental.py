@@ -14,6 +14,16 @@ watermark (``txn`` actions, python/deltalake/table.py
 transaction_version / CommitProperties.app_transactions) for
 exactly-once: the watermark commits ATOMICALLY with the merge, so a
 replayed maintenance call is a no-op, never a double-apply.
+
+RETROACTIVE (no-CDF) maintenance (r09): ``change_source="diff"``
+computes the per-group deltas WITHOUT a change feed, as a MULTISET
+difference over churned files only (operators/diff.churned_files — the
+same add-action pruning table_diff uses): rows of new-side churned
+files contribute (+value, +1), rows of old-side churned files
+(-value, -1), and a row rewritten unchanged (compaction, co-located
+rewrite) cancels arithmetically. Unlike table_diff this needs NO row
+identity — aggregates are multiset semantics — so it works on sources
+with duplicate rows. Still O(churn): unchurned files are never read.
 """
 
 from __future__ import annotations
@@ -38,6 +48,7 @@ def maintain_aggregate(
     sum_col: str,
     app_id: str | None = None,
     partition_by: list[str] | None = None,
+    change_source: str = "auto",
 ) -> dict[str, Any]:
     """Maintain ``agg_path`` = SELECT group_cols, sum(sum_col) AS total,
     count(*) AS n_rows FROM source GROUP BY group_cols — incrementally.
@@ -61,6 +72,11 @@ def maintain_aggregate(
     values become an IN-list early filter, so a refresh touches only
     the partitions its change batch lands in instead of rewriting
     against the whole aggregate.
+
+    ``change_source``: "cdf" reads the change feed; "diff" computes the
+    deltas as a key-free MULTISET difference over churned files (no CDF
+    required, O(churn) — see module docstring); "auto" picks by the
+    source's current CDF property.
     """
     from delta_rs_spark import DeltaTable, write_deltalake
     from delta_rs_spark.operators.cdf import load_cdf
@@ -107,23 +123,56 @@ def maintain_aggregate(
             "n_change_rows": 0,
         }
 
-    changes = load_cdf(
-        spark, source_path, starting_version=last + 1, ending_version=latest
-    )
-    sign = F.when(
-        F.col(_CT).isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    deltas = (
-        changes.filter(
+    from delta_rs_spark.operators.index_sync import _resolve_change_source
+
+    if _resolve_change_source(change_source, source_path, spark) == "cdf":
+        changes = load_cdf(
+            spark, source_path, starting_version=last + 1, ending_version=latest
+        )
+        sign = F.when(
+            F.col(_CT).isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        signed = changes.filter(
             F.col(_CT).isin(
                 "insert", "delete", "update_preimage", "update_postimage"
             )
+        ).select(*group_cols, F.col(sum_col).alias("__v"), sign.alias("__sign"))
+    else:
+        from delta_rs_spark.log.snapshot import load_snapshot
+        from delta_rs_spark.operators.diff import churned_files
+        from delta_rs_spark.table import read_snapshot_df
+
+        snap_old = load_snapshot(source_path, last)
+        snap_new = load_snapshot(source_path, latest)
+        old_churn, new_churn = churned_files(snap_old, snap_new)
+        sel = [*group_cols, sum_col]
+        old_df = read_snapshot_df(
+            spark, snap_old, source_path, files=old_churn
+        ).select(*sel)
+        new_df = read_snapshot_df(
+            spark, snap_new, source_path, files=new_churn
+        ).select(*sel)
+        signed = new_df.select(
+            *group_cols, F.col(sum_col).alias("__v"), F.lit(1).alias("__sign")
+        ).unionByName(
+            old_df.select(
+                *group_cols,
+                F.col(sum_col).alias("__v"),
+                F.lit(-1).alias("__sign"),
+            )
         )
-        .groupBy(*group_cols)
-        .agg(
-            F.sum(sign * F.col(sum_col)).alias("d_total"),
-            F.sum(sign).alias("d_n"),
-        )
+    deltas = signed.groupBy(*group_cols).agg(
+        F.sum(F.col("__sign") * F.col("__v")).alias("d_total"),
+        F.sum("__sign").alias("d_n"),
+    )
+    # diff-sourced churn includes rows rewritten UNCHANGED (compaction,
+    # co-located rewrites): they cancel to an all-zero delta, which the
+    # CDF path never emits — drop for parity and so the merge source is
+    # true churn only. (d_total IS NULL with d_n = 0 is the +NULL/-NULL
+    # cancellation: also a no-op.)
+    deltas = deltas.filter(
+        (F.col("d_n") != 0)
+        | (F.col("d_total").isNotNull() & (F.col("d_total") != 0))
     )
     pred = " AND ".join(f"t.`{g}` <=> s.`{g}`" for g in group_cols)
     inserts = {g: f"s.`{g}`" for g in group_cols}

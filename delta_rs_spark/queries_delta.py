@@ -522,6 +522,60 @@ def delta_incremental_agg_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_incremental_agg_nocdf",
+    """
+    WITH base AS (SELECT l_orderkey, l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+                  FROM lineitem WHERE l_orderkey < 1500),
+    after_del AS (SELECT * FROM base WHERE NOT coalesce(l_orderkey % 3 = 0, false)),
+    after_upd AS (SELECT l_orderkey, l_returnflag,
+                         CASE WHEN l_orderkey % 4 = 1 THEN qty + 5 ELSE qty END AS qty
+                  FROM after_del),
+    appended AS (SELECT l_orderkey, l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+                 FROM lineitem WHERE l_orderkey >= 1500 AND l_orderkey < 2500),
+    final AS (SELECT * FROM after_upd UNION ALL SELECT * FROM appended)
+    SELECT l_returnflag, CAST(sum(qty) AS BIGINT) AS total, count(*) AS n_rows
+    FROM final GROUP BY l_returnflag
+    """,
+)
+def llm_incremental_agg_nocdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETROACTIVE aggregate maintenance (r09,
+    operators/incremental.py change_source='diff'): the same
+    delete + update + append refresh as delta_incremental_agg_op, but
+    the source NEVER enabled CDF — deltas come from a key-free MULTISET
+    difference over churned files (add-action pruning; rows rewritten
+    unchanged cancel arithmetically, so compaction contributes nothing).
+    This closes the materialized-view migration story the same way
+    llm_fp_index_sync_nocdf closes the index one — and unlike the
+    table_diff path it needs NO unique key, so it works on duplicate-
+    row sources (lineitem has many rows per group by construction).
+    The oracle recomputes the aggregate from the replayed mutations —
+    the O(churn) path must land exactly where the O(table) recompute
+    does."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.operators.incremental import maintain_aggregate
+
+    src = _scratch("incr_agg_nocdf_src", sf_dir)
+    agg = _scratch("incr_agg_nocdf", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    write_deltalake(src, li.filter("l_orderkey < 1500"))  # no CDF property
+    maintain_aggregate(spark, src, agg, ["l_returnflag"], "qty")
+    dt = DeltaTable(src, spark=spark)
+    dt.delete("l_orderkey % 3 = 0")
+    dt.update({"qty": "qty + 5"}, predicate="l_orderkey % 4 = 1")
+    write_deltalake(
+        src,
+        li.filter("l_orderkey >= 1500 AND l_orderkey < 2500"),
+        mode="append",
+    )
+    maintain_aggregate(spark, src, agg, ["l_returnflag"], "qty")  # auto -> diff
+    return DeltaTable(agg, spark=spark).to_df()
+
+
+@query(
     "delta_scd2_op",
     """
     WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg

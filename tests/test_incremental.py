@@ -421,3 +421,52 @@ def test_fp_index_sync_nocdf_diff_path(spark, tmp_path):
     dt.update({"tag": "'flagged'"}, predicate="doc_id % 2 = 0")
     r3 = sync_fingerprint_index(spark, src, idx)
     assert r3["n_change_rows"] == 0
+
+
+def test_incremental_agg_nocdf_multiset_diff(spark, tmp_path):
+    """r09: maintain_aggregate on a source that NEVER enabled CDF —
+    change_source='auto' resolves to the key-free MULTISET difference
+    over churned files. Pins exactly what the CDF path cannot claim:
+    (a) duplicate rows (no key column exists at all) aggregate
+    correctly; (b) rows rewritten unchanged (co-located in a rewritten
+    file) cancel arithmetically — an OPTIMIZE-style no-op commit
+    applies zero change rows; (c) replay is a watermarked no-op."""
+    src = str(tmp_path / "nsrc")
+    agg = str(tmp_path / "nagg")
+    # duplicate rows on purpose: (k=0, v=5) appears twice
+    write_deltalake(
+        src,
+        spark.createDataFrame(
+            [(0, 5), (0, 5), (0, 7), (1, 3), (None, 2)], "k long, v long"
+        ),
+    )  # no CDF property
+    r0 = maintain_aggregate(spark, src, agg, ["k"], "v")
+    assert r0["initialized"]
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+
+    t = DeltaTable(src, spark=spark)
+    t.delete("v = 7")  # rewrites the file: the other rows are co-located
+    r1 = maintain_aggregate(spark, src, agg, ["k"], "v")
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+    # only group k=0 actually changed; cancelled groups never reach the merge
+    assert r1["n_change_rows"] == 1
+
+    t.update({"v": "v + 10"}, predicate="k = 1")
+    write_deltalake(
+        src,
+        spark.createDataFrame([(9, 100), (0, 5)], "k long, v long"),
+        mode="append",
+    )
+    r2 = maintain_aggregate(spark, src, agg, ["k"], "v")
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+    assert (None, 2, 1) in _agg_state(spark, agg)  # NULL group intact
+
+    # replay: watermark makes it a no-op
+    r3 = maintain_aggregate(spark, src, agg, ["k"], "v")
+    assert r3["n_change_rows"] == 0 and r3["applied_through"] == r2["applied_through"]
+
+    # group lifecycle through the diff path: k=9 empties and leaves
+    t.delete("k = 9")
+    maintain_aggregate(spark, src, agg, ["k"], "v")
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+    assert all(k != 9 for (k, _, _) in _agg_state(spark, agg))
