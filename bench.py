@@ -181,6 +181,13 @@ def main() -> None:
         "llm_stream_ingest_replay",
         "llm_stream_stateful_dedup",
         "q_events_late_watermark",
+        # r09 additions, n=1 from their first benched round (no prior
+        # min-of-3 baseline to disturb): a REAL session-window stream
+        # and two 6-commit Delta maintenance sequences — all
+        # commit/state-store floor bound, min-of-N re-pays the floor
+        "q_events_session_watermark",
+        "llm_fp_index_sync_nocdf",
+        "llm_incremental_agg_nocdf",
     } & set(qs)
     samples: dict[str, list[float]] = {name: [] for name in qs}
     for i in range(n_samples):

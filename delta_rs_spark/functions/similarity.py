@@ -92,9 +92,9 @@ def dense_topk(
     n_shards*k rows per query. The global top-k is exact (it is
     contained in the union of per-shard top-ks). Scores are snapped to
     the 4dp grid with doc-id tiebreak (the cross-engine cosine idiom).
-    For corpus-scale QUERY sets, pre-bucket both sides through a
-    materialized ANN index (ivf_topk_indexed / lsh_topk_indexed)
-    instead of broadcasting."""
+    For corpus-scale QUERY sets, use ``ivf_topk_indexed_multi`` (same
+    output shape, probes a materialized IVF index instead of
+    broadcasting — r09) or lsh_topk_indexed."""
     from pyspark.sql import Window as W
 
     q = queries.select(

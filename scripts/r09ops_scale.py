@@ -105,6 +105,35 @@ def main() -> None:
             f"{per_1k:.3f} |"
         )
 
+    # --- partitioned source: the sync's churn PRUNING leg -----------
+    # (the B-curve above runs on a 1-file corpus where every commit
+    # churns everything; this leg pins that a bucket-scoped mutation
+    # leaves the other buckets' files OUT of the diff's scan set)
+    psrc, pidx = f"{ROOT}/part_src", f"{ROOT}/part_idx"
+    docs_b = docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(16)))
+    write_deltalake(psrc, docs_b, partition_by=["bucket"])
+    sync_fingerprint_index(spark, psrc, pidx)
+    dt = DeltaTable(psrc, spark=spark)
+    pre = dt.version()
+    dt.update(
+        {"text": "concat(text, ' px')"}, predicate="bucket = 7 AND doc_id % 48 = 7"
+    )
+    t0 = time.time()
+    sync_fingerprint_index(spark, psrc, pidx)
+    wall = time.time() - t0
+    so = load_snapshot(psrc, pre)
+    sn = load_snapshot(psrc)
+    oc, nc = churned_files(so, sn)
+    bad = [
+        a for a in oc + nc if a.partition_values.get("bucket") != "7"
+    ]
+    print(
+        f"\npartitioned no-CDF sync: one-bucket mutation churned "
+        f"{len(oc)}/{len(nc)} files of {len(sn.files)} total; "
+        f"out-of-bucket churned files = {len(bad)} (must be 0); "
+        f"sync {wall:.2f}s"
+    )
+
     # --- indexed hybrid probe pruning -------------------------------
     from delta_rs_spark.functions.similarity import (
         build_ivf_index,

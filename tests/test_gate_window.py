@@ -78,10 +78,11 @@ def test_max_staleness_is_bounded():
         "slots left — graduate first-witness entries or trim the prefix"
     )
     bound = -(-len(tail) // free_slots)  # ceil
-    # r09: prefix 34 (incl. 2 contract-changed pins + 2 new gates),
-    # tail 114, 14 free slots -> bound 9; graduating the r09 block
-    # next round takes it to ~7. Tightened from 12 per r08 verdict #2.
-    assert bound <= 9, (
+    # r09: prefix 36 at the round's intake peak (2 contract-changed
+    # pins + 4 new gates), tail 114, 12 free slots -> bound 10;
+    # graduating the r09 block at r10 open takes prefix to 30 and the
+    # bound to ceil(120/18) = 7. Tightened from 12 per r08 verdict #2.
+    assert bound <= 10, (
         f"re-witness period ceil({len(tail)}/{free_slots}) = {bound} "
         "rounds — the tail outgrew the window; tighten the prefix"
     )
