@@ -469,3 +469,48 @@ def test_dense_topk_broadcast_queries_sharded_topk(spark):
     assert "CartesianProduct" not in p
     # phase-1 window keys: query_id AND the doc shard
     assert "pmod" in p
+
+
+def test_ivf_topk_indexed_multi_pruned_scan_broadcast_probes(spark, tmp_path):
+    """ivf_topk_indexed_multi (r09): the candidate scan must read ONLY
+    the probed list partitions (pinned via the scan's input file set —
+    wall clock cannot rank pruning at this scale, per the r08
+    discipline), the probe frame must be BROADCAST onto it, and the
+    rank must be the two-phase shard shape — no cartesian, no corpus
+    sort."""
+    import random
+
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed_multi,
+    )
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_lists=8)
+    qs = emb.filter(F.col("vec_id") < 2)
+    out = ivf_topk_indexed_multi(spark, idx, qs, k=5, n_probe=2, q_id_col="vec_id")
+    p = plan_of(out, "simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "pmod" in p  # two-phase shard rank survived
+    # file-set pin: at most 2 queries x 2 probes = 4 of 8 list
+    # partitions may appear in the scan's input files
+    import re
+
+    t = DeltaTable(idx, spark=spark)
+    probed_lists_all = {
+        part.split("list=")[1].split("/")[0]
+        for part in t.files()
+        if "list=" in part
+    }
+    assert len(probed_lists_all) >= 8  # index really is partitioned
+    lists_scanned = {
+        m for f in out.inputFiles() for m in re.findall(r"list=(\d+)", f)
+    }
+    assert 0 < len(lists_scanned) <= 4, lists_scanned
