@@ -572,7 +572,8 @@ _SESSION_GATE_SEQ = 0
                         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
                         user_id,
                         CAST(floor(value * 100) AS BIGINT) AS cents
-                 FROM events),
+                 FROM events
+                 WHERE user_id % 4 = 0),
     bounds AS (SELECT min(sec) AS mn, max(sec) AS mx FROM raw),
     e AS (SELECT r.event_id, r.sec, r.user_id, r.cents,
                  CASE WHEN r.event_id % 50 = 0 THEN 2
@@ -670,7 +671,11 @@ def q_events_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     sec = F.floor(F.unix_timestamp("ts_ts")).cast("long")
-    base = ev.select(
+    # quarter of the users: session-state SEMANTICS are user-count
+    # independent, but the state store's size is not — the full sf0.1
+    # population costs ~27 s of pure state churn for the same pinned
+    # behavior (the late_watermark gate keeps the full-stream shape)
+    base = ev.filter(F.col("user_id") % 4 == 0).select(
         "event_id",
         "user_id",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
@@ -715,14 +720,29 @@ def q_events_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"session_watermark_gate_{_os.getpid()}_{_SESSION_GATE_SEQ}"
     ckpt = f"{root}/ckpt{_SESSION_GATE_SEQ}"
     _shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        session_cents(src, gap="30 minutes", watermark="30 minutes")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 8 state partitions, not the session default 32: the partition
+    # count is frozen into the checkpoint at stream start, and 32
+    # state-store instances x 3 micro-batches of commit/snapshot files
+    # is pure floor for a subset-sized input (semantics are partition-
+    # count independent). Restored in finally — the conf is read at
+    # stream START, so the narrow window cannot leak into a concurrent
+    # batch query's plan in this single-threaded gate.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            session_cents(src, gap="30 minutes", watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # the partition count is frozen into the state metadata at the
+        # FIRST batch's planning, which runs async after start() — keep
+        # the conf pinned until the stream drains
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return _drain_memory_sink(spark, sink)
