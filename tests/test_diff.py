@@ -317,3 +317,27 @@ def test_diff_partition_filter_scopes_churn_before_io(spark, tmp_path):
     # non-partition / inexact predicates are rejected, not approximated
     with pytest.raises(DeltaError, match="partition-only"):
         dt.diff(["k"], 0, partition_filter="val > 3").collect()
+
+
+def test_diff_column_mapped_table(spark, tmp_path):
+    """Column-mapped (name-mode) tables: churned files carry physical
+    col-<uuid> parquet names, so the diff's snapshot reads must rename
+    to logical before the key join — classification and old_/new_
+    values must come out in LOGICAL names."""
+    path = str(tmp_path / "cm")
+    dt = _mk(
+        spark,
+        path,
+        [(i, "a", i * 10) for i in range(30)],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    dt.update({"val": "val + 1"}, predicate="k < 3")
+    dt.update_incremental()
+    dt.delete("k = 10")
+    dt.update_incremental()
+    got = {
+        (r.k, r.change_type, r.old_val, r.new_val)
+        for r in dt.diff(["k"], 0).collect()
+    }
+    assert got == {(0, "update", 0, 1), (1, "update", 10, 11),
+                   (2, "update", 20, 21), (10, "delete", 100, None)}

@@ -470,3 +470,42 @@ def test_incremental_agg_nocdf_multiset_diff(spark, tmp_path):
     maintain_aggregate(spark, src, agg, ["k"], "v")
     assert _agg_state(spark, agg) == _recompute(spark, src)
     assert all(k != 9 for (k, _, _) in _agg_state(spark, agg))
+
+
+def test_fp_index_sync_nocdf_dv_soft_delete_source(spark, tmp_path):
+    """r09: the diff-driven sync must follow DV soft mutations — a DV
+    delete keeps the file path and mutates only the descriptor, so the
+    churn detection has to fire on the (path, DV) pair, the diff must
+    classify the DV-dead rows as deletes, and the index must drop
+    exactly those rows. (The fuzzers cover rewrite churn; this pins the
+    same-path DV plane through the full sync composition.)"""
+    import pyspark.sql.functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.functions.text import fingerprint
+    from delta_rs_spark.operators.index_sync import sync_fingerprint_index
+
+    src, idx = str(tmp_path / "dvsrc"), str(tmp_path / "dvidx")
+    write_deltalake(
+        src,
+        spark.createDataFrame(
+            [(i, f"doc body {i}") for i in range(24)], ["doc_id", "text"]
+        ).coalesce(1),
+        configuration={"delta.enableDeletionVectors": "true"},  # DV, no CDF
+    )
+    sync_fingerprint_index(spark, src, idx)
+
+    dt = DeltaTable(src, spark=spark)
+    files_before = set(dt.files())
+    dt.delete("doc_id % 4 = 1")  # DV tier: same path, new descriptor
+    dt.update_incremental()
+    # prove it WAS a soft delete: the data file set is unchanged
+    assert set(dt.files()) == files_before
+    sync_fingerprint_index(spark, src, idx)  # auto -> diff (no CDF)
+
+    cur = DeltaTable(src, spark=spark).to_df().select(
+        F.col("doc_id").alias("id"), fingerprint("text").alias("fp")
+    )
+    got = {(r.id, r.fp) for r in DeltaTable(idx, spark=spark).to_df().collect()}
+    assert got == {(r.id, r.fp) for r in cur.collect()}
+    assert all(i % 4 != 1 for i, _ in got) and len(got) == 18
