@@ -23,6 +23,11 @@ Scale design — the whole point is what it does NOT read:
    — OPTIMIZE between the two versions diffs as empty. Keys join via a
    single STRUCT column (field-wise null-safe equality), so this holds
    for NULL-keyed rows too, without eqNullSafe's extra repartition.
+Retention caveat (same as time travel): the diff READS the starting
+version's churned files, so it requires them to still exist — a VACUUM
+past ``starting_version`` breaks the diff exactly as it breaks
+``load_as_version`` (and as vacuuming CDC files breaks ``load_cdf``).
+
 3. **Validation is O(churn), lazy, and shuffle-free.** Key uniqueness
    is only required — and only checked — within the churned row sets.
    Each side is key-grouped (the same partitioning the join consumes,
