@@ -127,6 +127,11 @@ _FIRST_WITNESS_NEEDED = (
     "q_events_session_watermark",  # session-window state under a real late stream
     "llm_dense_hybrid_indexed",  # IVF-index-backed dense half of RRF hybrid
     "llm_incremental_agg_nocdf",  # retroactive (no-CDF) multiset-diff aggregate refresh
+    # llm_mmr_rerank (r09's 7th new gate) deliberately rides the
+    # never-green tail-front mechanism instead of this block: with no
+    # green row it sorts to position prefix+1 — inside the window, so
+    # it IS witnessed this round — without growing the prefix past the
+    # re-witness bound the r08 verdict asked us to tighten.
 )
 
 

@@ -357,3 +357,87 @@ def bm25_hard_negatives(
         .filter(F.col("nrank") <= k)
         .select("query_id", F.col("nrank").alias("rank"), "doc_id", "score")
     )
+
+
+def mmr_rerank(
+    ranking: DataFrame,
+    vectors: DataFrame,
+    m: int = 8,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    of a top-k ranking: greedily pick the candidate maximizing
+    ``lam*rel - (1-lam)*max_sim_to_already_selected`` — the standard
+    post-retrieval DIVERSIFICATION step that stops k near-duplicate
+    passages from filling a RAG training context. Input is any
+    (query_id, rank, doc_id, score) frame (dense_topk /
+    ivf_topk_indexed_multi / rrf_fuse output with score), ``vectors``
+    supplies candidate embeddings; returns (query_id, mmr_rank,
+    doc_id, mmr_score) with ``m`` rows per query.
+
+    Determinism contract: lambda is the EXACT rational
+    lam_num/lam_den, relevance (already on the repo's 4dp grid) and
+    pairwise cosines are quantized to BIGINT on a 1e4 grid with
+    half-away rounding (matching SQL ``round``), so every greedy
+    comparison is integer arithmetic with a doc-id tiebreak —
+    replayable step-for-step by a SQL oracle.
+
+    Scale shape: the input is top-k-bounded (|queries| x k rows, never
+    corpus-scaled), one shuffle on query_id, and each applyInPandas
+    group does an O(k^2 d) local computation — the per-query greedy
+    argmax is inherently sequential, which is exactly the sanctioned
+    Arrow-batched escape hatch (k <= a few hundred; corpus-scale work
+    happened upstream in the ranker). Candidates without a vector are
+    dropped (inner join) — rank over what you can diversify."""
+    import pandas as pd
+
+    if not (0 < lam_num <= lam_den):
+        raise ValueError(f"lambda must be in (0, 1]: {lam_num}/{lam_den}")
+    cand = ranking.join(
+        vectors.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__v")
+        ),
+        "doc_id",
+    ).select("query_id", "doc_id", "score", "__v")
+    mu = int(lam_num)
+    nu = int(lam_den) - int(lam_num)
+    m_cap = int(m)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        n = len(pdf)
+        V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        cos = Vn @ Vn.T
+        # half-AWAY rounding (SQL round), not numpy's half-even
+        sims = (np.floor(np.abs(cos) * 1e4 + 0.5) * np.sign(cos)).astype("int64")
+        rel = (
+            np.floor(np.abs(pdf["score"].to_numpy()) * 1e4 + 0.5)
+            * np.sign(pdf["score"].to_numpy())
+        ).astype("int64")
+        ids = pdf["doc_id"].to_numpy()
+        maxsim = np.zeros(n, dtype="int64")
+        taken = np.zeros(n, dtype=bool)
+        out = []
+        for step in range(1, min(m_cap, n) + 1):
+            val = mu * rel - nu * maxsim
+            val_masked = np.where(taken, np.iinfo("int64").min, val)
+            best = val_masked.max()
+            pick = int(np.flatnonzero(val_masked == best)[0])  # ids sorted asc
+            out.append((int(pdf["query_id"].iloc[0]), step, int(ids[pick]),
+                        float(val[pick]) / (lam_den * 1e4)))
+            taken[pick] = True
+            maxsim = np.maximum(maxsim, sims[:, pick])
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", "doc_id", "mmr_score"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        _mmr,
+        "query_id long, mmr_rank int, doc_id long, mmr_score double",
+    )

@@ -3070,6 +3070,92 @@ def llm_dense_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, den], k=60, topk=10)
 
 
+def _mmr_oracle(k: int = 12, m: int = 6, mu: int = 7, nu: int = 3) -> str:
+    """Unrolled greedy MMR replay (the llm_bpe_vocab / session-gate
+    technique: m sequential argmax steps as generated CTEs — windows
+    and aggregates are unrestricted outside recursion). Selection
+    state selN grows by one pick per step; step N's candidate value is
+    mu*rel - nu*max(sim to selN-1), all BIGINT on the 1e4 grid."""
+    steps = []
+    prev = "sel1"
+    steps.append(f"""
+    pick1 AS (SELECT query_id, doc_id, val FROM (
+        SELECT query_id, doc_id, {mu} * rel AS val,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {mu} * rel DESC, doc_id ASC) AS rn
+        FROM cand) WHERE rn = 1),
+    sel1 AS (SELECT query_id, doc_id FROM pick1)""")
+    for j in range(2, m + 1):
+        steps.append(f"""
+    pick{j} AS (SELECT query_id, doc_id, val FROM (
+        SELECT query_id, doc_id, val,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY val DESC, doc_id ASC) AS rn
+        FROM (
+          SELECT c.query_id, c.doc_id,
+                 {mu} * c.rel - {nu} * max(s.sim) AS val
+          FROM cand c
+          JOIN {prev} p ON p.query_id = c.query_id
+          JOIN sims s ON s.query_id = c.query_id
+                     AND s.a = c.doc_id AND s.b = p.doc_id
+          LEFT JOIN {prev} x ON x.query_id = c.query_id
+                            AND x.doc_id = c.doc_id
+          WHERE x.doc_id IS NULL
+          GROUP BY c.query_id, c.doc_id, c.rel)) WHERE rn = 1),
+    sel{j} AS (SELECT query_id, doc_id FROM {prev}
+               UNION ALL SELECT query_id, doc_id FROM pick{j})""")
+        prev = f"sel{j}"
+    unions = "\n          UNION ALL ".join(
+        f"SELECT query_id, {j} AS mmr_rank, doc_id, val FROM pick{j}"
+        for j in range(1, m + 1)
+    )
+    return f"""
+    WITH dq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 4),
+    dsc AS (SELECT dq.query_id, e.vec_id AS doc_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], dq.qv),
+                         4) AS score,
+                   e.embedding::DOUBLE[] AS vec
+            FROM embeddings e CROSS JOIN dq),
+    topk AS (SELECT query_id, doc_id, score, vec FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rn
+        FROM dsc) WHERE rn <= {k}),
+    cand AS (SELECT query_id, doc_id,
+                    CAST(round(score * 10000) AS BIGINT) AS rel, vec
+             FROM topk),
+    sims AS (SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+                    CAST(round(list_cosine_similarity(c1.vec, c2.vec)
+                               * 10000) AS BIGINT) AS sim
+             FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id),
+    {','.join(steps)}
+    SELECT query_id, mmr_rank, doc_id,
+           val::DOUBLE / 100000.0 AS mmr_score
+    FROM ({unions})
+    """
+
+
+@query("llm_mmr_rerank", _mmr_oracle())
+def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (retrieval.mmr_rerank, Carbonell &
+    Goldstein 1998): dense top-12 per query, then 6 greedy
+    maximal-marginal-relevance picks at lambda = 7/10 — the standard
+    post-retrieval diversification that keeps near-duplicate passages
+    from filling a RAG training context. Everything after the ranker
+    is integer arithmetic on the 1e4 grid (exact rational lambda,
+    half-away quantized relevance and pairwise cosines, doc-id ties),
+    so the oracle replays ALL SIX sequential greedy steps as unrolled
+    SQL CTEs — per-step selection state, max-sim-to-selected, argmax —
+    and the hash compare pins every pick, not just the final set."""
+    from delta_rs_spark.functions.retrieval import mmr_rerank
+    from delta_rs_spark.functions.similarity import dense_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = emb.filter(F.col("vec_id") < 4)
+    den = dense_topk(emb, qvecs, k=12, q_id_col="vec_id")
+    return mmr_rerank(den, emb, m=6, lam_num=7, lam_den=10)
+
+
 @query(
     "llm_ngram_diversity",
     f"""

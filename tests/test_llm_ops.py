@@ -2002,3 +2002,54 @@ def test_frequent_ngrams_planted_boilerplate_and_shard_invariance(spark):
     # shard invariance: 1 shard (single global window) == 16 shards
     one = sorted(map(tuple, frequent_ngrams(docs, n=2, k=3, n_shards=1).collect()))
     assert one == sorted(map(tuple, out))
+
+
+def test_mmr_rerank_diversity_and_exact_greedy(spark):
+    """mmr_rerank (r09): hand-computable greedy — a near-duplicate of
+    the top pick must be demoted below a less-relevant-but-diverse
+    candidate at lambda=0.7, ties break by doc_id, scores are exact
+    integer arithmetic on the 1e4 grid, and m caps at the candidate
+    count."""
+    from delta_rs_spark.functions.retrieval import mmr_rerank
+
+    # doc 1: relevance 1.0, doc 2: near-dup of 1 (cos=1), rel 0.9,
+    # doc 3: orthogonal, rel 0.5
+    vecs = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    vdf = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    ranking = spark.createDataFrame(
+        [(0, 1, 1, 1.0), (0, 2, 2, 0.9), (0, 3, 3, 0.5)],
+        ["query_id", "rank", "doc_id", "score"],
+    )
+    out = sorted(
+        (r.mmr_rank, r.doc_id, r.mmr_score)
+        for r in mmr_rerank(ranking, vdf, m=3).collect()
+    )
+    # step1: 7*rel -> doc1 (70000/1e5 = 0.7)
+    # step2: doc2 = 7*9000-3*10000 = 33000; doc3 = 7*5000-3*0 = 35000
+    #        -> diverse doc3 beats the near-dup despite lower relevance
+    # step3: doc2 = 33000 (sim to doc3 is 0... max vs doc1 = 10000) -> 33000
+    assert out == [
+        (1, 1, 0.7),
+        (2, 3, 0.35),
+        (3, 2, 0.33),
+    ], out
+
+    # ties break by doc_id; m caps at candidate count
+    tie = spark.createDataFrame(
+        [(5, 1, 10, 0.8), (5, 2, 11, 0.8)],
+        ["query_id", "rank", "doc_id", "score"],
+    )
+    tv = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    got = [(r.mmr_rank, r.doc_id) for r in
+           sorted(mmr_rerank(tie, tv, m=9).collect(), key=lambda r: r.mmr_rank)]
+    assert got == [(1, 10), (2, 11)]
+
+    # candidates without a vector are dropped, not silently zero-sim
+    partial = spark.createDataFrame(
+        [(7, 1, 10, 0.9), (7, 2, 99, 0.8)],
+        ["query_id", "rank", "doc_id", "score"],
+    )
+    got = [r.doc_id for r in mmr_rerank(partial, tv, m=5).collect()]
+    assert got == [10]
