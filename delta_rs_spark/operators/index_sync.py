@@ -27,12 +27,15 @@ per-document final states from the two snapshots via ``table_diff``
 (operators/diff.py): add-action diff prunes unchurned files before any
 IO, so the no-CDF path stays O(churn), not O(table). The default
 ``"auto"`` follows CDF when the source currently has it enabled and
-falls back to the diff otherwise (a table whose CDF was enabled
-mid-range should pass ``change_source`` explicitly — load_cdf raises on
-pre-enablement commits). The diff path compares ONLY the column the
-index derives from, so a metadata-only rewrite (same text) produces no
-index churn at all — strictly less work than CDF, which must replay
-every change row.
+falls back to the diff otherwise. A range whose CDF was enabled
+MID-WAY is still correct under "cdf": this engine's load_cdf
+SYNTHESIZES pre-enablement commits from their add/remove actions
+(operators/cdf.py), and ``_final_states`` reduces the synthesized
+same-version insert+delete pairs alive-wins — pinned by
+test_fp_index_sync_cdf_enabled_midrange. "diff" remains the cheaper
+choice for rewrite-heavy non-CDF ranges (synthesis re-reads whole
+rewritten files; the diff compares ONLY the column the index derives
+from, so a metadata-only rewrite produces no index churn at all).
 """
 
 from __future__ import annotations

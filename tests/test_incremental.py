@@ -509,3 +509,51 @@ def test_fp_index_sync_nocdf_dv_soft_delete_source(spark, tmp_path):
     got = {(r.id, r.fp) for r in DeltaTable(idx, spark=spark).to_df().collect()}
     assert got == {(r.id, r.fp) for r in cur.collect()}
     assert all(i % 4 != 1 for i, _ in got) and len(got) == 18
+
+
+def test_fp_index_sync_cdf_enabled_midrange(spark, tmp_path):
+    """r09: the real migration sequence — a corpus starts WITHOUT CDF,
+    mutates, enables CDF via table properties, mutates more, and only
+    THEN syncs. change_source='auto' resolves to 'cdf' (the property is
+    now true) and the watermark range spans pre-enablement commits:
+    load_cdf synthesizes those from add/remove actions, and the
+    alive-wins final-state reduction must land the index exactly on a
+    from-scratch rebuild. The 'diff' path over the same range must
+    agree."""
+    import pyspark.sql.functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.functions.text import fingerprint
+    from delta_rs_spark.operators.index_sync import sync_fingerprint_index
+
+    def build(tag, change_source):
+        src, idx = str(tmp_path / f"{tag}s"), str(tmp_path / f"{tag}i")
+        write_deltalake(
+            src,
+            spark.createDataFrame(
+                [(i, f"origin text {i}") for i in range(25)], ["doc_id", "text"]
+            ),
+        )  # no CDF at birth
+        sync_fingerprint_index(spark, src, idx)
+        dt = DeltaTable(src, spark=spark)
+        dt.delete("doc_id % 5 = 0")          # pre-enablement commit
+        dt.update({"text": "concat(text, ' a')"}, predicate="doc_id % 3 = 1")
+        dt.alter.set_table_properties(
+            {"delta.enableChangeDataFeed": "true"}
+        )                                     # enablement commit
+        dt.update_incremental()
+        dt.update({"text": "concat(text, ' b')"}, predicate="doc_id % 4 = 2")
+        write_deltalake(
+            src,
+            spark.createDataFrame([(900, "late doc")], ["doc_id", "text"]),
+            mode="append",
+        )
+        sync_fingerprint_index(spark, src, idx, change_source=change_source)
+        cur = DeltaTable(src, spark=spark).to_df().select(
+            F.col("doc_id").alias("id"), fingerprint("text").alias("fp")
+        )
+        got = {(r.id, r.fp) for r in DeltaTable(idx, spark=spark).to_df().collect()}
+        assert got == {(r.id, r.fp) for r in cur.collect()}, (tag, change_source)
+        return got
+
+    assert build("auto", "auto") == build("diff", "diff")
