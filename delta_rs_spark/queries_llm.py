@@ -3079,15 +3079,15 @@ def _mmr_oracle(k: int = 12, m: int = 6, mu: int = 7, nu: int = 3) -> str:
     steps = []
     prev = "sel1"
     steps.append(f"""
-    pick1 AS (SELECT query_id, doc_id, val FROM (
+    pick1 AS MATERIALIZED (SELECT query_id, doc_id, val FROM (
         SELECT query_id, doc_id, {mu} * rel AS val,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY {mu} * rel DESC, doc_id ASC) AS rn
         FROM cand) WHERE rn = 1),
-    sel1 AS (SELECT query_id, doc_id FROM pick1)""")
+    sel1 AS MATERIALIZED (SELECT query_id, doc_id FROM pick1)""")
     for j in range(2, m + 1):
         steps.append(f"""
-    pick{j} AS (SELECT query_id, doc_id, val FROM (
+    pick{j} AS MATERIALIZED (SELECT query_id, doc_id, val FROM (
         SELECT query_id, doc_id, val,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY val DESC, doc_id ASC) AS rn
@@ -3102,7 +3102,7 @@ def _mmr_oracle(k: int = 12, m: int = 6, mu: int = 7, nu: int = 3) -> str:
                             AND x.doc_id = c.doc_id
           WHERE x.doc_id IS NULL
           GROUP BY c.query_id, c.doc_id, c.rel)) WHERE rn = 1),
-    sel{j} AS (SELECT query_id, doc_id FROM {prev}
+    sel{j} AS MATERIALIZED (SELECT query_id, doc_id FROM {prev}
                UNION ALL SELECT query_id, doc_id FROM pick{j})""")
         prev = f"sel{j}"
     unions = "\n          UNION ALL ".join(
@@ -3121,10 +3121,10 @@ def _mmr_oracle(k: int = 12, m: int = 6, mu: int = 7, nu: int = 3) -> str:
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) AS rn
         FROM dsc) WHERE rn <= {k}),
-    cand AS (SELECT query_id, doc_id,
+    cand AS MATERIALIZED (SELECT query_id, doc_id,
                     CAST(round(score * 10000) AS BIGINT) AS rel, vec
              FROM topk),
-    sims AS (SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+    sims AS MATERIALIZED (SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
                     CAST(round(list_cosine_similarity(c1.vec, c2.vec)
                                * 10000) AS BIGINT) AS sim
              FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id),
