@@ -188,6 +188,11 @@ def main() -> None:
         "q_events_session_watermark",
         "llm_fp_index_sync_nocdf",
         "llm_incremental_agg_nocdf",
+        # r09 late additions: a REAL two-source stream-stream join (2
+        # state stores x 3 micro-batches) and a dropDuplicatesWithin-
+        # Watermark stream — same state-store/commit floor class
+        "q_events_stream_stream_join",
+        "q_events_dedup_within_watermark",
     } & set(qs)
     samples: dict[str, list[float]] = {name: [] for name in qs}
     for i in range(n_samples):

@@ -746,3 +746,380 @@ def q_events_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return _drain_memory_sink(spark, sink)
+
+
+def _stage_batch_files(df, root: str, arr_col: str, cols: list[str]) -> str:
+    """Write one mtime-pinned parquet file per arrival batch (0, 1, 2)
+    under ``root/in`` for a FileStreamSource with maxFilesPerTrigger=1 —
+    the shared staging shape of every real-stream gate. Cached per
+    process via _STAGED_STREAM_DIRS (setup, not the measured stream; a
+    fresh process — the driver's gate — always rebuilds)."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    stream_dir = f"{root}/in"
+    if root not in _STAGED_STREAM_DIRS:
+        _shutil.rmtree(root, ignore_errors=True)
+        _os.makedirs(stream_dir, exist_ok=True)
+        # ONE job stages all three batch files: a single-task
+        # partitionBy(arr) write emits one part file per batch value
+        # (vs. three filtered writes each re-running the base plan)
+        staging = f"{root}/stage"
+        df.select(*cols, arr_col).repartition(1).write.partitionBy(
+            arr_col
+        ).parquet(staging)
+        for b in (0, 1, 2):
+            part_dir = f"{staging}/{arr_col}={b}"
+            dst = f"{stream_dir}/b{b}.parquet"
+            if not _os.path.isdir(part_dir):
+                # a batch with no rows still needs its file (the gates'
+                # 3-batch arrival structure is part of the contract)
+                empty = f"{root}/stage_empty{b}"
+                df.select(*cols).limit(0).coalesce(1).write.parquet(empty)
+                part_dir = empty
+            part = next(
+                p for p in _os.listdir(part_dir) if p.endswith(".parquet")
+            )
+            _os.rename(f"{part_dir}/{part}", dst)
+            if part_dir != f"{staging}/{arr_col}={b}":
+                _shutil.rmtree(part_dir, ignore_errors=True)
+            # FileStreamSource orders by modification time: pin batch order
+            _os.utime(dst, (1_600_000_000 + b * 100, 1_600_000_000 + b * 100))
+        _shutil.rmtree(staging, ignore_errors=True)
+        _STAGED_STREAM_DIRS.add(root)
+    return stream_dir
+
+
+def _run_gate_stream(spark, out_df, sink_prefix: str, root: str, seq: int,
+                     state_partitions: int = 8):
+    """Drive a gate's streaming plan to completion (availableNow, memory
+    sink, fresh checkpoint) and return the drained result. The state
+    partition count is pinned small for subset-sized gate inputs — the
+    count is frozen into the checkpoint at stream start and 32 state
+    stores x N micro-batches of commit files is pure floor (semantics
+    are partition-count independent); restored in finally."""
+    import os as _os
+    import shutil as _shutil
+
+    sink = f"{sink_prefix}_{_os.getpid()}_{seq}"
+    ckpt = f"{root}/ckpt{seq}"
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            out_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return _drain_memory_sink(spark, sink)
+
+
+_SSJ_GATE_SEQ = 0
+
+
+@query(
+    "q_events_stream_stream_join",
+    """
+    WITH raw AS (SELECT event_id, user_id, event_type,
+                        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+                        CAST(floor(value * 100) AS BIGINT) AS cents
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')),
+    bounds AS (SELECT min(sec) AS mn, max(sec) AS mx FROM raw),
+    e AS (SELECT r.event_id, r.user_id, r.event_type, r.sec, r.cents,
+                 CASE WHEN r.event_id % 25 = 0 THEN 2
+                      ELSE least(((r.sec - b.mn) * 3) // (b.mx - b.mn + 1), 2)
+                 END AS arr
+          FROM raw r CROSS JOIN bounds b),
+    -- each side's watermark node tracks its OWN running max event time
+    -- (over every row in the batch file, including rows the join later
+    -- drops as late); the global watermark is the MIN of the two nodes,
+    -- and late-input filtering in batch k uses the LAGGED global
+    -- watermark (through batch k-2, SPARK-24634), non-strict
+    bm AS (SELECT arr,
+                  max(CASE WHEN event_type = 'click' THEN sec END) AS lmax,
+                  max(CASE WHEN event_type = 'purchase' THEN sec END) AS rmax
+           FROM e GROUP BY arr),
+    wmr AS (SELECT arr,
+                   CASE WHEN rl2 IS NULL OR rr2 IS NULL THEN NULL
+                        ELSE least(rl2, rr2) - 1800 END AS wm_lag
+            FROM (SELECT arr,
+                         max(lmax) OVER (ORDER BY arr
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS rl2,
+                         max(rmax) OVER (ORDER BY arr
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS rr2
+                  FROM bm)),
+    -- state eviction is calibrated against the late filter (probed on
+    -- this engine build): an admitted row always finds its surviving
+    -- partners, so admission is the ONLY pair-loss mechanism
+    adm AS (SELECT e.* FROM e JOIN wmr ON e.arr = wmr.arr
+            WHERE wmr.wm_lag IS NULL OR e.sec > wmr.wm_lag),
+    pairs AS (SELECT c.event_id AS click_id,
+                     p.event_id AS purchase_id,
+                     c.user_id,
+                     p.cents AS purchase_cents
+              FROM adm c JOIN adm p
+                ON c.event_type = 'click' AND p.event_type = 'purchase'
+               AND c.user_id = p.user_id
+               AND p.sec >= c.sec AND p.sec <= c.sec + 14400),
+    -- LEFT OUTER null emission (probed): an admitted, never-matched
+    -- click emits its NULL-padded row only once the FINAL watermark
+    -- STRICTLY passes its last possible match time (sec + 4h); later
+    -- unmatched clicks stay withheld in state (append mode emits
+    -- exactly once). Compare the non-strict (<=) late filter above —
+    -- the two bounds differ, and the gate pins both.
+    fin AS (SELECT least(max(lmax), max(rmax)) - 1800 AS wm_final FROM bm)
+    SELECT click_id, purchase_id, user_id, purchase_cents FROM pairs
+    UNION ALL
+    SELECT c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           c.user_id,
+           CAST(NULL AS BIGINT) AS purchase_cents
+    FROM adm c CROSS JOIN fin f
+    WHERE c.event_type = 'click'
+      AND c.sec + 14400 < f.wm_final
+      AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.click_id = c.event_id)
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM left-outer join under a REAL late-data
+    stream (streaming/joins.py stream_stream_interval_join): the
+    production attribution shape — a clicks stream joined with a
+    purchases stream on user within [click, click + 4h], unconverted
+    clicks surfacing as NULL-padded rows. Both sides are staged into
+    three time-chunk files with every 25th event displaced into the
+    LAST batch (mtime-pinned order, one file per micro-batch per side,
+    availableNow), each side watermarked 30 minutes. This is the JOIN
+    behavior batch replays can't exercise — all probed on this build
+    (tests/test_streaming.py): per-side watermark nodes feeding a MIN
+    global watermark; late stragglers filtered against the LAGGED
+    watermark (SPARK-24634, NON-strict); join state eviction exactly
+    calibrated so the late filter is the only pair-loss mechanism (an
+    admitted straggler on EITHER side still finds its surviving
+    partners in the other side's state); and outer-null emission for a
+    never-matched click only once the final watermark STRICTLY passes
+    its last possible match time — clicks nearer the stream's end stay
+    withheld (append mode emits exactly once). The oracle replays the
+    per-side per-batch maxes, the min-combine, the lagged admission
+    rule, the surviving pair set, and the strict null-emission bound
+    in SQL."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.streaming.joins import stream_stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("long")
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        sec.alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = base.agg(F.min("sec").alias("mn"), F.max("sec").alias("mx"))
+    arr = F.when(F.col("event_id") % 25 == 0, F.lit(2).cast("long")).otherwise(
+        F.least(F.expr("((sec - mn) * 3) div (mx - mn + 1)"), F.lit(2).cast("long"))
+    )
+    staged = base.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_seconds(F.col("sec")).alias("ts_ts"),
+        "cents",
+        arr.alias("arr"),
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_stream_join"
+    # both sides' staging filters share one computation of the base plan
+    staged = staged.persist()
+    try:
+        l_dir = _stage_batch_files(
+            staged.filter(F.col("event_type") == "click"),
+            f"{root}/L",
+            "arr",
+            ["event_id", "user_id", "ts_ts"],
+        )
+        r_dir = _stage_batch_files(
+            staged.filter(F.col("event_type") == "purchase"),
+            f"{root}/R",
+            "arr",
+            ["event_id", "user_id", "ts_ts", "cents"],
+        )
+    finally:
+        staged.unpersist()
+
+    lsrc = (
+        spark.readStream.schema("event_id long, user_id long, ts_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(l_dir)
+        .selectExpr("event_id AS click_id", "user_id AS l_user", "ts_ts AS lts")
+    )
+    rsrc = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts_ts timestamp, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(r_dir)
+        .selectExpr(
+            "event_id AS purchase_id", "user_id AS r_user", "ts_ts AS rts", "cents"
+        )
+    )
+    joined = stream_stream_interval_join(
+        lsrc,
+        rsrc,
+        keys=[("l_user", "r_user")],
+        left_ts="lts",
+        right_ts="rts",
+        upper="4 hours",
+        watermark="30 minutes",
+        how="leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("l_user").alias("user_id"),
+        F.col("cents").alias("purchase_cents"),
+    )
+    global _SSJ_GATE_SEQ
+    _SSJ_GATE_SEQ += 1
+    return _run_gate_stream(
+        spark, joined, "stream_stream_join_gate", root, _SSJ_GATE_SEQ
+    )
+
+
+_DDWW_GATE_SEQ = 0
+
+
+@query(
+    "q_events_dedup_within_watermark",
+    """
+    WITH raw AS (SELECT event_id, user_id, event_type,
+                        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+                 FROM events),
+    bounds AS (SELECT min(sec) AS mn, max(sec) AS mx FROM raw),
+    e AS (SELECT r.event_id, r.user_id, r.event_type, r.sec,
+                 CASE WHEN r.event_id % 50 = 0 THEN 2
+                      ELSE least(((r.sec - b.mn) * 3) // (b.mx - b.mn + 1), 2)
+                 END AS arr
+          FROM raw r CROSS JOIN bounds b),
+    -- one row per (key, batch) is staged (min event time, event_id
+    -- tiebreak): within-batch first-occurrence order inside the engine
+    -- is not deterministic; the cross-batch state rules are what this
+    -- gate pins
+    staged AS (SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id, event_type, arr
+                   ORDER BY sec, event_id) AS rn FROM e) WHERE rn = 1),
+    -- wm1 = the watermark in effect during batch 1 (max event time
+    -- through batch 0, minus the 30-min delay). It is BOTH the lagged
+    -- late-filter bound of batch 2 (SPARK-24634) and the end-of-batch-1
+    -- eviction bound — the two rules share the value by construction
+    -- (each lags one batch); the synthetic pytest pins them separately
+    wm AS (SELECT max(sec) - 1800 AS wm1 FROM staged WHERE arr = 0),
+    emit0 AS (SELECT user_id, event_type, sec, event_id
+              FROM staged WHERE arr = 0),
+    -- batch 1: no late filter yet (lagged wm undefined); state = emit0
+    -- intact (batch 0 ran with no watermark, so nothing was evicted)
+    emit1 AS (SELECT s.user_id, s.event_type, s.sec, s.event_id
+              FROM staged s WHERE s.arr = 1
+               AND NOT EXISTS (SELECT 1 FROM emit0 o
+                               WHERE o.user_id = s.user_id
+                                 AND o.event_type = s.event_type)),
+    -- end of batch 1 evicts state with expiry (= emitted event time +
+    -- delay) <= wm1, NON-strict; duplicates never extended the expiry
+    s1 AS (SELECT u.user_id, u.event_type
+           FROM (SELECT user_id, event_type, sec FROM emit0
+                 UNION ALL SELECT user_id, event_type, sec FROM emit1) u, wm
+           WHERE u.sec + 1800 > wm.wm1),
+    -- batch 2: late filter vs the LAGGED watermark (<= drops), then
+    -- dedup vs surviving state; an evicted key RE-EMITS
+    emit2 AS (SELECT s.user_id, s.event_type, s.sec, s.event_id
+              FROM staged s, wm
+              WHERE s.arr = 2 AND s.sec > wm.wm1
+               AND NOT EXISTS (SELECT 1 FROM s1
+                               WHERE s1.user_id = s.user_id
+                                 AND s1.event_type = s.event_type))
+    SELECT user_id, event_type, sec, event_id FROM emit0
+    UNION ALL SELECT user_id, event_type, sec, event_id FROM emit1
+    UNION ALL SELECT user_id, event_type, sec, event_id FROM emit2
+    """,
+)
+def q_events_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup under a REAL late-data stream
+    (streaming/stateful.py dedup_within_watermark, the engine's
+    dropDuplicatesWithinWatermark): idempotency-style dedup of the
+    event stream by (user_id, event_type) with 30 minutes of event-time
+    state TTL — the alert-throttling / retry-storm shape where
+    unbounded key state (dedup_stream) is the wrong cost model. Same
+    staged arrival as the other stream gates (three time-chunks, every
+    50th event displaced two batches late, mtime-pinned, availableNow),
+    pre-deduped to one min-time row per (key, batch) so within-batch
+    arrival order — which the engine does not define — never decides
+    the output. Pins every probed state rule at corpus scale: late
+    rows dropped against the LAGGED watermark (non-strict); duplicates
+    dropped against live state without extending its expiry; eviction
+    at end-of-batch with the CURRENT watermark (non-strict on expiry);
+    evicted keys re-emitting on re-arrival (the dominant branch here:
+    a 30-day event range advances the watermark ~10 days per batch).
+    The oracle unrolls the 3-batch replay in SQL."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from delta_rs_spark.streaming.stateful import dedup_within_watermark
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("long")
+    base = ev.select("event_id", "user_id", "event_type", sec.alias("sec"))
+    bounds = base.agg(F.min("sec").alias("mn"), F.max("sec").alias("mx"))
+    arr = F.when(F.col("event_id") % 50 == 0, F.lit(2).cast("long")).otherwise(
+        F.least(F.expr("((sec - mn) * 3) div (mx - mn + 1)"), F.lit(2).cast("long"))
+    )
+    w = Window.partitionBy("user_id", "event_type", "arr").orderBy("sec", "event_id")
+    staged = (
+        base.crossJoin(F.broadcast(bounds))
+        .select("event_id", "user_id", "event_type", "sec", arr.alias("arr"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.timestamp_seconds(F.col("sec")).alias("ts_ts"),
+            "user_id",
+            "event_type",
+            "event_id",
+            "arr",
+        )
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/dedup_within_watermark"
+    stream_dir = _stage_batch_files(
+        staged, root, "arr", ["ts_ts", "user_id", "event_type", "event_id"]
+    )
+    src = spark.readStream.schema(
+        "ts_ts timestamp, user_id long, event_type string, event_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(stream_dir)
+    out = dedup_within_watermark(
+        src, keys=["user_id", "event_type"], ts_col="ts_ts", delay="30 minutes"
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("ts_ts").cast("long").alias("sec"),
+        "event_id",
+    )
+    global _DDWW_GATE_SEQ
+    _DDWW_GATE_SEQ += 1
+    return _run_gate_stream(
+        spark, out, "dedup_within_watermark_gate", root, _DDWW_GATE_SEQ
+    )

@@ -63,6 +63,40 @@ def dedup_stream(
     )
 
 
+def dedup_within_watermark(
+    stream_df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    delay: str,
+) -> DataFrame:
+    """Bounded-state streaming dedup: emit the first row seen per key,
+    but keep the key's state only for ``delay`` of event time — the
+    production shape when duplicates cluster in time (retries, replays)
+    and unbounded key state (``dedup_stream``) would grow with corpus
+    history. Built on the engine's ``dropDuplicatesWithinWatermark``.
+
+    Engine semantics the gate + tests pin (probed on this build,
+    tests/test_streaming.py::test_dedup_within_watermark_rules):
+     - input rows with event time <= the LAGGED watermark (the one in
+       effect one batch earlier, SPARK-24634) are dropped before the
+       state lookup — non-strict compare;
+     - an admitted row is emitted iff its key is absent from state;
+       emission stores expiry = event_time + delay. Duplicates do NOT
+       extend the expiry, and the expiry check happens only at
+       end-of-batch eviction — a duplicate arriving in the batch whose
+       watermark already passed the key's expiry is still dropped;
+     - end of batch k evicts keys with expiry <= the batch's watermark
+       (non-strict); a key re-arriving after eviction RE-EMITS.
+
+    At 100 TB rates state is O(keys per delay window) per partition,
+    not O(all keys ever) — the whole point vs. dedup_stream.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_list
+    )
+
+
 def running_counts_stream(
     stream_df: DataFrame,
     key_col: str,

@@ -830,3 +830,270 @@ def test_session_window_merge_evict_split_rules(spark, tmp_path):
         ("u1", 1100, 1700, 1),
         ("u2", 1600, 2200, 1),
     ], got
+
+
+def test_dedup_within_watermark_rules(spark, tmp_path):
+    """r09: pins the dropDuplicatesWithinWatermark state rules the
+    q_events_dedup_within_watermark oracle replays, probed on this
+    engine build — (a) late input drops against the LAGGED watermark,
+    non-strict (SPARK-24634: E@1121 > lagged 1120 is admitted even
+    though the current wm is 1125; R@1120 == lagged drops; D@900
+    drops); (b) duplicates drop against live state WITHOUT extending
+    its expiry (G re-emits: its 1040 duplicate did not move the 1100
+    expiry past wm 1120); (c) eviction runs at END of batch with that
+    batch's watermark, non-strict on expiry (A: expiry 1100 <= wm
+    1120 at end of the I batch -> re-emits at 1300; H: expiry 1320
+    alive -> 1310 dup drops). If a Spark upgrade changes any of
+    these, this fails readably instead of as a gate hash-diff."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.streaming.stateful import dedup_within_watermark
+
+    root = str(tmp_path / "ddwwrules")
+    os.makedirs(f"{root}/in")
+    batches = {
+        0: [("A", 1000), ("G", 1000)],
+        1: [("G", 1040), ("H", 1220)],   # wm during next batch: 1120
+        2: [("I", 1225)],                # end-of-batch eviction: A, G out
+        3: [
+            ("A", 1300),  # re-emit (evicted)
+            ("G", 1300),  # re-emit (no expiry extension by the 1040 dup)
+            ("H", 1310),  # drop (state alive: expiry 1320 > wm 1125)
+            ("D", 900),   # drop (<= lagged wm 1120)
+            ("R", 1120),  # drop (== lagged wm, non-strict)
+            ("E", 1121),  # EMIT (> lagged wm 1120, though < current 1125)
+        ],
+    }
+    for b, rows in batches.items():
+        df = spark.createDataFrame(rows, ["k", "sec"]).select(
+            "k", F.timestamp_seconds(F.col("sec")).alias("ts_ts")
+        )
+        stg = f"{root}/stage{b}"
+        df.coalesce(1).write.parquet(stg)
+        part = next(p for p in os.listdir(stg) if p.endswith(".parquet"))
+        os.rename(f"{stg}/{part}", f"{root}/in/b{b}.parquet")
+        os.utime(f"{root}/in/b{b}.parquet", (1_600_000_000 + b * 100,) * 2)
+    src = (
+        spark.readStream.schema("k string, ts_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in")
+    )
+    out = dedup_within_watermark(src, keys="k", ts_col="ts_ts", delay="100 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ddwwrules_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.k, int(r.ts_ts.timestamp())) for r in spark.table("ddwwrules_sink").collect()
+    )
+    spark.catalog.dropTempView("ddwwrules_sink")
+    assert got == [
+        ("A", 1000),
+        ("A", 1300),
+        ("E", 1121),
+        ("G", 1000),
+        ("G", 1300),
+        ("H", 1220),
+        ("I", 1225),
+    ], got
+
+
+def test_stream_stream_join_rules(spark, tmp_path):
+    """r09: pins the stream-stream inner-join rules the
+    q_events_stream_stream_join oracle replays, probed on this engine
+    build — with per-side 100 s watermarks and the band rt in
+    [lt, lt+200s]: (a) the global watermark is the MIN of the two
+    sides' (max event time - delay); (b) late input drops against the
+    LAGGED global watermark, non-strict (d@901 <= 4900 drops; e@4900
+    == lagged wm drops; c@4950 > 4900 admits); (c) state eviction is
+    calibrated against that filter, so an admitted straggler on EITHER
+    side still finds its surviving partners (c pairs with the batch-0
+    left row; LEFT straggler f@4930 pairs with the batch-0 right row);
+    (d) the band bounds are inclusive (b pairs at rt == lt+200). If a
+    Spark upgrade changes any of these, this fails readably instead of
+    as a gate hash-diff."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.streaming.joins import stream_stream_interval_join
+
+    root = str(tmp_path / "ssjrules")
+    L = {
+        0: [("a", 1000), ("b", 1000), ("c", 4900), ("d", 800), ("e", 4850),
+            ("z", 5000)],
+        1: [("z", 5100)],
+        2: [("f", 4930)],
+    }
+    R = {
+        0: [("a", 1100), ("f", 4960), ("z2", 5000)],
+        1: [("b", 1200), ("z2", 5100)],
+        2: [("c", 4950), ("d", 901), ("e", 4900)],
+    }
+    for side, batches in (("L", L), ("R", R)):
+        os.makedirs(f"{root}/{side}")
+        for b, rows in batches.items():
+            df = spark.createDataFrame(rows, ["k", "sec"]).select(
+                "k", F.timestamp_seconds(F.col("sec")).alias("ts_ts")
+            )
+            stg = f"{root}/stage_{side}{b}"
+            df.coalesce(1).write.parquet(stg)
+            part = next(p for p in os.listdir(stg) if p.endswith(".parquet"))
+            os.rename(f"{stg}/{part}", f"{root}/{side}/b{b}.parquet")
+            os.utime(f"{root}/{side}/b{b}.parquet", (1_600_000_000 + b * 100,) * 2)
+    lsrc = (
+        spark.readStream.schema("k string, ts_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/L")
+        .selectExpr("k AS lk", "ts_ts AS lts")
+    )
+    rsrc = (
+        spark.readStream.schema("k string, ts_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/R")
+        .selectExpr("k AS rk", "ts_ts AS rts")
+    )
+    joined = stream_stream_interval_join(
+        lsrc,
+        rsrc,
+        keys=[("lk", "rk")],
+        left_ts="lts",
+        right_ts="rts",
+        upper="200 seconds",
+        watermark="100 seconds",
+    ).select("lk", "lts", "rts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjrules_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.lk, int(r.lts.timestamp()), int(r.rts.timestamp()))
+        for r in spark.table("ssjrules_sink").collect()
+    )
+    spark.catalog.dropTempView("ssjrules_sink")
+    assert got == [
+        ("a", 1000, 1100),   # same-batch pair
+        ("b", 1000, 1200),   # inclusive upper bound, cross-batch
+        ("c", 4900, 4950),   # right straggler admitted via lagged wm
+        ("f", 4930, 4960),   # LEFT straggler joins right state
+    ], got
+
+
+def test_stream_stream_join_batch_mode(spark):
+    """The same stream_stream_interval_join call on BATCH frames is the
+    backfill replay of the identical definition (windows.py convention:
+    watermarks only attach to streaming inputs)."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.streaming.joins import stream_stream_interval_join
+
+    l = spark.createDataFrame([("a", 1000), ("b", 5000)], ["lk", "sec"]).select(
+        "lk", F.timestamp_seconds("sec").alias("lts")
+    )
+    r = spark.createDataFrame(
+        [("a", 1100), ("a", 1300), ("b", 4000)], ["rk", "sec"]
+    ).select("rk", F.timestamp_seconds("sec").alias("rts"))
+    got = sorted(
+        (x.lk, int(x.rts.timestamp()))
+        for x in stream_stream_interval_join(
+            l, r, keys=[("lk", "rk")], left_ts="lts", right_ts="rts",
+            upper="200 seconds",
+        ).collect()
+    )
+    assert got == [("a", 1100)]  # 1300 beyond band; b's 4000 precedes lts
+
+
+def test_stream_stream_outer_join_null_emission_rules(spark, tmp_path):
+    """r09: pins the LEFT OUTER null-emission rules the upgraded
+    q_events_stream_stream_join oracle replays, probed on this engine
+    build — an admitted, never-matched left row emits its NULL-padded
+    result iff the final watermark STRICTLY passes its last possible
+    match time (lt + upper < wm_final): h@1001 emits (1201 < 1900),
+    m@1700 is withheld at the boundary (1900 == 1900 — note the
+    asymmetry with the NON-strict late filter), i@1750 and z@2000 are
+    withheld, matched lefts (j, k) never emit a NULL row, and
+    unmatched RIGHT rows emit nothing under leftOuter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.streaming.joins import stream_stream_interval_join
+
+    root = str(tmp_path / "ssjorules")
+    L = {
+        0: [("g", 1000), ("j", 1000), ("k", 1000), ("z", 1100)],
+        1: [("z", 2000)],
+        2: [("h", 1001), ("m", 1700), ("i", 1750)],
+    }
+    R = {
+        0: [("j", 1050), ("z2", 1100)],
+        1: [("k", 1100), ("z2", 2000)],
+        2: [("z2", 1999)],
+    }
+    for side, batches in (("L", L), ("R", R)):
+        os.makedirs(f"{root}/{side}")
+        for b, rows in batches.items():
+            df = spark.createDataFrame(rows, ["k", "sec"]).select(
+                "k", F.timestamp_seconds(F.col("sec")).alias("ts_ts")
+            )
+            stg = f"{root}/stage_{side}{b}"
+            df.coalesce(1).write.parquet(stg)
+            part = next(p for p in os.listdir(stg) if p.endswith(".parquet"))
+            os.rename(f"{stg}/{part}", f"{root}/{side}/b{b}.parquet")
+            os.utime(f"{root}/{side}/b{b}.parquet", (1_600_000_000 + b * 100,) * 2)
+    lsrc = (
+        spark.readStream.schema("k string, ts_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/L")
+        .selectExpr("k AS lk", "ts_ts AS lts")
+    )
+    rsrc = (
+        spark.readStream.schema("k string, ts_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/R")
+        .selectExpr("k AS rk", "ts_ts AS rts")
+    )
+    joined = stream_stream_interval_join(
+        lsrc,
+        rsrc,
+        keys=[("lk", "rk")],
+        left_ts="lts",
+        right_ts="rts",
+        upper="200 seconds",
+        watermark="100 seconds",
+        how="leftOuter",
+    ).select("lk", "lts", "rts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjorules_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.lk, int(r.lts.timestamp()),
+         int(r.rts.timestamp()) if r.rts is not None else None)
+        for r in spark.table("ssjorules_sink").collect()
+    )
+    spark.catalog.dropTempView("ssjorules_sink")
+    assert got == [
+        ("g", 1000, None),   # unmatched, 1200 < 1900 -> NULL emitted
+        ("h", 1001, None),   # admitted in b2, unmatched, 1201 < 1900
+        ("j", 1000, 1050),   # matched: no NULL row
+        ("k", 1000, 1100),   # cross-batch match: no NULL row
+        ("z", 1100, None),   # unmatched, 1300 < 1900
+    ], got
