@@ -169,8 +169,21 @@ def _last_green() -> dict[str, int]:
 _LAST_GREEN = _last_green()
 
 
+# delta_* gates that are same-OPERATOR variants of an always-pinned
+# sibling rotate through the staleness tail instead of growing the
+# mandatory prefix past the re-witness bound (the r08 rationale that
+# moved distinct/pivot/rollup and the batch events queries into the
+# rotation: the CATEGORY keeps its every-round witness, the variant is
+# re-witnessed by rotation + the round-close two-SF sweep). As a new
+# entry it is never-green, so it leads the tail and IS witnessed in its
+# first round.
+_DELTA_ROTATED = (
+    "delta_zorder_incremental_op",  # OPTIMIZE plane: delta_zorder_preserves_data stays pinned
+)
+
+
 def _plane_rank(name: str) -> int:
-    if name.startswith("delta_"):
+    if name.startswith("delta_") and name not in _DELTA_ROTATED:
         return 0
     if name in _STREAMING_PINNED:
         return 1

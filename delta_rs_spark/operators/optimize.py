@@ -287,7 +287,26 @@ class TableOptimizer:
         commit_properties=None,
         post_commithook_properties=None,
         curve: str = "morton",
+        incremental: bool = False,
+        min_cube_size: int = 0,
     ) -> dict[str, Any]:
+        """``incremental=True`` clusters ONLY files not yet written by a
+        clustering run with the same (curve, columns) spec — the 100 TB
+        maintenance shape: a full table rewrite per OPTIMIZE is
+        impossible at scale, so production reclusters just the data
+        that arrived since the last run (delta-spark's ZCube model).
+        Every clustering run (full or incremental) tags its outputs
+        with the spec and the run's total output bytes; a later
+        incremental run skips tagged files unless their run ("cube")
+        wrote less than ``min_cube_size`` bytes — undersized cubes from
+        small increments are re-merged into the new one instead of
+        accreting forever (the minCubeSize analogue). Bucket bounds are
+        computed per run over the files it rewrites; each cube is
+        internally curve-ordered, which is what per-file min/max stats
+        pruning needs — cross-cube order is irrelevant to skipping.
+        A file that later gains a deletion vector keeps its tag (its
+        live rows keep the curve order); REORG PURGE rewrites drop
+        tags, so purged files naturally re-enter the next increment."""
         from delta_rs_spark.table import _dnf_to_sql, read_snapshot_df
         from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
         from delta_rs_spark.writer import write_files
@@ -328,8 +347,28 @@ class TableOptimizer:
                 col_types_from_schema_json(__import__("json").loads(snapshot.schema_string)),
                 snapshot_physical_of(snapshot),
             )
+        spec = f"{curve}:{','.join(columns)}"
+        skipped_clustered = 0
+        if incremental:
+            def _is_stable(a) -> bool:
+                tags = a.tags or {}
+                if tags.get("optimizeSpec") != spec:
+                    return False
+                try:
+                    cube_bytes = int(tags.get("zcubeBytes", "0"))
+                except ValueError:
+                    cube_bytes = 0
+                return cube_bytes >= min_cube_size
+
+            stable = [a for a in adds if _is_stable(a)]
+            skipped_clustered = len(stable)
+            adds = [a for a in adds if not _is_stable(a)]
         if not adds:
-            return {"numFilesAdded": 0, "numFilesRemoved": 0}
+            return {
+                "numFilesAdded": 0,
+                "numFilesRemoved": 0,
+                "numFilesSkippedAlreadyClustered": skipped_clustered,
+            }
 
         df = read_snapshot_df(spark, snapshot, table_path, files=adds)
         schema = df.schema
@@ -413,8 +452,17 @@ class TableOptimizer:
         new_adds = write_files(
             rewritten, table_path, part_cols, preserve_layout=True
         )
+        cube_bytes = sum(a.size for a in new_adds)
         for a in new_adds:
             a.data_change = False
+            # stamp the clustering spec + this run's cube size so a
+            # later incremental run can tell clustered-and-stable files
+            # from new arrivals and from undersized cubes
+            a.tags = {
+                **(a.tags or {}),
+                "optimizeSpec": spec,
+                "zcubeBytes": str(cube_bytes),
+            }
         ts = now_ms()
         removes = [
             Remove(
@@ -423,13 +471,18 @@ class TableOptimizer:
             )
             for a in adds
         ]
-        metrics = {"numFilesAdded": len(new_adds), "numFilesRemoved": len(removes)}
+        metrics = {
+            "numFilesAdded": len(new_adds),
+            "numFilesRemoved": len(removes),
+            "numFilesSkippedAlreadyClustered": skipped_clustered,
+        }
         op = CommitInfo(
             "OPTIMIZE",
             {
                 "zOrderBy": columns,
                 **({"curve": curve} if curve != "morton" else {}),
                 **({"predicate": pred} if pred else {}),
+                **({"incremental": True} if incremental else {}),
             },
             operation_metrics=metrics,
         )

@@ -234,6 +234,49 @@ def delta_zorder_preserves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_zorder_incremental_op",
+    f"""
+    SELECT {_LI_COLS} FROM lineitem WHERE l_orderkey < 2500
+    """,
+)
+def delta_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Z-ORDER (r09, operators/optimize.py z_order
+    incremental=True): cluster the base load, append new arrivals, then
+    recluster ONLY the arrivals — the 100 TB maintenance shape, where a
+    full-table OPTIMIZE per run is impossible and production reclusters
+    just the unclustered tail (delta-spark's ZCube model: clustering
+    runs tag their outputs; stable cubes are never rewritten). In-gate
+    guards pin the file-level contract — the first cube's files survive
+    the incremental run physically untouched and only the two appended
+    files rewrite; the oracle pins that two tagged rewrites later the
+    table still reads as exactly base UNION arrivals."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("zorder_incr_op", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        [F.col(c.strip()) for c in _LI_COLS.split(",")]
+    )
+    write_deltalake(path, li.filter("l_orderkey < 1500").repartition(3))
+    dt = DeltaTable(path, spark=spark)
+    m1 = dt.optimize.z_order(["l_orderkey", "l_quantity"])
+    assert m1["numFilesSkippedAlreadyClustered"] == 0
+    dt.refresh()
+    cube1 = set(dt.files())
+    write_deltalake(
+        path,
+        li.filter("l_orderkey >= 1500 AND l_orderkey < 2500").repartition(2),
+        mode="append",
+    )
+    dt.refresh()
+    m2 = dt.optimize.z_order(["l_orderkey", "l_quantity"], incremental=True)
+    assert m2["numFilesSkippedAlreadyClustered"] == len(cube1)
+    assert m2["numFilesRemoved"] == 2, m2
+    dt.refresh()
+    assert cube1 <= set(dt.files()), "stable cube must not be rewritten"
+    return dt.to_df(columns=[c.strip() for c in _LI_COLS.split(",")])
+
+
+@query(
     "delta_replace_where_op",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderstatus

@@ -315,3 +315,61 @@ def test_optimize_zorder_hilbert(spark, tmp_table, lineitem):
     # — rejected eagerly, before any job launches, for both curves
     with pytest.raises(DeltaError, match="at most 7"):
         t.optimize.z_order([f"c{i}" for i in range(8)])
+
+
+def test_optimize_zorder_incremental(spark, tmp_table, lineitem):
+    """r09: incremental clustering — the 100 TB maintenance shape. A
+    full run tags its outputs with the (curve, columns) spec; a later
+    incremental run rewrites ONLY untagged arrivals, leaving the stable
+    cube's files physically untouched; a no-new-data increment is a
+    metadata no-op; and a spec change (different columns) invalidates
+    the tags so everything reclusters."""
+    base = lineitem.filter("l_orderkey < 1000")
+    tail = lineitem.filter("l_orderkey >= 1000")
+    write_deltalake(tmp_table, base.repartition(3))
+    t = DeltaTable(tmp_table)
+    n_base = t.count()
+    m1 = t.optimize.z_order(["l_orderkey", "l_partkey"])
+    assert m1["numFilesSkippedAlreadyClustered"] == 0
+    cube1 = set(t.files())
+    for a in t._snapshot.files.values():
+        assert a.tags["optimizeSpec"] == "morton:l_orderkey,l_partkey"
+        assert int(a.tags["zcubeBytes"]) > 0
+
+    # new arrivals -> only they recluster; cube-1 files stay on disk
+    write_deltalake(tmp_table, tail.repartition(2), mode="append")
+    t.refresh()
+    n_all = t.count()
+    m2 = t.optimize.z_order(["l_orderkey", "l_partkey"], incremental=True)
+    assert m2["numFilesSkippedAlreadyClustered"] == len(cube1)
+    assert m2["numFilesRemoved"] == 2 and m2["numFilesAdded"] >= 1
+    t.refresh()
+    assert cube1 <= set(t.files())  # stable cube physically untouched
+    assert t.count() == n_all
+
+    # nothing new -> no rewrite at all
+    m3 = t.optimize.z_order(["l_orderkey", "l_partkey"], incremental=True)
+    assert m3 == {
+        "numFilesAdded": 0,
+        "numFilesRemoved": 0,
+        "numFilesSkippedAlreadyClustered": len(t.files()),
+    }
+
+    # a small second cube re-merges once min_cube_size exceeds it
+    m4 = t.optimize.z_order(
+        ["l_orderkey", "l_partkey"], incremental=True,
+        min_cube_size=10 ** 12,
+    )
+    assert m4["numFilesSkippedAlreadyClustered"] == 0
+    assert m4["numFilesRemoved"] == len(cube1) + (m2["numFilesAdded"])
+
+    # different spec -> tags don't match -> full recluster
+    m5 = t.optimize.z_order(["l_quantity"], incremental=True)
+    assert m5["numFilesSkippedAlreadyClustered"] == 0
+    assert m5["numFilesRemoved"] >= 1
+    t.refresh()
+    assert t.count() == n_all
+    assert n_all > n_base  # the append really added rows
+    # history records the incremental flag
+    ops = [h["operationParameters"] for h in t.history(4)]
+    assert any(p.get("incremental") for p in ops)
