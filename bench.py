@@ -193,6 +193,8 @@ def main() -> None:
         # Watermark stream — same state-store/commit floor class
         "q_events_stream_stream_join",
         "q_events_dedup_within_watermark",
+        # real stream + a Delta UPDATE commit per micro-batch
+        "q_events_stream_static_enrich",
     } & set(qs)
     samples: dict[str, list[float]] = {name: [] for name in qs}
     for i in range(n_samples):

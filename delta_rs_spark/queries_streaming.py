@@ -998,6 +998,117 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENRICH_GATE_SEQ = 0
+
+
+@query(
+    "q_events_stream_static_enrich",
+    """
+    WITH raw AS (SELECT event_id, user_id,
+                        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+                        CAST(floor(value * 100) AS BIGINT) AS cents
+                 FROM events
+                 WHERE event_type = 'purchase'),
+    bounds AS (SELECT min(sec) AS mn, max(sec) AS mx FROM raw),
+    e AS (SELECT r.event_id, r.user_id, r.cents,
+                 least(((r.sec - b.mn) * 3) // (b.mx - b.mn + 1), 2) AS arr
+          FROM raw r CROSS JOIN bounds b)
+    -- the dimension starts at tier 0 for every user; after micro-batch
+    -- j the users with user_id % 3 = j are bumped to tier 1, so a
+    -- purchase processed in batch k sees tier 1 iff its user's bump
+    -- batch precedes k
+    SELECT event_id, user_id, cents,
+           CASE WHEN user_id % 3 < arr THEN 1 ELSE 0 END AS tier
+    FROM e
+    """,
+)
+def q_events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment with a MID-STREAM dimension update
+    (streaming/delta_stream.py + foreachBatch): the purchases stream is
+    joined per micro-batch against the CURRENT snapshot of a Delta
+    dimension table that an upstream process updates while the stream
+    runs — the slowly-changing-dim ingest pattern. The foreachBatch
+    handler reloads the dimension snapshot each batch (a plan-time
+    static frame would freeze the seed version — the production gotcha
+    this gate pins), joins, appends the enriched rows, then applies the
+    next scheduled dimension UPDATE through the Delta UPDATE operator,
+    so every batch observes exactly the mutations that preceded it.
+    The oracle replays the batch assignment and the deterministic
+    update schedule in SQL."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("long")
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        sec.alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = base.agg(F.min("sec").alias("mn"), F.max("sec").alias("mx"))
+    arr = F.least(
+        F.expr("((sec - mn) * 3) div (mx - mn + 1)"), F.lit(2).cast("long")
+    )
+    staged = base.crossJoin(F.broadcast(bounds)).select(
+        "event_id", "user_id", "cents", arr.alias("arr")
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_static_enrich"
+    stream_dir = _stage_batch_files(
+        staged, root, "arr", ["event_id", "user_id", "cents"]
+    )
+
+    global _ENRICH_GATE_SEQ
+    _ENRICH_GATE_SEQ += 1
+    seq = _ENRICH_GATE_SEQ
+    # the dimension MUTATES during the run -> rebuilt per invocation
+    # (only the immutable stream input is cached across invocations)
+    dim_path = f"{root}/dim{_os.getpid()}_{seq}"
+    out_dir = f"{root}/out{_os.getpid()}_{seq}"
+    ckpt = f"{root}/ckpt{seq}"
+    for p in (dim_path, out_dir, ckpt):
+        _shutil.rmtree(p, ignore_errors=True)
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.lit(0).cast("long"))
+    )
+    write_deltalake(dim_path, users)
+
+    def enrich_batch(batch_df, batch_id: int) -> None:
+        dim = DeltaTable(dim_path, spark=spark).to_df()  # CURRENT snapshot
+        (
+            batch_df.join(dim, "user_id", "left")
+            .select("event_id", "user_id", "cents", "tier")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        # the upstream dim maintenance this gate simulates: after batch
+        # j, a deterministic slice of users moves to the next tier
+        DeltaTable(dim_path, spark=spark).update(
+            {"tier": "tier + 1"}, predicate=f"user_id % 3 = {batch_id % 3}"
+        )
+
+    src = spark.readStream.schema(
+        "event_id long, user_id long, cents long"
+    ).option("maxFilesPerTrigger", 1).parquet(stream_dir)
+    q = (
+        src.writeStream.foreachBatch(enrich_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 _DDWW_GATE_SEQ = 0
 
 

@@ -1097,3 +1097,60 @@ def test_stream_stream_outer_join_null_emission_rules(spark, tmp_path):
         ("k", 1000, 1100),   # cross-batch match: no NULL row
         ("z", 1100, None),   # unmatched, 1300 < 1900
     ], got
+
+
+def test_stream_static_enrich_sees_mid_stream_dim_updates(spark, tmp_path):
+    """r09: pins the q_events_stream_static_enrich contract — a
+    foreachBatch handler that RELOADS the dimension snapshot observes
+    mid-stream updates (batch k sees exactly the mutations applied
+    after batches < k), while a frame loaded once before the stream
+    stays frozen at the seed version (the production gotcha)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    root = str(tmp_path / "enrich")
+    os.makedirs(f"{root}/in")
+    for b in (0, 1):
+        df = spark.createDataFrame([(b * 10 + 1, 100 + b)], ["event_id", "user_id"])
+        stg = f"{root}/stage{b}"
+        df.coalesce(1).write.parquet(stg)
+        part = next(p for p in os.listdir(stg) if p.endswith(".parquet"))
+        os.rename(f"{stg}/{part}", f"{root}/in/b{b}.parquet")
+        os.utime(f"{root}/in/b{b}.parquet", (1_600_000_000 + b * 100,) * 2)
+    dim_path = f"{root}/dim"
+    write_deltalake(
+        dim_path,
+        spark.createDataFrame([(100, 0), (101, 0)], ["user_id", "tier"]),
+    )
+    frozen = DeltaTable(dim_path, spark=spark).to_df()  # seed snapshot
+    got: list[tuple] = []
+
+    def handler(batch_df, batch_id):
+        live = DeltaTable(dim_path, spark=spark).to_df()
+        row = (
+            batch_df.join(live, "user_id")
+            .join(
+                frozen.withColumnRenamed("tier", "frozen_tier"), "user_id"
+            )
+            .select("event_id", "tier", "frozen_tier")
+            .collect()[0]
+        )
+        got.append((batch_id, row.event_id, row.tier, row.frozen_tier))
+        DeltaTable(dim_path, spark=spark).update({"tier": "tier + 1"})
+
+    q = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in")
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # batch 0 sees tier 0; batch 1 sees the post-batch-0 update (tier 1);
+    # the frozen seed frame reports 0 both times
+    assert got == [(0, 1, 0, 0), (1, 11, 1, 0)], got
