@@ -86,6 +86,10 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
         # these may change the visible state (DuckDB side does nothing)
         "compact": lambda: dt.optimize.compact(),
         "zorder": lambda: dt.optimize.z_order(["id"]),
+        # r09: incremental clustering must also be data-invisible, with
+        # arbitrary mutations (and restores re-adding TAGGED files)
+        # interleaved between runs
+        "zorder_incr": lambda: dt.optimize.z_order(["id"], incremental=True),
         "checkpoint": lambda: dt.create_checkpoint(),
         "purge": lambda: dt.optimize.reorg_purge(),
     }
