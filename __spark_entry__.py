@@ -179,6 +179,12 @@ _LAST_GREEN = _last_green()
 # first round.
 _DELTA_ROTATED = (
     "delta_zorder_incremental_op",  # OPTIMIZE plane: delta_zorder_preserves_data stays pinned
+    # CLONE is a new operator, not a variant — it rides the rotation
+    # ONLY for this round (never-green -> tail front -> witnessed now)
+    # because the prefix is at its intake peak; promote it to the
+    # pinned prefix at r10 open when the 6 first-witness entries
+    # graduate and free their slots.
+    "delta_clone_op",
 )
 
 

@@ -16,6 +16,7 @@ from delta_rs_spark.writer import write_deltalake
 from delta_rs_spark.query import QueryBuilder
 from delta_rs_spark.features import TableFeatures
 from delta_rs_spark.log.actions import Metadata
+from delta_rs_spark.operators.clone import clone_table
 from delta_rs_spark.operators.convert import convert_to_deltalake
 from delta_rs_spark.schema import (
     ArrayType,
@@ -109,6 +110,7 @@ __all__ = [
     "DeltaTable",
     "write_deltalake",
     "QueryBuilder",
+    "clone_table",
     "convert_to_deltalake",
     "BloomFilterProperties",
     "ColumnProperties",

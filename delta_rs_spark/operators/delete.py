@@ -125,9 +125,11 @@ def group_rows_by_file(
     known = {a.path for a in candidates}
     by_rel: dict[str, list[int]] = {}
     for r in matched:
-        raw, unq = _rel_candidates(r["fp"], table_path)
-        rel = raw if raw in known else unq
-        if rel not in known:
+        rel = next(
+            (c for c in _rel_candidates(r["fp"], table_path) if c in known),
+            None,
+        )
+        if rel is None:
             raise RuntimeError(
                 f"scanned file {r['fp']} not found among snapshot adds under {table_path}"
             )

@@ -11,13 +11,18 @@ from delta_rs_spark.log.actions import Add
 _FILE_SCHEME_RE = re.compile(r"^file:/+")
 
 
-def _rel_candidates(file_path: str, table_path: str) -> tuple[str, str]:
+def _rel_candidates(
+    file_path: str, table_path: str
+) -> tuple[str, str, str, str]:
     """A Spark ``_metadata.file_path`` URI (``file:/...`` or
-    ``file:///...``) as Add.path-style relative paths — both the raw and
-    the URL-unquoted spelling (partition dirs may be stored encoded)."""
+    ``file:///...``) as Add.path-style keys: the relative raw and
+    URL-unquoted spellings (partition dirs may be stored encoded), plus
+    the ABSOLUTE spellings — a shallow clone's adds reference source
+    files by absolute path (PROTOCOL.md allows it), and relpath against
+    the clone root would never match them."""
     p = _FILE_SCHEME_RE.sub("/", file_path)
     raw = os.path.relpath(p, table_path).replace(os.sep, "/")
-    return raw, urllib.parse.unquote(raw)
+    return raw, urllib.parse.unquote(raw), p, urllib.parse.unquote(p)
 
 
 def match_touched_files(
@@ -29,11 +34,10 @@ def match_touched_files(
     known = {a.path for a in candidates}
     out: dict[str, int] = {}
     for r in touched_rows:
-        raw, unq = _rel_candidates(r["fp"], table_path)
-        if raw in known:
-            out[raw] = out.get(raw, 0) + int(r["count"])
-        elif unq in known:
-            out[unq] = out.get(unq, 0) + int(r["count"])
+        for cand in _rel_candidates(r["fp"], table_path):
+            if cand in known:
+                out[cand] = out.get(cand, 0) + int(r["count"])
+                break
         else:
             raise RuntimeError(
                 f"scanned file {r['fp']} not found among snapshot adds under {table_path}"

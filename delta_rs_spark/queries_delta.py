@@ -234,6 +234,66 @@ def delta_zorder_preserves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_clone_op",
+    """
+    WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                        l_extendedprice, l_discount, l_returnflag
+                 FROM lineitem
+                 WHERE l_orderkey < 1500 AND NOT (l_quantity > 45))
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'R' THEN l_quantity + 1000
+                ELSE l_quantity END AS l_quantity,
+           l_extendedprice, l_discount, l_returnflag
+    FROM src
+    WHERE NOT (l_discount < 0.02)
+    """,
+)
+def delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (r09, operators/clone.py): zero-copy fork of a
+    PARTITIONED, DV-carrying source — the clone's version-0 log
+    references the source's files by absolute path (no data copied;
+    asserted in-gate), inherited deletion vectors arrive as rewritten
+    absolute-path 'p' descriptors, and mutations on the clone (a
+    rewrite-tier delete + an update) land under the CLONE root while
+    the source stays byte-identical (asserted). The oracle replays the
+    source's DV delete plus the clone's own mutations — so the hash
+    compare proves the fork read the inherited state exactly and
+    diverged exactly."""
+    import os as _os
+
+    from delta_rs_spark import DeltaTable, clone_table, write_deltalake
+
+    src = _scratch("clone_src", sf_dir)
+    dst = _scratch("clone_dst", sf_dir)
+    write_deltalake(
+        src,
+        _li_subset(spark, sf_dir)
+        .select([F.col(c.strip()) for c in _LI_COLS.split(",")])
+        .coalesce(2),
+        partition_by=["l_returnflag"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    sdt = DeltaTable(src, spark=spark)
+    sdt.delete("l_quantity > 45")  # DV soft delete on the SOURCE
+    sdt.refresh()
+    n_src = sdt.count()
+
+    clone_table(src, dst)
+    for root, dirs, files in _os.walk(dst):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        assert not any(f.endswith(".parquet") for f in files), (
+            "shallow clone must not copy data files"
+        )
+    cdt = DeltaTable(dst, spark=spark)
+    assert cdt.count() == n_src
+    cdt.delete("l_discount < 0.02")
+    cdt.update({"l_quantity": "l_quantity + 1000"}, predicate="l_returnflag = 'R'")
+    sdt.refresh()
+    assert sdt.count() == n_src, "clone mutations leaked into the source"
+    return cdt.to_df(columns=[c.strip() for c in _LI_COLS.split(",")])
+
+
+@query(
     "delta_zorder_incremental_op",
     f"""
     SELECT {_LI_COLS} FROM lineitem WHERE l_orderkey < 2500

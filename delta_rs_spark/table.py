@@ -122,21 +122,45 @@ def read_snapshot_df(
         if row_index_col:
             df = df.withColumn(row_index_col, F.lit(None).cast("long"))
     else:
-        reader = spark.read.schema(read_schema)
-        if snapshot.partition_columns:
-            reader = reader.option("basePath", table_path)
+        def read_group(paths: list[str]):
+            """One reader per Hive base: a shallow clone's absolute add
+            paths live under the SOURCE root, so partitioned scans
+            cannot serve clone-local and cloned files with a single
+            basePath — group by the directory above the k=v segments
+            (table-local files group to table_path itself)."""
+            reader = spark.read.schema(read_schema)
+            if not snapshot.partition_columns:
+                return [reader.parquet(*paths)]
+            groups: dict[str, list[str]] = {}
+            for p in paths:
+                d = os.path.dirname(p)
+                while "=" in os.path.basename(d):
+                    d = os.path.dirname(d)
+                groups.setdefault(d, []).append(p)
+            return [
+                spark.read.schema(read_schema)
+                .option("basePath", base)
+                .parquet(*ps)
+                for base, ps in groups.items()
+            ]
+
         parts = []
         if plain:
-            p_df = reader.parquet(*[os.path.join(table_path, a.path) for a in plain])
-            if file_path_col:
-                # bound BEFORE any select/union — hidden metadata columns
-                # do not survive those
-                p_df = p_df.withColumn(
-                    file_path_col, _normalize_file_path(F.col("_metadata.file_path"))
-                )
-            if row_index_col:
-                p_df = p_df.withColumn(row_index_col, F.col("_metadata.row_index"))
-            parts.append(to_logical(p_df))
+            for p_df in read_group(
+                [os.path.join(table_path, a.path) for a in plain]
+            ):
+                if file_path_col:
+                    # bound BEFORE any select/union — hidden metadata
+                    # columns do not survive those
+                    p_df = p_df.withColumn(
+                        file_path_col,
+                        _normalize_file_path(F.col("_metadata.file_path")),
+                    )
+                if row_index_col:
+                    p_df = p_df.withColumn(
+                        row_index_col, F.col("_metadata.row_index")
+                    )
+                parts.append(to_logical(p_df))
         if dv_adds:
             from delta_rs_spark.plans.deletion_vectors import load_dv_row_indexes
 
@@ -148,13 +172,19 @@ def read_snapshot_df(
             deleted_df = spark.createDataFrame(
                 deleted_rows, "__dv_fp string, __dv_ri long"
             )
-            dv_df = (
-                reader.parquet(*[os.path.join(table_path, a.path) for a in dv_adds])
-                .withColumn(
+            dv_parts = [
+                # metadata columns bound per group BEFORE the union —
+                # they do not survive select/union
+                g.withColumn(
                     "__fp", _normalize_file_path(F.col("_metadata.file_path"))
+                ).withColumn("__ri", F.col("_metadata.row_index"))
+                for g in read_group(
+                    [os.path.join(table_path, a.path) for a in dv_adds]
                 )
-                .withColumn("__ri", F.col("_metadata.row_index"))
-            )
+            ]
+            dv_df = dv_parts[0]
+            for extra in dv_parts[1:]:
+                dv_df = dv_df.unionByName(extra)
             dv_df = dv_df.join(
                 F.broadcast(deleted_df),
                 (F.col("__fp") == F.col("__dv_fp"))

@@ -1,0 +1,149 @@
+"""SHALLOW CLONE (operators/clone.py): zero-copy fork semantics.
+
+The reference has no clone operation; this is the delta-spark-parity
+superset surface. What must hold: the clone is O(metadata) (no data
+files copied), reads identically to the source version it was taken
+at, diverges independently under mutation in BOTH directions, vacuums
+without touching source files, inherits DV state through absolute 'p'
+descriptors, and supports time-travel clones.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, clone_table, write_deltalake
+from delta_rs_spark.log.commit import DeltaError
+
+
+def _parquet_under(root: str) -> list[str]:
+    out = []
+    for r, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        out += [os.path.join(r, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def _df20(spark):
+    return spark.range(20).withColumn("value", F.col("id").cast("double"))
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_deltalake(src, _df20(spark))
+    clone_table(src, dst)
+
+    # zero-copy: the clone directory holds a log and NO data files
+    assert _parquet_under(dst) == []
+    s, c = DeltaTable(src, spark=spark), DeltaTable(dst, spark=spark)
+    assert sorted(map(tuple, c.to_df().collect())) == sorted(
+        map(tuple, s.to_df().collect())
+    )
+    assert c.version() == 0
+    h = c.history(1)[0]
+    assert h["operation"] == "CLONE"
+    # operationParameters stringify per the log convention
+    assert str(h["operationParameters"]["sourceVersion"]) == str(s.version())
+    # fresh identity, inherited schema
+    assert c.metadata().id != s.metadata().id
+    assert c.schema().json() == s.schema().json()
+
+    # clone mutations never touch the source...
+    n_src = s.count()
+    c.delete("id % 2 = 0")
+    c.update({"value": "value + 100"}, predicate="id = 1")
+    s.refresh()
+    assert s.count() == n_src
+    assert sorted(r.id for r in c.to_df().collect()) == [
+        r for r in range(20) if r % 2
+    ]
+    # ...and source mutations never touch the clone
+    s.delete("id >= 0")
+    c.refresh()
+    assert c.count() == 10
+
+
+def test_clone_vacuum_never_deletes_source_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_deltalake(src, _df20(spark))
+    clone_table(src, dst)
+    c = DeltaTable(dst, spark=spark)
+    # rewrite everything on the clone so the absolute source refs become
+    # tombstones, then vacuum with no retention
+    c.delete("id < 100")
+    removed = c.vacuum(retention_hours=0, enforce_retention_duration=False)
+    src_files = _parquet_under(src)
+    assert src_files, "source must keep its data files"
+    assert all(os.path.exists(p) for p in src_files)
+    assert all(not r.startswith(src) for r in removed)
+    # the source still reads after the clone's vacuum
+    assert DeltaTable(src, spark=spark).count() == 20
+
+
+def test_clone_inherits_deletion_vectors(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_deltalake(
+        src,
+        _df20(spark).coalesce(1),  # one file -> the delete is partial -> DV tier
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    s = DeltaTable(src, spark=spark)
+    s.delete("id < 5")  # DV soft delete: files keep dead rows
+    s.refresh()
+    assert any(a.deletion_vector for a in s._snapshot.files.values())
+    clone_table(src, dst)
+    c = DeltaTable(dst, spark=spark)
+    dvs = [a.deletion_vector for a in c._snapshot.files.values() if a.deletion_vector]
+    assert dvs and all(d["storageType"] in ("p", "i") for d in dvs)
+    assert sorted(r.id for r in c.to_df().collect()) == list(range(5, 20))
+    # DV mutations on the clone write the clone's own sidecars
+    c.delete("id < 8")
+    assert sorted(r.id for r in c.to_df().collect()) == list(range(8, 20))
+    s.refresh()
+    assert sorted(r.id for r in s.to_df().collect()) == list(range(5, 20))
+
+
+def test_clone_time_travel_and_config_override(spark, tmp_path):
+    src = str(tmp_path / "src")
+    write_deltalake(src, _df20(spark))
+    s = DeltaTable(src, spark=spark)
+    s.delete("id >= 10")
+    dst0 = str(tmp_path / "at_v0")
+    clone_table(src, dst0, version=0, configuration={"delta.appendOnly": "false"})
+    c0 = DeltaTable(dst0, spark=spark)
+    assert c0.count() == 20  # the pre-delete state
+    assert c0.metadata().configuration["delta.appendOnly"] == "false"
+
+    # clone of a clone stays one-hop absolute (no chain through dst0)
+    dst1 = str(tmp_path / "of_clone")
+    clone_table(dst0, dst1)
+    c1 = DeltaTable(dst1, spark=spark)
+    assert c1.count() == 20
+    assert _parquet_under(dst1) == []
+    for a in c1._snapshot.files.values():
+        assert a.path.startswith(str(tmp_path / "src"))
+
+    with pytest.raises(DeltaError, match="already exists"):
+        clone_table(src, dst0)
+    with pytest.raises(DeltaError, match="not a Delta table"):
+        clone_table(str(tmp_path / "nope"), str(tmp_path / "d2"))
+
+
+def test_clone_partitioned_source(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_deltalake(
+        src, _df20(spark).withColumn("p", F.col("id") % 3), partition_by=["p"]
+    )
+    clone_table(src, dst)
+    c = DeltaTable(dst, spark=spark)
+    assert c.metadata().partition_columns == ["p"]
+    # partition pruning works through absolute refs
+    assert c.to_df(predicate="p = 1").count() == 7
+    c.delete("p = 1")
+    assert c.count() == 13
+    assert DeltaTable(src, spark=spark).count() == 20
