@@ -40,14 +40,26 @@ def clone_table(
     src_uri: str,
     dst_uri: str,
     version: int | None = None,
+    shallow: bool = True,
     name: str | None = None,
     description: str | None = None,
     configuration: dict[str, str] | None = None,
     commit_properties=None,
     post_commithook_properties=None,
 ) -> None:
-    """Create a shallow clone of ``src_uri`` (optionally at a historic
-    ``version`` — time-travel clone) at ``dst_uri``."""
+    """Create a clone of ``src_uri`` (optionally at a historic
+    ``version`` — time-travel clone) at ``dst_uri``.
+
+    CAVEAT (same as delta-spark's): a SHALLOW clone's files still
+    belong to the source — VACUUM **on the source** after the source
+    tombstones them can delete files the clone references, breaking
+    the clone (the source has no registry of its clones). Clones meant
+    to outlive the source's retention window should be deep
+    (``shallow=False``: files are copied, fully self-contained).
+    tests/test_clone.py pins both the failure mode and the deep-clone
+    immunity."""
+    import shutil
+
     from delta_rs_spark.plans.deletion_vectors import dv_file_path
 
     src = str(src_uri).removeprefix("file://")
@@ -62,17 +74,49 @@ def clone_table(
     adds: list[Add] = []
     for a in snapshot.files.values():
         dv = a.deletion_vector
-        if dv and dv.get("storageType") == "u":
-            dv = {
-                **dv,
-                "storageType": "p",
-                "pathOrInlineDv": dv_file_path(src, dv["pathOrInlineDv"]),
-            }
+        src_abs = os.path.join(src, a.path)
+        if shallow:
+            if dv and dv.get("storageType") == "u":
+                dv = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": dv_file_path(src, dv["pathOrInlineDv"]),
+                }
+            # join resolves an already-absolute a.path to itself, so
+            # cloning a clone stays a one-hop absolute reference
+            path = src_abs
+        else:
+            # deep: copy the data file (and DV sidecar) under dst; the
+            # clone is self-contained and survives any source vacuum
+            if os.path.isabs(a.path):
+                # deep clone OF a shallow clone: keep the k=v partition
+                # dirs (Hive inference derives partition values from
+                # them), drop the foreign root
+                comps = [os.path.basename(a.path)]
+                d = os.path.dirname(a.path)
+                while "=" in os.path.basename(d):
+                    comps.insert(0, os.path.basename(d))
+                    d = os.path.dirname(d)
+                rel = "/".join(comps)
+            else:
+                rel = a.path
+            dst_abs = os.path.join(dst, rel)
+            os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+            shutil.copy2(src_abs, dst_abs)
+            if dv and dv.get("storageType") in ("u", "p"):
+                dv_src = (
+                    dv_file_path(src, dv["pathOrInlineDv"])
+                    if dv["storageType"] == "u"
+                    else dv["pathOrInlineDv"].removeprefix("file://")
+                )
+                dv_dst = os.path.join(dst, os.path.basename(dv_src))
+                if not os.path.exists(dv_dst):
+                    shutil.copy2(dv_src, dv_dst)
+                dv = {**dv, "storageType": "p", "pathOrInlineDv": dv_dst}
+            path = rel
         adds.append(
             Add(
-                # join resolves an already-absolute a.path to itself, so
-                # cloning a clone stays a one-hop absolute reference
-                path=os.path.join(src, a.path),
+                path=path,
                 size=a.size,
                 modification_time=a.modification_time,
                 data_change=True,
@@ -96,7 +140,7 @@ def clone_table(
         {
             "source": src,
             "sourceVersion": snapshot.version,
-            "isShallow": True,
+            "isShallow": shallow,
         },
         operation_metrics={
             "numClonedFiles": len(adds),

@@ -74,7 +74,9 @@ def test_clone_vacuum_never_deletes_source_files(spark, tmp_path):
     # rewrite everything on the clone so the absolute source refs become
     # tombstones, then vacuum with no retention
     c.delete("id < 100")
-    removed = c.vacuum(retention_hours=0, enforce_retention_duration=False)
+    removed = c.vacuum(
+        retention_hours=0, dry_run=False, enforce_retention_duration=False
+    )
     src_files = _parquet_under(src)
     assert src_files, "source must keep its data files"
     assert all(os.path.exists(p) for p in src_files)
@@ -147,3 +149,55 @@ def test_clone_partitioned_source(spark, tmp_path):
     c.delete("p = 1")
     assert c.count() == 13
     assert DeltaTable(src, spark=spark).count() == 20
+
+
+def test_source_vacuum_breaks_shallow_but_not_deep_clone(spark, tmp_path):
+    """The documented caveat (clone.py docstring, same as delta-spark's):
+    a shallow clone's files belong to the source — once the source
+    tombstones and VACUUMs them, the shallow clone breaks. A deep clone
+    copied its files and is immune."""
+    src = str(tmp_path / "src")
+    sh = str(tmp_path / "shallow")
+    dp = str(tmp_path / "deep")
+    write_deltalake(src, _df20(spark))
+    clone_table(src, sh)
+    clone_table(src, dp, shallow=False)
+
+    d = DeltaTable(dp, spark=spark)
+    assert _parquet_under(dp), "deep clone must copy data files"
+    h = d.history(1)[0]
+    assert str(h["operationParameters"]["isShallow"]) in ("False", "false")
+
+    s = DeltaTable(src, spark=spark)
+    s.delete("id >= 0")  # tombstone everything on the source...
+    s.vacuum(retention_hours=0, dry_run=False, enforce_retention_duration=False)
+    assert _parquet_under(src) == []
+
+    assert d.count() == 20  # deep clone unaffected
+    with pytest.raises(Exception):
+        # shallow clone now references deleted files — the documented
+        # failure mode, surfacing as a read error, not silent data loss
+        DeltaTable(sh, spark=spark).to_df().collect()
+
+
+def test_deep_clone_partitioned_and_of_shallow(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sh = str(tmp_path / "sh")
+    dp = str(tmp_path / "dp")
+    write_deltalake(
+        src, _df20(spark).withColumn("p", F.col("id") % 3), partition_by=["p"]
+    )
+    clone_table(src, sh)          # shallow (absolute refs, k=v under src)
+    clone_table(sh, dp, shallow=False)  # deep OF the shallow clone
+    d = DeltaTable(dp, spark=spark)
+    assert d.count() == 20
+    # partition dirs were reconstructed under the deep clone's own root
+    assert all(p.startswith(dp) for p in _parquet_under(dp))
+    assert d.to_df(predicate="p = 1").count() == 7
+    # fully self-contained: nuking src and sh leaves it readable
+    import shutil
+
+    shutil.rmtree(src)
+    shutil.rmtree(sh)
+    d.refresh()
+    assert d.count() == 20
