@@ -130,12 +130,14 @@ def _make_stream_reader_cls():
             ignore_changes: bool,
             starting_version: int | None = None,
             max_files_per_trigger: int | None = None,
+            max_bytes_per_trigger: int | None = None,
         ):
             self.table_path = table_path
             self.schema_json = schema_json
             self.ignore_changes = ignore_changes
             self.starting_version = starting_version
             self.max_files = max_files_per_trigger
+            self.max_bytes = max_bytes_per_trigger
             # last batch-end version handed to partitions(); drives the
             # maxFilesPerTrigger cap. Seeded from startingVersion when
             # given (so the catch-up tail is capped from the very first
@@ -159,13 +161,17 @@ def _make_stream_reader_cls():
             latest = snap_mod.latest_version(self.table_path)
             if latest is None:
                 return {"version": -1}
-            if self.max_files is None or self._prev is None:
+            if (self.max_files is None and self.max_bytes is None) or (
+                self._prev is None
+            ):
                 return {"version": latest}
             # rate limit: advance until the cumulative data-change add
-            # count would exceed maxFilesPerTrigger (always >= 1 version
-            # so the stream cannot stall)
+            # count would exceed maxFilesPerTrigger, or their bytes
+            # maxBytesPerTrigger — whichever is hit first when both are
+            # set (always >= 1 version so the stream cannot stall)
             end = self._prev
             n = 0
+            nb = 0
             for v in range(self._prev + 1, latest + 1):
                 try:
                     actions = snap_mod.read_commit_actions(self.table_path, v)
@@ -174,12 +180,15 @@ def _make_stream_reader_cls():
                     break
                 from delta_rs_spark.log.actions import Add as _Add
 
-                adds = sum(
-                    1 for a in actions if isinstance(a, _Add) and a.data_change
-                )
-                if n and n + adds > self.max_files:
+                dc = [a for a in actions if isinstance(a, _Add) and a.data_change]
+                adds = len(dc)
+                bytes_ = sum(a.size for a in dc)
+                over_files = self.max_files is not None and n + adds > self.max_files
+                over_bytes = self.max_bytes is not None and nb + bytes_ > self.max_bytes
+                if n and (over_files or over_bytes):
                     break
                 n += adds
+                nb += bytes_
                 end = v
             return {"version": end}
 
@@ -300,12 +309,14 @@ def _make_stream_reader_cls():
             ignore = str(self.options.get("ignorechanges", "false")).lower() == "true"
             sv = self.options.get("startingversion")
             mf = self.options.get("maxfilespertrigger")
+            mb = self.options.get("maxbytespertrigger")
             return _DeltaLogStreamReader(
                 self.options["path"],
                 snapshot.schema_string,
                 ignore,
                 starting_version=int(sv) if sv is not None else None,
                 max_files_per_trigger=int(mf) if mf is not None else None,
+                max_bytes_per_trigger=int(mb) if mb is not None else None,
             )
 
     return DeltaLogStreamDataSource
@@ -317,6 +328,7 @@ def read_append_stream(
     ignore_changes: bool = False,
     starting_version: int | None = None,
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming source over an append-only Delta table, driven by the
     transaction log (only committed Add paths are read — never staged,
@@ -350,6 +362,12 @@ def read_append_stream(
         # maxFilesPerTrigger) — at 100 TB an unthrottled catch-up batch
         # is the difference between a stream and an accidental full scan
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        # soft byte cap per micro-batch (delta-spark's maxBytesPerTrigger):
+        # a batch takes whole commits until the cumulative data-change add
+        # bytes would exceed the cap; when both limits are set, whichever
+        # is hit first ends the batch
+        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     return reader.load()
 
 

@@ -1154,3 +1154,33 @@ def test_stream_static_enrich_sees_mid_stream_dim_updates(spark, tmp_path):
     # batch 0 sees tier 0; batch 1 sees the post-batch-0 update (tier 1);
     # the frozen seed frame reports 0 both times
     assert got == [(0, 1, 0, 0), (1, 11, 1, 0)], got
+
+
+def test_read_append_stream_max_bytes_per_trigger(spark, tmp_path, sample_df):
+    """maxBytesPerTrigger (delta-spark parity): the catch-up tail takes
+    whole commits until the cumulative data-change add bytes would
+    exceed the cap — a 1-byte cap degenerates to one commit per batch
+    (soft max: never stalls), so the tail splits like maxFilesPerTrigger
+    does."""
+    from delta_rs_spark.streaming.delta_stream import read_append_stream
+
+    table = str(tmp_path / "mbt_tail")
+    write_deltalake(table, sample_df.coalesce(1))            # v0
+    for _ in range(4):                                       # v1..v4
+        write_deltalake(table, sample_df.coalesce(1), mode="append")
+    stream = read_append_stream(
+        spark, table, starting_version=1, max_bytes_per_trigger=1
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mbt_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mbt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) FROM mbt_out").collect()[0][0] == 20
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3
+    spark.catalog.dropTempView("mbt_out")
