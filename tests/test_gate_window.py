@@ -98,3 +98,19 @@ def test_max_staleness_is_bounded():
     assert not stale, (
         f"entries staler than the {bound}-round re-witness bound: {stale}"
     )
+
+
+def test_never_green_entries_lead_the_tail_inside_the_window():
+    """r09 (restart): new gates may ride the never-green tail-front
+    mechanism instead of _FIRST_WITNESS_NEEDED (the llm_mmr_rerank
+    precedent) — but only if that mechanism actually places them inside
+    the driver's window. Pin it: every registry entry with no green
+    CORRECTNESS row in any recorded round must sort into the top 48."""
+    e = _entry_module()
+    names = list(e.queries().keys())
+    never_green = [n for n in names if n not in e._LAST_GREEN]
+    outside = [n for n in never_green if names.index(n) >= 48]
+    assert not outside, (
+        f"never-green entries outside the window: {outside} — the "
+        "prefix + never-green block outgrew 48; graduate or pin"
+    )
