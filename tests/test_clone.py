@@ -201,3 +201,25 @@ def test_deep_clone_partitioned_and_of_shallow(spark, tmp_path):
     shutil.rmtree(sh)
     d.refresh()
     assert d.count() == 20
+
+
+def test_clone_of_column_mapped_table(spark, tmp_path):
+    """Column-mapping metadata (field ids + physical names) lives in the
+    schema string the clone inherits verbatim, so a clone of a mapped
+    table must read logically identical data through the source's
+    physical files — and mapped mutations on the clone must stay
+    isolated."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_deltalake(
+        src,
+        _df20(spark),
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    clone_table(src, dst)
+    c = DeltaTable(dst, spark=spark)
+    assert c.metadata().configuration["delta.columnMapping.mode"] == "name"
+    assert sorted(r.id for r in c.to_df().collect()) == list(range(20))
+    c.delete("id < 10")
+    assert sorted(r.id for r in c.to_df().collect()) == list(range(10, 20))
+    assert DeltaTable(src, spark=spark).count() == 20
