@@ -223,3 +223,26 @@ def test_clone_of_column_mapped_table(spark, tmp_path):
     c.delete("id < 10")
     assert sorted(r.id for r in c.to_df().collect()) == list(range(10, 20))
     assert DeltaTable(src, spark=spark).count() == 20
+
+
+def test_clone_optimize_localizes_files(spark, tmp_path):
+    """OPTIMIZE on a shallow clone reads through the absolute source
+    refs and writes clone-LOCAL files — after a full rewrite the clone
+    no longer depends on the source at all (compaction as a lazy
+    deep-clone migration path)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_deltalake(src, _df20(spark).repartition(4))
+    clone_table(src, dst)
+    c = DeltaTable(dst, spark=spark)
+    m = c.optimize.compact(target_size=10**9)
+    assert m["numFilesRemoved"] == 4 and m["numFilesAdded"] >= 1
+    c.refresh()
+    assert all(not os.path.isabs(a.path) for a in c._snapshot.files.values())
+    assert c.count() == 20
+    # now fully self-contained
+    import shutil
+
+    shutil.rmtree(src)
+    c.refresh()
+    assert c.count() == 20
