@@ -77,6 +77,16 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
     con = duckdb.connect()
     con.execute(f"CREATE TABLE t ({DUCK_SCHEMA})")
     con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    if config.get("as_clone"):
+        # r09: the table under mutation is a SHALLOW CLONE — every
+        # operator in the sequence runs against absolute-path adds
+        # (the clone's references into the seed table), which the
+        # planners must match, scan, rewrite, and tombstone exactly
+        # like relative ones
+        from delta_rs_spark import clone_table
+
+        clone_table(path, path + "_clone")
+        path = path + "_clone"
     dt = DeltaTable(path, spark=spark)
 
     applied = []
@@ -305,6 +315,13 @@ _CONFIGS = [
     ("mapped_partitioned", {
         "partitioned": True,
         "configuration": {"delta.columnMapping.mode": "name"},
+    }),
+    # the whole sequence against a SHALLOW CLONE (absolute add paths);
+    # partitioned so Hive-base scan grouping is exercised too
+    ("clone_partitioned", {"partitioned": True, "as_clone": True}),
+    ("clone_dv", {
+        "as_clone": True,
+        "configuration": {"delta.enableDeletionVectors": "true"},
     }),
 ]
 
