@@ -39,7 +39,7 @@ from delta_rs_spark.log.commit import DeltaError, TransactionInfo
 def clone_table(
     src_uri: str,
     dst_uri: str,
-    version: int | None = None,
+    version: int | str | None = None,
     shallow: bool = True,
     name: str | None = None,
     description: str | None = None,
@@ -68,6 +68,16 @@ def clone_table(
         raise DeltaError(f"clone source is not a Delta table: {src}")
     if snap_mod.is_delta_table(dst):
         raise DeltaError(f"clone target already exists: {dst}")
+    if version is not None and not isinstance(version, int):
+        # timestamp clone: ISO string / datetime, the same resolution
+        # as DeltaTable.load_as_version
+        import datetime as _dt
+
+        if isinstance(version, str):
+            version = _dt.datetime.fromisoformat(version.replace("Z", "+00:00"))
+        version = snap_mod.version_at_timestamp(
+            src, int(version.timestamp() * 1000)
+        )
     snapshot = snap_mod.load_snapshot(src, version)
     os.makedirs(dst, exist_ok=True)
 

@@ -246,3 +246,27 @@ def test_clone_optimize_localizes_files(spark, tmp_path):
     shutil.rmtree(src)
     c.refresh()
     assert c.count() == 20
+
+
+def test_clone_at_timestamp(spark, tmp_path):
+    """Timestamp clones resolve through the same commit-timestamp
+    binary search as load_as_version: a timestamp after v0 but before
+    the delete clones the 20-row state."""
+    import datetime as dt
+    import json
+    import os as _os
+
+    src = str(tmp_path / "src")
+    write_deltalake(src, _df20(spark))
+    s = DeltaTable(src, spark=spark)
+    # pin commit timestamps so "between v0 and v1" is well-defined
+    log = _os.path.join(src, "_delta_log")
+    for v, ts in ((0, 1_600_000_000_000),):
+        p = _os.path.join(log, f"{v:020d}.json")
+        _os.utime(p, (ts / 1000, ts / 1000))
+    s.delete("id >= 10")
+    mid = dt.datetime.fromtimestamp(1_600_000_500, dt.timezone.utc)
+    # v1's commit is 'now' (far later than mid); v0 is pinned earlier
+    dstv = str(tmp_path / "at_ts")
+    clone_table(src, dstv, version=mid.isoformat())
+    assert DeltaTable(dstv, spark=spark).count() == 20
