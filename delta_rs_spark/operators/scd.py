@@ -79,22 +79,31 @@ def apply_scd2(
     which the race raises ConcurrentAppendError cleanly with the
     dimension untouched and the batch re-appliable.
 
+    NULL business keys are rejected: the staged-union MERGE reserves a
+    NULL merge key for its forced-insert rows, so a NULL-keyed update
+    can never match an existing row — each batch would silently insert
+    ANOTHER "current" row for the untrackable key instead of versioning
+    it (r10, NULL sweep).
+
     Returns the merge metrics dict."""
     from delta_rs_spark import DeltaTable
 
-    if validate_unique_keys:
-        dup = (
-            updates.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .count()
+    checks = updates.agg(
+        F.count(F.when(F.col(key).isNull(), 1)).alias("n_null"),
+        (F.count(key) - F.countDistinct(key)).alias("n_dup"),
+    ).first()
+    if checks["n_null"]:
+        raise ValueError(
+            f"apply_scd2 update batch carries {checks['n_null']} NULL "
+            f"{key!r} row(s); a NULL business key cannot be matched on "
+            "later batches (and NULL is the staged forced-insert merge "
+            "key), so it cannot be tracked as a dimension"
         )
-        if dup:
-            raise ValueError(
-                f"apply_scd2 requires at most one update row per {key!r}; "
-                "the batch contains duplicate keys"
-            )
+    if validate_unique_keys and checks["n_dup"]:
+        raise ValueError(
+            f"apply_scd2 requires at most one update row per {key!r}; "
+            "the batch contains duplicate keys"
+        )
 
     dt = DeltaTable(dim_path, spark=spark)
     cur = dt.to_df(columns=[key, *attrs, current_col]).filter(

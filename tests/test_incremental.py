@@ -276,7 +276,7 @@ def test_fp_index_sync_random_mutation_fuzz(spark, tmp_path, seed, cdf):
         assert got == want
 
     for step in range(12):
-        op = rng.choice(["delete", "update", "append", "sync"])
+        op = rng.choice(["delete", "update", "null_out", "append", "sync"])
         dt = DeltaTable(src, spark=spark)
         if op == "delete":
             dt.delete(f"doc_id % {rng.randint(3, 9)} = {rng.randint(0, 2)}")
@@ -285,11 +285,25 @@ def test_fp_index_sync_random_mutation_fuzz(spark, tmp_path, seed, cdf):
                 {"text": f"concat(text, ' v{step}')"},
                 predicate=f"doc_id % {rng.randint(2, 7)} = {rng.randint(0, 1)}",
             )
+        elif op == "null_out":
+            # r10 (verdict #2): the derived-from column goes NULL in
+            # place — fingerprint(NULL) = NULL must flow through the
+            # final-state reduction, the diff's eqNullSafe compare, and
+            # the merge exactly like a from-scratch rebuild would land
+            dt.update(
+                {"text": "NULL"},
+                predicate=f"doc_id % {rng.randint(4, 8)} = {rng.randint(0, 2)}",
+            )
         elif op == "append":
-            rows = [(next_id + j, f"fresh {seed}-{step}-{j}") for j in range(5)]
+            rows = [
+                (next_id + j, None if j == 2 else f"fresh {seed}-{step}-{j}")
+                for j in range(5)
+            ]
             next_id += 100
             write_deltalake(
-                src, spark.createDataFrame(rows, ["doc_id", "text"]), mode="append"
+                src,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                mode="append",
             )
         else:
             sync_fingerprint_index(spark, src, idx)
@@ -340,13 +354,22 @@ def test_band_index_sync_shrink_below_shingle_fuzz(spark, tmp_path, seed, cdf):
         assert got == want
 
     for step in range(10):
-        op = rng.choice(["shrink", "grow", "delete", "append", "sync"])
+        op = rng.choice(["shrink", "null_out", "grow", "delete", "append", "sync"])
         dt = DeltaTable(src, spark=spark)
         if op == "shrink":
             # 1-2 tokens: below shingle_size=3 -> zero shingles, no sig
             dt.update(
                 {"text": f"'tiny{step}'" if step % 2 else f"'t{step} u{step}'"},
                 predicate=f"doc_id % {rng.randint(3, 6)} = {rng.randint(0, 2)}",
+            )
+        elif op == "null_out":
+            # r10 (verdict #2): NULL text is the extreme of the sigless
+            # class — minhash emits no row, so the sync must emit
+            # per-band deletes for the still-live doc, exactly like the
+            # from-scratch rebuild (which also skips it)
+            dt.update(
+                {"text": "NULL"},
+                predicate=f"doc_id % {rng.randint(3, 7)} = {rng.randint(0, 2)}",
             )
         elif op == "grow":
             dt.update(

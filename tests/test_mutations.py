@@ -508,7 +508,11 @@ def test_scd2_random_batch_fuzz(spark, tmp_path, seed):
 
     rng = random.Random(seed)
     path = str(tmp_path / f"scd_fuzz_{seed}")
-    segs = ["A", "B", "C", "D"]
+    # r10 (verdict #2 NULL sweep): None is a first-class attribute value
+    # — the eqNullSafe change detection must treat NULL->x and x->NULL
+    # as changes and NULL->NULL as a no-op, exactly like the simulator's
+    # Python != does
+    segs = ["A", "B", "C", "D", None]
 
     # model: key -> list of [seg, from, to, current]
     model: dict[int, list[list]] = {
@@ -549,14 +553,21 @@ def test_scd2_random_batch_fuzz(spark, tmp_path, seed):
                 cur[2], cur[3] = batch, False
                 model[k].append([s, batch, None, True])
 
+        nk = lambda row: tuple((x is not None, x) for x in row)  # noqa: E731
         got = sorted(
-            (r.k, r.seg, r.effective_from, r.effective_to, r.is_current)
-            for r in DeltaTable(path, spark=spark).to_df().collect()
+            (
+                (r.k, r.seg, r.effective_from, r.effective_to, r.is_current)
+                for r in DeltaTable(path, spark=spark).to_df().collect()
+            ),
+            key=nk,
         )
         want = sorted(
-            (k, seg, f, t, c)
-            for k, rows in model.items()
-            for seg, f, t, c in rows
+            (
+                (k, seg, f, t, c)
+                for k, rows in model.items()
+                for seg, f, t, c in rows
+            ),
+            key=nk,
         )
         assert got == want, f"batch {batch}: diverged"
 
@@ -602,6 +613,37 @@ def test_scd2_intra_batch_duplicate_keys_raise(spark, tmp_path):
 
     after = {tuple(r) for r in DeltaTable(path, spark=spark).to_df().collect()}
     assert after == before  # no partial mutation from any failed apply
+
+
+def test_scd2_null_business_key_raises(spark, tmp_path):
+    """r10 (NULL sweep): a NULL business key can never be matched by a
+    later batch (and NULL is the staged forced-insert merge key), so a
+    NULL-keyed update row would silently insert a fresh 'current' row
+    EVERY batch instead of versioning one — reject it eagerly, with the
+    dimension untouched."""
+    from delta_rs_spark.operators.scd import apply_scd2
+
+    path = str(tmp_path / "dim_nullkey")
+    write_deltalake(
+        path,
+        spark.createDataFrame(
+            [(1, "GOLD", 1, None, True)],
+            "k int, seg string, effective_from int, effective_to int, is_current boolean",
+        ),
+    )
+    before = {tuple(r) for r in DeltaTable(path, spark=spark).to_df().collect()}
+    bad = spark.createDataFrame([(None, "X"), (2, "Y")], "k int, seg string")
+    with pytest.raises(ValueError, match="NULL"):
+        apply_scd2(spark, path, bad, key="k", attrs=["seg"], batch_version=2)
+    # rejected even when uniqueness validation is off — it's a
+    # correctness guard, not a convenience check
+    with pytest.raises(ValueError, match="NULL"):
+        apply_scd2(
+            spark, path, bad, key="k", attrs=["seg"], batch_version=2,
+            validate_unique_keys=False,
+        )
+    after = {tuple(r) for r in DeltaTable(path, spark=spark).to_df().collect()}
+    assert after == before
 
 
 def test_scd2_racing_unrelated_append_conflicts_cleanly(spark, tmp_path, monkeypatch):
