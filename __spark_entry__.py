@@ -110,28 +110,20 @@ _RELATIONAL_REPRESENTATIVES = (
 # representatives + this block — stays inside the driver's observed
 # 50-51 window without trimming or deferral.
 _FIRST_WITNESS_NEEDED = (
-    # r08 intake (llm_dense_hybrid_retrieval, llm_semantic_contamination_
-    # pruned, llm_corpus_datacard, llm_frequent_ngrams) graduated at r09
-    # open — all four have green r08 rows; the rotation re-witnesses them.
+    # The r09 intake block (q_events_value_percentiles, llm_corpus_
+    # datacard, llm_fp_index_sync_nocdf, q_events_session_watermark,
+    # llm_dense_hybrid_indexed, llm_incremental_agg_nocdf) graduated at
+    # r10 open — all six have green r09 rows; the rotation re-witnesses
+    # them (VERDICT r09 What's wrong #2).
     #
     # CONTRACT-CHANGED PINS (r08 ADVICE #3: any query whose engine or
     # oracle contract changed in a round must be in that round's window
     # so the change ships with a committed driver row, not just a local
-    # mirror): r09 changed value_percentiles' NULL-group semantics
-    # (null-safe stats join) and the datacard oracle's token SQL
-    # (empty-filtered _NE_TOKENS_SQL). Graduate next round.
-    "q_events_value_percentiles",
-    "llm_corpus_datacard",
-    # new in r09:
-    "llm_fp_index_sync_nocdf",  # retroactive (no-CDF) diff-driven index sync
-    "q_events_session_watermark",  # session-window state under a real late stream
-    "llm_dense_hybrid_indexed",  # IVF-index-backed dense half of RRF hybrid
-    "llm_incremental_agg_nocdf",  # retroactive (no-CDF) multiset-diff aggregate refresh
-    # llm_mmr_rerank (r09's 7th new gate) deliberately rides the
-    # never-green tail-front mechanism instead of this block: with no
-    # green row it sorts to position prefix+1 — inside the window, so
-    # it IS witnessed this round — without growing the prefix past the
-    # re-witness bound the r08 verdict asked us to tighten.
+    # mirror): r10 changed the incremental-aggregate schema/oracle
+    # (n_vals non-null-count column + NULL-hardened fixture — the r09
+    # judge's NULL-measure fix; delta_incremental_agg_op shares the
+    # change but is pinned at rank 0 anyway). Graduate next round.
+    "llm_incremental_agg_nocdf",
 )
 
 
@@ -178,13 +170,16 @@ _LAST_GREEN = _last_green()
 # entry it is never-green, so it leads the tail and IS witnessed in its
 # first round.
 _DELTA_ROTATED = (
+    # (delta_clone_op was promoted OUT of this set to the pinned prefix
+    # at r10 open, as the r09 verdict required — it is a new operator,
+    # not a variant.) Each entry keeps its OPERATOR witnessed every
+    # round through a pinned sibling; the variant itself is re-witnessed
+    # by rotation + the round-close two-SF mirror sweep:
     "delta_zorder_incremental_op",  # OPTIMIZE plane: delta_zorder_preserves_data stays pinned
-    # CLONE is a new operator, not a variant — it rides the rotation
-    # ONLY for this round (never-green -> tail front -> witnessed now)
-    # because the prefix is at its intake peak; promote it to the
-    # pinned prefix at r10 open when the 6 first-witness entries
-    # graduate and free their slots.
-    "delta_clone_op",
+    "delta_merge_delete_op",  # MERGE plane: delta_merge_upsert_op + delta_scd2_op stay pinned
+    "delta_dv_read_op",  # DV plane: delta_dv_write_op (write + read round-trip) stays pinned
+    "delta_partitioned_scan",  # scan plane: every gate scans; replace_where keeps partition scoping pinned
+    "delta_time_travel_op",  # replay plane: delta_restore_op + delta_checkpoint_replay_op stay pinned
 )
 
 
