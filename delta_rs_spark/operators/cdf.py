@@ -29,6 +29,7 @@ from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import Add, AddCDCFile, Remove
 from delta_rs_spark.log.commit import DeltaError
 from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL
+from delta_rs_spark.operators.util import resolve_add_path
 
 
 def _ts_to_version(table_path: str, ts: str, default: int) -> int:
@@ -161,7 +162,7 @@ def load_cdf(
                 list(read_schema.fields)
                 + [T.StructField(CHANGE_TYPE_COL, T.StringType(), True)]
             )
-            paths = [os.path.join(table_path, c.path) for c in cdc]
+            paths = [resolve_add_path(table_path, c.path) for c in cdc]
             df = spark.read.schema(cdc_schema).parquet(*paths)
             if mapped:
                 df = cmap.rename_to_logical(
@@ -197,7 +198,7 @@ def load_cdf(
                         if r.deletion_vector
                         else set()
                     )
-                    abs_path = os.path.join(table_path, path)
+                    abs_path = resolve_add_path(table_path, path)
                     dead_pairs += [(abs_path, ri) for ri in sorted(new_rows - old_rows)]
                     # rows dead in the OLD pairing but alive in the NEW
                     # one (RESTORE past a DV delete) become visible again
@@ -220,7 +221,7 @@ def load_cdf(
                         reader = reader.option("basePath", table_path)
                     scanned = (
                         reader.parquet(
-                            *[os.path.join(table_path, p) for p in sorted(pair_paths)]
+                            *[resolve_add_path(table_path, p) for p in sorted(pair_paths)]
                         )
                         .withColumn(
                             "__sfp",

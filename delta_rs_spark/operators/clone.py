@@ -58,8 +58,13 @@ def clone_table(
     (``shallow=False``: files are copied, fully self-contained).
     tests/test_clone.py pins both the failure mode and the deep-clone
     immunity."""
+    import hashlib
     import shutil
 
+    from delta_rs_spark.operators.util import (
+        encode_abs_add_path,
+        resolve_add_path,
+    )
     from delta_rs_spark.plans.deletion_vectors import dv_file_path
 
     src = str(src_uri).removeprefix("file://")
@@ -81,35 +86,60 @@ def clone_table(
     snapshot = snap_mod.load_snapshot(src, version)
     os.makedirs(dst, exist_ok=True)
 
+    def _salted(rel: str, origin: str, taken: set[str]) -> str:
+        """Deep-clone dst path, unique among ``taken``: two source files
+        in DIFFERENT foreign directories may flatten to one basename
+        (plausible after convert_to_deltalake's preserved layouts) — the
+        second copy2 would silently overwrite the first and both adds
+        would reference the survivor (r10 ADVICE, medium). Salt with a
+        hash of the origin directory until free."""
+        n = 8
+        while rel in taken:
+            digest = hashlib.sha256(origin.encode()).hexdigest()[:n]
+            head, _, base = rel.rpartition("/")
+            rel = f"{head}/{digest}-{base}" if head else f"{digest}-{base}"
+            n += 4  # same-origin re-collision is impossible; grow anyway
+        taken.add(rel)
+        return rel
+
+    used_rels: set[str] = set()
+    dv_copied: dict[str, str] = {}  # source sidecar -> dst abs path
     adds: list[Add] = []
     for a in snapshot.files.values():
         dv = a.deletion_vector
-        src_abs = os.path.join(src, a.path)
+        # resolves relative adds against src AND decodes absolute
+        # file:-URI adds (cloning a clone), so chains stay one hop
+        src_abs = resolve_add_path(src, a.path)
         if shallow:
             if dv and dv.get("storageType") == "u":
                 dv = {
                     **dv,
                     "storageType": "p",
-                    "pathOrInlineDv": dv_file_path(src, dv["pathOrInlineDv"]),
+                    "pathOrInlineDv": encode_abs_add_path(
+                        dv_file_path(src, dv["pathOrInlineDv"])
+                    ),
                 }
-            # join resolves an already-absolute a.path to itself, so
-            # cloning a clone stays a one-hop absolute reference
-            path = src_abs
+            # PROTOCOL.md: an absolute reference is a percent-encoded
+            # URI, not a raw filesystem path (r10 ADVICE) — external
+            # readers decode by spec, ours flags the decode on the
+            # scheme (resolve_add_path)
+            path = encode_abs_add_path(src_abs)
         else:
             # deep: copy the data file (and DV sidecar) under dst; the
             # clone is self-contained and survives any source vacuum
-            if os.path.isabs(a.path):
+            if a.path.startswith("file:") or os.path.isabs(a.path):
                 # deep clone OF a shallow clone: keep the k=v partition
                 # dirs (Hive inference derives partition values from
                 # them), drop the foreign root
-                comps = [os.path.basename(a.path)]
-                d = os.path.dirname(a.path)
+                comps = [os.path.basename(src_abs)]
+                d = os.path.dirname(src_abs)
                 while "=" in os.path.basename(d):
                     comps.insert(0, os.path.basename(d))
                     d = os.path.dirname(d)
                 rel = "/".join(comps)
             else:
                 rel = a.path
+            rel = _salted(rel, os.path.dirname(src_abs), used_rels)
             dst_abs = os.path.join(dst, rel)
             os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
             shutil.copy2(src_abs, dst_abs)
@@ -117,12 +147,24 @@ def clone_table(
                 dv_src = (
                     dv_file_path(src, dv["pathOrInlineDv"])
                     if dv["storageType"] == "u"
-                    else dv["pathOrInlineDv"].removeprefix("file://")
+                    else resolve_add_path(src, dv["pathOrInlineDv"])
                 )
-                dv_dst = os.path.join(dst, os.path.basename(dv_src))
-                if not os.path.exists(dv_dst):
+                if dv_src in dv_copied:  # shared sidecar: copy once
+                    dv_dst = dv_copied[dv_src]
+                else:
+                    dv_rel = _salted(
+                        os.path.basename(dv_src),
+                        os.path.dirname(dv_src),
+                        used_rels,
+                    )
+                    dv_dst = os.path.join(dst, dv_rel)
                     shutil.copy2(dv_src, dv_dst)
-                dv = {**dv, "storageType": "p", "pathOrInlineDv": dv_dst}
+                    dv_copied[dv_src] = dv_dst
+                dv = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": encode_abs_add_path(dv_dst),
+                }
             path = rel
         adds.append(
             Add(

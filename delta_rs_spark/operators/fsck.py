@@ -13,6 +13,7 @@ from delta_rs_spark.log import commit as commit_mod
 from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import CommitInfo, Remove, now_ms
 from delta_rs_spark.log.commit import TransactionInfo
+from delta_rs_spark.operators.util import resolve_add_path
 
 
 def _dv_sidecar_missing(table_path: str, add) -> bool:
@@ -27,7 +28,7 @@ def _dv_sidecar_missing(table_path: str, add) -> bool:
     p = (
         dv_file_path(table_path, dv["pathOrInlineDv"])
         if dv["storageType"] == "u"
-        else dv["pathOrInlineDv"].removeprefix("file://")
+        else resolve_add_path(table_path, dv["pathOrInlineDv"])
     )
     return not os.path.exists(p)
 
@@ -38,7 +39,7 @@ def repair(table_path: str, dry_run: bool = False) -> dict[str, Any]:
     missing = [
         add
         for add in snapshot.files.values()
-        if not os.path.exists(os.path.join(table_path, add.path))
+        if not os.path.exists(resolve_add_path(table_path, add.path))
         or _dv_sidecar_missing(table_path, add)
     ]
     result = {

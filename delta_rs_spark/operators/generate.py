@@ -10,6 +10,7 @@ import os
 import shutil
 
 from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.operators.util import resolve_add_path
 
 MANIFEST_DIR = "_symlink_format_manifest"
 
@@ -32,7 +33,7 @@ def generate_symlink_manifest(table_path: str) -> list[str]:
     groups: dict[str, list[str]] = {}
     for add in snapshot.files.values():
         rel_dir = os.path.dirname(add.path)
-        uri = "file://" + os.path.abspath(os.path.join(table_path, add.path))
+        uri = "file://" + os.path.abspath(resolve_add_path(table_path, add.path))
         groups.setdefault(rel_dir, []).append(uri)
     written = []
     for rel_dir, uris in groups.items():

@@ -18,6 +18,7 @@ from delta_rs_spark.log import commit as commit_mod
 from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import Add, CommitInfo, Remove, now_ms
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
+from delta_rs_spark.operators.util import resolve_add_path
 
 
 def restore(
@@ -42,7 +43,7 @@ def restore(
     missing = [
         a.path
         for a in old.files.values()
-        if not os.path.exists(os.path.join(table_path, a.path))
+        if not os.path.exists(resolve_add_path(table_path, a.path))
     ]
     if missing and not ignore_missing_files:
         raise DeltaError(f"{len(missing)} files of version {version} are missing (vacuumed?)")

@@ -11,18 +11,53 @@ from delta_rs_spark.log.actions import Add
 _FILE_SCHEME_RE = re.compile(r"^file:/+")
 
 
+def encode_abs_add_path(abs_path: str) -> str:
+    """Raw absolute filesystem path -> the PROTOCOL.md spelling for an
+    absolute Add.path reference: a ``file:`` URI with RFC 2396
+    percent-encoding (r10, ADVICE: clone adds previously stored the raw
+    filesystem path, off-spec for external readers when the path
+    carries spaces or literal ``%``)."""
+    return "file://" + urllib.parse.quote(abs_path, safe="/")
+
+
+def resolve_add_path(table_path: str, add_path: str) -> str:
+    """Add.path -> raw filesystem path. Relative paths join the table
+    root unchanged (partition dirs are PHYSICALLY written in their
+    encoded spelling, so stored == on-disk). Absolute ``file:`` URIs
+    strip the scheme and percent-DECODE (the clone spelling — the
+    scheme is the decode flag, so a literal ``%XX`` in a raw legacy
+    path is never mis-decoded). Bare absolute paths pass through
+    (``os.path.join`` ignores the root for them)."""
+    if add_path.startswith("file:"):
+        return urllib.parse.unquote(_FILE_SCHEME_RE.sub("/", add_path))
+    return os.path.join(table_path, add_path)
+
+
 def _rel_candidates(
     file_path: str, table_path: str
-) -> tuple[str, str, str, str]:
-    """A Spark ``_metadata.file_path`` URI (``file:/...`` or
-    ``file:///...``) as Add.path-style keys: the relative raw and
-    URL-unquoted spellings (partition dirs may be stored encoded), plus
-    the ABSOLUTE spellings — a shallow clone's adds reference source
-    files by absolute path (PROTOCOL.md allows it), and relpath against
-    the clone root would never match them."""
+) -> tuple[str, ...]:
+    """A scanned file path (Spark ``_metadata.file_path`` URI, or the
+    already-DECODED ``__fp`` the normalized scan column carries) as
+    Add.path-style keys: the relative raw and URL-unquoted spellings
+    (partition dirs may be stored encoded), the ABSOLUTE spellings — a
+    shallow clone's adds reference source files by absolute path
+    (PROTOCOL.md allows it), and relpath against the clone root would
+    never match them — plus the encoded ``file:`` URI spellings
+    (re-quoted with ``encode_abs_add_path`` so they match clone adds
+    byte-for-byte regardless of which characters the producer escaped;
+    both the as-given and the decoded base are tried because the input
+    may arrive raw or URI-encoded)."""
     p = _FILE_SCHEME_RE.sub("/", file_path)
     raw = os.path.relpath(p, table_path).replace(os.sep, "/")
-    return raw, urllib.parse.unquote(raw), p, urllib.parse.unquote(p)
+    phys = urllib.parse.unquote(p)
+    return (
+        raw,
+        urllib.parse.unquote(raw),
+        p,
+        phys,
+        encode_abs_add_path(p),
+        encode_abs_add_path(phys),
+    )
 
 
 def match_touched_files(

@@ -18,6 +18,7 @@ import re
 import time
 
 from delta_rs_spark.log import snapshot as snap_mod
+from delta_rs_spark.operators.util import resolve_add_path
 from delta_rs_spark.log.actions import CommitInfo
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
 from delta_rs_spark.log import commit as commit_mod
@@ -86,7 +87,7 @@ def vacuum(
                 p = (
                     dv_file_path(table_path, dv["pathOrInlineDv"])
                     if dv["storageType"] == "u"
-                    else dv["pathOrInlineDv"].removeprefix("file://")
+                    else resolve_add_path(table_path, dv["pathOrInlineDv"])
                 )
                 out.add(os.path.relpath(p, table_path))
         return out
@@ -111,7 +112,7 @@ def vacuum(
             p = (
                 dv_file_path(table_path, dv["pathOrInlineDv"])
                 if dv["storageType"] == "u"
-                else dv["pathOrInlineDv"].removeprefix("file://")
+                else resolve_add_path(table_path, dv["pathOrInlineDv"])
             )
             dv_tombstoned[os.path.relpath(p, table_path)] = r.deletion_timestamp
     candidates: list[str] = []

@@ -276,7 +276,11 @@ def _load_dv_row_indexes_uncached(table_path: str, descriptor: dict) -> list[int
     if st == "u":
         path = dv_file_path(table_path, payload)
     elif st == "p":
-        path = payload.removeprefix("file://")
+        from delta_rs_spark.operators.util import resolve_add_path
+
+        # bare absolute path (legacy) or percent-encoded file: URI (the
+        # r10 clone spelling) — the scheme is the decode flag
+        path = resolve_add_path(table_path, payload)
     else:
         raise ValueError(f"unknown DV storageType {st!r}")
     offset = descriptor.get("offset") or 1  # past the version byte

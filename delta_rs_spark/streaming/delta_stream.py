@@ -29,6 +29,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.commit import DeltaError
+from delta_rs_spark.operators.util import resolve_add_path
 
 
 def write_stream_to_delta(
@@ -206,7 +207,7 @@ def _make_stream_reader_cls():
                 for a in snap.files.values():
                     parts.append(
                         _AddFilePartition(
-                            os.path.join(self.table_path, a.path),
+                            resolve_add_path(self.table_path, a.path),
                             dict(a.partition_values or {}),
                             self.schema_json,
                             dead_rows=self._dead_rows(a),
@@ -238,7 +239,7 @@ def _make_stream_reader_cls():
                     if isinstance(a, Add) and a.data_change:
                         parts.append(
                             _AddFilePartition(
-                                os.path.join(self.table_path, a.path),
+                                resolve_add_path(self.table_path, a.path),
                                 dict(a.partition_values or {}),
                                 self.schema_json,
                                 dead_rows=self._dead_rows(a),

@@ -144,10 +144,12 @@ def read_snapshot_df(
                 for base, ps in groups.items()
             ]
 
+        from delta_rs_spark.operators.util import resolve_add_path
+
         parts = []
         if plain:
             for p_df in read_group(
-                [os.path.join(table_path, a.path) for a in plain]
+                [resolve_add_path(table_path, a.path) for a in plain]
             ):
                 if file_path_col:
                     # bound BEFORE any select/union — hidden metadata
@@ -166,7 +168,7 @@ def read_snapshot_df(
 
             deleted_rows = []
             for a in dv_adds:
-                abs_path = os.path.join(table_path, a.path)
+                abs_path = resolve_add_path(table_path, a.path)
                 for ri in load_dv_row_indexes(table_path, a.deletion_vector):
                     deleted_rows.append((abs_path, ri))
             deleted_df = spark.createDataFrame(
@@ -179,7 +181,7 @@ def read_snapshot_df(
                     "__fp", _normalize_file_path(F.col("_metadata.file_path"))
                 ).withColumn("__ri", F.col("_metadata.row_index"))
                 for g in read_group(
-                    [os.path.join(table_path, a.path) for a in dv_adds]
+                    [resolve_add_path(table_path, a.path) for a in dv_adds]
                 )
             ]
             dv_df = dv_parts[0]
@@ -409,7 +411,12 @@ class DeltaTable:
         return [a.path for a in adds]
 
     def file_uris(self, partition_filters: list[PartitionFilter] | None = None) -> list[str]:
-        return [os.path.join(self.table_uri, p) for p in self.files(partition_filters)]
+        from delta_rs_spark.operators.util import resolve_add_path
+
+        return [
+            resolve_add_path(self.table_uri, p)
+            for p in self.files(partition_filters)
+        ]
 
     def partitions(
         self, partition_filters: list[PartitionFilter] | None = None
@@ -912,14 +919,15 @@ class DeltaTable:
             if not a.deletion_vector:
                 continue
             deleted = set(load_dv_row_indexes(self.table_uri, a.deletion_vector))
+            from delta_rs_spark.operators.util import resolve_add_path
+
+            fs_path = resolve_add_path(self.table_uri, a.path)
             n_physical = a.num_records()
             if n_physical is None:
                 import pyarrow.parquet as pq
 
-                n_physical = pq.ParquetFile(
-                    os.path.join(self.table_uri, a.path)
-                ).metadata.num_rows
-            paths.append("file://" + os.path.join(self.table_uri, a.path))
+                n_physical = pq.ParquetFile(fs_path).metadata.num_rows
+            paths.append("file://" + fs_path)
             masks.append([i not in deleted for i in range(n_physical)])
         return pa.table(
             {

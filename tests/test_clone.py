@@ -126,8 +126,16 @@ def test_clone_time_travel_and_config_override(spark, tmp_path):
     c1 = DeltaTable(dst1, spark=spark)
     assert c1.count() == 20
     assert _parquet_under(dst1) == []
+    from delta_rs_spark.operators.util import resolve_add_path
+
     for a in c1._snapshot.files.values():
-        assert a.path.startswith(str(tmp_path / "src"))
+        # r10: absolute references are percent-encoded file: URIs per
+        # PROTOCOL.md, and a clone of a clone resolves to the ORIGINAL
+        # source's files (one hop, no chain through dst0)
+        assert a.path.startswith("file://")
+        assert resolve_add_path(dst1, a.path).startswith(
+            str(tmp_path / "src")
+        )
 
     with pytest.raises(DeltaError, match="already exists"):
         clone_table(src, dst0)
@@ -270,3 +278,126 @@ def test_clone_at_timestamp(spark, tmp_path):
     dstv = str(tmp_path / "at_ts")
     clone_table(src, dstv, version=mid.isoformat())
     assert DeltaTable(dstv, spark=spark).count() == 20
+
+
+def _external_abs_table(spark, tmp_path, tbl_name="ext"):
+    """A spec-legal EXTERNAL table whose log carries percent-encoded
+    absolute file: URI adds pointing at two non-Hive directories that
+    share a parquet BASENAME (PROTOCOL.md allows absolute references;
+    foreign writers and convert-style layouts produce non-uuid names).
+    Built through the engine's own commit API."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from delta_rs_spark.log import commit as commit_mod
+    from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Protocol
+    from delta_rs_spark.log.commit import TransactionInfo
+    from delta_rs_spark.operators.util import encode_abs_add_path
+
+    d1 = tmp_path / "lib one"   # space: encoding must round-trip
+    d2 = tmp_path / "lib %41"   # literal %XX: must NOT be mis-decoded
+    d1.mkdir()
+    d2.mkdir()
+    pq.write_table(pa.table({"id": list(range(10))}), str(d1 / "data.parquet"))
+    pq.write_table(
+        pa.table({"id": list(range(10, 20))}), str(d2 / "data.parquet")
+    )
+    tbl = str(tmp_path / tbl_name)
+    os.makedirs(tbl)
+    schema = T.StructType([T.StructField("id", T.LongType(), True)])
+    adds = [
+        Add(
+            path=encode_abs_add_path(str(d / "data.parquet")),
+            size=os.path.getsize(str(d / "data.parquet")),
+            modification_time=1_600_000_000_000,
+            data_change=True,
+            partition_values={},
+            stats=None,
+        )
+        for d in (d1, d2)
+    ]
+    commit_mod.commit(
+        tbl,
+        [Protocol(), Metadata(schema_string=schema.json()), *adds],
+        CommitInfo("WRITE", {}),
+        -1,
+        TransactionInfo(blind_append=False, read_whole_table=True),
+    )
+    return tbl
+
+
+def test_external_absolute_uri_adds_read_and_deep_clone_collision(
+    spark, tmp_path
+):
+    """r10 ADVICE (medium): deep-cloning absolute adds used to flatten
+    each file to its basename — two files named data.parquet in
+    different non-Hive source dirs mapped to ONE dst path, the second
+    copy2 silently overwriting the first (10 rows duplicated, 10
+    lost). The flatten must disambiguate. Also pins that percent-
+    encoded file: URI adds (the PROTOCOL.md spelling) scan correctly
+    through paths carrying spaces and literal %XX."""
+    tbl = _external_abs_table(spark, tmp_path)
+    t = DeltaTable(tbl, spark=spark)
+    assert sorted(r.id for r in t.to_df().collect()) == list(range(20))
+
+    deep = str(tmp_path / "deep")
+    clone_table(tbl, deep, shallow=False)
+    c = DeltaTable(deep, spark=spark)
+    assert sorted(r.id for r in c.to_df().collect()) == list(range(20))
+    copied = _parquet_under(deep)
+    assert len(copied) == 2, f"basename collision collapsed files: {copied}"
+    assert len({os.path.basename(p) for p in copied}) == 2
+
+    # shallow clone of the same table: one-hop URI references, zero copy
+    shallow = str(tmp_path / "shallow")
+    clone_table(tbl, shallow)
+    sc = DeltaTable(shallow, spark=spark)
+    assert _parquet_under(shallow) == []
+    assert sorted(r.id for r in sc.to_df().collect()) == list(range(20))
+    # mutations match the URI-keyed files (planner candidate spellings)
+    sc.delete("id < 5")
+    assert sorted(r.id for r in sc.to_df().collect()) == list(range(5, 20))
+    t.refresh()
+    assert t.count() == 20  # source untouched
+
+
+def test_shallow_clone_source_path_with_special_chars(spark, tmp_path):
+    """r10 ADVICE (low): shallow-clone adds are percent-encoded file:
+    URIs per PROTOCOL.md. A source living under a path with spaces and
+    a literal %XX sequence must round-trip: scan, DV inheritance,
+    mutation, and time travel on the clone all resolve the encoded
+    references back to the raw filesystem path."""
+    src = str(tmp_path / "we ird %41 src")
+    write_deltalake(
+        src,
+        _df20(spark).coalesce(1),
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    s = DeltaTable(src, spark=spark)
+    s.delete("id >= 15")  # DV tier: descriptor, not rewrite
+    s.refresh()
+    assert set(s.files()) and s.count() == 15
+
+    dst = str(tmp_path / "clone")
+    clone_table(src, dst)
+    c = DeltaTable(dst, spark=spark)
+    for a in c._snapshot.files.values():
+        assert a.path.startswith("file://")
+        assert " " not in a.path and "%41" not in a.path.replace("%2541", "")
+    assert _parquet_under(dst) == []
+    assert sorted(r.id for r in c.to_df().collect()) == list(range(15))
+
+    # DV descriptors came through as encoded 'p' URIs and still decode
+    dvs = [
+        a.deletion_vector
+        for a in c._snapshot.files.values()
+        if a.deletion_vector
+    ]
+    assert dvs and all(d["storageType"] in ("p", "i") for d in dvs)
+
+    # clone-side mutation rewrites locally; source untouched
+    c.delete("id < 3")
+    assert sorted(r.id for r in c.to_df().collect()) == list(range(3, 15))
+    s.refresh()
+    assert s.count() == 15
