@@ -44,11 +44,24 @@ def clone_table(
     name: str | None = None,
     description: str | None = None,
     configuration: dict[str, str] | None = None,
+    replace: bool = False,
     commit_properties=None,
     post_commithook_properties=None,
 ) -> None:
     """Create a clone of ``src_uri`` (optionally at a historic
     ``version`` — time-travel clone) at ``dst_uri``.
+
+    ``replace=True`` re-clones onto an EXISTING clone (delta-spark's
+    repeated ``CREATE OR REPLACE ... CLONE`` semantics — the "refresh
+    the dev copy" loop): one commit on the target tombstones every
+    current file and re-references the source's current state, so the
+    refreshed clone reads exactly like a fresh clone of today's source.
+    Clone-local mutations are REPLACED (that is the delta-spark
+    contract), but they stay reachable by time travel to pre-refresh
+    versions — the target keeps its table id and version history, and
+    the refresh is OCC-committed like any other mutation. The target's
+    protocol is never downgraded: versions take the component-wise max
+    and feature lists union with the source's.
 
     CAVEAT (same as delta-spark's): a SHALLOW clone's files still
     belong to the source — VACUUM **on the source** after the source
@@ -71,8 +84,14 @@ def clone_table(
     dst = str(dst_uri).removeprefix("file://")
     if not snap_mod.is_delta_table(src):
         raise DeltaError(f"clone source is not a Delta table: {src}")
+    dst_snap = None
     if snap_mod.is_delta_table(dst):
-        raise DeltaError(f"clone target already exists: {dst}")
+        if not replace:
+            raise DeltaError(
+                f"clone target already exists: {dst} (pass replace=True "
+                "to refresh it to the source's current state)"
+            )
+        dst_snap = snap_mod.load_snapshot(dst)
     if version is not None and not isinstance(version, int):
         # timestamp clone: ISO string / datetime, the same resolution
         # as DeltaTable.load_as_version
@@ -187,23 +206,68 @@ def clone_table(
         name=name,
         description=description,
     )
+    removes: list = []
+    read_version = -1
+    if dst_snap is not None:
+        # refresh: keep the target's identity + history; tombstone every
+        # current file (DV descriptor included — (path, dvId) is the
+        # file identity) and never downgrade the protocol
+        from delta_rs_spark.log.actions import Remove, now_ms
+
+        meta.id = dst_snap.metadata.id
+        old_proto = dst_snap.protocol or Protocol()
+
+        def _feats(a, b):
+            if a is None and b is None:
+                return None
+            return sorted(set(a or []) | set(b or []))
+
+        proto = Protocol(
+            min_reader_version=max(
+                proto.min_reader_version, old_proto.min_reader_version
+            ),
+            min_writer_version=max(
+                proto.min_writer_version, old_proto.min_writer_version
+            ),
+            reader_features=_feats(
+                proto.reader_features, old_proto.reader_features
+            ),
+            writer_features=_feats(
+                proto.writer_features, old_proto.writer_features
+            ),
+        )
+        ts = now_ms()
+        removes = [
+            Remove(
+                a.path,
+                ts,
+                True,
+                a.partition_values,
+                a.size,
+                deletion_vector=a.deletion_vector,
+            )
+            for a in dst_snap.files.values()
+        ]
+        read_version = dst_snap.version
     op = CommitInfo(
         "CLONE",
         {
             "source": src,
             "sourceVersion": snapshot.version,
             "isShallow": shallow,
+            "replace": dst_snap is not None,
         },
         operation_metrics={
             "numClonedFiles": len(adds),
             "clonedBytes": sum(a.size for a in adds),
+            "numRemovedFiles": len(removes),
         },
     )
     commit_mod.commit(
         dst,
-        [proto, meta, *adds],
+        [proto, meta, *removes, *adds],
         op,
-        -1,
+        read_version,
         TransactionInfo(blind_append=False, read_whole_table=True),
         commit_properties=commit_properties,
         post_commit=post_commithook_properties,

@@ -401,3 +401,95 @@ def test_shallow_clone_source_path_with_special_chars(spark, tmp_path):
     assert sorted(r.id for r in c.to_df().collect()) == list(range(3, 15))
     s.refresh()
     assert s.count() == 15
+
+
+def test_shallow_clone_refresh_syncs_with_source(spark, tmp_path):
+    """r10 (VERDICT r09 Next #5): re-cloning onto an existing clone with
+    replace=True brings it to the source's CURRENT state — delta-spark's
+    repeated CREATE OR REPLACE ... CLONE. The refreshed clone must read
+    hash-identically to a fresh clone taken now; clone-local mutations
+    are replaced (but stay time-travelable); the table keeps its id and
+    version history; without replace=True the existing target still
+    refuses."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dev_copy")
+    write_deltalake(src, _df20(spark))
+    clone_table(src, dst)
+    c = DeltaTable(dst, spark=spark)
+    table_id = c.metadata().id
+    c.delete("id >= 18")  # clone-local divergence (to be replaced)
+    assert c.count() == 18
+
+    # source moves on
+    s = DeltaTable(src, spark=spark)
+    s.delete("id % 2 = 0")
+    s.update({"value": "value + 1000"}, predicate="id = 1")
+    write_deltalake(
+        src, spark.range(100, 105).withColumn("value", F.lit(0.5)), mode="append"
+    )
+
+    with pytest.raises(DeltaError, match="replace=True"):
+        clone_table(src, dst)
+    clone_table(src, dst, replace=True)
+    c.refresh()
+
+    fresh = str(tmp_path / "fresh")
+    clone_table(src, fresh)
+    want = sorted(map(tuple, DeltaTable(fresh, spark=spark).to_df().collect()))
+    assert sorted(map(tuple, c.to_df().collect())) == want
+    assert c.metadata().id == table_id  # same table, refreshed
+    # still zero-copy: every CURRENT reference is an absolute URI into
+    # the source (the pre-refresh local rewrite stays on disk only for
+    # time travel, tombstoned and vacuumable)
+    assert all(
+        a.path.startswith("file://") for a in c._snapshot.files.values()
+    )
+    h = c.history(1)[0]
+    assert h["operation"] == "CLONE"
+    assert str(h["operationParameters"]["replace"]) in ("True", "true")
+
+    # pre-refresh states stay reachable (local divergence included)
+    pre = DeltaTable(dst, spark=spark, version=1)
+    assert pre.count() == 18
+
+    # the refresh is itself a mutation: further source changes + another
+    # refresh keep tracking
+    s.delete("id = 101")
+    clone_table(src, dst, replace=True)
+    c.refresh()
+    s.refresh()
+    assert sorted(map(tuple, c.to_df().collect())) == sorted(
+        map(tuple, s.to_df().collect())
+    )
+
+
+def test_clone_refresh_preserves_protocol_and_deep_mode(spark, tmp_path):
+    """Refresh never downgrades the target's protocol (a clone that
+    gained features keeps them), and a DEEP refresh re-copies into a
+    self-contained state that survives source removal."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "deepc")
+    write_deltalake(src, _df20(spark))
+    clone_table(src, dst, shallow=False)
+    c = DeltaTable(dst, spark=spark)
+    # raise the clone's protocol via a feature the source lacks
+    c.alter.add_feature(["deletionVectors"])
+    c.refresh()
+    rv = (c.protocol().min_reader_version, c.protocol().min_writer_version)
+
+    write_deltalake(
+        src, spark.range(50, 55).withColumn("value", F.lit(1.5)), mode="append"
+    )
+    clone_table(src, dst, shallow=False, replace=True)
+    c.refresh()
+    assert c.count() == 25
+    p = c.protocol()
+    assert (p.min_reader_version, p.min_writer_version) >= rv
+    feats = (p.writer_features or []) + (p.reader_features or [])
+    assert "deletionVectors" in feats
+
+    import shutil
+
+    shutil.rmtree(src)
+    c.refresh()
+    assert c.count() == 25  # deep refresh stays self-contained
