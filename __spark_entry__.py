@@ -122,8 +122,12 @@ _FIRST_WITNESS_NEEDED = (
     # mirror): r10 changed the incremental-aggregate schema/oracle
     # (n_vals non-null-count column + NULL-hardened fixture — the r09
     # judge's NULL-measure fix; delta_incremental_agg_op shares the
-    # change but is pinned at rank 0 anyway). Graduate next round.
+    # change but is pinned at rank 0 anyway). r10 also changed the
+    # enrich gate's foreachBatch handler to the replay-idempotent form
+    # (per-batch overwrite sink + version-k join + guarded update).
+    # Graduate both next round.
     "llm_incremental_agg_nocdf",
+    "q_events_stream_static_enrich",
 )
 
 

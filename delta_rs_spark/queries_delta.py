@@ -26,8 +26,11 @@ _SCRATCH = "/tmp/delta_rs_spark_oracle"
 
 
 def _scratch(name: str, sf_dir: str) -> str:
+    # pid-scoped (r10 ADVICE): the scratch root under /tmp is shared
+    # across processes, so a concurrent driver + pytest run on the same
+    # SF would rmtree each other's fixture tables mid-gate
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_SCRATCH, tag, name)
+    path = os.path.join(_SCRATCH, tag, f"{name}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return path

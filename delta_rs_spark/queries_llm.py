@@ -2648,7 +2648,7 @@ def llm_stream_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_ingest_replay"
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_ingest_replay_{_os.getpid()}"
     _shutil.rmtree(root, ignore_errors=True)
     _os.makedirs(root, exist_ok=True)
     corpus, index = f"{root}/corpus", f"{root}/fp_index"

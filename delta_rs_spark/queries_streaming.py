@@ -324,7 +324,7 @@ def llm_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_stateful_dedup"
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_stateful_dedup_{_os.getpid()}"
     stream_dir = f"{root}/in"
     # staging is deterministic per sf_dir -> cached per process (setup,
     # not the measured stream; a fresh process always rebuilds)
@@ -518,7 +518,7 @@ def q_events_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/delta_rs_spark_oracle/{tag}/late_watermark"
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/late_watermark_{_os.getpid()}"
     stream_dir = f"{root}/in"
     # File STAGING is deterministic per sf_dir and is setup, not the
     # measured stream — cache it per process (bench re-invokes the
@@ -693,7 +693,7 @@ def q_events_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/delta_rs_spark_oracle/{tag}/session_watermark"
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/session_watermark_{_os.getpid()}"
     stream_dir = f"{root}/in"
     if root not in _STAGED_STREAM_DIRS:
         _shutil.rmtree(root, ignore_errors=True)
@@ -941,7 +941,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_stream_join"
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_stream_join_{_os.getpid()}"
     # both sides' staging filters share one computation of the base plan
     staged = staged.persist()
     try:
@@ -999,6 +999,41 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ENRICH_GATE_SEQ = 0
+
+
+def _make_enrich_handler(spark, dim_path: str, out_dir: str):
+    """foreachBatch handler for the stream-static enrich gate,
+    IDEMPOTENT under the at-least-once contract (r10 ADVICE: the old
+    handler's `tier + 1` increment diverged on a replayed micro-batch).
+    Three replay-safe pieces:
+     - batch k joins the dimension AT VERSION k (v0 = seed, update j
+       commits version j+1), so the join sees exactly the updates of
+       batches < k no matter when a retry runs;
+     - output lands in a per-batch dir with overwrite;
+     - the update applies only while the dim is still at version k (a
+       replay after the original update finds k+1 and skips).
+    Module-level so tests/test_streaming.py can replay batches against
+    it directly."""
+    from delta_rs_spark import DeltaTable
+
+    def enrich_batch(batch_df, batch_id: int) -> None:
+        dim = DeltaTable(dim_path, spark=spark, version=batch_id).to_df()
+        (
+            batch_df.join(dim, "user_id", "left")
+            .select("event_id", "user_id", "cents", "tier")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+        # the upstream dim maintenance this gate simulates: after batch
+        # j, a deterministic slice of users moves to the next tier
+        dt = DeltaTable(dim_path, spark=spark)
+        if dt.version() == batch_id:
+            dt.update(
+                {"tier": "tier + 1"},
+                predicate=f"user_id % 3 = {batch_id % 3}",
+            )
+
+    return enrich_batch
 
 
 @query(
@@ -1059,7 +1094,7 @@ def q_events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_static_enrich"
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/stream_static_enrich_{_os.getpid()}"
     stream_dir = _stage_batch_files(
         staged, root, "arr", ["event_id", "user_id", "cents"]
     )
@@ -1081,20 +1116,7 @@ def q_events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("tier", F.lit(0).cast("long"))
     )
     write_deltalake(dim_path, users)
-
-    def enrich_batch(batch_df, batch_id: int) -> None:
-        dim = DeltaTable(dim_path, spark=spark).to_df()  # CURRENT snapshot
-        (
-            batch_df.join(dim, "user_id", "left")
-            .select("event_id", "user_id", "cents", "tier")
-            .write.mode("append")
-            .parquet(out_dir)
-        )
-        # the upstream dim maintenance this gate simulates: after batch
-        # j, a deterministic slice of users moves to the next tier
-        DeltaTable(dim_path, spark=spark).update(
-            {"tier": "tier + 1"}, predicate=f"user_id % 3 = {batch_id % 3}"
-        )
+    enrich_batch = _make_enrich_handler(spark, dim_path, out_dir)
 
     src = spark.readStream.schema(
         "event_id long, user_id long, cents long"
@@ -1106,7 +1128,9 @@ def q_events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "cents", "tier"
+    )
 
 
 _DDWW_GATE_SEQ = 0
@@ -1214,7 +1238,7 @@ def q_events_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/delta_rs_spark_oracle/{tag}/dedup_within_watermark"
+    root = f"/tmp/delta_rs_spark_oracle/{tag}/dedup_within_watermark_{_os.getpid()}"
     stream_dir = _stage_batch_files(
         staged, root, "arr", ["ts_ts", "user_id", "event_type", "event_id"]
     )

@@ -1156,6 +1156,69 @@ def test_stream_static_enrich_sees_mid_stream_dim_updates(spark, tmp_path):
     assert got == [(0, 1, 0, 0), (1, 11, 1, 0)], got
 
 
+def test_stream_static_enrich_handler_is_replay_idempotent(spark, tmp_path):
+    """r10 ADVICE: foreachBatch runs with AT-LEAST-ONCE semantics — a
+    retried micro-batch re-invokes the handler with the same batch_id.
+    The gate's handler must converge: replaying batch k after its dim
+    update already applied must produce the SAME output rows (version-k
+    join + per-batch overwrite sink) and must NOT bump the dimension a
+    second time (guarded update). Simulates the retry by invoking the
+    handler directly, including the worst case: a crash between the
+    output write and the dim update, and a late replay of an OLD batch
+    after newer batches ran."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.queries_streaming import _make_enrich_handler
+
+    root = str(tmp_path / "replay")
+    dim_path, out_dir = f"{root}/dim", f"{root}/out"
+    write_deltalake(
+        dim_path,
+        spark.createDataFrame(
+            [(u, 0) for u in range(6)], "user_id long, tier long"
+        ),
+    )
+    handler = _make_enrich_handler(spark, dim_path, out_dir)
+
+    def batch(b):
+        return spark.createDataFrame(
+            [(b * 10 + i, i, 100 + i) for i in range(6)],
+            "event_id long, user_id long, cents long",
+        )
+
+    def out_rows():
+        return sorted(
+            (r.event_id, r.user_id, r.cents, r.tier)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    handler(batch(0), 0)
+    after_b0 = out_rows()
+    dim_v = DeltaTable(dim_path, spark=spark).version()
+    # retry batch 0 AFTER its dim update ran (the ADVICE scenario)
+    handler(batch(0), 0)
+    assert out_rows() == after_b0  # no duplicate/diverged rows
+    assert DeltaTable(dim_path, spark=spark).version() == dim_v  # no 2nd bump
+
+    handler(batch(1), 1)
+    after_b1 = out_rows()
+    # late replay of the OLD batch after a newer one committed: the
+    # version-k join still reconstructs batch 0's view
+    handler(batch(0), 0)
+    assert out_rows() == after_b1
+    assert DeltaTable(dim_path, spark=spark).version() == dim_v + 1
+
+    # batch 0 saw all tier 0; batch 1 saw tier 1 exactly for the
+    # user_id % 3 = 0 slice
+    tiers = {
+        (r.event_id, r.tier) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert all(t == 0 for e, t in tiers if e < 10)
+    assert {t for e, t in tiers if e >= 10} == {0, 1}
+    assert all(
+        t == (1 if (e - 10) % 3 == 0 else 0) for e, t in tiers if e >= 10
+    )
+
+
 def test_read_append_stream_max_bytes_per_trigger(spark, tmp_path, sample_df):
     """maxBytesPerTrigger (delta-spark parity): the catch-up tail takes
     whole commits until the cumulative data-change add bytes would
