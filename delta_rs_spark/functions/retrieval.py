@@ -316,6 +316,69 @@ def rrf_fuse(
     )
 
 
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    query_vectors: DataFrame,
+    index_path: str | None = None,
+    dense: str = "ivf",
+    k: int = 20,
+    topk: int = 10,
+    rrf_k: int = 60,
+    n_probe: int = 4,
+    n_lists: int = 16,
+    q_id_col: str = "vec_id",
+) -> DataFrame:
+    """Dense+lexical hybrid retrieval in one call: BM25 ranks ``docs``
+    top-``k`` for ``queries`` (term frames from ``head_term_queries``),
+    the dense backend ranks ``embeddings`` top-``k`` for
+    ``query_vectors``, and ``rrf_fuse`` merges both lists into a final
+    top-``topk``. This is THE hybrid lineage (r10, r09 verdict #6) —
+    the two gate shapes are its two dense backends:
+
+    - ``dense="ivf"`` (DEFAULT — the 100 TB scale path): probes the
+      materialized IVF list index at ``index_path`` via
+      ``ivf_topk_indexed_multi`` — each query reads ``n_probe`` of
+      ``n_lists`` list partitions through log file skipping, so dense
+      cost is fixed by |queries| x n_probe, independent of corpus size.
+      Builds the index on first use if absent (one-time O(corpus),
+      amortized across every indexed workload sharing the path).
+    - ``dense="exact"``: brute-force cosine over a full corpus scan
+      (``dense_topk``, two-phase sharded top-k). Kept as a first-class
+      backend deliberately, NOT legacy: exact dense is the recall
+      yardstick the ANN-recall gate measures the IVF path against, and
+      the right choice below ~1M vectors where a scan beats index
+      maintenance. Both backends stay benched for that reason.
+    """
+    from delta_rs_spark.functions.similarity import (
+        build_ivf_index,
+        dense_topk,
+        ivf_topk_indexed_multi,
+    )
+    from delta_rs_spark.table import DeltaTable
+
+    lex = bm25_topk(docs, queries, k=k)
+    if dense == "exact":
+        den = dense_topk(embeddings, query_vectors, k=k, q_id_col=q_id_col)
+    elif dense == "ivf":
+        if not index_path:
+            raise ValueError("dense='ivf' requires index_path")
+        if not DeltaTable.is_deltatable(index_path):
+            build_ivf_index(embeddings, index_path, n_lists=n_lists)
+        den = ivf_topk_indexed_multi(
+            query_vectors.sparkSession,
+            index_path,
+            query_vectors,
+            k=k,
+            n_probe=n_probe,
+            q_id_col=q_id_col,
+        )
+    else:
+        raise ValueError(f"unknown dense backend {dense!r}")
+    return rrf_fuse([lex, den], k=rrf_k, topk=topk)
+
+
 def bm25_hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

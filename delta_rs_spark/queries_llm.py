@@ -2924,19 +2924,18 @@ def llm_dense_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays postings, BM25's grid-snapped arithmetic, the 4dp cosine
     grid, both rankings, and the quantized fusion."""
     from delta_rs_spark.functions.retrieval import (
-        bm25_topk,
         head_term_queries,
-        rrf_fuse,
+        hybrid_topk,
     )
-    from delta_rs_spark.functions.similarity import dense_topk
 
     docs = _docs(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qs = head_term_queries(docs, n_queries=4, n_terms=6)
-    lex = bm25_topk(docs, qs, k=20)
     qvecs = emb.filter(F.col("vec_id") < 4)
-    den = dense_topk(emb, qvecs, k=20, q_id_col="vec_id")
-    return rrf_fuse([lex, den], k=60, topk=10)
+    # dense="exact": this gate IS the recall yardstick backend of the
+    # hybrid lineage (see retrieval.hybrid_topk — the ivf backend is
+    # the scale default, benched by llm_dense_hybrid_indexed)
+    return hybrid_topk(docs, emb, qs, qvecs, dense="exact")
 
 
 @query(
@@ -3049,25 +3048,19 @@ def llm_dense_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection, the pruned dense rank, BM25's grid-snapped arithmetic,
     and the quantized fusion."""
     from delta_rs_spark.functions.retrieval import (
-        bm25_topk,
         head_term_queries,
-        rrf_fuse,
+        hybrid_topk,
     )
-    from delta_rs_spark.functions.similarity import ivf_topk_indexed_multi
-    from delta_rs_spark.table import DeltaTable
 
     docs = _docs(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qs = head_term_queries(docs, n_queries=4, n_terms=6)
-    lex = bm25_topk(docs, qs, k=20)
-    idx = _ann_index_path(sf_dir, "ivf_l16")
-    if not DeltaTable.is_deltatable(idx):
-        S.build_ivf_index(emb, idx, n_lists=16)
     qvecs = emb.filter(F.col("vec_id") < 4)
-    den = ivf_topk_indexed_multi(
-        spark, idx, qvecs, k=20, n_probe=4, q_id_col="vec_id"
+    # hybrid_topk's DEFAULT backend (r10): the indexed dense path is
+    # the scale default of the hybrid lineage
+    return hybrid_topk(
+        docs, emb, qs, qvecs, index_path=_ann_index_path(sf_dir, "ivf_l16")
     )
-    return rrf_fuse([lex, den], k=60, topk=10)
 
 
 def _mmr_oracle(k: int = 12, m: int = 6, mu: int = 7, nu: int = 3) -> str:

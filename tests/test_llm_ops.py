@@ -1845,6 +1845,66 @@ def test_ivf_topk_indexed_multi_head_recall_and_fuse_shape(spark, tmp_path):
     assert fused.count() == 9  # 3 queries x top-3
 
 
+def test_hybrid_topk_backends_one_lineage(spark, tmp_path):
+    """r10 (r09 verdict #6): hybrid_topk is THE hybrid lineage with two
+    dense backends. Differential pin: with n_probe = n_lists the IVF
+    probe is exhaustive, so the indexed backend must produce the
+    IDENTICAL fused top-k as the exact backend — same quantization
+    grid, same tiebreaks, the only difference left is the access path.
+    Also pins the error contract (ivf without index_path) and that the
+    default backend IS the indexed one."""
+    import inspect
+    import random
+
+    from delta_rs_spark.functions.retrieval import (
+        head_term_queries,
+        hybrid_topk,
+    )
+
+    assert (
+        inspect.signature(hybrid_topk).parameters["dense"].default == "ivf"
+    ), "the scale path must be the default backend"
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(words) for _ in range(30)))
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    qs = head_term_queries(docs, n_queries=3, n_terms=4)
+    qvecs = emb.filter(F.col("vec_id") < 3)
+
+    exact = hybrid_topk(docs, emb, qs, qvecs, dense="exact", k=10, topk=5)
+    idx = str(tmp_path / "hyb_idx")
+    ivf = hybrid_topk(
+        docs,
+        emb,
+        qs,
+        qvecs,
+        index_path=idx,
+        k=10,
+        topk=5,
+        n_lists=4,
+        n_probe=4,  # exhaustive probe -> must equal exact
+    )
+    key = lambda r: (r.query_id, r.rank, r.doc_id, r.rrf_score)  # noqa: E731
+    assert sorted(map(key, ivf.collect())) == sorted(
+        map(key, exact.collect())
+    )
+
+    with pytest.raises(ValueError, match="index_path"):
+        hybrid_topk(docs, emb, qs, qvecs)
+    with pytest.raises(ValueError, match="backend"):
+        hybrid_topk(docs, emb, qs, qvecs, dense="nope")
+
+
 def test_semantic_contamination_pruned_matches_exact_above_threshold(spark, tmp_path):
     """semantic_contamination_indexed (r08): the IVF-probed variant's
     CONTAMINATED set must equal the brute-force scan's exactly — a
