@@ -180,6 +180,7 @@ _DELTA_ROTATED = (
     # round through a pinned sibling; the variant itself is re-witnessed
     # by rotation + the round-close two-SF mirror sweep:
     "delta_zorder_incremental_op",  # OPTIMIZE plane: delta_zorder_preserves_data stays pinned
+    "delta_clone_refresh_op",  # CLONE plane: delta_clone_op stays pinned (new r10 gate -> never-green -> tail front -> witnessed this round)
     "delta_merge_delete_op",  # MERGE plane: delta_merge_upsert_op + delta_scd2_op stay pinned
     "delta_dv_read_op",  # DV plane: delta_dv_write_op (write + read round-trip) stays pinned
     "delta_partitioned_scan",  # scan plane: every gate scans; replace_where keeps partition scoping pinned

