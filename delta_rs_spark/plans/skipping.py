@@ -290,6 +290,14 @@ class _Conjunct:
                 return raw is None or raw == _NULL_PARTITION
             if self.op == "notnull":
                 return not (raw is None or raw == _NULL_PARTITION)
+            if raw is None or raw == _NULL_PARTITION:
+                # every remaining op is a comparison, and a comparison
+                # with NULL is UNKNOWN — no row of the NULL partition
+                # can match, so prune it EXACTLY regardless of whether
+                # the literal's type is resolvable (r10: the untyped
+                # path used to hit the can't-compare guard first and
+                # keep the file)
+                return False
             typed = self._typed(col_types)
             if typed is not None:
                 sample, lits = typed
@@ -299,7 +307,7 @@ class _Conjunct:
                     return True  # can't compare faithfully -> keep
             v = _coerce(raw, sample)
             if v is None:
-                return False  # null partition never matches these ops
+                return False  # unparseable-as-typed never matches
             lo = hi = v
         else:
             st = add.stats_dict()

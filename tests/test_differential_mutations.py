@@ -27,13 +27,17 @@ DUCK_SCHEMA = "id BIGINT, k BIGINT, v DOUBLE, s VARCHAR"
 
 def _gen_rows(rng, n, id_start):
     # r10 (verdict #2): NULLs land in the measure (v) and string (s)
-    # columns — the class the prior fuzzers never reached. Every
-    # operator's arithmetic, predicate evaluation, CDF synthesis, and
-    # DV bookkeeping must agree with SQL three-valued logic.
+    # columns — the class the prior fuzzers never reached — AND in the
+    # k column, which under the partitioned configs writes the
+    # __HIVE_DEFAULT_PARTITION__ directory (NULL partition values flow
+    # through scan pruning, mutation planning, CDF partition scoping,
+    # and physical-name mapping). Every operator's arithmetic,
+    # predicate evaluation, CDF synthesis, and DV bookkeeping must
+    # agree with SQL three-valued logic.
     return [
         (
             id_start + i,
-            rng.randint(0, 9),
+            None if rng.random() < 0.08 else rng.randint(0, 9),
             None
             if rng.random() < 0.15
             else float(rng.randint(-10000, 10000)) / 100.0,
@@ -56,6 +60,7 @@ def _rand_pred(rng):
             # rows (UNKNOWN) in both engines; these target them head-on
             f"v IS NULL AND k = {rng.randint(0, 9)}",
             "s IS NULL",
+            f"k IS NULL AND v > {rng.randint(-50, 50)}",  # NULL partition
             f"v IS NOT NULL AND v < {rng.randint(-50, 50)}",
         ]
     )

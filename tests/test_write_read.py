@@ -73,6 +73,50 @@ def test_partitioned_write_and_pruning(spark, tmp_table, lineitem):
     assert {p["l_returnflag"] for p in parts} == {"A", "N", "R"}
 
 
+def test_null_partition_values_write_prune_mutate(spark, tmp_table):
+    """r10 (NULL sweep): NULL partition values write the
+    __HIVE_DEFAULT_PARTITION__ directory and must be first-class
+    through the whole plane — partition-FILE pruning for IS NULL /
+    IS NOT NULL / equality predicates (equality must also prune the
+    NULL partition: k = 'a' can never match NULL), partitions()
+    reporting None, DNF filters, and targeted mutations that touch
+    only the NULL partition's files."""
+    from delta_rs_spark.plans.skipping import prune_files
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "b", 30), (4, None, 40)],
+        "id long, k string, v long",
+    )
+    write_deltalake(tmp_table, df, partition_by=["k"])
+    t = DeltaTable(tmp_table)
+    adds = list(t._snapshot.files.values())
+    assert len(adds) == 3  # a, b, NULL dirs
+    assert {p["k"] for p in t.partitions()} == {"a", "b", None}
+
+    null_files = prune_files(adds, "k IS NULL", ["k"])
+    assert len(null_files) == 1
+    assert "__HIVE_DEFAULT_PARTITION__" in null_files[0].path
+    notnull = prune_files(adds, "k IS NOT NULL", ["k"])
+    assert len(notnull) == 2
+    eq = prune_files(adds, "k = 'a'", ["k"])
+    assert len(eq) == 1 and "k=a" in eq[0].path
+
+    assert sorted(r.id for r in t.to_df(predicate="k IS NULL").collect()) == [2, 4]
+    # DNF partition filters resolve NULL via the 'in'/'=' forms used by
+    # files(); None never equals a value
+    assert t.files([("k", "=", "a")]) == [eq[0].path]
+
+    # mutations scoped to the NULL partition rewrite only its file
+    t.delete("k IS NULL AND v = 20")
+    t.update({"v": "v + 1"}, predicate="k IS NULL")
+    got = sorted([(r.id, r.k, r.v) for r in t.to_df().collect()], key=str)
+    assert got == sorted(
+        [(1, "a", 10), (3, "b", 30), (4, None, 41)], key=str
+    )
+    for a in DeltaTable(tmp_table)._snapshot.files.values():
+        assert a.partition_values["k"] in ("a", "b", None)
+
+
 def test_stats_skipping(spark, tmp_table, lineitem):
     # several files so min/max skipping can drop some
     write_deltalake(tmp_table, lineitem.repartitionByRange(4, "l_orderkey"))
