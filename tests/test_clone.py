@@ -493,3 +493,59 @@ def test_clone_refresh_preserves_protocol_and_deep_mode(spark, tmp_path):
     shutil.rmtree(src)
     c.refresh()
     assert c.count() == 25  # deep refresh stays self-contained
+
+
+def test_clone_refresh_racing_mutation_conflicts_cleanly(spark, tmp_path, monkeypatch):
+    """r10: a replace-refresh is planned from a snapshot of the target;
+    a mutation that commits between that read and the refresh commit
+    would leave files the refresh never tombstoned (extra rows — a
+    lost-update corruption). The refresh declares read_whole_table, so
+    the OCC check must raise ConcurrentAppendError cleanly with the
+    target readable and the racing write intact."""
+    from delta_rs_spark import DeltaTable, clone_table, write_deltalake
+    from delta_rs_spark.log import commit as commit_mod
+    from delta_rs_spark.log.commit import ConcurrentAppendError
+    from delta_rs_spark.operators import clone as clone_mod
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_deltalake(src, _df20(spark))
+    clone_table(src, dst)
+    write_deltalake(
+        src, spark.range(50, 55).withColumn("value", F.lit(0.5)), mode="append"
+    )
+
+    real_commit = commit_mod.commit
+    fired = {"n": 0}
+
+    def racing_commit(path, actions, op, read_version, *a, **kw):
+        # the interleaved writer lands AFTER the refresh read its
+        # snapshot and BEFORE its commit — classic OCC race
+        if fired["n"] == 0 and path == dst:
+            fired["n"] = 1
+            write_deltalake(
+                dst,
+                spark.range(900, 905).withColumn("value", F.lit(9.0)),
+                mode="append",
+            )
+        return real_commit(path, actions, op, read_version, *a, **kw)
+
+    monkeypatch.setattr(clone_mod.commit_mod, "commit", racing_commit)
+    with pytest.raises(ConcurrentAppendError):
+        clone_table(src, dst, replace=True)
+
+    # target readable; the racing append survived; no half-refresh
+    c = DeltaTable(dst, spark=spark)
+    assert c.count() == 25  # 20 cloned + 5 raced
+    assert sorted(r.id for r in c.to_df().filter("id >= 900").collect()) == [
+        900, 901, 902, 903, 904,
+    ]
+
+    # a clean retry (no race) then succeeds and lands on the source
+    monkeypatch.setattr(clone_mod.commit_mod, "commit", real_commit)
+    clone_table(src, dst, replace=True)
+    c.refresh()
+    s = DeltaTable(src, spark=spark)
+    assert sorted(map(tuple, c.to_df().collect())) == sorted(
+        map(tuple, s.to_df().collect())
+    )
