@@ -106,12 +106,17 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
     con = duckdb.connect()
     con.execute(f"CREATE TABLE t ({DUCK_SCHEMA})")
     con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    orig_path = path
     if config.get("as_clone"):
         # r09: the table under mutation is a SHALLOW CLONE — every
         # operator in the sequence runs against absolute-path adds
         # (the clone's references into the seed table), which the
         # planners must match, scan, rewrite, and tombstone exactly
-        # like relative ones
+        # like rel ones. r10: a mid-sequence "reclone" op refreshes the
+        # clone back to the (unchanged) seed table with replace=True —
+        # the mirror resets to the seed rows, later mutations continue
+        # on the refreshed state, and time-travel/CDF replay must hold
+        # across the remove-all+add-all refresh commit.
         from delta_rs_spark import clone_table
 
         clone_table(path, path + "_clone")
@@ -136,6 +141,7 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
         op = rng.choice(
             ["delete", "update", "append", "merge_upsert", "merge_delete",
              "merge_keyed", "restore"]
+            + (["reclone"] if config.get("as_clone") else [])
             + list(maintenance)
         )
         if i == n_ops - 2:
@@ -158,6 +164,17 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
             dt.refresh()
             got = _state(dt)
             assert got == _duck_state(con), f"restore(v{v}) diverged mid-sequence"
+            history.append((dt.version(), got))
+            continue
+        if op == "reclone":
+            from delta_rs_spark import clone_table
+
+            clone_table(orig_path, path, replace=True)
+            con.execute("DELETE FROM t")
+            con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+            dt.refresh()
+            got = _state(dt)
+            assert got == _duck_state(con), "reclone diverged from seed"
             history.append((dt.version(), got))
             continue
         if op in maintenance:
@@ -368,6 +385,13 @@ _CONFIGS = [
     ("clone_dv", {
         "as_clone": True,
         "configuration": {"delta.enableDeletionVectors": "true"},
+    }),
+    # r10: clone + CDF — the refresh's remove-all+add-all commit and
+    # every absolute-path mutation must synthesize a correct change
+    # feed (the CDF replay block below walks it version by version)
+    ("clone_cdf", {
+        "as_clone": True,
+        "configuration": {"delta.enableChangeDataFeed": "true"},
     }),
 ]
 
