@@ -76,12 +76,13 @@ def clone_table(
 
     from delta_rs_spark.operators.util import (
         encode_abs_add_path,
+        local_table_path,
         resolve_add_path,
     )
     from delta_rs_spark.plans.deletion_vectors import dv_file_path
 
-    src = str(src_uri).removeprefix("file://")
-    dst = str(dst_uri).removeprefix("file://")
+    src = local_table_path(src_uri)
+    dst = local_table_path(dst_uri)
     if not snap_mod.is_delta_table(src):
         raise DeltaError(f"clone source is not a Delta table: {src}")
     dst_snap = None

@@ -22,6 +22,7 @@ from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Protocol
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
 from delta_rs_spark.log.stats import collect_stats_parallel, stats_json
+from delta_rs_spark.operators.util import local_table_path
 
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
@@ -46,7 +47,7 @@ def convert_to_deltalake(
         raise ValueError(f"unsupported partition strategy {partition_strategy!r}")
     if mode not in ("error", "ignore"):
         raise ValueError(f"invalid convert mode {mode!r}")
-    path = str(uri).removeprefix("file://")
+    path = local_table_path(uri)
     if snap_mod.is_delta_table(path):
         if mode == "ignore":
             return

@@ -9,6 +9,30 @@ import urllib.parse
 from delta_rs_spark.log.actions import Add
 
 _FILE_SCHEME_RE = re.compile(r"^file:/+")
+_ANY_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://")
+
+
+def local_table_path(uri) -> str:
+    """Table URI -> local filesystem path. ``file:`` URIs strip the
+    scheme; bare paths pass through; any OTHER scheme (s3a://,
+    abfss://, gs://, hdfs://, ...) raises a clear DeltaError instead of
+    silently treating the URI as a relative local directory (r10: the
+    old strip would have created a local dir literally named 's3:').
+    Object-store access belongs to the Spark/Hadoop filesystem
+    configuration layer; this engine's log/store seam operates on
+    local/posix paths."""
+    from delta_rs_spark.log.commit import DeltaError
+
+    s = str(uri)
+    m = _ANY_SCHEME_RE.match(s)
+    if m and m.group(1).lower() != "file":
+        raise DeltaError(
+            f"unsupported table URI scheme {m.group(1)!r} in {s!r}: this "
+            "build operates on local/posix paths (bare or file:); cloud "
+            "object stores are reached through the Spark/Hadoop "
+            "filesystem configuration, not a path-level fallback"
+        )
+    return s.removeprefix("file://")
 
 
 def encode_abs_add_path(abs_path: str) -> str:

@@ -24,6 +24,7 @@ from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Protocol
 from delta_rs_spark.log.commit import DeltaError
 from delta_rs_spark.log.snapshot import Snapshot, load_snapshot
+from delta_rs_spark.operators.util import local_table_path
 from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
 
 PartitionFilter = tuple[str, str, Any]  # DNF tuples like the reference (table.py:74-78)
@@ -243,7 +244,7 @@ class DeltaTable:
         list — file-list APIs raise, like the reference's mode.
         ``log_buffer_size`` is accepted for signature parity (the local
         log reader streams commits; there is no buffer to size)."""
-        self.table_uri = str(table_uri).removeprefix("file://")
+        self.table_uri = local_table_path(table_uri)
         self._spark = spark
         self._storage_options = dict(storage_options or {})
         self._without_files = without_files
@@ -288,7 +289,7 @@ class DeltaTable:
     # -- construction -----------------------------------------------------
     @classmethod
     def is_deltatable(cls, table_uri: str) -> bool:
-        return snap_mod.is_delta_table(str(table_uri).removeprefix("file://"))
+        return snap_mod.is_delta_table(local_table_path(table_uri))
 
     @classmethod
     def create(
@@ -316,7 +317,7 @@ class DeltaTable:
         if isinstance(schema, (MirrorSchema, MirrorStruct)):
             schema = to_spark(schema)
 
-        path = str(table_uri).removeprefix("file://")
+        path = local_table_path(table_uri)
         if mode not in ("error", "ignore", "overwrite"):
             raise ValueError(f"invalid create mode {mode!r}")
         if isinstance(partition_by, str):

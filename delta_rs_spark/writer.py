@@ -34,6 +34,7 @@ from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import Add, CommitInfo, Metadata, Remove, Txn, now_ms
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
 from delta_rs_spark.log.stats import collect_stats_parallel, stats_config, stats_json
+from delta_rs_spark.operators.util import local_table_path
 
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
@@ -510,7 +511,7 @@ def write_deltalake(
     """
     if storage_options is not None and not isinstance(storage_options, dict):
         raise TypeError("storage_options must be a dict[str, str]")
-    table_path = str(table_or_uri).removeprefix("file://")
+    table_path = local_table_path(table_or_uri)
     df = _to_spark_df(data, spark)
     spark = df.sparkSession
     if isinstance(partition_by, str):

@@ -494,3 +494,36 @@ def test_delta_storage_handler(spark, tmp_path, sample_df):
     assert any(n.endswith(".parquet") for n in names)
     with pytest.raises(NotImplementedError):
         h.open_append_stream("x", {})
+
+
+def test_foreign_uri_schemes_rejected_clearly(spark, tmp_path):
+    """r10: an object-store URI used to fall through the file:-strip
+    and be treated as a RELATIVE LOCAL PATH (creating a directory
+    literally named 's3:'). Every table-path entry point must reject
+    foreign schemes with a clear error pointing at the Spark/Hadoop
+    filesystem layer; file: URIs and bare paths still work."""
+    import pytest
+
+    from delta_rs_spark import DeltaTable, clone_table, write_deltalake
+    from delta_rs_spark.log.commit import DeltaError
+    from delta_rs_spark.operators.convert import convert_to_deltalake
+
+    df = spark.range(3).toDF("id")
+    for uri in ("s3://bucket/tbl", "s3a://bucket/tbl", "abfss://c@a.dfs.core.windows.net/t",
+                "gs://bucket/tbl", "hdfs://nn/tbl"):
+        with pytest.raises(DeltaError, match="scheme"):
+            write_deltalake(uri, df)
+        with pytest.raises(DeltaError, match="scheme"):
+            DeltaTable(uri)
+        with pytest.raises(DeltaError, match="scheme"):
+            DeltaTable.is_deltatable(uri)
+        with pytest.raises(DeltaError, match="scheme"):
+            convert_to_deltalake(uri, spark=spark)
+        with pytest.raises(DeltaError, match="scheme"):
+            clone_table(uri, str(tmp_path / "d"))
+
+    # file: URI and bare path keep working
+    p = str(tmp_path / "ok")
+    write_deltalake("file://" + p, df)
+    assert DeltaTable("file://" + p).count() == 3
+    assert DeltaTable(p).count() == 3
