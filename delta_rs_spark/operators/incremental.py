@@ -250,6 +250,14 @@ def maintain_aggregate(
         | (F.col("d_nvals") != 0)
         | (F.col("d_total").isNotNull() & (F.col("d_total") != 0))
     )
+    # MERGE scans its source several times (metrics, touched-file
+    # discovery, partition IN-list, apply); without a persist each scan
+    # re-runs the whole delta derivation — the CDF range read (or the
+    # diff leg's two snapshot reads + churned-file union) plus the
+    # groupBy. The deltas frame is per-GROUP-sized (bounded by the
+    # change batch), so pinning it is the same O(churn) envelope the
+    # merge itself carries (the index_sync persist rationale, r10).
+    deltas = deltas.persist()
     pred = " AND ".join(f"t.`{g}` <=> s.`{g}`" for g in group_cols)
     inserts = {g: f"s.`{g}`" for g in group_cols}
     inserts.update(
@@ -281,6 +289,7 @@ def maintain_aggregate(
         .when_not_matched_insert(inserts, predicate="s.d_n > 0")
         .execute()
     )
+    deltas.unpersist(False)
     return {
         "initialized": False,
         "applied_through": latest,
