@@ -355,3 +355,83 @@ def test_threaded_operator_race_no_lost_updates(spark, tmp_path):
     final = S.load_snapshot(path)
     for rel in final.files:
         assert os.path.exists(os.path.join(path, rel)), rel
+
+
+def test_threaded_race_clone_refresh_no_lost_updates(spark, tmp_path):
+    """r10: clone REFRESH (replace=True) racing real mutations from
+    threads. The refresh is a whole-table-read commit, so every loser
+    (either side) must raise a CommitFailedError subclass; afterwards
+    the log alone must account for the final state — a CLONE commit
+    resets the count to the (static) source's, WRITE/DELETE adjust it,
+    and every referenced file (clone-local rel or source-absolute URI)
+    must exist."""
+    from delta_rs_spark import clone_table
+    from delta_rs_spark.operators.util import resolve_add_path
+
+    src = str(tmp_path / "seed")
+    path = str(tmp_path / "clone")
+    write_deltalake(src, spark.range(0, 100).select(F.col("id")))
+    clone_table(src, path)
+    barrier = threading.Barrier(4)
+    errors: list[Exception] = []
+    unexpected: list[Exception] = []
+
+    def worker(i: int) -> None:
+        rng = random.Random(7000 + i)
+        barrier.wait()
+        for op in range(5):
+            try:
+                roll = rng.random()
+                if roll < 0.3:
+                    lo = 1000 * (10 * i + op)
+                    write_deltalake(
+                        path,
+                        spark.range(lo, lo + 50).select(F.col("id")),
+                        mode="append",
+                    )
+                elif roll < 0.55:
+                    DeltaTable(path, spark=spark).delete(
+                        f"id % 10 = {rng.randint(0, 9)}"
+                    )
+                elif roll < 0.75:
+                    DeltaTable(path, spark=spark).update(
+                        {"id": "id"}, predicate=f"id % 7 = {rng.randint(0, 6)}"
+                    )
+                else:
+                    clone_table(src, path, replace=True)
+            except C.CommitFailedError as e:
+                errors.append(e)
+            except Exception as e:  # anything else is a protocol bug
+                unexpected.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not unexpected, unexpected
+
+    latest = S.latest_version(path)
+    assert latest is not None and latest >= 1
+    expected_count = None
+    for v in range(latest + 1):
+        actions = S.read_commit_actions(path, v)  # raises if missing
+        snap = S.load_snapshot(path, v)
+        assert snap.version == v
+        ci = next(a for a in actions if isinstance(a, CommitInfo))
+        m = ci.operation_metrics or {}
+        if ci.operation == "CLONE":
+            expected_count = 100  # the static seed's count
+        elif ci.operation == "WRITE":
+            expected_count += sum(
+                int(json.loads(a.stats)["numRecords"])
+                for a in actions
+                if isinstance(a, Add) and a.data_change and a.stats
+            )
+        elif ci.operation == "DELETE":
+            expected_count -= int(m.get("num_deleted_rows", 0))
+    t = DeltaTable(path, spark=spark)
+    assert t.count() == expected_count, (t.count(), expected_count)
+    final = S.load_snapshot(path)
+    for rel in final.files:
+        assert os.path.exists(resolve_add_path(path, rel)), rel
