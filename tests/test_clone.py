@@ -549,3 +549,31 @@ def test_clone_refresh_racing_mutation_conflicts_cleanly(spark, tmp_path, monkey
     assert sorted(map(tuple, c.to_df().collect())) == sorted(
         map(tuple, s.to_df().collect())
     )
+
+
+def test_vacuum_after_refresh_reclaims_local_files_only(spark, tmp_path):
+    """r10: a refresh tombstones the clone's pre-refresh state. VACUUM
+    must then reclaim the clone-LOCAL rewrite files (they are under the
+    clone root and no longer referenced) while the absolute source
+    references — tombstoned or live — remain structurally unreachable
+    from the delete set. After vacuum, time travel to pre-refresh
+    versions is gone (files reclaimed) but the refreshed state reads."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_deltalake(src, _df20(spark))
+    clone_table(src, dst)
+    c = DeltaTable(dst, spark=spark)
+    c.delete("id % 2 = 0")  # local rewrite -> clone-local parquet
+    local_before = set(_parquet_under(dst))
+    assert local_before, "the local delete must have written files"
+
+    clone_table(src, dst, replace=True)
+    c.refresh()
+    removed = c.vacuum(
+        retention_hours=0, dry_run=False, enforce_retention_duration=False
+    )
+    # the local rewrites are gone, the source is untouched
+    assert set(_parquet_under(dst)) == set()
+    assert all(not r.startswith(src) for r in removed)
+    assert DeltaTable(src, spark=spark).count() == 20
+    assert c.count() == 20  # refreshed state reads through source refs
