@@ -123,6 +123,22 @@ def clone_table(
         return rel
 
     used_rels: set[str] = set()
+    if dst_snap is not None and not shallow:
+        # deep REFRESH: the previous clone generation's data files are
+        # still on disk AND still referenced by the target's tombstoned
+        # pre-refresh versions — a fresh _salted run that only tracks
+        # this invocation could flatten a different foreign file onto an
+        # old name and overwrite bytes time travel still reads (r11
+        # ADVICE). Seed with every file already under dst (superset of
+        # every historical add) so no copy can land on an existing name.
+        for walk_root, walk_dirs, walk_names in os.walk(dst):
+            walk_dirs[:] = [d for d in walk_dirs if d != "_delta_log"]
+            for n in walk_names:
+                used_rels.add(
+                    os.path.relpath(os.path.join(walk_root, n), dst).replace(
+                        os.sep, "/"
+                    )
+                )
     dv_copied: dict[str, str] = {}  # source sidecar -> dst abs path
     adds: list[Add] = []
     for a in snapshot.files.values():

@@ -263,33 +263,39 @@ def maintain_aggregate(
     inserts.update(
         {"total": "s.d_total", "n_rows": "s.d_n", "n_vals": "s.d_nvals"}
     )
-    m = (
-        agg.merge(
-            deltas,
-            pred,
-            source_alias="s",
-            target_alias="t",
-            commit_properties=CommitProperties(
-                app_transactions=[(app_id, latest)]
-            ),
-        )
-        .when_matched_delete(predicate="t.n_rows + s.d_n = 0")
-        .when_matched_update(
-            {
-                # sum-over-group semantics: NULL iff zero non-null
-                # values remain; else NULLs are additive identities.
-                "total": (
-                    "CASE WHEN t.n_vals + s.d_nvals = 0 THEN NULL "
-                    "ELSE coalesce(t.total, 0) + coalesce(s.d_total, 0) END"
+    try:
+        m = (
+            agg.merge(
+                deltas,
+                pred,
+                source_alias="s",
+                target_alias="t",
+                commit_properties=CommitProperties(
+                    app_transactions=[(app_id, latest)]
                 ),
-                "n_rows": "t.n_rows + s.d_n",
-                "n_vals": "t.n_vals + s.d_nvals",
-            }
+            )
+            .when_matched_delete(predicate="t.n_rows + s.d_n = 0")
+            .when_matched_update(
+                {
+                    # sum-over-group semantics: NULL iff zero non-null
+                    # values remain; else NULLs are additive identities.
+                    "total": (
+                        "CASE WHEN t.n_vals + s.d_nvals = 0 THEN NULL "
+                        "ELSE coalesce(t.total, 0) + coalesce(s.d_total, 0) END"
+                    ),
+                    "n_rows": "t.n_rows + s.d_n",
+                    "n_vals": "t.n_vals + s.d_nvals",
+                }
+            )
+            .when_not_matched_insert(inserts, predicate="s.d_n > 0")
+            .execute()
         )
-        .when_not_matched_insert(inserts, predicate="s.d_n > 0")
-        .execute()
-    )
-    deltas.unpersist(False)
+    finally:
+        # a merge failure here is RETRYABLE by design (e.g. a concurrent
+        # writer hit the aggregate table and OCC raised); without the
+        # finally the cached frame would leak for the session's life
+        # (r11 ADVICE)
+        deltas.unpersist(False)
     return {
         "initialized": False,
         "applied_through": latest,

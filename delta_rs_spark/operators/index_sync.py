@@ -202,23 +202,30 @@ def sync_fingerprint_index(
         # (O(churn), the same bound the merge itself carries) and
         # release it after the apply.
         finals = finals.persist()
-    m = (
-        idx.merge(
-            finals,
-            "t.id <=> s.id",
-            source_alias="s",
-            target_alias="t",
-            commit_properties=CommitProperties(app_transactions=[(app_id, latest)]),
+    try:
+        m = (
+            idx.merge(
+                finals,
+                "t.id <=> s.id",
+                source_alias="s",
+                target_alias="t",
+                commit_properties=CommitProperties(
+                    app_transactions=[(app_id, latest)]
+                ),
+            )
+            .when_matched_delete(predicate="s.__act = 'delete'")
+            .when_matched_update({"fp": "s.fp"})
+            .when_not_matched_insert(
+                {"id": "s.id", "fp": "s.fp"}, predicate="s.__act != 'delete'"
+            )
+            .execute()
         )
-        .when_matched_delete(predicate="s.__act = 'delete'")
-        .when_matched_update({"fp": "s.fp"})
-        .when_not_matched_insert(
-            {"id": "s.id", "fp": "s.fp"}, predicate="s.__act != 'delete'"
-        )
-        .execute()
-    )
-    if resolved == "diff":
-        finals.unpersist(False)
+    finally:
+        # unpersist even when the merge raises: an OCC conflict here is
+        # retryable and must not leak the cached frame (r11 ADVICE on
+        # the incremental-agg twin of this pattern)
+        if resolved == "diff":
+            finals.unpersist(False)
     return {
         "initialized": False,
         "applied_through": latest,
@@ -343,24 +350,28 @@ def sync_band_index(
             F.lit("delete").alias("__act"),
         )
     )
-    m = (
-        idx.merge(
-            upserts.unionByName(dels),
-            "t.id <=> s.id AND t.band <=> s.band",
-            source_alias="s",
-            target_alias="t",
-            commit_properties=CommitProperties(app_transactions=[(app_id, latest)]),
+    try:
+        m = (
+            idx.merge(
+                upserts.unionByName(dels),
+                "t.id <=> s.id AND t.band <=> s.band",
+                source_alias="s",
+                target_alias="t",
+                commit_properties=CommitProperties(
+                    app_transactions=[(app_id, latest)]
+                ),
+            )
+            .when_matched_delete(predicate="s.__act = 'delete'")
+            .when_matched_update({"bucket": "s.bucket"})
+            .when_not_matched_insert(
+                {"id": "s.id", "band": "s.band", "bucket": "s.bucket"},
+                predicate="s.__act != 'delete'",
+            )
+            .execute()
         )
-        .when_matched_delete(predicate="s.__act = 'delete'")
-        .when_matched_update({"bucket": "s.bucket"})
-        .when_not_matched_insert(
-            {"id": "s.id", "band": "s.band", "bucket": "s.bucket"},
-            predicate="s.__act != 'delete'",
-        )
-        .execute()
-    )
-    if resolved == "diff":
-        finals.unpersist(False)
+    finally:
+        if resolved == "diff":
+            finals.unpersist(False)
     return {
         "initialized": False,
         "applied_through": latest,

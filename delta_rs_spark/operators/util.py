@@ -9,30 +9,48 @@ import urllib.parse
 from delta_rs_spark.log.actions import Add
 
 _FILE_SCHEME_RE = re.compile(r"^file:/+")
-_ANY_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://")
+# any scheme followed by a slash is a URI, not a path: 'file:/x' (the
+# single-slash spelling Spark's Path.toUri emits) and 's3:/b/x' must
+# both be recognized, not just the '://' double-slash form (r11 ADVICE:
+# the old '://'-only regex let 'file:/tmp/x' fall through verbatim and
+# create a local directory literally named 'file:' — the exact failure
+# this guard exists to prevent)
+_ANY_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):/")
 
 
 def local_table_path(uri) -> str:
-    """Table URI -> local filesystem path. ``file:`` URIs strip the
-    scheme; bare paths pass through; any OTHER scheme (s3a://,
-    abfss://, gs://, hdfs://, ...) raises a clear DeltaError instead of
-    silently treating the URI as a relative local directory (r10: the
-    old strip would have created a local dir literally named 's3:').
-    Object-store access belongs to the Spark/Hadoop filesystem
-    configuration layer; this engine's log/store seam operates on
-    local/posix paths."""
+    """Table URI -> local filesystem path. Every ``file:`` spelling
+    (``file:/x``, ``file:///x``) normalizes to the plain absolute path;
+    bare paths pass through; any OTHER scheme (s3a://, abfss://,
+    gs://, hdfs://, ...) raises a clear DeltaError instead of silently
+    treating the URI as a relative local directory (r10: the old strip
+    would have created a local dir literally named 's3:'). A ``file:``
+    URI with a non-empty authority (``file://host/x``) is rejected too
+    — stripping it to the relative path ``host/x`` would silently
+    re-root a remote-host reference inside the cwd. Object-store access
+    belongs to the Spark/Hadoop filesystem configuration layer; this
+    engine's log/store seam operates on local/posix paths."""
     from delta_rs_spark.log.commit import DeltaError
 
     s = str(uri)
     m = _ANY_SCHEME_RE.match(s)
-    if m and m.group(1).lower() != "file":
+    if m is None:
+        return s  # bare path (a slashless 'a:b' stays a posix filename)
+    if m.group(1).lower() != "file":
         raise DeltaError(
             f"unsupported table URI scheme {m.group(1)!r} in {s!r}: this "
             "build operates on local/posix paths (bare or file:); cloud "
             "object stores are reached through the Spark/Hadoop "
             "filesystem configuration, not a path-level fallback"
         )
-    return s.removeprefix("file://")
+    netloc = urllib.parse.urlsplit(s).netloc
+    if netloc:
+        raise DeltaError(
+            f"file: URI with non-empty authority {netloc!r} in {s!r}: a "
+            "remote-host file reference cannot be resolved as a local "
+            "path (file:///... or file:/... address the local filesystem)"
+        )
+    return _FILE_SCHEME_RE.sub("/", s)
 
 
 def encode_abs_add_path(abs_path: str) -> str:

@@ -1,6 +1,8 @@
 """deltalake-API-compat surface: QueryBuilder, pandas/arrow input,
 pyarrow output, DNF partition filters (reference: python/deltalake API)."""
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -527,3 +529,38 @@ def test_foreign_uri_schemes_rejected_clearly(spark, tmp_path):
     write_deltalake("file://" + p, df)
     assert DeltaTable("file://" + p).count() == 3
     assert DeltaTable(p).count() == 3
+
+
+def test_file_uri_spellings_normalize_and_authority_rejected(spark, tmp_path):
+    """r11 ADVICE: 'file:/x' — the single-slash spelling Spark's own
+    Path.toUri emits — used to pass the '://'-only scheme regex
+    verbatim and create a local directory literally named 'file:'; and
+    'file://host/x' was mis-stripped to the RELATIVE path 'host/x'.
+    Every file: spelling must normalize to the same local path, a
+    non-empty authority must be rejected, and a single-slash foreign
+    scheme ('s3:/b/t') must be rejected like the double-slash form."""
+    import pytest
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.log.commit import DeltaError
+    from delta_rs_spark.operators.util import local_table_path
+
+    p = str(tmp_path / "ok2")
+    write_deltalake("file:" + p, spark.range(4).toDF("id"))
+    assert not os.path.exists(os.path.join(os.getcwd(), "file:")), (
+        "single-slash file: URI was treated as a relative path"
+    )
+    # all three spellings address the same table
+    assert DeltaTable("file:" + p).count() == 4
+    assert DeltaTable("file://" + p).count() == 4
+    assert DeltaTable(p).count() == 4
+    assert local_table_path("file:" + p) == p
+    assert local_table_path("file://" + p) == p
+    assert local_table_path("file:///" + p.lstrip("/")) == p
+
+    with pytest.raises(DeltaError, match="authority"):
+        DeltaTable("file://somehost/tmp/x")
+    with pytest.raises(DeltaError, match="scheme"):
+        DeltaTable("s3:/bucket/tbl")
+    # a slashless colon name is a legal posix filename, not a URI
+    assert local_table_path("a:b") == "a:b"

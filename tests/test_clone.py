@@ -577,3 +577,83 @@ def test_vacuum_after_refresh_reclaims_local_files_only(spark, tmp_path):
     assert all(not r.startswith(src) for r in removed)
     assert DeltaTable(src, spark=spark).count() == 20
     assert c.count() == 20  # refreshed state reads through source refs
+
+
+def test_deep_refresh_never_overwrites_prior_generation_files(
+    spark, tmp_path
+):
+    """r11 ADVICE: on a deep replace-refresh, _salted's collision set
+    only tracked the CURRENT invocation. If the source dropped the
+    absolute-add file that previously claimed the unsalted basename
+    (A/data.parquet) and a different foreign file (B/data.parquet)
+    flattens to the same name, the copy silently overwrote the old
+    bytes — still referenced by the target's tombstoned pre-refresh
+    versions, so time travel read B's rows under A's add entry. The
+    refresh must salt against everything already on disk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from delta_rs_spark.log import commit as commit_mod
+    from delta_rs_spark.log.actions import (
+        Add,
+        CommitInfo,
+        Metadata,
+        Protocol,
+        Remove,
+    )
+    from delta_rs_spark.log.commit import TransactionInfo
+    from delta_rs_spark.operators.util import encode_abs_add_path
+
+    d1 = tmp_path / "genA"
+    d2 = tmp_path / "genB"
+    d1.mkdir()
+    d2.mkdir()
+    pq.write_table(pa.table({"id": list(range(10))}), str(d1 / "data.parquet"))
+    pq.write_table(
+        pa.table({"id": list(range(10, 20))}), str(d2 / "data.parquet")
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = T.StructType([T.StructField("id", T.LongType(), True)])
+
+    def _add(d):
+        return Add(
+            path=encode_abs_add_path(str(d / "data.parquet")),
+            size=os.path.getsize(str(d / "data.parquet")),
+            modification_time=1_600_000_000_000,
+            data_change=True,
+            partition_values={},
+            stats=None,
+        )
+
+    commit_mod.commit(
+        src,
+        [Protocol(), Metadata(schema_string=schema.json()), _add(d1)],
+        CommitInfo("WRITE", {}),
+        -1,
+        TransactionInfo(blind_append=False, read_whole_table=True),
+    )
+    dst = str(tmp_path / "dst")
+    clone_table(src, dst, shallow=False)
+    c = DeltaTable(dst, spark=spark)
+    assert sorted(r.id for r in c.to_df().collect()) == list(range(10))
+    gen1 = _parquet_under(dst)
+    assert len(gen1) == 1
+
+    # source swaps A's file for B's — same flattened basename
+    commit_mod.commit(
+        src,
+        [Remove(path=_add(d1).path, data_change=True), _add(d2)],
+        CommitInfo("WRITE", {}),
+        0,
+        TransactionInfo(blind_append=False, read_whole_table=True),
+    )
+    clone_table(src, dst, shallow=False, replace=True)
+    c.refresh()
+    assert sorted(r.id for r in c.to_df().collect()) == list(range(10, 20))
+    # generation-1 bytes are intact: pre-refresh time travel still
+    # reads A's rows, and the new copy landed on a salted name
+    old = DeltaTable(dst, spark=spark, version=0)
+    assert sorted(r.id for r in old.to_df().collect()) == list(range(10))
+    assert len(_parquet_under(dst)) == 2
