@@ -110,24 +110,16 @@ _RELATIONAL_REPRESENTATIVES = (
 # representatives + this block — stays inside the driver's observed
 # 50-51 window without trimming or deferral.
 _FIRST_WITNESS_NEEDED = (
-    # The r09 intake block (q_events_value_percentiles, llm_corpus_
-    # datacard, llm_fp_index_sync_nocdf, q_events_session_watermark,
-    # llm_dense_hybrid_indexed, llm_incremental_agg_nocdf) graduated at
-    # r10 open — all six have green r09 rows; the rotation re-witnesses
-    # them (VERDICT r09 What's wrong #2).
+    # The two r10 contract pins (llm_incremental_agg_nocdf,
+    # q_events_stream_static_enrich) graduated at r11 open — both have
+    # green r10 rows (VERDICT r10 next-round #4); the rotation
+    # re-witnesses them. The freed slots let the rotation absorb the
+    # r04-stale block.
     #
-    # CONTRACT-CHANGED PINS (r08 ADVICE #3: any query whose engine or
-    # oracle contract changed in a round must be in that round's window
-    # so the change ships with a committed driver row, not just a local
-    # mirror): r10 changed the incremental-aggregate schema/oracle
-    # (n_vals non-null-count column + NULL-hardened fixture — the r09
-    # judge's NULL-measure fix; delta_incremental_agg_op shares the
-    # change but is pinned at rank 0 anyway). r10 also changed the
-    # enrich gate's foreachBatch handler to the replay-idempotent form
-    # (per-batch overwrite sink + version-k join + guarded update).
-    # Graduate both next round.
-    "llm_incremental_agg_nocdf",
-    "q_events_stream_static_enrich",
+    # r11 intake: the incremental IVF index sync gate (VERDICT r10
+    # next-round #1) — brand-new operator, needs its first committed
+    # driver row this round.
+    "llm_ivf_index_sync",
 )
 
 

@@ -172,11 +172,16 @@ def main() -> None:
     # Stream-shaped gates run a full Delta commit sequence / a REAL
     # structured stream (state store, per-batch commits) per invocation;
     # their latency is commit-floor bound, not plan quality, and
-    # min-of-N just re-pays that floor N times (VERDICT r07 #7). They
-    # get ONE timed sample (after the same warm-up as everyone else —
-    # file staging is cached per process by the gates themselves) and
-    # are recorded under "n1_queries" so the caveat travels with the
-    # number.
+    # min-of-N mostly re-pays that floor N times (VERDICT r07 #7). They
+    # get a REDUCED sample count — n=2 since r11 (VERDICT r10 #2: at
+    # n=1 a real regression in exactly the most expensive operators was
+    # indistinguishable from host noise; stream scratch is pid-scoped
+    # now, so re-runs are safe) — and are recorded under
+    # "reduced_sample_queries" so the caveat travels with the number.
+    n_floor_samples = min(
+        n_samples,
+        max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES_FLOOR", "2"))),
+    )
     n1_queries = {
         "llm_stream_ingest_replay",
         "llm_stream_stateful_dedup",
@@ -195,11 +200,15 @@ def main() -> None:
         "q_events_dedup_within_watermark",
         # real stream + a Delta UPDATE commit per micro-batch
         "q_events_stream_static_enrich",
+        # r11: 6-commit Delta maintenance sequence (src build + IVF
+        # init + delete/update/append + CDF-merge sync + probe) —
+        # same commit-floor class as the other index-sync gates
+        "llm_ivf_index_sync",
     } & set(qs)
     samples: dict[str, list[float]] = {name: [] for name in qs}
     for i in range(n_samples):
         for name, fn in qs.items():
-            if i > 0 and name in n1_queries:
+            if i >= n_floor_samples and name in n1_queries:
                 continue
             drop_persistent_rdds()
             t0 = time.time()
@@ -216,7 +225,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "samples": samples,
-        "n1_queries": sorted(n1_queries),
+        "reduced_sample_queries": sorted(n1_queries),
+        "n_samples": n_samples,
+        "n_reduced_samples": n_floor_samples,
         "sf": sf_val,
     }
     if contended:

@@ -329,6 +329,7 @@ def hybrid_topk(
     n_probe: int = 4,
     n_lists: int = 16,
     q_id_col: str = "vec_id",
+    source_path: str | None = None,
 ) -> DataFrame:
     """Dense+lexical hybrid retrieval in one call: BM25 ranks ``docs``
     top-``k`` for ``queries`` (term frames from ``head_term_queries``),
@@ -343,7 +344,15 @@ def hybrid_topk(
       ``n_lists`` list partitions through log file skipping, so dense
       cost is fixed by |queries| x n_probe, independent of corpus size.
       Builds the index on first use if absent (one-time O(corpus),
-      amortized across every indexed workload sharing the path).
+      amortized across every indexed workload sharing the path; the
+      build races LOUDLY — ``mode='error'`` — so a concurrent caller
+      loses the create, observes the now-existing index, and reads it).
+      When ``source_path`` names the Delta table the embeddings live in,
+      the index is kept CURRENT through ``sync_ivf_index``
+      (operators/index_sync.py — r11): init-or-sync runs before the
+      probe, so embedding churn (takedowns, re-embeds, new crawls)
+      reaches the dense ranking at O(changes) cost instead of an
+      O(corpus) rebuild.
     - ``dense="exact"``: brute-force cosine over a full corpus scan
       (``dense_topk``, two-phase sharded top-k). Kept as a first-class
       backend deliberately, NOT legacy: exact dense is the recall
@@ -364,8 +373,28 @@ def hybrid_topk(
     elif dense == "ivf":
         if not index_path:
             raise ValueError("dense='ivf' requires index_path")
-        if not DeltaTable.is_deltatable(index_path):
-            build_ivf_index(embeddings, index_path, n_lists=n_lists)
+        if source_path is not None:
+            from delta_rs_spark.operators.index_sync import sync_ivf_index
+
+            sync_ivf_index(
+                query_vectors.sparkSession,
+                source_path,
+                index_path,
+                n_lists=n_lists,
+            )
+        elif not DeltaTable.is_deltatable(index_path):
+            from delta_rs_spark.log.commit import DeltaError
+
+            try:
+                build_ivf_index(
+                    embeddings, index_path, n_lists=n_lists, mode="error"
+                )
+            except DeltaError:
+                # concurrent first-build race: the other writer's create
+                # committed v0 between our existence check and commit —
+                # proceed as a reader of the index that now exists
+                if not DeltaTable.is_deltatable(index_path):
+                    raise
         den = ivf_topk_indexed_multi(
             query_vectors.sparkSession,
             index_path,

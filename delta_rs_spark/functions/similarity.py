@@ -344,6 +344,32 @@ def lsh_topk_indexed(
     )
 
 
+def frozen_centroid_assigner(centroids: list):
+    """Pandas-UDF assigner against FROZEN ``[[i, vec], ...]`` centroids
+    (the shape stored under the index table's ``_IVF_CENTROIDS_KEY``):
+    max cosine, highest-index tiebreak — the same convention
+    ``ivf_assign`` uses at build time, so build-time and
+    maintenance-time assignment can never drift. Shared by
+    ``update_ivf_index`` and ``operators/index_sync.sync_ivf_index``.
+    The centroid matrix rides to executors inside the UDF closure
+    (n_lists * dim floats — model-sized, never corpus-sized)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([c for _, c in centroids], dtype=np.float64)
+    Cn = (C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)).T
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        s = Vn @ Cn
+        rev = s[:, ::-1].argmax(axis=1)  # first max in reversed = highest i
+        return pd.Series((s.shape[1] - 1 - rev).astype("int32"))
+
+    return _assign
+
+
 def build_ivf_index(
     df: DataFrame,
     index_path: str,
@@ -351,19 +377,57 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     mode: str = "overwrite",
+    commit_properties=None,
+    centroids: list | None = None,
+    max_records_per_file: int = 32_000,
 ) -> None:
     """Materialize an IVF index: one Delta partition per inverted list;
     centroids live in the table configuration (n_lists * dim floats — log
-    metadata, tiny next to the vectors)."""
+    metadata, tiny next to the vectors). ``commit_properties`` rides the
+    creating commit — ``sync_ivf_index`` stamps its source-version
+    watermark there so init and sync share one exactly-once ledger, and
+    ``mode='error'`` makes a concurrent-build race lose LOUDLY (one
+    create commits v0, the other raises and retries as a reader)
+    instead of silently double-writing. ``centroids`` (``[[i, vec],
+    ...]``) overrides the default first-``n_lists``-ids seeding with
+    TRAINED centroids — ``sync_ivf_index``'s recluster path passes the
+    k-means refit here, since re-seeding from the same leading ids
+    could never adapt to distribution drift.
+
+    File layout (r11): within each list partition, files are
+    ID-CLUSTERED (sortWithinPartitions(id), written layout-preserved)
+    and capped at ``max_records_per_file`` rows. Queries don't care —
+    they prune on the partition value — but ``sync_ivf_index``'s MERGE
+    does: tight per-file id stats let its touched-file discovery prune
+    untouched files, and the cap bounds rewrite amplification at
+    (touched files x file cap) instead of (touched PARTITIONS x
+    partition size). Measured at 1.28M rows / 1k churned: one file per
+    list meant every sync copied all 1.28M rows; the clustered layout
+    copies only the touched files' rows, flat in corpus size."""
     import json as _json
 
     from delta_rs_spark.writer import write_deltalake
 
-    assigned, centroids = ivf_assign(df, n_lists, vec_col, id_col)
-    indexed = assigned.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.col("__list").alias("list"),
+    if centroids is None:
+        assigned, centroids = ivf_assign(df, n_lists, vec_col, id_col)
+        assigned = assigned.withColumnRenamed("__list", "__ivf_list")
+    else:
+        if len(centroids) != n_lists:
+            raise ValueError(
+                f"{len(centroids)} centroids given for n_lists={n_lists}"
+            )
+        assigned = df.withColumn(
+            "__ivf_list",
+            frozen_centroid_assigner(centroids)(F.col(vec_col)),
+        )
+    indexed = (
+        assigned.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.col("__ivf_list").alias("list"),
+        )
+        .repartition("list")
+        .sortWithinPartitions("id")
     )
     write_deltalake(
         index_path,
@@ -375,6 +439,9 @@ def build_ivf_index(
                 [[i, [round(x, 8) for x in c]] for i, c in centroids]
             )
         },
+        commit_properties=commit_properties,
+        max_records_per_file=max_records_per_file,
+        preserve_layout=True,
     )
 
 
@@ -547,25 +614,12 @@ def update_ivf_index(
     the old index readable during the swap."""
     import json as _json
 
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
     from delta_rs_spark.table import DeltaTable
     from delta_rs_spark.writer import write_deltalake
 
     t = DeltaTable(index_path, spark=spark)
     centroids = _json.loads(t.metadata().configuration[_IVF_CENTROIDS_KEY])
-    C = np.array([c for _, c in centroids], dtype=np.float64)
-    Cn = (C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)).T
-
-    @pandas_udf("int")
-    def _assign(vecs: pd.Series) -> pd.Series:
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-        s = Vn @ Cn
-        rev = s[:, ::-1].argmax(axis=1)
-        return pd.Series((s.shape[1] - 1 - rev).astype("int32"))
-
+    _assign = frozen_centroid_assigner(centroids)
     indexed = new_df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

@@ -2503,6 +2503,102 @@ def llm_band_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_ivf_index_sync",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    after_del AS (SELECT * FROM base WHERE NOT vec_id % 7 = 0),
+    after_upd AS (SELECT vec_id,
+                         CASE WHEN vec_id % 5 = 0 THEN list_reverse(v)
+                              ELSE v END AS v
+                  FROM after_del),
+    appended AS (SELECT vec_id + 100000 AS vec_id, list_reverse(v) AS v
+                 FROM base WHERE vec_id % 3 = 0),
+    final AS (SELECT * FROM after_upd UNION ALL SELECT * FROM appended),
+    -- centroids FROZE at index init (first 16 ids of the PRE-churn
+    -- corpus): assignment replays vs the raw values, probe ranking vs
+    -- the ROUND-8 config spellings (the llm_ivf_topk conventions)
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS i,
+                     embedding::DOUBLE[] AS c
+              FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+    rcents AS (SELECT i, list_transform(c, x -> round(x, 8)) AS c FROM cents),
+    ascored AS (SELECT f.vec_id, c.i, list_cosine_similarity(f.v, c.c) AS s
+                FROM final f CROSS JOIN cents c),
+    assign AS (SELECT vec_id, i AS lst FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, i DESC) AS rn
+        FROM ascored) WHERE rn = 1),
+    dq AS (SELECT vec_id AS query_id, v AS qv FROM final
+           WHERE vec_id IN (1, 2, 3, 5)),
+    probe AS (SELECT query_id, qv, i FROM (
+        SELECT d.query_id, d.qv, c.i,
+               row_number() OVER (PARTITION BY d.query_id
+                                  ORDER BY round(list_cosine_similarity(d.qv, c.c), 4)
+                                             DESC,
+                                           c.i DESC) AS rn
+        FROM dq d CROSS JOIN rcents c) WHERE rn <= 4),
+    dsc AS (SELECT p.query_id, f.vec_id AS doc_id,
+                   round(list_cosine_similarity(f.v, p.qv), 4) AS score
+            FROM final f
+            JOIN assign a ON f.vec_id = a.vec_id
+            JOIN probe p ON a.lst = p.i),
+    rk AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM dsc)
+    SELECT query_id, rank::INTEGER AS rank, doc_id, score
+    FROM rk WHERE rank <= 10
+    """,
+)
+def llm_ivf_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF/ANN index maintenance (r11, operators/index_sync
+    sync_ivf_index — the r10 verdict's one remaining 100 TB gap):
+    initialize the 16-list IVF index from a CDF-enabled embedding
+    corpus, run a delete (takedown) + update (re-embed: reversed
+    vectors) + append (new crawl), sync — CDF final states, changed
+    vectors re-assigned against the FROZEN config centroids, one MERGE
+    (a migrated vector moves to its new list's partition) with the
+    watermark in the same commit — then serve per-query dense top-10
+    THROUGH the synced index via the hybrid lineage's indexed backend
+    (``hybrid_topk(dense='ivf', source_path=...)`` routes here). The
+    oracle replays the mutation sequence, frozen-centroid assignment
+    over the post-churn corpus, 4dp probe selection, and the pruned
+    rank — so a stale index row (deleted doc still served, an updated
+    doc ranked under its old vector or probed in its old list) breaks
+    the hash compare."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.functions.similarity import ivf_topk_indexed_multi
+    from delta_rs_spark.operators.index_sync import sync_ivf_index
+    from delta_rs_spark.queries_delta import _scratch
+
+    src = _scratch("ivf_sync_src", sf_dir)
+    idx = _scratch("ivf_sync_idx", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    write_deltalake(
+        src, emb, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    sync_ivf_index(spark, src, idx, n_lists=16)
+    dt = DeltaTable(src, spark=spark)
+    dt.delete("vec_id % 7 = 0")
+    dt.update({"embedding": "reverse(embedding)"}, predicate="vec_id % 5 = 0")
+    write_deltalake(
+        src,
+        emb.filter("vec_id % 3 = 0").select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"),
+        ),
+        mode="append",
+    )
+    sync_ivf_index(spark, src, idx)  # O(changes): CDF range + one MERGE
+    queries = (
+        DeltaTable(src, spark=spark).to_df().filter("vec_id IN (1, 2, 3, 5)")
+    )
+    return ivf_topk_indexed_multi(
+        spark, idx, queries, k=10, n_probe=4, q_id_col="vec_id"
+    )
+
+
+@query(
     "llm_classifier_auc",
     f"""
     WITH m AS (

@@ -495,8 +495,15 @@ def write_deltalake(
     commit_properties=None,
     post_commithook_properties=None,
     storage_options: dict[str, str] | None = None,
+    preserve_layout: bool = False,
 ) -> None:
     """Write a DataFrame (Spark/pandas/arrow) to a Delta table.
+
+    ``preserve_layout`` (engine extension, not a reference argument):
+    skip the writer's hash-repartition on the partition columns and
+    write the caller's task layout verbatim — for callers that arranged
+    their own partitioning + within-partition sort (z-order rewrites,
+    clustered index builds) which a fresh shuffle would destroy.
 
     Modes: error | ignore | append | overwrite. ``predicate`` is
     transactional replaceWhere (only valid with overwrite).
@@ -585,6 +592,35 @@ def write_deltalake(
             raise DeltaError(
                 f"partition_by {partition_by} != table partitioning {part_cols}"
             )
+        # configuration on an EXISTING table: create-time keys are
+        # normally frozen (the reference applies `configuration` at
+        # create only), but an explicit overwrite may MERGE app-level
+        # keys atomically with the data swap — sync_ivf_index's
+        # recluster needs the retrained centroids and their matching
+        # assignments to land in ONE commit (a reader between two
+        # commits would probe new lists with old centroids). delta.*
+        # keys stay frozen here: changing them can demand a protocol
+        # upgrade, which is set_tbl_properties'/add_feature's job.
+        merged_config = None
+        if configuration is not None and mode == "overwrite":
+            cand = {
+                **snapshot.configuration,
+                **{k: str(v) for k, v in configuration.items()},
+            }
+            if cand != snapshot.configuration:
+                changed = {
+                    k
+                    for k in configuration
+                    if snapshot.configuration.get(k) != str(configuration[k])
+                }
+                frozen = {k for k in changed if k.startswith("delta.")}
+                if frozen:
+                    raise DeltaError(
+                        f"cannot change reserved table properties {sorted(frozen)} "
+                        "via an overwrite write; use set_tbl_properties / "
+                        "add_feature (they manage the protocol implications)"
+                    )
+                merged_config = cand
         if schema_mode == "overwrite":
             if mode != "overwrite":
                 raise DeltaError("schema_mode='overwrite' requires mode='overwrite'")
@@ -594,13 +630,14 @@ def write_deltalake(
                 Metadata(
                     schema_string=table_schema.json(),
                     partition_columns=part_cols,
-                    configuration=meta.configuration,
+                    configuration=merged_config or meta.configuration,
                     id=meta.id,
                     name=name or meta.name,
                     description=description or meta.description,
                     created_time=meta.created_time,
                 )
             )
+            merged_config = None  # emitted with the schema change
         elif schema_mode == "merge":
             merged = _merge_schemas(table_schema, df.schema)
             if merged.json() != table_schema.json():
@@ -609,14 +646,28 @@ def write_deltalake(
                     Metadata(
                         schema_string=merged.json(),
                         partition_columns=part_cols,
-                        configuration=meta.configuration,
+                        configuration=merged_config or meta.configuration,
                         id=meta.id,
                         name=meta.name,
                         description=meta.description,
                         created_time=meta.created_time,
                     )
                 )
+                merged_config = None
             table_schema = merged
+        if merged_config is not None:
+            meta = snapshot.metadata
+            actions.append(
+                Metadata(
+                    schema_string=table_schema.json(),
+                    partition_columns=part_cols,
+                    configuration=merged_config,
+                    id=meta.id,
+                    name=name or meta.name,
+                    description=description or meta.description,
+                    created_time=meta.created_time,
+                )
+            )
         provided = set(df.columns)
         df = _conform(df, table_schema)
         _validate_field_rules(df, table_schema, provided)
@@ -648,6 +699,7 @@ def write_deltalake(
             snapshot.configuration if snapshot is not None else configuration
         ),
         table_schema_json=table_schema.json(),
+        preserve_layout=preserve_layout,
     )
     actions.extend(adds)
     n_rows = sum(a.num_records() or 0 for a in adds)

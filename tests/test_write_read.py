@@ -256,3 +256,55 @@ def test_timestamp_time_travel_clamps(spark, tmp_table, sample_df):
     assert t.version() == 0
     t.load_as_version(dt.datetime(2100, 1, 1, tzinfo=dt.timezone.utc))
     assert t.version() == 1
+
+
+def test_overwrite_merges_app_config_atomically_guards_delta_keys(
+    spark, tmp_path
+):
+    """r11: an explicit overwrite may MERGE app-level table properties
+    atomically with the data swap (sync_ivf_index's recluster commits
+    retrained centroids + their matching assignments as ONE version —
+    a reader between two commits would probe new lists against old
+    centroids). Reserved delta.* keys stay frozen on this path: their
+    changes can demand protocol upgrades, which set_tbl_properties /
+    add_feature own. Same-value configuration stays a no-op."""
+    import pytest
+
+    from delta_rs_spark.log.commit import DeltaError
+
+    p = str(tmp_path / "t")
+    df = spark.range(5).toDF("id")
+    write_deltalake(p, df, configuration={"app.k": "1"})
+    v0_meta = DeltaTable(p).metadata()
+    assert v0_meta.configuration["app.k"] == "1"
+
+    # same values -> no metadata action, version advances by the write only
+    write_deltalake(p, df, mode="overwrite", configuration={"app.k": "1"})
+    t = DeltaTable(p)
+    assert t.version() == 1
+    assert t.metadata().configuration["app.k"] == "1"
+
+    # changed app key lands WITH the overwrite, in one commit
+    write_deltalake(
+        p, df, mode="overwrite", configuration={"app.k": "2", "app.j": "x"}
+    )
+    t = DeltaTable(p)
+    assert t.version() == 2
+    cfg = t.metadata().configuration
+    assert cfg["app.k"] == "2" and cfg["app.j"] == "x"
+    # time travel still sees the old config at the old version
+    assert (
+        DeltaTable(p, version=1).metadata().configuration["app.k"] == "1"
+    )
+
+    # reserved keys are rejected on this path
+    with pytest.raises(DeltaError, match="set_tbl_properties"):
+        write_deltalake(
+            p,
+            df,
+            mode="overwrite",
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+    # append never rewrites config (create-time semantics preserved)
+    write_deltalake(p, df, mode="append", configuration={"app.k": "9"})
+    assert DeltaTable(p).metadata().configuration["app.k"] == "2"
