@@ -339,6 +339,14 @@ class TableMerger:
     # to min/max BETWEEN (bounds the driver collect and the predicate
     # string; the reference expands uncapped — filter.rs:353-368)
     _PARTITION_IN_CAP = 1024
+    # interval-union refinement (r11): histogram buckets per stats-pair
+    # column, max emitted arms, occupancy fraction above which the
+    # union is no tighter than the plain BETWEEN, and the candidate
+    # file count below which the extra source pass isn't worth a job
+    _UNION_BUCKETS = 64
+    _UNION_MAX_ARMS = 16
+    _UNION_MAX_COVER = 0.75
+    _UNION_MIN_FILES = 8
 
     def _strip_target_only_predicate(
         self, source_df: DataFrame, part_cols: list[str]
@@ -367,6 +375,10 @@ class TableMerger:
         non-binding and over-prune (skip entirely then)."""
         static = self._static_target_conjuncts()
         pairs = self._equi_join_pairs()
+        # stats bounds stash: the interval-union refinement (second
+        # prune stage in execute()) reuses this invocation's min/max
+        # aggregates instead of re-running them as a fresh job
+        self._stats_bounds: dict[str, tuple[str, bool, Any, Any, int]] = {}
         if not pairs:
             # static-only filter (reference filter.rs: "return our filter
             # with static only predicates")
@@ -416,12 +428,19 @@ class TableMerger:
                             ordered = sorted(vals, key=repr)
                         lits = ", ".join(_sql_literal(v) for v in ordered)
                         conj.append(f"{tc} IN ({lits})")
-                for i, (tc, _sc, ns) in enumerate(stats_pairs):
+                for i, (tc, sc, ns) in enumerate(stats_pairs):
                     # the group set is complete (<= cap), so min/max over
                     # the per-group aggregates equals the global bounds
                     mns = [r[f"mn{i}"] for r in rows if r[f"mn{i}"] is not None]
                     mxs = [r[f"mx{i}"] for r in rows if r[f"mx{i}"] is not None]
                     n_null = sum(int(r[f"nn{i}"] or 0) for r in rows)
+                    self._stats_bounds[tc] = (
+                        sc,
+                        ns,
+                        min(mns) if mns else None,
+                        max(mxs) if mxs else None,
+                        n_null,
+                    )
                     b = _between(tc, mns, mxs, n_null, ns)
                     if b:
                         conj.append(b)
@@ -433,8 +452,9 @@ class TableMerger:
             aggs.append(F.sum(F.col(sc).isNull().cast("long")).alias(f"nn{i}"))
         row = source_df.agg(*aggs).collect()[0]
         conj = list(static)
-        for i, (tc, _sc, ns) in enumerate(pairs):
+        for i, (tc, sc, ns) in enumerate(pairs):
             mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+            self._stats_bounds[tc] = (sc, ns, mn, mx, int(row[f"nn{i}"] or 0))
             b = _between(
                 tc,
                 [mn] if mn is not None else [],
@@ -444,6 +464,105 @@ class TableMerger:
             )
             if b:
                 conj.append(b)
+        return " AND ".join(conj) if conj else None
+
+    def _interval_union_predicate(
+        self, source_df: DataFrame, part_cols: list[str]
+    ) -> str | None:
+        """Second-stage candidate refinement (r11): the early filter's
+        min/max BETWEEN collapses a MULTI-MODAL source key set into one
+        interval that can cover the whole table — the index-maintenance
+        shape exactly (takedown ids at the low end + new-crawl ids at
+        the high end spanned every id-clustered file, so an O(changes)
+        sync still SCANNED O(corpus) at discovery). For each numeric
+        stats-pair column, histogram the source values into
+        ``_UNION_BUCKETS`` equal-width buckets (one distinct-bucket job
+        over the change-batch-sized source, <= buckets rows collected),
+        merge adjacent occupied buckets into intervals, pad each by one
+        bucket width (swallows double-rounding at the bucket edges so
+        the union stays a provable SUPERSET of the source values), and
+        emit the canonical ``(tc BETWEEN .. OR tc BETWEEN ..)`` spelling
+        plans/skipping.py evaluates exactly against file min/max.
+        Returns None when no pair yields a union materially tighter
+        than its plain BETWEEN. Only called when > _UNION_MIN_FILES
+        candidates survive the first prune, so cheap merges never pay
+        the extra pass."""
+        import math
+
+        # _equi_join_pairs only binds members of the top-level And chain
+        # (an OR-rooted predicate yields no pairs), so every pair here
+        # is a binding conjunct — same safety argument as the early
+        # filter itself. The min/max bounds come from the stash the
+        # early-filter aggregation already computed this invocation —
+        # only the bucket-occupancy pass is a new job.
+        part_set = set(part_cols)
+        bounds = getattr(self, "_stats_bounds", {})
+        conj: list[str] = []
+        B = self._UNION_BUCKETS
+        for tc, (sc, ns, mn, mx, n_null) in bounds.items():
+            if tc in part_set:
+                continue
+            if ns and n_null:
+                continue  # NULL-safe pair with source NULLs: no prune
+            ok_types = (
+                isinstance(mn, (int, float))
+                and isinstance(mx, (int, float))
+                and not isinstance(mn, bool)
+                and not isinstance(mx, bool)
+            )
+            if not ok_types or mx <= mn:
+                continue
+            span = float(mx - mn)
+            if not math.isfinite(span) or span <= 0:
+                continue
+            bucket = F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col(sc).cast("double") - F.lit(float(mn)))
+                        / F.lit(span)
+                        * F.lit(B)
+                    ).cast("long"),
+                    F.lit(0),
+                ),
+                F.lit(B - 1),
+            )
+            occ = sorted(
+                int(r["b"])
+                for r in source_df.where(F.col(sc).isNotNull())
+                .select(bucket.alias("b"))
+                .distinct()
+                .collect()
+            )
+            if not occ:
+                continue
+            runs: list[tuple[int, int]] = []
+            start = prev = occ[0]
+            for b in occ[1:]:
+                if b == prev + 1:
+                    prev = b
+                    continue
+                runs.append((start, prev))
+                start = prev = b
+            runs.append((start, prev))
+            covered = sum(e - s + 1 for s, e in runs)
+            if (
+                len(runs) < 2
+                or len(runs) > self._UNION_MAX_ARMS
+                or covered / B > self._UNION_MAX_COVER
+            ):
+                continue
+            is_int = isinstance(mn, int) and isinstance(mx, int)
+            arms = []
+            for s_, e_ in runs:
+                lo = mn + span * (s_ - 1) / B  # one-bucket outward pad
+                hi = mn + span * (e_ + 2) / B
+                if is_int:
+                    lo, hi = int(math.floor(lo)), int(math.ceil(hi))
+                lo, hi = max(lo, mn), min(hi, mx)
+                arms.append(
+                    f"{tc} BETWEEN {_sql_literal(lo)} AND {_sql_literal(hi)}"
+                )
+            conj.append("(" + " OR ".join(arms) + ")")
         return " AND ".join(conj) if conj else None
 
     def execute(self) -> dict[str, Any]:
@@ -495,6 +614,21 @@ class TableMerger:
             if early
             else all_adds
         )
+        if len(candidates) > self._UNION_MIN_FILES:
+            # the plain early filter left many files — a multi-modal
+            # source key set (index maintenance: low-id updates + high-id
+            # appends) defeats a single min/max interval; try the
+            # interval-union refinement (one extra change-batch-sized
+            # pass, only paid here where it can actually save file scans)
+            union_pred = self._interval_union_predicate(source_df, part_cols)
+            if union_pred:
+                candidates = prune_files(
+                    candidates,
+                    union_pred,
+                    part_cols,
+                    col_types,
+                    snapshot_physical_of(snapshot),
+                )
 
         # ---- choose rewrite files ---------------------------------------
         if self.not_matched_by_source:

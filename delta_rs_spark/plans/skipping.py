@@ -36,6 +36,24 @@ _BETWEEN_RE = re.compile(
     rf"^\s*([\w.]+)\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})\s*$", re.IGNORECASE
 )
 _NULL_RE = re.compile(r"^\s*([\w.]+)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE)
+# single-column interval UNION, the canonical spelling merge's early
+# filter generates for multi-modal source keys (r11):
+#   (col BETWEEN a AND b OR col BETWEEN c AND d ...)
+# — a disjunction, but one this evaluator can serve EXACTLY from
+# min/max stats (keep iff ANY interval overlaps the file's range), so
+# it is parsed as ONE conjunct instead of tripping the top-level-OR
+# refusal. The parens are optional at the PART level: split_conjuncts
+# strips a part's outer parens, and a part can only contain OR if it
+# was parenthesized (a genuine top-level OR is refused before the
+# split by _has_top_level_or_not).
+_BETWEEN_UNION_RE = re.compile(
+    rf"^\s*\(?\s*([\w.]+)\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})"
+    rf"(?:\s+OR\s+([\w.]+)\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE}))+\s*\)?\s*$",
+    re.IGNORECASE,
+)
+_BETWEEN_ARM_RE = re.compile(
+    rf"([\w.]+)\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})", re.IGNORECASE
+)
 
 _REV_OP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
 
@@ -332,6 +350,14 @@ class _Conjunct:
             return any(_cmp_keep("=", lo, hi, lit) for lit in lits)
         if self.op == "between":
             return _cmp_keep(">=", lo, hi, lits[0]) and _cmp_keep("<=", lo, hi, lits[1])
+        if self.op == "between_any":
+            # interval union: the file can match iff ANY arm's [a, b]
+            # overlaps the file's [lo, hi]
+            return any(
+                _cmp_keep(">=", lo, hi, lits[i])
+                and _cmp_keep("<=", lo, hi, lits[i + 1])
+                for i in range(0, len(lits), 2)
+            )
         return _cmp_keep(self.op, lo, hi, lits[0])
 
 
@@ -415,6 +441,17 @@ def parse_conjuncts(predicate: str) -> list[_Conjunct]:
         m = _NULL_RE.match(part)
         if m:
             out.append(_Conjunct(m.group(1), "notnull" if m.group(2) else "isnull", []))
+            continue
+        m = _BETWEEN_UNION_RE.match(part)
+        if m:
+            arms = _BETWEEN_ARM_RE.findall(part)
+            cols = {c for c, _a, _b in arms}
+            if len(cols) == 1:  # one column across every arm, else refuse
+                lits: list[Any] = []
+                for _c, a, b in arms:
+                    lits.append(_parse_literal(a))
+                    lits.append(_parse_literal(b))
+                out.append(_Conjunct(arms[0][0], "between_any", lits))
             continue
         # unparseable conjunct -> no pruning from it (Unsupported tier)
     return out

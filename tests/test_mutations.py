@@ -722,3 +722,95 @@ def test_scd2_racing_unrelated_append_conflicts_cleanly(spark, tmp_path, monkeyp
     # the loser re-applies cleanly against the post-append snapshot
     apply_scd2(spark, sz, up, key="k", attrs=["seg"], batch_version=2)
     assert table_rows(sz) == applied
+
+
+def test_between_union_conjunct_prunes_exactly():
+    """r11: the canonical single-column interval-union spelling
+    ``(c BETWEEN a AND b OR c BETWEEN x AND y)`` is ONE servable
+    conjunct (the OR sits below top level), evaluated as
+    any-interval-overlaps against file min/max; mixed-column unions
+    and genuine top-level ORs stay refused."""
+    from delta_rs_spark.log.actions import Add
+    from delta_rs_spark.plans.skipping import parse_conjuncts, prune_files
+
+    def add(mn, mx):
+        import json
+
+        return Add(
+            path=f"f_{mn}_{mx}.parquet",
+            size=1,
+            modification_time=0,
+            data_change=True,
+            partition_values={},
+            stats=json.dumps(
+                {
+                    "numRecords": 10,
+                    "minValues": {"id": mn},
+                    "maxValues": {"id": mx},
+                    "nullCount": {"id": 0},
+                }
+            ),
+        )
+
+    pred = "(id BETWEEN 1 AND 5 OR id BETWEEN 100 AND 120)"
+    cs = parse_conjuncts(pred)
+    assert len(cs) == 1 and cs[0].op == "between_any"
+    files = [add(3, 4), add(50, 60), add(110, 115), add(5, 99)]
+    kept = prune_files(files, pred, [], {"id": "long"})
+    assert {a.path for a in kept} == {
+        "f_3_4.parquet",
+        "f_110_115.parquet",
+        "f_5_99.parquet",  # overlaps [1,5] at 5
+    }
+    # composes with sibling conjuncts under AND
+    kept = prune_files(files, pred + " AND id >= 100", [], {"id": "long"})
+    assert {a.path for a in kept} == {"f_110_115.parquet"}
+    # mixed columns in the arms -> refused (no conjunct, no pruning)
+    assert parse_conjuncts("(id BETWEEN 1 AND 5 OR other BETWEEN 9 AND 10)") == []
+    # genuine top-level OR still refuses everything
+    assert parse_conjuncts("id BETWEEN 1 AND 5 OR id BETWEEN 100 AND 120") == []
+
+
+def test_merge_interval_union_prunes_multimodal_source(spark, tmp_path):
+    """r11: a bimodal merge-source key set (low-id updates + high-id
+    appends — the index-maintenance shape) spans the whole table under
+    a single min/max BETWEEN, so discovery scanned every file; the
+    second-stage interval-union refinement prunes the untouched middle.
+    Result correctness AND the skip metric are asserted."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    p = str(tmp_path / "t")
+    base = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # id-clustered small files so stats pruning has something to prune
+    write_deltalake(
+        p,
+        base.repartition(1).sortWithinPartitions("k"),
+        max_records_per_file=5_000,
+        preserve_layout=True,
+    )
+    t = DeltaTable(p, spark=spark)
+    n_files = len(t.get_add_actions().to_pylist())
+    assert n_files >= 15
+    src = spark.createDataFrame(
+        [(k, -1) for k in range(200)] + [(k, -2) for k in range(99_900, 100_100)],
+        "k long, v long",
+    )
+    m = (
+        t.merge(src, "t.k = s.k", source_alias="s", target_alias="t")
+        .when_matched_update({"v": "s.v"})
+        .when_not_matched_insert({"k": "s.k", "v": "s.v"})
+        .execute()
+    )
+    assert m["num_target_rows_updated"] == 300
+    assert m["num_target_rows_inserted"] == 100
+    # the middle files never became candidates
+    assert m["num_target_files_skipped_during_scan"] >= n_files - 4, m
+    out = t.to_df()
+    assert out.count() == 100_100
+    assert out.filter("v = -1").count() == 200
+    assert out.filter("v = -2").count() == 200
+    assert out.filter("k = 50000").first()["v"] == 100_000
