@@ -117,9 +117,11 @@ _FIRST_WITNESS_NEEDED = (
     # r04-stale block.
     #
     # r11 intake: the incremental IVF index sync gate (VERDICT r10
-    # next-round #1) — brand-new operator, needs its first committed
-    # driver row this round.
+    # next-round #1) and its drift-recluster companion (k-means refit
+    # replayed in the oracle) — brand-new operators, each needs its
+    # first committed driver row this round.
     "llm_ivf_index_sync",
+    "llm_ivf_recluster",
 )
 
 

@@ -202,8 +202,10 @@ def main() -> None:
         "q_events_stream_static_enrich",
         # r11: 6-commit Delta maintenance sequence (src build + IVF
         # init + delete/update/append + CDF-merge sync + probe) —
-        # same commit-floor class as the other index-sync gates
+        # same commit-floor class as the other index-sync gates;
+        # recluster = 3 commits + a k-means refit per invocation
         "llm_ivf_index_sync",
+        "llm_ivf_recluster",
     } & set(qs)
     samples: dict[str, list[float]] = {name: [] for name in qs}
     for i in range(n_samples):

@@ -1423,10 +1423,14 @@ def llm_band_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMEANS_ITER_SQL = """
+def _kmeans_iter_sql(k: int = 8) -> str:
+    """Two full Lloyd iterations (assign -> mean -> assign) as CTEs,
+    parameterized by k — k=8 is the llm_kmeans_* gates' config, k=16
+    replays the IVF recluster refit (sync_ivf_index recluster='auto')."""
+    return f"""
     seeds AS (SELECT * FROM (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS ci,
                         embedding::DOUBLE[] AS c
-                 FROM embeddings ORDER BY vec_id ASC LIMIT 8)),
+                 FROM embeddings ORDER BY vec_id ASC LIMIT {k})),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     d0 AS (SELECT e.vec_id, s.ci,
                   round(list_sum(list_transform(range(1, 65),
@@ -1451,6 +1455,9 @@ _KMEANS_ITER_SQL = """
                     row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, ci ASC) AS rn
              FROM d1) WHERE rn = 1)
 """
+
+
+_KMEANS_ITER_SQL = _kmeans_iter_sql()
 
 
 @query(
@@ -2593,6 +2600,78 @@ def llm_ivf_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (
         DeltaTable(src, spark=spark).to_df().filter("vec_id IN (1, 2, 3, 5)")
     )
+    return ivf_topk_indexed_multi(
+        spark, idx, queries, k=10, n_probe=4, q_id_col="vec_id"
+    )
+
+
+@query(
+    "llm_ivf_recluster",
+    f"""
+    WITH {_kmeans_iter_sql(16)},
+    -- the k-means refit's centroids (c1, 8dp grid) become the IVF
+    -- config; replay cosine assignment (higher-index ties), 4dp probe
+    -- selection, and the pruned per-query rank over them
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+    ascored AS (SELECT e.vec_id, c.ci AS i,
+                       list_cosine_similarity(e.v, c.c) AS s
+                FROM e CROSS JOIN c1 c),
+    assign AS (SELECT vec_id, i AS lst FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, i DESC) AS rn
+        FROM ascored) WHERE rn = 1),
+    probe AS (SELECT query_id, qv, i FROM (
+        SELECT qq.query_id, qq.qv, c.ci AS i,
+               row_number() OVER (PARTITION BY qq.query_id
+                                  ORDER BY round(list_cosine_similarity(qq.qv, c.c), 4)
+                                             DESC,
+                                           c.ci DESC) AS rn
+        FROM q qq CROSS JOIN c1 c) WHERE rn <= 4),
+    dsc AS (SELECT p.query_id, e.vec_id AS doc_id,
+                   round(list_cosine_similarity(e.v, p.qv), 4) AS score
+            FROM e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN probe p ON a.lst = p.i),
+    rk AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM dsc)
+    SELECT query_id, rank::INTEGER AS rank, doc_id, score
+    FROM rk WHERE rank <= 10
+    """,
+)
+def llm_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-triggered IVF RECLUSTER (r11, sync_ivf_index
+    recluster='auto'): when ivf_index_balance's add-action-stats
+    imbalance crosses the threshold, the index is re-TRAINED — k-means
+    (similarity.kmeans: deterministic first-k seeding, 2 Lloyd
+    iterations, 4dp L2 grid / lowest-index ties, 8dp centroid grid)
+    refits the centroids toward the current mass, and build_ivf_index
+    commits the retrained centroids WITH their matching cosine
+    assignments atomically (one overwrite that also merges the config
+    key). A sub-1.0 threshold forces the path deterministically. The
+    oracle replays the ENTIRE pipeline cross-engine: both Lloyd
+    iterations, the refit centroids, cosine re-assignment (higher-index
+    ties — the IVF convention, distinct from k-means' own L2 argmin),
+    4dp probe selection, and the pruned per-query top-10 — so a
+    recluster that kept stale centroids, mixed conventions, or lost
+    rows breaks the hash."""
+    from delta_rs_spark import write_deltalake
+    from delta_rs_spark.functions.similarity import ivf_topk_indexed_multi
+    from delta_rs_spark.operators.index_sync import sync_ivf_index
+    from delta_rs_spark.queries_delta import _scratch
+
+    src = _scratch("ivf_recl_src", sf_dir)
+    idx = _scratch("ivf_recl_idx", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    write_deltalake(src, emb)
+    r = sync_ivf_index(
+        spark, src, idx, n_lists=16, imbalance_threshold=0.5, recluster="auto"
+    )
+    if not r["reclustered"]:  # engine-side sanity; the oracle owns values
+        raise AssertionError("imbalance 1.0+ must exceed a 0.5 threshold")
+    queries = emb.filter("vec_id < 4")
     return ivf_topk_indexed_multi(
         spark, idx, queries, k=10, n_probe=4, q_id_col="vec_id"
     )
