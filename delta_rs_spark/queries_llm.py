@@ -3642,3 +3642,106 @@ def llm_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.frequent_ngrams(docs, n=2, k=5).withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV sketches: cross-source overlap estimation (functions/sketches.py)
+# --------------------------------------------------------------------------
+
+# Per-source distinct (source, shingle-hash) pairs + exact bottom-64:
+# the DuckDB twin of sketches.kmv_sketch with hash_fn='md5' (60-bit
+# md5 hash, so the Spark side's 2^60-1 mask is the identity).
+_KMV_K = 64
+_KMV_SKETCH_SQL = f"""
+    w AS (SELECT source, {_TOKENS_SQL} AS ws FROM documents),
+    sh AS (SELECT source,
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')) END AS shingles
+      FROM w),
+    d AS (SELECT DISTINCT source, {_H64_SQL.format(x='s')} AS h
+          FROM (SELECT source, unnest(shingles) AS s FROM sh)),
+    rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rank,
+                  count(*) OVER (PARTITION BY source) AS nd
+           FROM d),
+    sk AS (SELECT source, rank::BIGINT AS rank, h,
+                  least({_KMV_K}, nd)::BIGINT AS sketch_size
+           FROM rk WHERE rank <= {_KMV_K})
+"""
+# (k-1) * 2^60 as ONE exact double literal shared by both engines
+_KMV_NUM = repr(float((_KMV_K - 1) * (1 << 60)))
+
+
+@query(
+    "llm_kmv_sketch",
+    f"""
+    WITH {_KMV_SKETCH_SQL}
+    SELECT source, rank, h, sketch_size FROM sk
+    """,
+)
+def llm_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV sketch (sketches.kmv_sketch): the k=64 smallest
+    distinct shingle hashes per source from ONE corpus pass — distinct
+    shuffle, then a threshold-pruned exact bottom-k (the window sorts
+    ~8k survivors per source, never the full distinct set; a verified
+    fallback keeps the result exact if the prune ever under-keeps).
+    hash_fn='md5' for the cross-engine oracle; production uses
+    xxhash64 on the same pipeline."""
+    from delta_rs_spark.functions import sketches as K
+
+    docs = _docs(spark, sf_dir)
+    return K.kmv_sketch(docs, "source", "text", k=_KMV_K, hash_fn="md5")
+
+
+@query(
+    "llm_source_overlap_kmv",
+    f"""
+    WITH {_KMV_SKETCH_SQL},
+    side AS (SELECT source, max(sketch_size) AS ss, max(h) AS hmax
+             FROM sk GROUP BY source),
+    est AS (SELECT source,
+                   round(CASE WHEN ss < {_KMV_K} THEN ss::DOUBLE
+                         ELSE {_KMV_NUM} / hmax END, 4) AS est_distinct
+            FROM side),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b
+              FROM (SELECT DISTINCT source FROM sk) a
+              JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+    fan AS (SELECT p.src_a, p.src_b, s.h, 1 AS fa, 0 AS fb
+            FROM pairs p JOIN sk s ON s.source = p.src_a
+            UNION ALL
+            SELECT p.src_a, p.src_b, s.h, 0 AS fa, 1 AS fb
+            FROM pairs p JOIN sk s ON s.source = p.src_b),
+    uni AS (SELECT src_a, src_b, h, max(fa) AS in_a, max(fb) AS in_b
+            FROM fan GROUP BY 1, 2, 3),
+    topu AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r
+             FROM uni),
+    st AS (SELECT src_a, src_b, count(*) AS ku, max(h) AS humax,
+                  sum(in_a * in_b) AS matched
+           FROM topu WHERE r <= {_KMV_K} GROUP BY 1, 2),
+    o AS (SELECT src_a, src_b,
+                 CASE WHEN ku < {_KMV_K} THEN ku::DOUBLE
+                      ELSE {_KMV_NUM} / humax END AS eu,
+                 matched::DOUBLE / ku AS jac
+          FROM st)
+    SELECT o.src_a, o.src_b,
+           ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+           round(eu, 4) AS est_union,
+           round(jac, 4) AS est_jaccard,
+           round(jac * eu, 4) AS est_intersection
+    FROM o
+    JOIN est ea ON ea.source = o.src_a
+    JOIN est eb ON eb.source = o.src_b
+    """,
+)
+def llm_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix from KMV sketches alone
+    (sketches.kmv_overlap): distinct / union / Jaccard / intersection
+    estimates per source pair with the corpus touched ONCE (the sketch
+    pass) — the all-pairs work runs on G²·k sketch rows, independent of
+    corpus size. The exact alternative is a pairwise distinct-shingle
+    intersection over the full corpus: O(G²·corpus)."""
+    from delta_rs_spark.functions import sketches as K
+
+    docs = _docs(spark, sf_dir)
+    sk = K.kmv_sketch(docs, "source", "text", k=_KMV_K, hash_fn="md5")
+    return K.kmv_overlap(sk, "source", k=_KMV_K)
