@@ -122,6 +122,11 @@ _FIRST_WITNESS_NEEDED = (
     # first committed driver row this round.
     "llm_ivf_index_sync",
     "llm_ivf_recluster",
+    # r11 intake (2): KMV sketch plane (functions/sketches.py) — the
+    # bottom-k sketch construction and the sketch-only pairwise
+    # source-overlap estimator, both full DuckDB oracles.
+    "llm_kmv_sketch",
+    "llm_source_overlap_kmv",
 )
 
 
@@ -179,6 +184,11 @@ _DELTA_ROTATED = (
     "delta_dv_read_op",  # DV plane: delta_dv_write_op (write + read round-trip) stays pinned
     "delta_partitioned_scan",  # scan plane: every gate scans; replace_where keeps partition scoping pinned
     "delta_time_travel_op",  # replay plane: delta_restore_op + delta_checkpoint_replay_op stay pinned
+    # r11 (the KMV intake grew the registry to 159; these two keep the
+    # re-witness bound at <=7):
+    "delta_schema_evolution_op",  # WRITE plane: delta_write_roundtrip + delta_replace_where_op stay pinned
+    "delta_cdf_op",  # CDF plane: delta_incremental_agg_op (pinned) drives load_cdf + the CDC tracker every round
+    "delta_v2_checkpoint_op",  # CHECKPOINT plane: delta_checkpoint_replay_op stays pinned (new r11 gate -> never-green -> tail front -> witnessed this round)
 )
 
 

@@ -446,7 +446,14 @@ def _maybe_checkpoint(table_path: str, version: int) -> None:
             snapshot.configuration.get("delta.checkpointInterval", CHECKPOINT_INTERVAL_DEFAULT)
         )
         if interval > 0 and version > 0 and version % interval == 0:
-            snap_mod.write_checkpoint(table_path, snapshot)
+            # delta.checkpointPolicy=v2 (PROTOCOL.md): auto checkpoints
+            # use the V2 sidecar layout when the table feature allows;
+            # silently classic otherwise (the hook never fails a commit)
+            policy = snapshot.configuration.get("delta.checkpointPolicy", "classic")
+            use_v2 = policy == "v2" and snapshot.protocol is not None and (
+                "v2Checkpoint" in (snapshot.protocol.reader_features or [])
+            )
+            snap_mod.write_checkpoint(table_path, snapshot, v2=use_v2)
     except Exception:
         # checkpointing is an optimization; never fail the commit for it
         pass

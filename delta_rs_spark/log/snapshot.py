@@ -41,6 +41,9 @@ from delta_rs_spark.log.actions import (
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# UUID-named V2 checkpoint (PROTOCOL.md "V2 spec checkpoints":
+# n.checkpoint.u.parquet where u is a UUID)
+_CHECKPOINT_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{8,})\.parquet$")
 _COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 
 
@@ -56,12 +59,35 @@ def checkpoint_file(table_path: str, version: int) -> str:
     return os.path.join(log_dir(table_path), f"{version:020d}.checkpoint.parquet")
 
 
+def find_checkpoint_file(table_path: str, version: int) -> str:
+    """Resolve the checkpoint parquet for ``version``: the classic name
+    if present, else the lexicographically greatest UUID-named V2
+    checkpoint (any complete checkpoint for a version is equivalent per
+    the protocol; the max name makes the pick deterministic)."""
+    classic = checkpoint_file(table_path, version)
+    if os.path.exists(classic):
+        return classic
+    prefix = f"{version:020d}.checkpoint."
+    d = log_dir(table_path)
+    candidates = sorted(
+        f
+        for f in os.listdir(d)
+        if f.startswith(prefix) and _CHECKPOINT_V2_RE.match(f)
+    )
+    if not candidates:
+        raise FileNotFoundError(classic)
+    return os.path.join(d, candidates[-1])
+
+
 def is_delta_table(table_path: str) -> bool:
     d = log_dir(table_path)
     if not os.path.isdir(d):
         return False
     return any(
-        _COMMIT_RE.match(f) or _CHECKPOINT_RE.match(f) or _COMPACTED_RE.match(f)
+        _COMMIT_RE.match(f)
+        or _CHECKPOINT_RE.match(f)
+        or _CHECKPOINT_V2_RE.match(f)
+        or _COMPACTED_RE.match(f)
         for f in os.listdir(d)
     )
 
@@ -81,7 +107,12 @@ def list_log(table_path: str) -> tuple[list[int], list[int]]:
         m = _CHECKPOINT_RE.match(f)
         if m:
             checkpoints.append(int(m.group(1)))
-    return sorted(commits), sorted(checkpoints)
+            continue
+        m = _CHECKPOINT_V2_RE.match(f)
+        if m:
+            checkpoints.append(int(m.group(1)))
+    # a version may carry both a classic and a UUID-named checkpoint
+    return sorted(commits), sorted(set(checkpoints))
 
 
 def list_compacted(table_path: str) -> dict[int, int]:
@@ -230,7 +261,49 @@ _CP_SCHEMA = pa.schema(
 )
 
 
-def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
+# Sidecar parquet files hold ONLY file actions (PROTOCOL.md V2 spec)
+_SIDECAR_FILE_SCHEMA = pa.schema([_CP_SCHEMA.field("add"), _CP_SCHEMA.field("remove")])
+# V2 top-level checkpoint: the classic action structs plus the two
+# V2-only self-description actions
+_CP_SCHEMA_V2 = pa.schema(
+    list(_CP_SCHEMA)
+    + [
+        pa.field(
+            "sidecar",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("sizeInBytes", pa.int64()),
+                    pa.field("modificationTime", pa.int64()),
+                ]
+            ),
+        ),
+        pa.field(
+            "checkpointMetadata",
+            pa.struct(
+                [
+                    pa.field("version", pa.int64()),
+                    pa.field("tags", pa.map_(pa.string(), pa.string())),
+                ]
+            ),
+        ),
+    ]
+)
+
+# Default file-action count per V2 sidecar file. At 100 TB a snapshot
+# holds millions of add actions; one classic checkpoint parquet is a
+# serial write AND a serial read on every cold snapshot load — sidecars
+# cap each file and let both sides parallelize (the reference's kernel
+# reads sidecars concurrently; our read path consumes them per-file).
+SIDECAR_TARGET_ACTIONS = 100_000
+
+
+def write_checkpoint(
+    table_path: str,
+    snapshot: "Snapshot",
+    v2: bool = False,
+    sidecar_target_actions: int = SIDECAR_TARGET_ACTIONS,
+) -> str:
     """Write a parquet checkpoint of the snapshot state + _last_checkpoint.
 
     Uses the protocol's typed nested structs (one action per row, one
@@ -239,6 +312,16 @@ def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
     it: metaData/protocol are real structs (schemaString,
     partitionColumns, configuration, minReaderVersion, ...), remove
     carries extendedFileMetadata/partitionValues/size.
+
+    ``v2=True`` writes a V2 spec checkpoint (PROTOCOL.md "V2 spec
+    checkpoints"; read side shipped earlier — Snapshot.apply replays
+    sidecar + checkpointMetadata actions): file actions split across
+    ≤``sidecar_target_actions``-row parquet sidecars under
+    ``_delta_log/_sidecars/``, the UUID-named top-level checkpoint
+    carries protocol/metaData/txn/domainMetadata + the sidecar pointers
+    + a checkpointMetadata self-description. Requires the
+    ``v2Checkpoint`` reader-writer table feature (spec: only readers
+    that understand sidecars may see a UUID-named checkpoint).
     """
     rows: list[dict[str, Any]] = []
     if snapshot.protocol:
@@ -281,8 +364,9 @@ def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
                 }
             }
         )
+    file_rows: list[dict[str, Any]] = []
     for rm in snapshot.tombstones:
-        rows.append(
+        file_rows.append(
             {
                 "remove": {
                     "path": rm.path,
@@ -300,7 +384,7 @@ def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
             }
         )
     for add in snapshot.files.values():
-        rows.append(
+        file_rows.append(
             {
                 "add": {
                     "path": add.path,
@@ -314,11 +398,58 @@ def write_checkpoint(table_path: str, snapshot: "Snapshot") -> str:
                 }
             }
         )
-    table = pa.Table.from_pylist(rows, schema=_CP_SCHEMA)
-    path = checkpoint_file(table_path, snapshot.version)
+    if not v2:
+        table = pa.Table.from_pylist(rows + file_rows, schema=_CP_SCHEMA)
+        path = checkpoint_file(table_path, snapshot.version)
+        pq.write_table(table, path)
+        with open(os.path.join(log_dir(table_path), "_last_checkpoint"), "w") as f:
+            json.dump({"version": snapshot.version, "size": len(rows) + len(file_rows)}, f)
+        return path
+
+    from delta_rs_spark.log.commit import DeltaError
+
+    proto = snapshot.protocol
+    if proto is None or "v2Checkpoint" not in (proto.reader_features or []):
+        raise DeltaError(
+            "v2 checkpoints require the 'v2Checkpoint' table feature "
+            "(dt.alter.add_feature('v2Checkpoint')) — a UUID-named "
+            "checkpoint would be invisible to readers without it"
+        )
+    import uuid
+
+    sidecar_dir = os.path.join(log_dir(table_path), "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    chunk = max(1, int(sidecar_target_actions))
+    n_actions = len(rows) + len(file_rows)
+    for i in range(0, len(file_rows), chunk):
+        sc_name = f"{uuid.uuid4()}.parquet"
+        sc_path = os.path.join(sidecar_dir, sc_name)
+        pq.write_table(
+            pa.Table.from_pylist(file_rows[i : i + chunk], schema=_SIDECAR_FILE_SCHEMA),
+            sc_path,
+        )
+        st = os.stat(sc_path)
+        rows.append(
+            {
+                "sidecar": {
+                    "path": sc_name,
+                    "sizeInBytes": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                }
+            }
+        )
+    rows.insert(0, {"checkpointMetadata": {"version": snapshot.version, "tags": []}})
+    table = pa.Table.from_pylist(rows, schema=_CP_SCHEMA_V2)
+    path = os.path.join(
+        log_dir(table_path),
+        f"{snapshot.version:020d}.checkpoint.{uuid.uuid4()}.parquet",
+    )
     pq.write_table(table, path)
     with open(os.path.join(log_dir(table_path), "_last_checkpoint"), "w") as f:
-        json.dump({"version": snapshot.version, "size": len(rows)}, f)
+        # size counts the LOGICAL actions (file actions live in
+        # sidecars); _validate_log skips the local-row-count cross-check
+        # when the checkpoint self-describes as V2
+        json.dump({"version": snapshot.version, "size": n_actions}, f)
     return path
 
 
@@ -329,7 +460,7 @@ def _dv_dict(raw: dict | None) -> dict[str, Any] | None:
 
 
 def read_checkpoint(table_path: str, version: int) -> list[Action]:
-    table = pq.read_table(checkpoint_file(table_path, version))
+    table = pq.read_table(find_checkpoint_file(table_path, version))
     return _actions_from_parquet_rows(table.to_pylist())
 
 

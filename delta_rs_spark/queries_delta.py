@@ -903,3 +903,40 @@ def delta_table_diff_op(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("old_o_totalprice", 2).alias("old_total"),
         F.round("new_o_totalprice", 2).alias("new_total"),
     )
+
+
+@query(
+    "delta_v2_checkpoint_op",
+    """
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+    FROM supplier WHERE s_nationkey <> 3
+    UNION ALL
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal FROM supplier
+    """,
+)
+def delta_v2_checkpoint_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconstruction from a V2 SIDECAR checkpoint alone
+    (PROTOCOL.md V2 spec; write side r11, read side r07): multi-file
+    write + delete leaves adds AND tombstones; the UUID-named V2
+    checkpoint splits them across >=2 sidecar parquets under
+    _delta_log/_sidecars; cleanup_metadata(0) then deletes every commit
+    below it, so the final read REQUIRES the sidecar replay path — the
+    post-checkpoint append proves commits still layer on top. At 100 TB
+    the sidecar split is the difference between one serial multi-GB
+    checkpoint parquet and a parallelizable fan of bounded files."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("v2_checkpoint_op", sf_dir)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("bal"), "s_nationkey"
+    )
+    write_deltalake(path, supp, max_records_per_file=max(1, supp.count() // 6))
+    dt = DeltaTable(path, spark=spark)
+    dt.delete("s_nationkey = 3")
+    dt = DeltaTable(path, spark=spark)
+    dt.alter.add_feature(["v2Checkpoint"])
+    dt = DeltaTable(path, spark=spark)
+    dt.create_checkpoint(v2=True, sidecar_target_actions=3)
+    dt.cleanup_metadata(retention_hours=0)
+    write_deltalake(path, supp, mode="append")
+    return DeltaTable(path, spark=spark).to_df().select("s_suppkey", "s_name", "bal")

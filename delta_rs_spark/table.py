@@ -886,8 +886,25 @@ class DeltaTable:
             allow_out_of_range,
         )
 
-    def create_checkpoint(self) -> None:
-        snap_mod.write_checkpoint(self.table_uri, self._snapshot)
+    def create_checkpoint(
+        self, v2: bool | None = None, sidecar_target_actions: int | None = None
+    ) -> None:
+        """Checkpoint the current snapshot. ``v2=None`` follows the
+        table's ``delta.checkpointPolicy`` property ('v2' + the
+        v2Checkpoint feature -> sidecar layout); True forces V2 (raises
+        without the feature), False forces classic."""
+        if v2 is None:
+            proto = self._snapshot.protocol
+            v2 = (
+                self._snapshot.configuration.get("delta.checkpointPolicy", "classic")
+                == "v2"
+                and proto is not None
+                and "v2Checkpoint" in (proto.reader_features or [])
+            )
+        kwargs = {}
+        if sidecar_target_actions is not None:
+            kwargs["sidecar_target_actions"] = sidecar_target_actions
+        snap_mod.write_checkpoint(self.table_uri, self._snapshot, v2=v2, **kwargs)
 
     def compact_logs(self, start: int | None = None, end: int | None = None) -> str:
         from delta_rs_spark.operators.log_compaction import compact_logs as _compact

@@ -468,3 +468,148 @@ def test_ict_midlife_enablement(spark, tmp_path):
         if isinstance(a, CommitInfo)
     )
     assert snap_mod.version_at_timestamp(table, pre_ts) <= 1
+
+
+# ---------------------------------------------------------------------------
+# V2 checkpoint WRITE (r11) — sidecar splitting, UUID naming, feature gate
+# ---------------------------------------------------------------------------
+
+
+def _read_rows(spark, table):
+    return sorted(
+        (r["id"], r["v"]) for r in DeltaTable(table, spark=spark).to_df().collect()
+    )
+
+
+def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """Full V2 write: UUID-named top-level checkpoint + >=2 sidecars;
+    after deleting EVERY commit JSON the table replays from the V2
+    checkpoint alone — adds, removes, and partition data intact."""
+    from delta_rs_spark.log.commit import DeltaError
+
+    table = str(tmp_path / "v2w")
+    df = spark.range(20).selectExpr("id", "id * 2 AS v", "id % 2 AS p")
+    write_deltalake(table, df, partition_by=["p"], max_records_per_file=5)
+    write_deltalake(table, df.where("id < 5"), mode="append", max_records_per_file=2)
+    dt = DeltaTable(table, spark=spark)
+    dt.delete("id >= 18")  # tombstones in the snapshot
+    expected = _read_rows(spark, table)
+
+    dt = DeltaTable(table, spark=spark)
+    with pytest.raises(DeltaError, match="v2Checkpoint"):
+        dt.create_checkpoint(v2=True)
+    dt.alter.add_feature(["v2Checkpoint"])
+    dt = DeltaTable(table, spark=spark)
+    dt.create_checkpoint(v2=True, sidecar_target_actions=4)
+
+    log = os.path.join(table, "_delta_log")
+    v2_names = [f for f in os.listdir(log) if snap_mod._CHECKPOINT_V2_RE.match(f)]
+    assert len(v2_names) == 1
+    assert not os.path.exists(snap_mod.checkpoint_file(table, dt.version()))
+    sidecars = os.listdir(os.path.join(log, "_sidecars"))
+    assert len(sidecars) >= 2  # file actions split across parquet sidecars
+
+    # top-level checkpoint holds no add/remove rows, sidecar refs + meta
+    top = pq.read_table(os.path.join(log, v2_names[0])).to_pylist()
+    assert not any(r.get("add") and r["add"].get("path") for r in top)
+    assert not any(r.get("remove") and r["remove"].get("path") for r in top)
+    assert sum(1 for r in top if r.get("sidecar") and r["sidecar"].get("path")) == len(
+        sidecars
+    )
+    assert any(
+        r.get("checkpointMetadata")
+        and r["checkpointMetadata"].get("version") == dt.version()
+        for r in top
+    )
+
+    # replay from the V2 checkpoint ALONE (every commit JSON removed)
+    for f in list(os.listdir(log)):
+        if snap_mod._COMMIT_RE.match(f):
+            os.unlink(os.path.join(log, f))
+    assert _read_rows(spark, table) == expected
+    snap = snap_mod.load_snapshot(table)
+    assert snap.version == dt.version()
+    assert "v2Checkpoint" in snap.protocol.reader_features
+
+
+def test_v2_checkpoint_auto_via_policy(spark, tmp_path):
+    """delta.checkpointPolicy=v2 + the feature -> the post-commit hook
+    writes UUID-named V2 checkpoints at the configured interval; without
+    the feature the hook silently stays classic."""
+    table = str(tmp_path / "v2auto")
+    df = spark.range(10).selectExpr("id", "id AS v")
+    write_deltalake(
+        table,
+        df,
+        configuration={
+            "delta.checkpointInterval": "2",
+            "delta.checkpointPolicy": "v2",
+        },
+    )
+    DeltaTable(table, spark=spark).alter.add_feature(["v2Checkpoint"])
+    write_deltalake(table, df, mode="append")  # v2 -> interval hit
+    log = os.path.join(table, "_delta_log")
+    assert any(snap_mod._CHECKPOINT_V2_RE.match(f) for f in os.listdir(log))
+    assert not os.path.exists(snap_mod.checkpoint_file(table, 2))
+
+    # policy without the feature: classic fallback, never a failure
+    table2 = str(tmp_path / "v2nofeat")
+    write_deltalake(
+        table2,
+        df,
+        configuration={
+            "delta.checkpointInterval": "1",
+            "delta.checkpointPolicy": "v2",
+        },
+    )
+    write_deltalake(table2, df, mode="append")
+    log2 = os.path.join(table2, "_delta_log")
+    assert not any(snap_mod._CHECKPOINT_V2_RE.match(f) for f in os.listdir(log2))
+    assert os.path.exists(snap_mod.checkpoint_file(table2, 1))
+
+
+def test_v2_checkpoint_preserves_dv_and_travel(spark, tmp_path):
+    """V2 checkpoint on a DV table: deletion vectors survive the sidecar
+    round-trip; versions BELOW the checkpoint stay reachable while their
+    commits remain."""
+    table = str(tmp_path / "v2dv")
+    df = spark.range(12).selectExpr("id", "id * 3 AS v")
+    write_deltalake(
+        table, df, configuration={"delta.enableDeletionVectors": "true"}
+    )
+    dt = DeltaTable(table, spark=spark)
+    dt.delete("id IN (2, 5)")  # DV soft-delete
+    dt = DeltaTable(table, spark=spark)
+    assert dt.version() == 1
+    dt.alter.add_feature(["v2Checkpoint"])
+    dt = DeltaTable(table, spark=spark)
+    dt.create_checkpoint(v2=True, sidecar_target_actions=1)
+    expected = sorted(
+        r["id"] for r in DeltaTable(table, spark=spark).to_df().collect()
+    )
+    assert expected == sorted(set(range(12)) - {2, 5})
+    # replayed-from-checkpoint read sees the DV
+    snap = snap_mod.load_snapshot(table)
+    assert any(a.deletion_vector for a in snap.files.values())
+    # pre-checkpoint version still time-travels through commit JSONs
+    old = DeltaTable(table, version=0, spark=spark).to_df().count()
+    assert old == 12
+
+
+def test_find_checkpoint_prefers_classic_then_max_uuid(spark, tmp_path):
+    table = str(tmp_path / "pick")
+    write_deltalake(table, spark.range(4).selectExpr("id", "id AS v"))
+    dt = DeltaTable(table, spark=spark)
+    dt.alter.add_feature(["v2Checkpoint"])
+    dt = DeltaTable(table, spark=spark)
+    p1 = snap_mod.write_checkpoint(table, dt._snapshot, v2=True)
+    p2 = snap_mod.write_checkpoint(table, dt._snapshot, v2=True)
+    picked = snap_mod.find_checkpoint_file(table, dt.version())
+    assert picked == max(p1, p2)  # deterministic among equivalent V2 cps
+    # a classic checkpoint at the same version wins
+    snap_mod.write_checkpoint(table, dt._snapshot)
+    assert snap_mod.find_checkpoint_file(table, dt.version()) == (
+        snap_mod.checkpoint_file(table, dt.version())
+    )
+    # and the table still reads
+    assert DeltaTable(table, spark=spark).to_df().count() == 4
