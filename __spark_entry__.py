@@ -189,6 +189,8 @@ _DELTA_ROTATED = (
     "delta_schema_evolution_op",  # WRITE plane: delta_write_roundtrip + delta_replace_where_op stay pinned
     "delta_cdf_op",  # CDF plane: delta_incremental_agg_op (pinned) drives load_cdf + the CDC tracker every round
     "delta_v2_checkpoint_op",  # CHECKPOINT plane: delta_checkpoint_replay_op stays pinned (new r11 gate -> never-green -> tail front -> witnessed this round)
+    "delta_row_tracking_op",  # ROW TRACKING (new r11 operator plane): rides delete+update+optimize, all of whose category witnesses stay pinned; never-green -> tail front -> witnessed this round
+    "delta_optimize_preserves_data",  # OPTIMIZE plane: delta_zorder_preserves_data stays pinned (same rationale that already rotates zorder_incremental); compact additionally runs in-gate via delta_row_tracking_op and the autoCompact hook tests
 )
 
 

@@ -90,6 +90,11 @@ def required_protocol(schema_json: str, configuration: dict | None):
         feats.add("changeDataFeed")
     if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
         feats.add("inCommitTimestamp")
+    if cfg.get("delta.enableRowTracking", "").lower() == "true":
+        # the high watermark lives in a delta.rowTracking domainMetadata
+        # action, so enabling row tracking demands both features
+        feats.add("rowTracking")
+        feats.add("domainMetadata")
     if not feats:
         return Protocol()
     reader = sorted(feats & READER_WRITER_FEATURES)

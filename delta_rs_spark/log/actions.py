@@ -103,6 +103,11 @@ class Add:
     # DeletionVectorDescriptor): storageType 'u'|'i'|'p', pathOrInlineDv,
     # offset, sizeInBytes, cardinality
     deletion_vector: dict[str, Any] | None = None
+    # row tracking (PROTOCOL.md "Row Tracking"; kernel actions.rs Add):
+    # fresh row id of row i in this file = base_row_id + i; fresh row
+    # commit version = default_row_commit_version
+    base_row_id: int | None = None
+    default_row_commit_version: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -118,6 +123,10 @@ class Add:
             d["tags"] = self.tags
         if self.deletion_vector:
             d["deletionVector"] = self.deletion_vector
+        if self.base_row_id is not None:
+            d["baseRowId"] = self.base_row_id
+        if self.default_row_commit_version is not None:
+            d["defaultRowCommitVersion"] = self.default_row_commit_version
         return {"add": d}
 
     @classmethod
@@ -131,6 +140,8 @@ class Add:
             stats=d.get("stats"),
             tags=d.get("tags"),
             deletion_vector=d.get("deletionVector"),
+            base_row_id=d.get("baseRowId"),
+            default_row_commit_version=d.get("defaultRowCommitVersion"),
         )
 
     def stats_dict(self) -> dict[str, Any] | None:

@@ -328,6 +328,36 @@ def commit(
     os.makedirs(snap_mod.log_dir(table_path), exist_ok=True)
     attempt_version = read_version + 1
 
+    # row tracking (PROTOCOL.md): when enabled, every data Add gets a
+    # baseRowId range above the table's high watermark, stamped with the
+    # commit version it actually lands at — so allocation re-runs per
+    # attempt, and OCC retries first advance the watermark past whatever
+    # the winning commits claimed (scanned below from the same replay
+    # that drives conflict checking).
+    rt_wm: int | None = None
+    if any(isinstance(a, Add) for a in actions):
+        from delta_rs_spark.plans import row_tracking as _rt
+
+        _rt_cfg = None
+        for a in actions:
+            if isinstance(a, Metadata):
+                _rt_cfg = a.configuration or {}
+                break
+        if _rt_cfg is None and txn_info is not None:
+            _rt_cfg = txn_info.table_config
+        if _rt_cfg is None and read_version >= 0:
+            try:
+                _rt_cfg = snap_mod.load_snapshot(table_path, read_version).configuration
+            except Exception:
+                _rt_cfg = {}
+        if _rt.enabled(_rt_cfg):
+            if read_version >= 0:
+                rt_wm = _rt.high_watermark(
+                    snap_mod.load_snapshot(table_path, read_version)
+                )
+            else:
+                rt_wm = -1
+
     # in-commit timestamps (Delta PROTOCOL.md "In-Commit Timestamps"):
     # when enabled, the commit's own inCommitTimestamp is the table's
     # clock — monotonically increasing regardless of filesystem mtimes,
@@ -388,7 +418,16 @@ def commit(
                 enabling_meta.configuration[
                     "delta.inCommitTimestampEnablementTimestamp"
                 ] = str(ict)
-        lines = [action_to_line(operation)] + [action_to_line(a) for a in actions]
+        attempt_actions = actions
+        if rt_wm is not None:
+            from delta_rs_spark.plans import row_tracking as _rt
+
+            attempt_actions, _ = _rt.assign_base_row_ids(
+                actions, rt_wm, attempt_version
+            )
+        lines = [action_to_line(operation)] + [
+            action_to_line(a) for a in attempt_actions
+        ]
         target = snap_mod.commit_file(table_path, attempt_version)
         try:
             store.put_if_absent(target, "\n".join(lines) + "\n")
@@ -411,6 +450,10 @@ def commit(
             for v in range(attempt_version, latest + 1):
                 winning = snap_mod.read_commit_actions(table_path, v)
                 _check_conflicts(winning, txn_info, our_removes)
+                if rt_wm is not None:
+                    from delta_rs_spark.plans import row_tracking as _rt
+
+                    rt_wm = _rt.advance_watermark_from(winning, rt_wm)
             attempt_version = latest + 1
     raise CommitFailedError(f"exceeded {max_retries} commit retries at {table_path}")
 

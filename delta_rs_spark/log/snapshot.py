@@ -184,6 +184,8 @@ _CP_SCHEMA = pa.schema(
                     pa.field("stats", pa.string()),
                     pa.field("tags", pa.map_(pa.string(), pa.string())),
                     pa.field("deletionVector", _DV_STRUCT),
+                    pa.field("baseRowId", pa.int64()),
+                    pa.field("defaultRowCommitVersion", pa.int64()),
                 ]
             ),
         ),
@@ -395,6 +397,8 @@ def write_checkpoint(
                     "stats": add.stats,
                     "tags": list(add.tags.items()) if add.tags else None,
                     "deletionVector": add.deletion_vector,
+                    "baseRowId": add.base_row_id,
+                    "defaultRowCommitVersion": add.default_row_commit_version,
                 }
             }
         )
@@ -534,6 +538,8 @@ def _actions_from_parquet_rows(rows: list[dict]) -> list[Action]:
                     stats=a.get("stats"),
                     tags=dict(a["tags"]) if a.get("tags") else None,
                     deletion_vector=_dv_dict(a.get("deletionVector")),
+                    base_row_id=a.get("baseRowId"),
+                    default_row_commit_version=a.get("defaultRowCommitVersion"),
                 )
             )
         elif row.get("domainMetadata") and row["domainMetadata"].get("domain"):

@@ -170,6 +170,23 @@ class TableAlterer:
         from delta_rs_spark.log.actions import Protocol
 
         extra_actions: list = []
+        # mid-life row tracking enablement needs a BACKFILL: existing
+        # files have no baseRowId, so re-add them (dataChange=false) in
+        # the SAME commit — the commit hook sees the enabling Metadata
+        # and allocates every range atomically with the enablement
+        from delta_rs_spark.plans import row_tracking as _rt
+
+        if _rt.enabled(meta.configuration) and not _rt.enabled(
+            self.dt._snapshot.configuration
+        ):
+            meta.configuration = dict(_rt.prepare_create(meta.configuration))
+            import dataclasses as _dc
+
+            extra_actions.extend(
+                _dc.replace(a, data_change=False)
+                for a in self.dt._snapshot.files.values()
+                if a.base_row_id is None
+            )
         wanted = required_protocol(meta.schema_string, meta.configuration)
         cur = self.dt.protocol()
         if wanted.min_writer_version >= 7:

@@ -47,6 +47,17 @@ def write_change_data(change_df: DataFrame, table_path: str) -> list[AddCDCFile]
 
     from delta_rs_spark.plans import column_mapping as cmap
 
+    # row tracking's hidden materialized columns ride rewrite frames;
+    # CDC files carry TABLE columns only (change consumers never see
+    # physical row ids)
+    hidden = [
+        c
+        for c in change_df.columns
+        if c.startswith(("_row-id-col-", "_row-commit-version-col-"))
+    ]
+    if hidden:
+        change_df = change_df.drop(*hidden)
+
     part_phys: list[str] = []
     try:
         from delta_rs_spark.log import snapshot as snap_mod

@@ -212,6 +212,12 @@ def clone_table(
                 stats=a.stats,
                 tags=a.tags,
                 deletion_vector=dv,
+                # row tracking: the clone preserves row identity — without
+                # these the target's commit hook would re-allocate fresh
+                # ids that can collide with ids still MATERIALIZED inside
+                # the (shared) parquet files
+                base_row_id=a.base_row_id,
+                default_row_commit_version=a.default_row_commit_version,
             )
         )
 
@@ -280,9 +286,16 @@ def clone_table(
             "numRemovedFiles": len(removes),
         },
     )
+    # domain metadata travels with the clone (delta-spark parity); for
+    # row tracking it is load-bearing — the watermark can exceed every
+    # add's base range when the source materialized ids through rewrites,
+    # so deriving it from the adds alone could re-issue live ids
+    domains = [
+        dm for dm in snapshot.domain_metadata.values() if not dm.removed
+    ]
     commit_mod.commit(
         dst,
-        [proto, meta, *removes, *adds],
+        [proto, meta, *domains, *removes, *adds],
         op,
         read_version,
         TransactionInfo(blind_append=False, read_whole_table=True),

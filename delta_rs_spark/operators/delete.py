@@ -89,7 +89,16 @@ def plan_predicate_removal(
         return [], [], 0
     touched_adds = [a for a in candidates if a.path in touched]
 
-    touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
+    from delta_rs_spark.plans import row_tracking as rt
+
+    if rt.enabled(snapshot.configuration):
+        # survivors are UNMODIFIED: materialize both id and commit
+        # version so the rewrite cannot change either
+        touched_df = rt.read_with_materialized(
+            spark, snapshot, table_path, touched_adds
+        )
+    else:
+        touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
     keep_df = touched_df.filter(~F.expr(predicate).eqNullSafe(F.lit(True)))
     new_adds = write_files(keep_df, table_path, part_cols)
 
@@ -193,6 +202,11 @@ def dv_mark_rows(
                 stats=a.stats,
                 tags=a.tags,
                 deletion_vector=desc,
+                # re-ADD of the same physical file: its row-id range is
+                # part of its identity — dropping it would make the
+                # commit hook re-allocate and silently renumber rows
+                base_row_id=a.base_row_id,
+                default_row_commit_version=a.default_row_commit_version,
             )
         )
     return removes, new_adds, n_marked

@@ -102,7 +102,10 @@ def _recompute_generated(df: DataFrame, schema, cols: list[str], coded_clauses) 
         )
     if not changed:
         return df
-    return df.select(*out, F.col(_ACTION))
+    extras = [
+        F.col(f"`{c}`") for c in df.columns if c not in cols and c != _ACTION
+    ]  # e.g. row tracking's materialized columns — pass through
+    return df.select(*out, *extras, F.col(_ACTION))
 
 
 @dataclass
@@ -675,15 +678,46 @@ class TableMerger:
         n_updated = n_deleted = n_copied = n_nmbs_updated = 0
         acted = None
         acted_pairs: list = []
+        from delta_rs_spark.plans import row_tracking as _rt
+
+        rt_on = _rt.enabled(snapshot.configuration)
+        _mat_id, _mat_ver = _rt.materialized_names(snapshot.configuration)
         if rewrite_adds:
             t_df = read_snapshot_df(
                 spark,
                 snapshot,
                 table_path,
                 files=rewrite_adds,
-                file_path_col="__delta_rs_fp" if dv_mode else None,
-                row_index_col="__delta_rs_ri" if dv_mode else None,
+                file_path_col="__delta_rs_fp" if (dv_mode or rt_on) else None,
+                row_index_col="__delta_rs_ri" if (dv_mode or rt_on) else None,
+                extra_physical_cols=[_mat_id, _mat_ver] if rt_on else None,
             )
+            if rt_on:
+                # materialize every target row's CURRENT id/version; the
+                # rewrite projection below keeps the id for updated rows
+                # and nulls their version (reader falls back to this
+                # commit's defaultRowCommitVersion)
+                _fmap = _rt.file_map_df(spark, rewrite_adds, table_path)
+                t_df = (
+                    t_df.join(
+                        F.broadcast(_fmap),
+                        F.col("__delta_rs_fp") == F.col("__rt_fp"),
+                        "left",
+                    )
+                    .withColumn(
+                        _mat_id,
+                        F.coalesce(
+                            F.col(_mat_id),
+                            F.col("__rt_base") + F.col("__delta_rs_ri"),
+                        ),
+                    )
+                    .withColumn(
+                        _mat_ver, F.coalesce(F.col(_mat_ver), F.col("__rt_ver"))
+                    )
+                    .drop("__rt_fp", "__rt_base", "__rt_ver")
+                )
+                if not dv_mode:
+                    t_df = t_df.drop("__delta_rs_fp", "__delta_rs_ri")
             for f in schema.fields:  # evolved columns read as NULL from old files
                 if f.name not in t_df.columns:
                     t_df = t_df.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -814,8 +848,19 @@ class TableMerger:
             out_flt = F.col(_ACTION) != DELETE
             if dv_mode:  # COPY rows stay in their (DV'd) files
                 out_flt = out_flt & (F.col(_ACTION) != COPY)
+            proj_rt = []
+            if rt_on:
+                _is_upd = (
+                    F.col(_ACTION).isin(*upd_codes) if upd_codes else F.lit(False)
+                )
+                proj_rt = [
+                    F.col(f"{t}.`{_mat_id}`").alias(_mat_id),
+                    F.when(_is_upd, F.lit(None).cast("long"))
+                    .otherwise(F.col(f"{t}.`{_mat_ver}`"))
+                    .alias(_mat_ver),
+                ]
             rewritten = acted.filter(out_flt).select(
-                *proj, F.col(_ACTION)
+                *proj, *proj_rt, F.col(_ACTION)
             )
             rewritten = _recompute_generated(
                 rewritten, schema, cols, coded_clauses
@@ -884,11 +929,21 @@ class TableMerger:
             insert_df = pieces[0]
             for p_df in pieces[1:]:
                 insert_df = insert_df.unionByName(p_df)
+            if rt_on and out_parts:
+                # the rewrite part carries materialized columns; inserted
+                # rows take NULLs — fresh ids from the new file's base
+                insert_df = insert_df.withColumn(
+                    _mat_id, F.lit(None).cast("long")
+                ).withColumn(_mat_ver, F.lit(None).cast("long"))
             insert_df = insert_df.persist()
             n_inserted = insert_df.count()
             out_parts.append(insert_df)
             if cdf_enabled(snapshot):
-                self._cdf_parts.append(insert_df.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
+                self._cdf_parts.append(
+                    insert_df.drop(_mat_id, _mat_ver).withColumn(
+                        CHANGE_TYPE_COL, F.lit("insert")
+                    )
+                )
 
         # ---- write + commit ---------------------------------------------
         actions: list = []

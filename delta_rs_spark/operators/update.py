@@ -149,7 +149,17 @@ def update(
         )
         return metrics
 
-    touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
+    from delta_rs_spark.plans import row_tracking as rt
+
+    rt_on = rt.enabled(snapshot.configuration)
+    if rt_on:
+        # rewrite carries every surviving row's id; updated rows null
+        # their materialized VERSION below so the reader falls back to
+        # this commit's defaultRowCommitVersion (spec: updates keep the
+        # row id, take the updating commit's version)
+        touched_df = rt.read_with_materialized(spark, snapshot, table_path, touched_adds)
+    else:
+        touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
     schema_cols = [f.name for f in touched_df.schema.fields]
     # CASE-guard every updated column (reference: update.rs:357-358).
     # cond is pinned to the PRE-update row via a marker column so the
@@ -168,7 +178,14 @@ def update(
     )
     updated_df = _recompute_generated_cols(
         updated_df, touched_df.schema, updates, schema_cols, upd_flag
-    ).drop("__delta_rs_upd")
+    )
+    if rt_on:
+        _mat_ver = rt.materialized_names(snapshot.configuration)[1]
+        updated_df = updated_df.withColumn(
+            _mat_ver,
+            F.when(upd_flag, F.lit(None).cast("long")).otherwise(F.col(_mat_ver)),
+        )
+    updated_df = updated_df.drop("__delta_rs_upd")
     from delta_rs_spark.writer import enforce_write_rules
 
     updated_df = enforce_write_rules(updated_df, snapshot)
@@ -264,7 +281,11 @@ def _dv_update(
     from delta_rs_spark.table import read_snapshot_df
     from delta_rs_spark.writer import write_files
 
+    from delta_rs_spark.plans import row_tracking as rt
+
     ts = now_ms()
+    rt_on = rt.enabled(snapshot.configuration)
+    _mat_id, _mat_ver = rt.materialized_names(snapshot.configuration)
     df = read_snapshot_df(
         spark,
         snapshot,
@@ -272,7 +293,30 @@ def _dv_update(
         files=candidates,
         file_path_col="__delta_rs_fp",
         row_index_col="__delta_rs_ri",
+        extra_physical_cols=[_mat_id, _mat_ver] if rt_on else None,
     )
+    if rt_on:
+        # the DV tier rewrites ONLY the updated rows into a new file:
+        # they keep their row id (materialized here from the old
+        # position) and take the updating commit's version (NULL
+        # materialized version -> reader falls back to the new file's
+        # defaultRowCommitVersion)
+        fmap = rt.file_map_df(spark, candidates, table_path)
+        df = (
+            df.join(
+                F.broadcast(fmap),
+                F.col("__delta_rs_fp") == F.col("__rt_fp"),
+                "left",
+            )
+            .withColumn(
+                _mat_id,
+                F.coalesce(
+                    F.col(_mat_id), F.col("__rt_base") + F.col("__delta_rs_ri")
+                ),
+            )
+            .withColumn(_mat_ver, F.lit(None).cast("long"))
+            .drop("__rt_fp", "__rt_base", "__rt_ver")
+        )
     # the matched set feeds three consumers (row indexes, new rows, CDF);
     # checkpoint so the scan+filter runs once
     matched_df = df.filter(cond).localCheckpoint(eager=True)

@@ -59,6 +59,10 @@ SUPPORTED_WRITER_FEATURES = {
     "v2Checkpoint",
     "vacuumProtocolCheck",
     "domainMetadata",
+    # r11: commit path allocates baseRowId/defaultRowCommitVersion above
+    # the delta.rowTracking watermark; rewrites materialize surviving
+    # rows' ids (plans/row_tracking.py)
+    "rowTracking",
     "inCommitTimestamp",  # commit path stamps monotonic ICTs when enabled
     # Spark 4 writes variant natively (parquet VARIANT logical type);
     # footer stats fall back to writer._spark_stats_fallback because
@@ -171,10 +175,14 @@ def ensure_schema_static(configuration_or_snapshot) -> None:
         )
 
 
-def rename_to_physical(df: DataFrame, schema: T.StructType) -> DataFrame:
+def rename_to_physical(
+    df: DataFrame, schema: T.StructType, extra_cols: list[str] | None = None
+) -> DataFrame:
     """Logical-name DataFrame -> physical names at every level (the
     write-side inverse of rename_to_logical): nested renames ride the
-    positional struct cast."""
+    positional struct cast. ``extra_cols`` (e.g. row tracking's hidden
+    materialized columns — already physical, never in the table schema)
+    pass through unrenamed."""
     cols = []
     for f in schema.fields:
         c = F.col(f"`{f.name}`")
@@ -182,6 +190,9 @@ def rename_to_physical(df: DataFrame, schema: T.StructType) -> DataFrame:
         if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
             c = c.cast(pt)
         cols.append(c.alias(_physical_name(f)))
+    for e in extra_cols or []:
+        if e in df.columns:
+            cols.append(F.col(f"`{e}`"))
     return df.select(*cols)
 
 

@@ -940,3 +940,53 @@ def delta_v2_checkpoint_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt.cleanup_metadata(retention_hours=0)
     write_deltalake(path, supp, mode="append")
     return DeltaTable(path, spark=spark).to_df().select("s_suppkey", "s_name", "bal")
+
+
+@query(
+    "delta_row_tracking_op",
+    """
+    WITH base AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS bal, c_mktsegment,
+             row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN bal + 10 ELSE bal END AS bal,
+           rid AS _row_id,
+           CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 0 END AS _row_commit_version
+    FROM base
+    WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+def delta_row_tracking_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking end-to-end (PROTOCOL.md "Row Tracking", r11): a
+    single sorted initial file makes fresh ids deterministic
+    (row_number - 1 over c_custkey); a rewriting DELETE then proves ids
+    AND commit versions survive via the materialized columns; an UPDATE
+    proves updated rows keep their id but take the updating commit's
+    version (v2) while co-located survivors keep v0; OPTIMIZE compact
+    proves a dataChange=false rearrangement changes neither. The oracle
+    replays the whole lifecycle arithmetically — any reallocation,
+    version drift, or lost materialization breaks the hash."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("row_tracking_op", sf_dir)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            "c_mktsegment",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("c_custkey")
+    )
+    write_deltalake(path, cust, configuration={"delta.enableRowTracking": "true"})
+    dt = DeltaTable(path, spark=spark)
+    dt.delete("c_mktsegment = 'BUILDING'")
+    dt.update({"bal": "bal + 10"}, predicate="c_custkey % 7 = 0")
+    dt.optimize.compact()
+    dt = DeltaTable(path, spark=spark)
+    return dt.to_df_with_row_ids().select(
+        "c_custkey", "bal", "_row_id", "_row_commit_version"
+    )

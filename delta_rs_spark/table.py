@@ -78,6 +78,7 @@ def read_snapshot_df(
     files: list[Add] | None = None,
     file_path_col: str | None = None,
     row_index_col: str | None = None,
+    extra_physical_cols: list[str] | None = None,
 ) -> DataFrame:
     """Build the scan DataFrame for a snapshot (with file skipping).
 
@@ -104,6 +105,14 @@ def read_snapshot_df(
     plain = [a for a in adds if not a.deletion_vector]
     dv_adds = [a for a in adds if a.deletion_vector]
     read_schema = cmap.physical_schema(schema) if mapped else schema
+    if extra_physical_cols:
+        # hidden physical LONG columns (row tracking materialization):
+        # requested explicitly, nullable — parquet files without them
+        # yield NULL (Spark schema-on-read fills missing columns)
+        read_schema = T.StructType(
+            list(read_schema.fields)
+            + [T.StructField(c, T.LongType(), True) for c in extra_physical_cols]
+        )
 
     def to_logical(part_df: DataFrame) -> DataFrame:
         """Physical -> logical names, preserving bound fp/ri columns."""
@@ -111,7 +120,7 @@ def read_snapshot_df(
             return part_df
         extra = [
             c
-            for c in (file_path_col, row_index_col)
+            for c in (file_path_col, row_index_col, *(extra_physical_cols or []))
             if c and c in part_df.columns
         ] or None
         return cmap.rename_to_logical(part_df, schema, extra_cols=extra)
@@ -122,6 +131,8 @@ def read_snapshot_df(
             df = df.withColumn(file_path_col, F.lit(None).cast("string"))
         if row_index_col:
             df = df.withColumn(row_index_col, F.lit(None).cast("long"))
+        for c in extra_physical_cols or []:
+            df = df.withColumn(c, F.lit(None).cast("long"))
     else:
         def read_group(paths: list[str]):
             """One reader per Hive base: a shallow clone's absolute add
@@ -345,6 +356,9 @@ class DeltaTable:
         from delta_rs_spark.plans.column_mapping import prepare_mapped_create
 
         schema, configuration = prepare_mapped_create(schema, configuration)
+        from delta_rs_spark.plans.row_tracking import prepare_create as _rt_create
+
+        configuration = _rt_create(configuration)
         proto = required_protocol(schema.json(), configuration)
         actions.insert(0, proto)
         actions.insert(
@@ -557,6 +571,38 @@ class DeltaTable:
 
     # alias matching reference naming
     to_spark = to_df
+
+    def to_df_with_row_ids(
+        self, predicate: str | None = None, columns: list[str] | None = None
+    ) -> DataFrame:
+        """Scan with row tracking surfaced (PROTOCOL.md "Row Tracking"):
+        adds ``_row_id`` / ``_row_commit_version`` columns —
+        coalesce(materialized column, baseRowId + row_index) and
+        coalesce(materialized version, defaultRowCommitVersion). Stable
+        ids: rewrites (DELETE/UPDATE/MERGE/OPTIMIZE) materialize the
+        surviving rows' ids into the hidden parquet columns."""
+        from delta_rs_spark.plans import row_tracking as rt
+
+        if not rt.enabled(self._snapshot.configuration):
+            raise DeltaError(
+                "row tracking is not enabled on this table "
+                "(delta.enableRowTracking)"
+            )
+        mat_id, mat_ver = rt.materialized_names(self._snapshot.configuration)
+        df = read_snapshot_df(
+            self.spark,
+            self._snapshot,
+            self.table_uri,
+            predicate,
+            None,
+            file_path_col="__rt_file",
+            row_index_col="__rt_index",
+            extra_physical_cols=[mat_id, mat_ver],
+        )
+        df = rt.with_row_ids(df, self.spark, self._snapshot, self.table_uri)
+        if columns:
+            df = df.select(*columns, rt.ROW_ID_COL, rt.ROW_VER_COL)
+        return df
 
     def to_pandas(self, **kwargs):
         return self.to_df(**kwargs).toPandas()

@@ -218,7 +218,10 @@ def write_files(
         import json as _json
 
         schema = T.StructType.fromJson(_json.loads(table_schema))
-        df = cmap.rename_to_physical(df, schema)
+        _extra = [
+            c for c in df.columns if c not in {f.name for f in schema.fields}
+        ]  # hidden physical columns (row tracking materialization)
+        df = cmap.rename_to_physical(df, schema, extra_cols=_extra)
         phys = cmap.logical_to_physical(schema)
         partition_by = [phys.get(c, c) for c in partition_by]
 
@@ -283,6 +286,15 @@ def write_files(
         stats = _spark_stats_fallback(
             df, moved, stats, n_idx, stats_cols, partition_by
         )
+    for st in stats:
+        # row tracking's hidden materialized columns are physical-only —
+        # keep them out of the skipping stats (they are not queryable)
+        for k in ("minValues", "maxValues", "nullCount"):
+            d = (st or {}).get(k)
+            if d:
+                for name in list(d):
+                    if name.startswith(("_row-id-col-", "_row-commit-version-col-")):
+                        del d[name]
     for (abs_path, rel_path, part_vals), st in zip(moved, stats):
         # a file still without stats after the fallback scanned exactly
         # these paths contributed no rows to the grouped count: empty
@@ -572,6 +584,9 @@ def write_deltalake(
         # column mapping on create: assign ids + physical names; protocol
         # features derive from schema + configuration (as in create.rs)
         schema, configuration = prepare_mapped_create(df.schema, configuration)
+        from delta_rs_spark.plans.row_tracking import prepare_create as _rt_create
+
+        configuration = _rt_create(configuration)
         metadata = Metadata(
             schema_string=schema.json(),
             partition_columns=partition_by,
