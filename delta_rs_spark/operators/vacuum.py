@@ -61,7 +61,17 @@ def vacuum(
     enforce_retention_duration: bool = True,
     full: bool = False,
     keep_versions: list[int] | None = None,
+    lite: bool = False,
 ) -> list[str]:
+    """``lite=True`` is VACUUM LITE (delta-spark 3.3 semantics): deletion
+    candidates come from the transaction log's tombstones instead of a
+    full storage listing — O(tombstones in the log), not O(files under
+    the table root). At 100 TB the recursive LIST is the dominant cost
+    of a routine vacuum (millions of objects, paginated store calls);
+    LITE skips it entirely. Trade-off (same as delta-spark): orphans no
+    log entry references and aged _change_data files are NOT found —
+    run a classic/FULL vacuum occasionally for those. ``lite`` and
+    ``full`` are contradictory and rejected together."""
     snapshot = snap_mod.load_snapshot(table_path)
     configured = _configured_retention_hours(snapshot.configuration)
     if retention_hours is None:
@@ -115,8 +125,20 @@ def vacuum(
                 else resolve_add_path(table_path, dv["pathOrInlineDv"])
             )
             dv_tombstoned[os.path.relpath(p, table_path)] = r.deletion_timestamp
+    if lite and full:
+        raise DeltaError("vacuum(lite=True, full=True) is contradictory: "
+                         "FULL needs the listing LITE exists to avoid")
     candidates: list[str] = []
-    for rel in _walk_data_files(table_path):
+    if lite:
+        # log-driven: the tombstone sets above already hold every
+        # (path, deletionTimestamp) the log knows about — no listing
+        for rel, ts_ms in {**tombstoned, **dv_tombstoned}.items():
+            if rel in active or ts_ms > cutoff_ms:
+                continue
+            if os.path.exists(os.path.join(table_path, rel)):
+                candidates.append(rel)
+        candidates = sorted(set(candidates))
+    for rel in _walk_data_files(table_path) if not lite else []:
         if rel in active:
             continue
         if rel.startswith("_change_data/"):

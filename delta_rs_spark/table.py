@@ -843,6 +843,7 @@ class DeltaTable:
         keep_versions: list[int] | None = None,
         commit_properties=None,  # accepted for signature parity
         post_commithook_properties=None,
+        lite: bool = False,
     ) -> list[str]:
         from delta_rs_spark.operators.vacuum import vacuum as _vacuum
 
@@ -853,6 +854,7 @@ class DeltaTable:
             enforce_retention_duration,
             full,
             keep_versions,
+            lite=lite,
         )
 
     def restore(

@@ -373,3 +373,52 @@ def test_optimize_zorder_incremental(spark, tmp_table, lineitem):
     # history records the incremental flag
     ops = [h["operationParameters"] for h in t.history(4)]
     assert any(p.get("incremental") for p in ops)
+
+
+def test_vacuum_lite_log_driven(spark, tmp_path):
+    """VACUUM LITE (delta-spark 3.3 semantics): candidates come from the
+    log's tombstones — identical result to the listing vacuum for
+    tombstoned files, but orphans only FULL can see stay invisible."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.log.commit import DeltaError
+
+    path = str(tmp_path / "vl")
+    df = spark.range(20).selectExpr("id", "id * 2 AS v")
+    write_deltalake(path, df, max_records_per_file=5)
+    dt = DeltaTable(path, spark=spark)
+    dt.delete("id < 10")  # rewrites 2 files -> tombstones
+    dt = DeltaTable(path, spark=spark)
+
+    classic = dt.vacuum(retention_hours=0, enforce_retention_duration=False)
+    lite = dt.vacuum(retention_hours=0, enforce_retention_duration=False, lite=True)
+    assert lite == classic and lite  # same candidate set, log-only
+
+    # an orphan (no log entry): classic/FULL sees it, LITE cannot
+    orphan = os.path.join(path, "orphan-123.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    os.utime(orphan, (1, 1))
+    assert "orphan-123.parquet" not in dt.vacuum(
+        retention_hours=0, enforce_retention_duration=False, lite=True
+    )
+    assert "orphan-123.parquet" in dt.vacuum(
+        retention_hours=0, enforce_retention_duration=False, full=True
+    )
+    os.unlink(orphan)
+
+    with pytest.raises(DeltaError, match="contradictory"):
+        dt.vacuum(retention_hours=0, enforce_retention_duration=False,
+                  lite=True, full=True)
+
+    # retention still respected on the lite path
+    assert dt.vacuum(retention_hours=9999, lite=True) == []
+
+    # real deletion through the lite path; table intact afterwards
+    gone = dt.vacuum(
+        retention_hours=0, enforce_retention_duration=False,
+        dry_run=False, lite=True,
+    )
+    assert gone == lite
+    for rel in gone:
+        assert not os.path.exists(os.path.join(path, rel))
+    assert DeltaTable(path, spark=spark).to_df().count() == 10
