@@ -123,6 +123,43 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
         path = path + "_clone"
     dt = DeltaTable(path, spark=spark)
 
+    # r11: row-tracking invariant net. With delta.enableRowTracking the
+    # fuzzer ALSO pins, after every op: row ids globally unique and
+    # non-NULL; ids of surviving rows stable across every mutation
+    # (id column is a unique key by construction, so id -> _row_id is
+    # a function); restore/time-travel reproduce the EXACT historical
+    # id assignment.
+    rt_on = (config.get("configuration") or {}).get(
+        "delta.enableRowTracking"
+    ) == "true"
+
+    def _rt_map(d):
+        rows = d.to_df_with_row_ids().select("id", "_row_id").collect()
+        rids = [r["_row_id"] for r in rows]
+        assert all(x is not None for x in rids), "NULL row id"
+        assert len(set(rids)) == len(rids), "duplicate row ids"
+        return {r["id"]: r["_row_id"] for r in rows}
+
+    rid_at: dict[int, dict] = {}
+    rid_prev: dict = {}
+    if rt_on:
+        rid_prev = _rt_map(dt)
+        rid_at[dt.version()] = dict(rid_prev)
+
+    def _rt_check(expect_exact: dict | None = None):
+        nonlocal rid_prev
+        if not rt_on:
+            return
+        cur = _rt_map(dt)
+        if expect_exact is not None:
+            assert cur == expect_exact, "row-id assignment diverged"
+        else:
+            common = set(cur) & set(rid_prev)
+            moved = {k: (rid_prev[k], cur[k]) for k in common if cur[k] != rid_prev[k]}
+            assert not moved, f"surviving rows changed row id: {moved}"
+        rid_prev = cur
+        rid_at[dt.version()] = dict(cur)
+
     applied = []
     history: list[tuple[int, list]] = [(dt.version(), _state(dt))]
     maintenance = {
@@ -164,6 +201,7 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
             dt.refresh()
             got = _state(dt)
             assert got == _duck_state(con), f"restore(v{v}) diverged mid-sequence"
+            _rt_check(expect_exact=rid_at.get(v))
             history.append((dt.version(), got))
             continue
         if op == "reclone":
@@ -182,6 +220,7 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
             dt.refresh()
             got = _state(dt)
             assert got == _duck_state(con), f"{op} changed visible state"
+            _rt_check(expect_exact=rid_prev if rt_on else None)
             history.append((dt.version(), got))
             continue
         if op == "delete":
@@ -294,6 +333,7 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
             f"{len(got)} vs {len(want)} rows; "
             f"first diff {next((a, b) for a, b in zip(got, want) if a != b) if len(got) == len(want) else ''}"
         )
+        _rt_check()
         history.append((dt.version(), got))
     con.close()
 
@@ -303,6 +343,10 @@ def _run_sequence(spark, path, config, seed, n_ops=10):
     for version, want_state in history:
         tv = DeltaTable(path, spark=spark, version=version)
         assert _state(tv) == want_state, f"time travel to v{version} diverged"
+        if rt_on and version in rid_at:
+            assert _rt_map(tv) == rid_at[version], (
+                f"time travel to v{version}: row-id assignment diverged"
+            )
 
     # CDF must compose: replaying each version's change rows on top of
     # the previous state reproduces every recorded state (covers insert/
@@ -392,6 +436,20 @@ _CONFIGS = [
     ("clone_cdf", {
         "as_clone": True,
         "configuration": {"delta.enableChangeDataFeed": "true"},
+    }),
+    # r11: row tracking — the fuzzer additionally pins id uniqueness,
+    # survivor stability, and historical-assignment replay after every
+    # op (see _rt_check); the DV variant routes updates/deletes through
+    # the re-add-with-range-intact path
+    ("row_tracking", {
+        "configuration": {"delta.enableRowTracking": "true"},
+    }),
+    ("rt_dv_partitioned", {
+        "partitioned": True,
+        "configuration": {
+            "delta.enableRowTracking": "true",
+            "delta.enableDeletionVectors": "true",
+        },
     }),
 ]
 
