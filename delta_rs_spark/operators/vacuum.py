@@ -211,4 +211,44 @@ def cleanup_metadata(table_path: str, retention_hours: int | None = None) -> int
         if os.path.getmtime(p) <= cutoff:
             os.unlink(p)
             n += 1
+    # superseded checkpoints below the newest one are dead weight (the
+    # reader always starts from the latest at-or-before target, and the
+    # commits below them are being expired above) — at large table sizes
+    # each is a multi-MB..GB parquet, and for V2 its sidecars multiply
+    # that. Delete expired ones, then any sidecar no surviving
+    # checkpoint references (ours are written per-checkpoint, never
+    # shared; foreign shared sidecars survive because their referencing
+    # checkpoint does).
+    log = snap_mod.log_dir(table_path)
+    removed_cp = False
+    for f in list(os.listdir(log)):
+        m = snap_mod._CHECKPOINT_RE.match(f) or snap_mod._CHECKPOINT_V2_RE.match(f)
+        if not m or int(m.group(1)) >= last_cp:
+            continue
+        p = os.path.join(log, f)
+        if os.path.getmtime(p) <= cutoff:
+            os.unlink(p)
+            removed_cp = True
+            n += 1
+    sidecar_dir = os.path.join(log, "_sidecars")
+    if removed_cp and os.path.isdir(sidecar_dir):
+        import pyarrow.parquet as pq
+
+        referenced: set[str] = set()
+        for f in os.listdir(log):
+            if snap_mod._CHECKPOINT_RE.match(f) or snap_mod._CHECKPOINT_V2_RE.match(f):
+                pf = pq.ParquetFile(os.path.join(log, f))
+                if "sidecar" not in pf.schema_arrow.names:
+                    continue  # classic checkpoint: no sidecar column
+                # column-pruned read: only the sidecar struct, never the
+                # (possibly huge) add/remove payload
+                for row in pf.read(columns=["sidecar"]).to_pylist():
+                    sc = row.get("sidecar")
+                    if sc and sc.get("path"):
+                        referenced.add(os.path.basename(sc["path"]))
+        for f in list(os.listdir(sidecar_dir)):
+            p = os.path.join(sidecar_dir, f)
+            if f not in referenced and os.path.getmtime(p) <= cutoff:
+                os.unlink(p)
+                n += 1
     return n

@@ -613,3 +613,44 @@ def test_find_checkpoint_prefers_classic_then_max_uuid(spark, tmp_path):
     )
     # and the table still reads
     assert DeltaTable(table, spark=spark).to_df().count() == 4
+
+
+def test_cleanup_reclaims_superseded_checkpoints_and_sidecars(spark, tmp_path):
+    """cleanup_metadata deletes expired checkpoints BELOW the newest one
+    (classic and V2) and any sidecar no surviving checkpoint references;
+    the latest checkpoint + its sidecars survive and the table replays
+    from them alone."""
+    table = str(tmp_path / "gc")
+    write_deltalake(table, spark.range(6).selectExpr("id", "id AS v"))
+    dt = DeltaTable(table, spark=spark)
+    dt.alter.add_feature(["v2Checkpoint"])
+    dt = DeltaTable(table, spark=spark)
+    dt.create_checkpoint(v2=True, sidecar_target_actions=1)  # superseded soon
+    write_deltalake(table, spark.range(3).selectExpr("id + 50 AS id", "id AS v"),
+                    mode="append")
+    dt = DeltaTable(table, spark=spark)
+    dt.create_checkpoint()  # classic, will also be superseded
+    write_deltalake(table, spark.range(2).selectExpr("id + 90 AS id", "id AS v"),
+                    mode="append")
+    dt = DeltaTable(table, spark=spark)
+    dt.create_checkpoint(v2=True, sidecar_target_actions=1)  # the keeper
+
+    log = os.path.join(table, "_delta_log")
+    sc_dir = os.path.join(log, "_sidecars")
+    n_sc_before = len(os.listdir(sc_dir))
+    cps = [f for f in os.listdir(log)
+           if snap_mod._CHECKPOINT_RE.match(f) or snap_mod._CHECKPOINT_V2_RE.match(f)]
+    assert len(cps) == 3
+    removed = dt.cleanup_metadata(retention_hours=0)
+    assert removed > 0
+    cps_after = [f for f in os.listdir(log)
+                 if snap_mod._CHECKPOINT_RE.match(f) or snap_mod._CHECKPOINT_V2_RE.match(f)]
+    assert len(cps_after) == 1  # only the newest survives
+    assert int(cps_after[0].split(".")[0]) == dt.version()
+    # superseded sidecars reclaimed; the keeper's remain
+    left = os.listdir(sc_dir)
+    assert 0 < len(left) < n_sc_before
+    # table still replays fully from the surviving checkpoint
+    dt2 = DeltaTable(table, spark=spark)
+    assert dt2.to_df().count() == 11
+    assert snap_mod.load_snapshot(table).version == dt.version()
