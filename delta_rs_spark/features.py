@@ -82,6 +82,8 @@ def required_protocol(schema_json: str, configuration: dict | None):
     feats: set[str] = set()
     if '"variant"' in schema_json:
         feats.add("variantType")
+    if '"delta.identity.' in schema_json:
+        feats.add("identityColumns")
     if cfg.get("delta.enableDeletionVectors", "").lower() == "true":
         feats.add("deletionVectors")
     if cfg.get("delta.columnMapping.mode", "none") != "none":

@@ -583,6 +583,28 @@ class TableMerger:
         cols = [f.name for f in schema.fields]
         t, s = self._aliases()
 
+        # identity columns: clauses may never assign one, and an insert
+        # clause must set a GENERATED BY DEFAULT column explicitly (a
+        # NULL-filled insert would corrupt the progression; ALWAYS
+        # columns cannot be merge-inserted at all — delta-spark parity)
+        from delta_rs_spark.plans import identity as _ident
+
+        _idents = _ident.identity_fields(schema)
+        if _idents:
+            for cl in self.matched + self.not_matched_by_source:
+                if cl.kind == "update":
+                    _ident.reject_identity_assignment(
+                        cl.updates or {}, schema, "MERGE update clause"
+                    )
+            for cl in self.not_matched:
+                for f in _idents:
+                    if not bool((f.metadata or {}).get(_ident.META_ALLOW, False)):
+                        raise DeltaError(
+                            f"MERGE insert into GENERATED ALWAYS identity "
+                            f"column {f.name!r} is not supported — identity "
+                            "values are only generated on write/append"
+                        )
+
         source_df = _to_spark_df(self.source, spark)
         src_cols = set(source_df.columns)
         source_df = source_df.persist()
@@ -604,6 +626,17 @@ class TableMerger:
         for cl in self.not_matched:
             if cl.updates is None:
                 cl.updates = self._auto_updates(cl, cols, src_cols, getattr(self, "_insert_except", []))
+        if _idents:
+            # post-expansion: a BY DEFAULT identity column must be fed an
+            # explicit value by every insert clause (a NULL fill would
+            # corrupt the progression)
+            for cl in self.not_matched:
+                for f in _idents:
+                    if f.name not in (cl.updates or {}):
+                        raise DeltaError(
+                            f"MERGE insert must assign identity column "
+                            f"{f.name!r} explicitly (GENERATED BY DEFAULT)"
+                        )
 
         all_adds = list(snapshot.files.values())
         col_types = col_types_from_schema_json(

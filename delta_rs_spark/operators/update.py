@@ -75,6 +75,15 @@ def update(
     for col in updates:
         if col in part_cols:
             raise DeltaError(f"cannot update partition column {col!r}")
+    from delta_rs_spark.plans.identity import reject_identity_assignment
+
+    reject_identity_assignment(
+        updates,
+        __import__("pyspark.sql.types", fromlist=["T"]).StructType.fromJson(
+            json.loads(snapshot.schema_string)
+        ),
+        "UPDATE",
+    )
 
     from delta_rs_spark.plans.column_mapping import snapshot_physical_of
 

@@ -63,6 +63,9 @@ SUPPORTED_WRITER_FEATURES = {
     # the delta.rowTracking watermark; rewrites materialize surviving
     # rows' ids (plans/row_tracking.py)
     "rowTracking",
+    # r11: writes generate progression values + advance the field-metadata
+    # high watermark; UPDATE/MERGE assignment rejected (plans/identity.py)
+    "identityColumns",
     "inCommitTimestamp",  # commit path stamps monotonic ICTs when enabled
     # Spark 4 writes variant natively (parquet VARIANT logical type);
     # footer stats fall back to writer._spark_stats_fallback because

@@ -990,3 +990,68 @@ def delta_row_tracking_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dt.to_df_with_row_ids().select(
         "c_custkey", "bal", "_row_id", "_row_commit_version"
     )
+
+
+@query(
+    "delta_identity_op",
+    """
+    WITH n AS (SELECT n_nationkey AS key, n_name AS name,
+                      row_number() OVER (ORDER BY n_nationkey) - 1 AS k
+               FROM nation),
+    r AS (SELECT r_regionkey + 1000 AS key, r_name AS name,
+                 row_number() OVER (ORDER BY r_regionkey) - 1 AS k
+          FROM region),
+    built AS (
+      SELECT 100 + 7 * k AS uid, key, name FROM n
+      UNION ALL
+      SELECT 100 + 7 * (SELECT max(k) FROM n) + 7 + 7 * k AS uid, key, name FROM r
+    )
+    SELECT uid, key, name FROM built
+    WHERE NOT (key % 3 = 0 AND key < 1000)
+    """,
+)
+def delta_identity_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity column end-to-end (PROTOCOL.md "Identity Columns", r11;
+    the reference parses the metadata — kernel schema.rs:270 — but never
+    generates): CREATE with start=100/step=7, two generating appends
+    (single sorted partition makes the interleaved generator collapse to
+    row_number arithmetic), the high watermark persisting across commits
+    via the same-commit Metadata update, and a rewriting DELETE proving
+    generated values are ordinary column data afterwards. The oracle
+    replays the progression arithmetically — a watermark miss, a
+    progression break, or a regenerated value breaks the hash."""
+    from pyspark.sql import types as T
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("identity_op", sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField(
+                "uid",
+                T.LongType(),
+                True,
+                {"delta.identity.start": 100, "delta.identity.step": 7},
+            ),
+            T.StructField("key", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    DeltaTable.create(path, schema, spark=spark)
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .selectExpr("n_nationkey AS key", "n_name AS name")
+        .coalesce(1)
+        .sortWithinPartitions("key")
+    )
+    write_deltalake(path, nation, mode="append")
+    region = (
+        load_table(spark, sf_dir, "region")
+        .selectExpr("r_regionkey + 1000 AS key", "r_name AS name")
+        .coalesce(1)
+        .sortWithinPartitions("key")
+    )
+    write_deltalake(path, region, mode="append")
+    dt = DeltaTable(path, spark=spark)
+    dt.delete("key % 3 = 0 AND key < 1000")
+    return DeltaTable(path, spark=spark).to_df().select("uid", "key", "name")

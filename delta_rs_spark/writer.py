@@ -568,7 +568,10 @@ def write_deltalake(
         if prev is not None and prev.version >= txn_version:
             return
 
+    from delta_rs_spark.plans import identity as _ident
+
     actions: list = []
+    id_plan: dict[str, dict] = {}
     metrics: dict[str, Any] = {}
     txn_info = TransactionInfo(
         blind_append=True,
@@ -599,6 +602,15 @@ def write_deltalake(
         read_version = -1
         table_schema = schema
         part_cols = partition_by
+        # create-by-write: identity columns ride df.schema metadata, so
+        # their values are the user's initial data — sync the watermark
+        # over them (explicit-insert semantics for the defining write)
+        for _f in _ident.identity_fields(table_schema):
+            if _f.name in df.columns:
+                id_plan[_f.name] = {
+                    "step": int((_f.metadata or {}).get(_ident.META_STEP, 1)),
+                    "explicit": True,
+                }
     else:
         read_version = snapshot.version
         table_schema = T.StructType.fromJson(__import__("json").loads(snapshot.schema_string))
@@ -684,6 +696,8 @@ def write_deltalake(
                 )
             )
         provided = set(df.columns)
+        if _ident.identity_fields(table_schema):
+            df, id_plan = _ident.generate(df, table_schema)
         df = _conform(df, table_schema)
         _validate_field_rules(df, table_schema, provided)
 
@@ -716,6 +730,31 @@ def write_deltalake(
         table_schema_json=table_schema.json(),
         preserve_layout=preserve_layout,
     )
+    if id_plan:
+        # advance the identity high watermark over the values that just
+        # landed (add stats; column-pruned fallback scan) — persisted as
+        # field metadata in a Metadata action of THIS commit, so racing
+        # identity writers conflict loudly via MetadataChanged
+        _new_schema = _ident.watermark_updates(
+            id_plan, table_schema, adds, table_path, df.sparkSession
+        )
+        if _new_schema is not None:
+            _queued = [a for a in actions if isinstance(a, Metadata)]
+            if _queued:
+                _queued[-1].schema_string = _new_schema
+            else:
+                _m = snapshot.metadata
+                actions.append(
+                    Metadata(
+                        schema_string=_new_schema,
+                        partition_columns=part_cols,
+                        configuration=_m.configuration,
+                        id=_m.id,
+                        name=_m.name,
+                        description=_m.description,
+                        created_time=_m.created_time,
+                    )
+                )
     actions.extend(adds)
     n_rows = sum(a.num_records() or 0 for a in adds)
     metrics["numFiles"] = len(adds)

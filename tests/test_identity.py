@@ -1,0 +1,189 @@
+"""Identity columns (PROTOCOL.md "Identity Columns"): generation,
+watermark persistence, multi-partition uniqueness, GENERATED ALWAYS vs
+BY DEFAULT, UPDATE/MERGE guards, concurrent-writer conflict."""
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import types as T
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.log.commit import DeltaError
+from delta_rs_spark.plans import identity as ident
+
+
+def _schema(start=1, step=1, allow=False):
+    meta = {"delta.identity.start": start, "delta.identity.step": step}
+    if allow:
+        meta["delta.identity.allowExplicitInsert"] = True
+    return T.StructType(
+        [
+            T.StructField("uid", T.LongType(), True, meta),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+
+
+def _hwm(dt):
+    sch = json.loads(dt._snapshot.schema_string)
+    f = next(f for f in sch["fields"] if f["name"] == "uid")
+    return f["metadata"].get("delta.identity.highWaterMark")
+
+
+def test_generation_progression_and_watermark(spark, tmp_path):
+    path = str(tmp_path / "t")
+    DeltaTable.create(path, _schema(start=10, step=3), spark=spark)
+    dt = DeltaTable(path, spark=spark)
+    assert "identityColumns" in dt._snapshot.protocol.writer_features
+
+    write_deltalake(path, spark.range(6).selectExpr("id AS v"), mode="append")
+    dt = DeltaTable(path, spark=spark)
+    uids = sorted(r["uid"] for r in dt.to_df().collect())
+    assert len(set(uids)) == 6
+    assert all(u >= 10 and (u - 10) % 3 == 0 for u in uids)
+    assert _hwm(dt) == max(uids)
+
+    # second append stays strictly beyond the persisted watermark
+    prev_max = max(uids)
+    write_deltalake(path, spark.range(4).selectExpr("id + 50 AS v"), mode="append")
+    dt = DeltaTable(path, spark=spark)
+    uids2 = [r["uid"] for r in dt.to_df().collect()]
+    assert len(set(uids2)) == 10
+    new = set(uids2) - set(uids)
+    assert all(u > prev_max and (u - 10) % 3 == 0 for u in new)
+    assert _hwm(dt) == max(uids2)
+
+
+def test_multi_partition_uniqueness(spark, tmp_path):
+    path = str(tmp_path / "mp")
+    DeltaTable.create(path, _schema(), spark=spark)
+    df = spark.range(500).selectExpr("id AS v").repartition(8)
+    write_deltalake(path, df, mode="append", max_records_per_file=50)
+    dt = DeltaTable(path, spark=spark)
+    uids = [r["uid"] for r in dt.to_df().collect()]
+    assert len(set(uids)) == 500
+    assert all(u >= 1 for u in uids)
+    # compact interleaved scheme: values stay small, not 2^33-spanned
+    assert max(uids) < 1 + 1 * (8 * 500)
+
+
+def test_negative_step(spark, tmp_path):
+    path = str(tmp_path / "neg")
+    DeltaTable.create(path, _schema(start=0, step=-2), spark=spark)
+    write_deltalake(path, spark.range(5).selectExpr("id AS v"), mode="append")
+    dt = DeltaTable(path, spark=spark)
+    uids = sorted(r["uid"] for r in dt.to_df().collect())
+    assert all(u <= 0 and u % 2 == 0 for u in uids)
+    assert _hwm(dt) == min(uids)  # watermark moves in step direction
+    write_deltalake(path, spark.range(3).selectExpr("id AS v"), mode="append")
+    dt = DeltaTable(path, spark=spark)
+    uids2 = [r["uid"] for r in dt.to_df().collect()]
+    assert len(set(uids2)) == 8
+
+
+def test_generated_always_vs_by_default(spark, tmp_path):
+    always = str(tmp_path / "al")
+    DeltaTable.create(always, _schema(), spark=spark)
+    with pytest.raises(DeltaError, match="GENERATED ALWAYS"):
+        write_deltalake(
+            always,
+            spark.range(2).selectExpr("id AS uid", "id AS v"),
+            mode="append",
+        )
+
+    bydef = str(tmp_path / "bd")
+    DeltaTable.create(bydef, _schema(start=1, step=1, allow=True), spark=spark)
+    # explicit insert accepted AND syncs the watermark over it
+    write_deltalake(
+        bydef,
+        spark.range(3).selectExpr("id + 1000 AS uid", "id AS v"),
+        mode="append",
+    )
+    dt = DeltaTable(bydef, spark=spark)
+    assert _hwm(dt) == 1002
+    # generation then continues beyond the synced mark
+    write_deltalake(bydef, spark.range(2).selectExpr("id + 90 AS v"), mode="append")
+    dt = DeltaTable(bydef, spark=spark)
+    gen = [r["uid"] for r in dt.to_df(predicate="v >= 90").collect()]
+    assert all(u > 1002 for u in gen)
+
+
+def test_update_and_merge_guards(spark, tmp_path):
+    path = str(tmp_path / "g")
+    DeltaTable.create(path, _schema(), spark=spark)
+    write_deltalake(path, spark.range(4).selectExpr("id AS v"), mode="append")
+    dt = DeltaTable(path, spark=spark)
+    with pytest.raises(DeltaError, match="identity column"):
+        dt.update({"uid": "1"}, predicate="v = 0")
+    src = spark.range(2).selectExpr("id AS v")
+    with pytest.raises(DeltaError, match="GENERATED ALWAYS"):
+        (
+            dt.merge(src, "t.v = s.v", source_alias="s", target_alias="t")
+            .when_not_matched_insert_all()
+            .execute()
+        )
+    # matched-update of non-identity columns stays allowed
+    dt.merge(src, "t.v = s.v", source_alias="s", target_alias="t").when_matched_update(
+        {"v": "s.v + 100"}
+    ).execute()
+    dt = DeltaTable(path, spark=spark)
+    assert sorted(r["v"] for r in dt.to_df().collect()) == [2, 3, 100, 101]
+    # ids unchanged by the merge rewrite
+    assert len({r["uid"] for r in dt.to_df().collect()}) == 4
+
+    bydef = str(tmp_path / "gbd")
+    DeltaTable.create(bydef, _schema(allow=True), spark=spark)
+    write_deltalake(bydef, spark.range(2).selectExpr("id AS v"), mode="append")
+    dtb = DeltaTable(bydef, spark=spark)
+    src2 = spark.range(2).selectExpr("id + 10 AS v")
+    with pytest.raises(DeltaError, match="explicitly"):
+        (
+            dtb.merge(src2, "t.v = s.v", source_alias="s", target_alias="t")
+            .when_not_matched_insert({"v": "s.v"})
+            .execute()
+        )
+    (
+        dtb.merge(src2, "t.v = s.v", source_alias="s", target_alias="t")
+        .when_not_matched_insert({"v": "s.v", "uid": "s.v + 5000"})
+        .execute()
+    )
+    dtb = DeltaTable(bydef, spark=spark)
+    assert dtb.to_df().count() == 4
+
+
+def test_concurrent_identity_writers_conflict_loudly(spark, tmp_path):
+    """Both racing appends update the Metadata watermark — the loser
+    must surface MetadataChangedError, never silently double-allocate."""
+    from delta_rs_spark.log.commit import MetadataChangedError
+
+    path = str(tmp_path / "race")
+    DeltaTable.create(path, _schema(), spark=spark)
+    barrier = threading.Barrier(2)
+    outcomes = []
+
+    def writer(tag):
+        try:
+            df = spark.range(4).selectExpr(f"id + {tag * 100} AS v")
+            barrier.wait()
+            write_deltalake(path, df, mode="append")
+            outcomes.append("ok")
+        except MetadataChangedError:
+            outcomes.append("conflict")
+        except Exception as e:  # pragma: no cover
+            outcomes.append(f"other:{e}")
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert sorted(outcomes) in (["conflict", "ok"], ["ok", "ok"])
+    dt = DeltaTable(path, spark=spark)
+    uids = [r["uid"] for r in dt.to_df().collect()]
+    assert len(set(uids)) == len(uids)  # no double allocation either way
+
+
+def test_zero_step_rejected(spark, tmp_path):
+    path = str(tmp_path / "z")
+    DeltaTable.create(path, _schema(step=0), spark=spark)
+    with pytest.raises(DeltaError, match="nonzero"):
+        write_deltalake(path, spark.range(1).selectExpr("id AS v"), mode="append")
