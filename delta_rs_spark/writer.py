@@ -736,7 +736,14 @@ def write_deltalake(
         # field metadata in a Metadata action of THIS commit, so racing
         # identity writers conflict loudly via MetadataChanged
         _new_schema = _ident.watermark_updates(
-            id_plan, table_schema, adds, table_path, df.sparkSession
+            id_plan,
+            table_schema,
+            adds,
+            table_path,
+            df.sparkSession,
+            configuration=(
+                snapshot.configuration if snapshot is not None else configuration
+            ),
         )
         if _new_schema is not None:
             _queued = [a for a in actions if isinstance(a, Metadata)]

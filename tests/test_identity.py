@@ -187,3 +187,40 @@ def test_zero_step_rejected(spark, tmp_path):
     DeltaTable.create(path, _schema(step=0), spark=spark)
     with pytest.raises(DeltaError, match="nonzero"):
         write_deltalake(path, spark.range(1).selectExpr("id AS v"), mode="append")
+
+
+def test_identity_under_column_mapping(spark, tmp_path):
+    """Identity + columnMapping: the parquet files and stats carry
+    physical col-<uuid> names — generation and the watermark lookup must
+    translate. Also pins the stats-excluded fallback scan (the identity
+    column is kept OUT of the skipping stats, so the watermark can only
+    come from the column-pruned scan of the new files)."""
+    path = str(tmp_path / "cm")
+    schema = T.StructType(
+        [
+            T.StructField(
+                "uid", T.LongType(), True,
+                {"delta.identity.start": 5, "delta.identity.step": 2},
+            ),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    DeltaTable.create(
+        path,
+        schema,
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.dataSkippingStatsColumns": "v",  # uid has NO stats
+        },
+        spark=spark,
+    )
+    write_deltalake(path, spark.range(5).selectExpr("id AS v"), mode="append")
+    dt = DeltaTable(path, spark=spark)
+    uids = sorted(r["uid"] for r in dt.to_df().collect())
+    assert len(set(uids)) == 5 and all((u - 5) % 2 == 0 for u in uids)
+    assert _hwm(dt) == max(uids)
+    write_deltalake(path, spark.range(3).selectExpr("id + 50 AS v"), mode="append")
+    dt = DeltaTable(path, spark=spark)
+    all_uids = [r["uid"] for r in dt.to_df().collect()]
+    assert len(set(all_uids)) == 8
+    assert _hwm(dt) == max(all_uids)
