@@ -591,11 +591,6 @@ class TableMerger:
 
         _idents = _ident.identity_fields(schema)
         if _idents:
-            for cl in self.matched + self.not_matched_by_source:
-                if cl.kind == "update":
-                    _ident.reject_identity_assignment(
-                        cl.updates or {}, schema, "MERGE update clause"
-                    )
             for cl in self.not_matched:
                 for f in _idents:
                     if not bool((f.metadata or {}).get(_ident.META_ALLOW, False)):
@@ -627,9 +622,16 @@ class TableMerger:
             if cl.updates is None:
                 cl.updates = self._auto_updates(cl, cols, src_cols, getattr(self, "_insert_except", []))
         if _idents:
-            # post-expansion: a BY DEFAULT identity column must be fed an
-            # explicit value by every insert clause (a NULL fill would
-            # corrupt the progression)
+            # post-expansion guards (update_all/insert_all have concrete
+            # assignment maps only now): no update clause — *_all
+            # included — may assign an identity column, and every insert
+            # clause must feed a BY DEFAULT column an explicit value (a
+            # NULL fill would corrupt the progression)
+            for cl in self.matched + self.not_matched_by_source:
+                if cl.kind == "update":
+                    _ident.reject_identity_assignment(
+                        cl.updates or {}, schema, "MERGE update clause"
+                    )
             for cl in self.not_matched:
                 for f in _idents:
                     if f.name not in (cl.updates or {}):

@@ -224,3 +224,33 @@ def test_identity_under_column_mapping(spark, tmp_path):
     all_uids = [r["uid"] for r in dt.to_df().collect()]
     assert len(set(all_uids)) == 8
     assert _hwm(dt) == max(all_uids)
+
+
+def test_merge_update_all_cannot_smuggle_identity(spark, tmp_path):
+    """when_matched_update_all expands AFTER validation used to run — a
+    source carrying the identity column must still be rejected, and
+    except_cols is the sanctioned escape hatch."""
+    path = str(tmp_path / "ua")
+    DeltaTable.create(path, _schema(), spark=spark)
+    write_deltalake(path, spark.range(3).selectExpr("id AS v"), mode="append")
+    dt = DeltaTable(path, spark=spark)
+    before = {r["v"]: r["uid"] for r in dt.to_df().collect()}
+    src = spark.range(3).selectExpr("id AS v", "id + 9000 AS uid")
+    with pytest.raises(DeltaError, match="identity column"):
+        (
+            dt.merge(src, "t.v = s.v", source_alias="s", target_alias="t")
+            .when_matched_update_all()
+            .execute()
+        )
+    (
+        dt.merge(
+            spark.range(3).selectExpr("id AS v", "id + 9000 AS uid"),
+            "t.v = s.v",
+            source_alias="s",
+            target_alias="t",
+        )
+        .when_matched_update_all(except_cols=["uid"])
+        .execute()
+    )
+    dt = DeltaTable(path, spark=spark)
+    assert {r["v"]: r["uid"] for r in dt.to_df().collect()} == before
