@@ -334,8 +334,8 @@ def test_dataset_refused_on_mapped_and_dv_tables(spark, mapped, tmp_path):
 
 def test_unsupported_writer_feature_refused(spark, tmp_path):
     """A v7 writer protocol with features we don't honor
-    (identityColumns — r11 made rowTracking a SUPPORTED feature)
-    must refuse mutations but still allow reads."""
+    (icebergCompatV1 — r11 made rowTracking AND identityColumns
+    supported features) must refuse mutations but still allow reads."""
     import json as _json
 
     from delta_rs_spark import DeltaTable as DT
@@ -346,16 +346,16 @@ def test_unsupported_writer_feature_refused(spark, tmp_path):
     )
     commit_mod.commit(
         p,
-        [Protocol(1, 7, None, ["identityColumns"]), Metadata(schema_string=schema)],
+        [Protocol(1, 7, None, ["icebergCompatV1"]), Metadata(schema_string=schema)],
         CommitInfo("CREATE TABLE", {}),
         -1,
         TransactionInfo(blind_append=True),
     )
     t = DT(p, spark=spark)
     assert t.to_df().count() == 0  # reads fine (no reader features needed)
-    with pytest.raises(DeltaError, match="identityColumns"):
+    with pytest.raises(DeltaError, match="icebergCompatV1"):
         t.delete("id = 1")
-    with pytest.raises(DeltaError, match="identityColumns"):
+    with pytest.raises(DeltaError, match="icebergCompatV1"):
         from delta_rs_spark import write_deltalake
 
         write_deltalake(p, spark.range(1).selectExpr("id"), mode="append")
