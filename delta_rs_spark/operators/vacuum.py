@@ -131,11 +131,21 @@ def vacuum(
     candidates: list[str] = []
     if lite:
         # log-driven: the tombstone sets above already hold every
-        # (path, deletionTimestamp) the log knows about — no listing
+        # (path, deletionTimestamp) the log knows about — no listing.
+        # Candidates MUST resolve inside the table root: on a shallow
+        # clone, tombstoned 'p' DV descriptors (and absolute add paths)
+        # resolve to the SOURCE table, and deleting there would break
+        # clone/vacuum isolation. Classic vacuum is structurally safe
+        # because _walk_data_files never yields paths outside the root;
+        # LITE has to enforce the same boundary explicitly.
+        root = os.path.realpath(table_path)
         for rel, ts_ms in {**tombstoned, **dv_tombstoned}.items():
             if rel in active or ts_ms > cutoff_ms:
                 continue
-            if os.path.exists(os.path.join(table_path, rel)):
+            full_p = os.path.realpath(os.path.join(table_path, rel))
+            if os.path.commonpath([root, full_p]) != root:
+                continue  # escapes the table root (clone source etc.)
+            if os.path.exists(full_p):
                 candidates.append(rel)
         candidates = sorted(set(candidates))
     for rel in _walk_data_files(table_path) if not lite else []:

@@ -657,3 +657,49 @@ def test_deep_refresh_never_overwrites_prior_generation_files(
     old = DeltaTable(dst, spark=spark, version=0)
     assert sorted(r.id for r in old.to_df().collect()) == list(range(10))
     assert len(_parquet_under(dst)) == 2
+
+
+def test_vacuum_lite_never_reaches_clone_source(spark, tmp_path, monkeypatch):
+    """r12 ADVICE (high): LITE vacuum builds candidates from tombstone
+    keys without a listing, so a tombstoned 'p' DV descriptor on a
+    shallow clone resolves to the SOURCE table ('../src/…'). The lite
+    branch must reject any candidate whose realpath escapes the clone
+    root — otherwise a dry_run lists, and a real run unlinks, the
+    source's still-live DV sidecar."""
+    from delta_rs_spark.operators import delete as delete_mod
+
+    # force the sidecar ('u'/'p') DV tier even for tiny bitmaps so the
+    # clone's tombstone carries a file-backed descriptor
+    monkeypatch.setattr(delete_mod, "_DV_INLINE_MAX_BYTES", 0)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_deltalake(
+        src,
+        _df20(spark).coalesce(1),
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    s = DeltaTable(src, spark=spark)
+    s.delete("id < 5")  # source gets a DV sidecar it still references
+    clone_table(src, dst)
+    c = DeltaTable(dst, spark=spark)
+    # merging the inherited 'p' DV tombstones the old (path, DV) pair —
+    # whose DV sidecar lives under the SOURCE root
+    c.delete("id < 8")
+    c.refresh()
+    src_dvs = [
+        f for f in os.listdir(src) if f.startswith("deletion_vector")
+    ]
+    assert src_dvs, "source must hold the live DV sidecar"
+
+    lite = c.vacuum(retention_hours=0, enforce_retention_duration=False,
+                    lite=True)
+    assert all(not r.startswith("..") and not os.path.isabs(r) for r in lite)
+
+    c.vacuum(retention_hours=0, enforce_retention_duration=False,
+             dry_run=False, lite=True)
+    # the source's DV sidecar survived; both tables still read correctly
+    for f in src_dvs:
+        assert os.path.exists(os.path.join(src, f))
+    s.refresh()
+    assert sorted(r.id for r in s.to_df().collect()) == list(range(5, 20))
+    assert sorted(r.id for r in c.to_df().collect()) == list(range(8, 20))
