@@ -1014,7 +1014,7 @@ def delta_identity_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identity column end-to-end (PROTOCOL.md "Identity Columns", r11;
     the reference parses the metadata — kernel schema.rs:270 — but never
     generates): CREATE with start=100/step=7, two generating appends
-    (single sorted partition makes the interleaved generator collapse to
+    (single sorted partition makes the mid-based generator collapse to
     row_number arithmetic), the high watermark persisting across commits
     via the same-commit Metadata update, and a rewriting DELETE proving
     generated values are ordinary column data afterwards. The oracle

@@ -63,9 +63,22 @@ def test_multi_partition_uniqueness(spark, tmp_path):
     dt = DeltaTable(path, spark=spark)
     uids = [r["uid"] for r in dt.to_df().collect()]
     assert len(set(uids)) == 500
-    assert all(u >= 1 for u in uids)
-    # compact interleaved scheme: values stay small, not 2^33-spanned
-    assert max(uids) < 1 + 1 * (8 * 500)
+    assert all(u >= 1 and (u - 1) % 1 == 0 for u in uids)
+    # sparse-but-safe scheme (r12): k = monotonically_increasing_id(),
+    # unique under ANY runtime partition count (AQE may execute the
+    # write with more partitions than any plan-time probe saw); the
+    # protocol allows the resulting 2^33-per-partition gaps
+    assert _hwm(dt) == max(uids)
+    # a second multi-partition append still lands strictly beyond
+    write_deltalake(
+        path,
+        spark.range(100).selectExpr("id AS v").repartition(8),
+        mode="append",
+    )
+    dt = DeltaTable(path, spark=spark)
+    uids2 = [r["uid"] for r in dt.to_df().collect()]
+    assert len(set(uids2)) == 600
+    assert all(u > max(uids) for u in set(uids2) - set(uids))
 
 
 def test_negative_step(spark, tmp_path):
