@@ -99,6 +99,10 @@ class TransactionInfo:
     # already holds it — saves commit() a full log replay for the
     # append-only check (None = commit loads it on demand)
     table_config: dict[str, str] | None = None
+    # row-id high watermark as of the read snapshot (row-tracking
+    # tables), when the operator already holds the snapshot — saves
+    # commit() another full log replay (None = compute on demand)
+    rt_watermark: int | None = None
 
 
 class LogStore:
@@ -338,6 +342,7 @@ def commit(
     if any(isinstance(a, Add) for a in actions):
         from delta_rs_spark.plans import row_tracking as _rt
 
+        _rt_snap = None  # one load shared by cfg fallback + watermark
         _rt_cfg = None
         for a in actions:
             if isinstance(a, Metadata):
@@ -347,14 +352,17 @@ def commit(
             _rt_cfg = txn_info.table_config
         if _rt_cfg is None and read_version >= 0:
             try:
-                _rt_cfg = snap_mod.load_snapshot(table_path, read_version).configuration
+                _rt_snap = snap_mod.load_snapshot(table_path, read_version)
+                _rt_cfg = _rt_snap.configuration
             except Exception:
                 _rt_cfg = {}
         if _rt.enabled(_rt_cfg):
-            if read_version >= 0:
-                rt_wm = _rt.high_watermark(
-                    snap_mod.load_snapshot(table_path, read_version)
-                )
+            if txn_info is not None and txn_info.rt_watermark is not None:
+                rt_wm = txn_info.rt_watermark
+            elif read_version >= 0:
+                if _rt_snap is None:
+                    _rt_snap = snap_mod.load_snapshot(table_path, read_version)
+                rt_wm = _rt.high_watermark(_rt_snap)
             else:
                 rt_wm = -1
 

@@ -47,22 +47,31 @@ def write_change_data(change_df: DataFrame, table_path: str) -> list[AddCDCFile]
 
     from delta_rs_spark.plans import column_mapping as cmap
 
+    from delta_rs_spark.log import snapshot as snap_mod
+    from delta_rs_spark.plans.row_tracking import materialized_names
+
+    try:
+        snap = snap_mod.load_snapshot(table_path)
+    except Exception:
+        snap = None
+
     # row tracking's hidden materialized columns ride rewrite frames;
     # CDC files carry TABLE columns only (change consumers never see
-    # physical row ids)
+    # physical row ids). The names come from the table CONFIGURATION
+    # (delta.rowTracking.materialized*ColumnName) — a foreign writer may
+    # not follow our '_row-id-col-' prefix convention.
     hidden = [
         c
         for c in change_df.columns
-        if c.startswith(("_row-id-col-", "_row-commit-version-col-"))
+        if c in materialized_names(snap.configuration if snap else None)
     ]
     if hidden:
         change_df = change_df.drop(*hidden)
 
     part_phys: list[str] = []
     try:
-        from delta_rs_spark.log import snapshot as snap_mod
-
-        snap = snap_mod.load_snapshot(table_path)
+        if snap is None:
+            raise ValueError("no snapshot")
         mapped = cmap.mapping_mode(snap.configuration) != "none"
         if mapped:
             import json as _json

@@ -27,6 +27,9 @@ from delta_rs_spark.log import commit as commit_mod
 from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import Add, CommitInfo, Remove, now_ms
 from delta_rs_spark.log.commit import TransactionInfo
+from delta_rs_spark.plans.row_tracking import (
+    cached_watermark as _rt_cached_watermark,
+)
 from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
 from delta_rs_spark.operators.util import _rel_candidates, match_touched_files
 from delta_rs_spark.plans.skipping import (
@@ -299,6 +302,7 @@ def delete(
                 blind_append=False,
                 read_whole_table=True,
                 table_config=snapshot.configuration,
+                rt_watermark=_rt_cached_watermark(snapshot),
             ),
             commit_properties=commit_properties,
             post_commit=post_commithook_properties,
@@ -348,6 +352,7 @@ def delete(
         read_files={r.path for r in removes},
         read_whole_table=False,
         table_config=snapshot.configuration,
+        rt_watermark=_rt_cached_watermark(snapshot),
         isolation_level=snapshot.configuration.get(
             "delta.isolationLevel", "WriteSerializable"
         ),

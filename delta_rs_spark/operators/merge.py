@@ -1077,11 +1077,14 @@ class TableMerger:
         # filter the whole table was read (ADVICE r01: a concurrent DELETE
         # of a scanned-but-not-rewritten file must raise
         # ConcurrentDeleteReadError)
+        from delta_rs_spark.plans import row_tracking as _rt
+
         txn = TransactionInfo(
             blind_append=False,
             read_files={a.path for a in candidates},
             read_whole_table=(early is None or bool(self.not_matched_by_source)),
             table_config=snapshot.configuration,
+            rt_watermark=_rt.cached_watermark(snapshot),
             isolation_level=snapshot.configuration.get(
                 "delta.isolationLevel", "WriteSerializable"
             ),

@@ -141,10 +141,13 @@ class TableOptimizer:
                 {"targetSize": target, **({"predicate": pred} if pred else {})},
                 operation_metrics=batch_metrics,
             )
+            from delta_rs_spark.plans import row_tracking as _rt
+
             txn = TransactionInfo(
                 blind_append=False,
                 read_files={r.path for r in removes},
                 table_config=snapshot.configuration,
+                rt_watermark=_rt.cached_watermark(snapshot),
             )
             return commit_mod.commit(
                 table_path, list(new_adds) + removes, op, read_version, txn
@@ -270,10 +273,13 @@ class TableOptimizer:
             {"applyPurge": True, **({"predicate": pred} if pred else {})},
             operation_metrics=metrics,
         )
+        from delta_rs_spark.plans import row_tracking as _rt
+
         txn = TransactionInfo(
             blind_append=False,
             read_files={r.path for r in removes},
             table_config=snapshot.configuration,
+            rt_watermark=_rt.cached_watermark(snapshot),
         )
         commit_mod.commit(
             table_path,

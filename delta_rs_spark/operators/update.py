@@ -21,6 +21,9 @@ from delta_rs_spark.log import commit as commit_mod
 from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import CommitInfo, Remove, now_ms
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
+from delta_rs_spark.plans.row_tracking import (
+    cached_watermark as _rt_cached_watermark,
+)
 from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
 from delta_rs_spark.operators.util import match_touched_files
 from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
@@ -248,6 +251,7 @@ def update(
         blind_append=False,
         read_files={r.path for r in removes},
         table_config=snapshot.configuration,
+        rt_watermark=_rt_cached_watermark(snapshot),
         isolation_level=snapshot.configuration.get(
             "delta.isolationLevel", "WriteSerializable"
         ),
@@ -400,6 +404,7 @@ def _dv_update(
         blind_append=False,
         read_files={r.path for r in removes},
         table_config=snapshot.configuration,
+        rt_watermark=_rt_cached_watermark(snapshot),
         isolation_level=snapshot.configuration.get(
             "delta.isolationLevel", "WriteSerializable"
         ),

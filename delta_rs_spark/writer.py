@@ -286,14 +286,20 @@ def write_files(
         stats = _spark_stats_fallback(
             df, moved, stats, n_idx, stats_cols, partition_by
         )
+    # row tracking's hidden materialized columns are physical-only —
+    # keep them out of the skipping stats (they are not queryable).
+    # Resolve the CONFIGURED names (delta.rowTracking.materialized*
+    # ColumnName): a table written by another engine may name them
+    # without our '_row-id-col-' prefix convention.
+    from delta_rs_spark.plans.row_tracking import materialized_names
+
+    hidden_stat_cols = set(materialized_names(cfg))
     for st in stats:
-        # row tracking's hidden materialized columns are physical-only —
-        # keep them out of the skipping stats (they are not queryable)
         for k in ("minValues", "maxValues", "nullCount"):
             d = (st or {}).get(k)
             if d:
                 for name in list(d):
-                    if name.startswith(("_row-id-col-", "_row-commit-version-col-")):
+                    if name in hidden_stat_cols:
                         del d[name]
     for (abs_path, rel_path, part_vals), st in zip(moved, stats):
         # a file still without stats after the fallback scanned exactly
@@ -573,10 +579,17 @@ def write_deltalake(
     actions: list = []
     id_plan: dict[str, dict] = {}
     metrics: dict[str, Any] = {}
+    from delta_rs_spark.plans.row_tracking import (
+        cached_watermark as _rt_cached_watermark,
+    )
+
     txn_info = TransactionInfo(
         blind_append=True,
         table_config=(
             snapshot.configuration if snapshot is not None else configuration
+        ),
+        rt_watermark=(
+            _rt_cached_watermark(snapshot) if snapshot is not None else None
         ),
     )
 
@@ -773,6 +786,7 @@ def write_deltalake(
             blind_append=False,
             read_whole_table=True,
             table_config=snapshot.configuration,
+            rt_watermark=_rt_cached_watermark(snapshot),
         )
         if predicate:
             removes, extra_adds, n_removed = _replace_where(

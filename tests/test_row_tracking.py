@@ -324,3 +324,37 @@ def test_midlife_enablement_backfills(spark, tmp_path):
     dt.delete("id = 4")
     dt = DeltaTable(path, spark=spark)
     assert _ids(dt) == {k: v for k, v in ids.items() if k != 4}
+
+
+def test_custom_materialized_names_stay_hidden(spark, tmp_path):
+    """r12 ADVICE: the stats-stripping (writer.py) and CDF-dropping
+    (cdc.py) hygiene must resolve the CONFIGURED
+    delta.rowTracking.materialized*ColumnName values — a foreign writer
+    may name the hidden columns without our '_row-id-col-' prefix."""
+    path = str(tmp_path / "cn")
+    custom = {
+        "delta.rowTracking.materializedRowIdColumnName": "hidden_rid",
+        "delta.rowTracking.materializedRowCommitVersionColumnName": "hidden_rcv",
+    }
+    dt = _table(
+        spark, path, n=8, files=2,
+        extra_cfg={"delta.enableChangeDataFeed": "true", **custom},
+    )
+    cfg = dt._snapshot.configuration
+    assert rt.materialized_names(cfg) == ("hidden_rid", "hidden_rcv")
+
+    dt.delete("id = 1")  # rewrite: materializes the hidden columns
+    dt.update({"v": "v + 1"}, predicate="id = 2")
+    dt = DeltaTable(path, spark=spark)
+    # ids stayed stable through the rewrites under the custom names
+    assert sorted(x[0] for x in _ids(dt).values()) == sorted(
+        set(range(8)) - {1}
+    )
+    cdf = dt.load_cdf(starting_version=1)
+    assert "hidden_rid" not in cdf.columns
+    assert "hidden_rcv" not in cdf.columns
+    for a in dt._snapshot.files.values():
+        st = a.stats_dict() or {}
+        for sect in ("minValues", "maxValues", "nullCount"):
+            assert "hidden_rid" not in st.get(sect, {})
+            assert "hidden_rcv" not in st.get(sect, {})
