@@ -109,24 +109,17 @@ _RELATIONAL_REPRESENTATIVES = (
 # per round so the mandatory prefix — delta_* + streaming + category
 # representatives + this block — stays inside the driver's observed
 # 50-51 window without trimming or deferral.
-_FIRST_WITNESS_NEEDED = (
-    # The two r10 contract pins (llm_incremental_agg_nocdf,
-    # q_events_stream_static_enrich) graduated at r11 open — both have
-    # green r10 rows (VERDICT r10 next-round #4); the rotation
-    # re-witnesses them. The freed slots let the rotation absorb the
-    # r04-stale block.
+_FIRST_WITNESS_NEEDED: tuple[str, ...] = (
+    # The r11 intake (llm_ivf_index_sync, llm_ivf_recluster,
+    # llm_kmv_sketch, llm_source_overlap_kmv) graduated at r12 open —
+    # all four have green r11 rows (VERDICT r11 next-round #5); the
+    # rotation re-witnesses them. The freed slots let the rotation
+    # absorb the r05-stale block (11 entries, all builder-mirror-green
+    # on the r11 final tree).
     #
-    # r11 intake: the incremental IVF index sync gate (VERDICT r10
-    # next-round #1) and its drift-recluster companion (k-means refit
-    # replayed in the oracle) — brand-new operators, each needs its
-    # first committed driver row this round.
-    "llm_ivf_index_sync",
-    "llm_ivf_recluster",
-    # r11 intake (2): KMV sketch plane (functions/sketches.py) — the
-    # bottom-k sketch construction and the sketch-only pairwise
-    # source-overlap estimator, both full DuckDB oracles.
-    "llm_kmv_sketch",
-    "llm_source_overlap_kmv",
+    # r12 intake: the identity merge-insert leg extends the EXISTING
+    # delta_identity_op oracle (already in the pinned delta_* prefix),
+    # so no new first-witness entries this round.
 )
 
 
