@@ -463,9 +463,32 @@ def _dv_dict(raw: dict | None) -> dict[str, Any] | None:
     return {k: v for k, v in raw.items() if v is not None}
 
 
-def read_checkpoint(table_path: str, version: int) -> list[Action]:
+def read_checkpoint(
+    table_path: str, version: int, expand_sidecars: bool = True
+) -> list[Action]:
+    """All actions of the checkpoint at ``version``. V2 sidecar pointers
+    are expanded here — fetched with a thread pool (parquet read +
+    decompression release the GIL, so the bounded sidecar layout the
+    write side ships is actually consumed in parallel; the reference's
+    kernel replays checkpoints the same way,
+    crates/core/src/kernel/snapshot/stream.rs) and their add/remove
+    payload extracted columnar, never as per-row nested dicts."""
     table = pq.read_table(find_checkpoint_file(table_path, version))
-    return _actions_from_parquet_rows(table.to_pylist())
+    actions = _actions_from_arrow(table)
+    sidecars = [a for a in actions if isinstance(a, Sidecar)]
+    if not expand_sidecars or not sidecars:
+        return actions
+    out = [a for a in actions if not isinstance(a, Sidecar)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(16, (os.cpu_count() or 4), len(sidecars))
+    ) as ex:
+        for part in ex.map(
+            lambda s: read_sidecar_actions(table_path, s.path), sidecars
+        ):
+            out.extend(part)
+    return out
 
 
 def read_sidecar_actions(table_path: str, sidecar_path: str) -> list[Action]:
@@ -474,7 +497,102 @@ def read_sidecar_actions(table_path: str, sidecar_path: str) -> list[Action]:
     p = sidecar_path.removeprefix("file://")
     if not os.path.isabs(p):
         p = os.path.join(log_dir(table_path), "_sidecars", p)
-    return _actions_from_parquet_rows(pq.read_table(p).to_pylist())
+    return _actions_from_arrow(pq.read_table(p))
+
+
+def _actions_from_arrow(table) -> list[Action]:
+    """Actions from a checkpoint/sidecar parquet table. The add/remove
+    struct columns — millions of rows at 100 TB — are decoded columnar
+    (flat per-field arrays, one pass); only the handful of rows carrying
+    the OTHER action kinds (protocol/metaData/txn/...) go through the
+    per-row dict parser."""
+    names = set(table.schema.names)
+    # removes BEFORE adds: a DV-churned path appears as both a tombstone
+    # (old DV) and a live add (new DV) in the same checkpoint, and the
+    # path-keyed replay must let the add win — the writer guarantees the
+    # same order row-wise (write_checkpoint emits removes first)
+    file_cols = [c for c in ("remove", "add") if c in names]
+    other_cols = [c for c in table.schema.names if c not in ("add", "remove")]
+    actions: list[Action] = []
+    if other_cols:
+        rest = table.select(other_cols)
+        # prune to rows where at least one non-file action is set —
+        # sidecars have none, classic checkpoints have a handful
+        import pyarrow.compute as pc
+
+        mask = None
+        for c in other_cols:
+            v = pc.is_valid(rest.column(c))
+            mask = v if mask is None else pc.or_(mask, v)
+        rest = rest.filter(mask)
+        if rest.num_rows:
+            actions.extend(_actions_from_parquet_rows(rest.to_pylist()))
+    for col in file_cols:
+        arr = table.column(col).combine_chunks()
+        if arr.null_count == len(arr):
+            continue
+        have = {f.name for f in arr.type}
+        nulls = [None] * len(arr)
+        empties = [[]] * len(arr)
+
+        def f(name):
+            if name not in have:
+                return nulls
+            a = arr.field(name)
+            # all-null (no DVs, no tags, no row tracking) and all-empty
+            # (unpartitioned tables' partitionValues) columns dominate
+            # real checkpoints — skip their per-row materialization
+            if a.null_count == len(a):
+                return nulls
+            if pa.types.is_map(a.type) and a.null_count == 0 and len(a.values) == 0:
+                return empties
+            return a.to_pylist()
+
+        paths = f("path")
+        if col == "add":
+            sizes, mtimes = f("size"), f("modificationTime")
+            pvs, stats, tags = f("partitionValues"), f("stats"), f("tags")
+            dvs, brids, drcvs = (
+                f("deletionVector"),
+                f("baseRowId"),
+                f("defaultRowCommitVersion"),
+            )
+            for i, p in enumerate(paths):
+                if p is None:
+                    continue
+                actions.append(
+                    Add(
+                        path=p,
+                        size=sizes[i] or 0,
+                        modification_time=mtimes[i] or 0,
+                        data_change=False,
+                        partition_values=dict(pvs[i] or []),
+                        stats=stats[i],
+                        tags=dict(tags[i]) if tags[i] else None,
+                        deletion_vector=_dv_dict(dvs[i]),
+                        base_row_id=brids[i],
+                        default_row_commit_version=drcvs[i],
+                    )
+                )
+        else:
+            dts, dcs = f("deletionTimestamp"), f("dataChange")
+            pvs, sizes, dvs = f("partitionValues"), f("size"), f("deletionVector")
+            for i, p in enumerate(paths):
+                if p is None:
+                    continue
+                actions.append(
+                    Remove(
+                        p,
+                        dts[i] or 0,
+                        dcs[i] if dcs[i] is not None else True,
+                        partition_values=(
+                            dict(pvs[i]) if pvs[i] is not None else None
+                        ),
+                        size=sizes[i],
+                        deletion_vector=_dv_dict(dvs[i]),
+                    )
+                )
+    return actions
 
 
 def _actions_from_parquet_rows(rows: list[dict]) -> list[Action]:
