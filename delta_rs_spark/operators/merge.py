@@ -583,22 +583,15 @@ class TableMerger:
         cols = [f.name for f in schema.fields]
         t, s = self._aliases()
 
-        # identity columns: clauses may never assign one, and an insert
-        # clause must set a GENERATED BY DEFAULT column explicitly (a
-        # NULL-filled insert would corrupt the progression; ALWAYS
-        # columns cannot be merge-inserted at all — delta-spark parity)
+        # identity columns (delta-spark parity, r12): update clauses may
+        # never assign one; insert clauses GENERATE any identity column
+        # they leave unassigned (ALWAYS and BY DEFAULT alike), and may
+        # assign one explicitly only under GENERATED BY DEFAULT. The
+        # concrete assignment maps exist post-expansion — all guards and
+        # the generation plan are built there.
         from delta_rs_spark.plans import identity as _ident
 
         _idents = _ident.identity_fields(schema)
-        if _idents:
-            for cl in self.not_matched:
-                for f in _idents:
-                    if not bool((f.metadata or {}).get(_ident.META_ALLOW, False)):
-                        raise DeltaError(
-                            f"MERGE insert into GENERATED ALWAYS identity "
-                            f"column {f.name!r} is not supported — identity "
-                            "values are only generated on write/append"
-                        )
 
         source_df = _to_spark_df(self.source, spark)
         src_cols = set(source_df.columns)
@@ -621,12 +614,17 @@ class TableMerger:
         for cl in self.not_matched:
             if cl.updates is None:
                 cl.updates = self._auto_updates(cl, cols, src_cols, getattr(self, "_insert_except", []))
+        id_plan: dict[str, dict] = {}
         if _idents:
             # post-expansion guards (update_all/insert_all have concrete
             # assignment maps only now): no update clause — *_all
-            # included — may assign an identity column, and every insert
-            # clause must feed a BY DEFAULT column an explicit value (a
-            # NULL fill would corrupt the progression)
+            # included — may assign an identity column; insert clauses
+            # generate unassigned identity columns and may assign one
+            # explicitly only under GENERATED BY DEFAULT (except_cols is
+            # the insert_all escape hatch for ALWAYS tables whose source
+            # carries the column). id_plan records, per identity column,
+            # whether any clause generates — it drives both the per-row
+            # generation below and the same-commit watermark Metadata.
             for cl in self.matched + self.not_matched_by_source:
                 if cl.kind == "update":
                     _ident.reject_identity_assignment(
@@ -634,11 +632,21 @@ class TableMerger:
                     )
             for cl in self.not_matched:
                 for f in _idents:
-                    if f.name not in (cl.updates or {}):
-                        raise DeltaError(
-                            f"MERGE insert must assign identity column "
-                            f"{f.name!r} explicitly (GENERATED BY DEFAULT)"
+                    step = int((f.metadata or {}).get(_ident.META_STEP, 1))
+                    if f.name in (cl.updates or {}):
+                        if not bool(
+                            (f.metadata or {}).get(_ident.META_ALLOW, False)
+                        ):
+                            raise DeltaError(
+                                f"MERGE insert cannot assign GENERATED ALWAYS "
+                                f"identity column {f.name!r} (explicit values "
+                                "need GENERATED BY DEFAULT)"
+                            )
+                        id_plan.setdefault(
+                            f.name, {"step": step, "explicit": True}
                         )
+                    else:
+                        id_plan[f.name] = {"step": step, "explicit": False}
 
         all_adds = list(snapshot.files.values())
         col_types = col_types_from_schema_json(
@@ -960,10 +968,36 @@ class TableMerger:
                             for c in cols
                         ]
                     )
+                # identity generation is per CLAUSE: flag the rows this
+                # clause leaves unassigned (another clause may assign the
+                # same column explicitly under BY DEFAULT)
+                for c, info in id_plan.items():
+                    if not info["explicit"]:
+                        piece = piece.withColumn(
+                            f"__idgen_{c}", F.lit(c not in upd)
+                        )
                 pieces.append(piece)
             insert_df = pieces[0]
             for p_df in pieces[1:]:
                 insert_df = insert_df.unionByName(p_df)
+            for c, info in id_plan.items():
+                if info["explicit"]:
+                    continue
+                # same scheme as the write path (plans/identity.py):
+                # next-beyond-watermark + step * monotonically_increasing_id
+                # — unique under any runtime partition count (mid's
+                # partition ids span the whole union job), progression
+                # membership and >watermark by construction; the persist
+                # below pins the generated values before the write job
+                start, step, hwm, _allow = _ident._params(schema[c])
+                nxt = start if hwm is None else hwm + step
+                gen = (
+                    F.lit(nxt) + F.lit(step) * F.monotonically_increasing_id()
+                ).cast(schema[c].dataType)
+                insert_df = insert_df.withColumn(
+                    c,
+                    F.when(F.col(f"__idgen_{c}"), gen).otherwise(F.col(f"`{c}`")),
+                ).drop(f"__idgen_{c}")
             if rt_on and out_parts:
                 # the rewrite part carries materialized columns; inserted
                 # rows take NULLs — fresh ids from the new file's base
@@ -1010,6 +1044,38 @@ class TableMerger:
             finally:
                 result.unpersist()
             actions.extend(new_adds)
+        if id_plan and new_adds:
+            # advance each written identity column's high watermark in
+            # the SAME commit (writer.py does the same for appends) —
+            # racing identity writers then conflict via MetadataChanged
+            # instead of silently double-allocating
+            _new_schema = _ident.watermark_updates(
+                id_plan,
+                schema,
+                new_adds,
+                table_path,
+                spark,
+                configuration=snapshot.configuration,
+            )
+            if _new_schema is not None:
+                from delta_rs_spark.log.actions import Metadata
+
+                queued = [a for a in actions if isinstance(a, Metadata)]
+                if queued:
+                    queued[-1].schema_string = _new_schema
+                else:
+                    meta = snapshot.metadata
+                    actions.append(
+                        Metadata(
+                            schema_string=_new_schema,
+                            partition_columns=part_cols,
+                            configuration=meta.configuration,
+                            id=meta.id,
+                            name=meta.name,
+                            description=meta.description,
+                            created_time=meta.created_time,
+                        )
+                    )
         if self._cdf_parts:
             cdf_all = self._cdf_parts[0]
             for p_df in self._cdf_parts[1:]:

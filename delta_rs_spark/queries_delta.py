@@ -1005,9 +1005,29 @@ def delta_row_tracking_op(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 100 + 7 * k AS uid, key, name FROM n
       UNION ALL
       SELECT 100 + 7 * (SELECT max(k) FROM n) + 7 + 7 * k AS uid, key, name FROM r
+    ),
+    surv AS (
+      SELECT uid, key, name FROM built
+      WHERE NOT (key % 3 = 0 AND key < 1000)
+    ),
+    merged AS (
+      -- matched updates star the name, ids untouched
+      SELECT uid, key,
+             CASE WHEN key % 5 = 1 AND key < 1000 THEN name || '*' ELSE name END AS name,
+             FALSE AS inserted
+      FROM surv
+      UNION ALL
+      -- merge-inserted rows: fresh generated ids (masked to -1; the
+      -- Spark side proves progression membership via fresh_ok)
+      SELECT NULL, r_regionkey + 2000, lower(r_name), TRUE FROM region
+      UNION ALL
+      SELECT NULL, key, name || '*', TRUE FROM built
+      WHERE key < 1000 AND key % 3 = 0 AND key % 5 = 1
     )
-    SELECT uid, key, name FROM built
-    WHERE NOT (key % 3 = 0 AND key < 1000)
+    SELECT key, name,
+           CASE WHEN inserted THEN -1 ELSE uid END AS uid_vis,
+           TRUE AS fresh_ok
+    FROM merged
     """,
 )
 def delta_identity_op(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,10 +1036,16 @@ def delta_identity_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     generates): CREATE with start=100/step=7, two generating appends
     (single sorted partition makes the mid-based generator collapse to
     row_number arithmetic), the high watermark persisting across commits
-    via the same-commit Metadata update, and a rewriting DELETE proving
-    generated values are ordinary column data afterwards. The oracle
-    replays the progression arithmetically — a watermark miss, a
-    progression break, or a regenerated value breaks the hash."""
+    via the same-commit Metadata update, a rewriting DELETE proving
+    generated values are ordinary column data afterwards, and (r12,
+    VERDICT r11 #2) a MERGE whose not-matched-insert GENERATES the
+    unassigned ALWAYS identity column. Merge-generated ids ride a join
+    plan, so their exact values are not positionally replayable — the
+    oracle pins every deterministic id exactly (uid_vis) and the Spark
+    side computes fresh_ok = progression membership AND beyond the
+    pre-merge watermark for the inserted rows (the oracle expects TRUE);
+    uniqueness, same-commit watermark sync, and the one-commit shape are
+    asserted in-gate."""
     from pyspark.sql import types as T
 
     from delta_rs_spark import DeltaTable, write_deltalake
@@ -1054,4 +1080,55 @@ def delta_identity_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_deltalake(path, region, mode="append")
     dt = DeltaTable(path, spark=spark)
     dt.delete("key % 3 = 0 AND key < 1000")
-    return DeltaTable(path, spark=spark).to_df().select("uid", "key", "name")
+
+    dt = DeltaTable(path, spark=spark)
+    hwm0 = int(
+        (dt.schema()["uid"].metadata or {})["delta.identity.highWaterMark"]
+    )
+    v_before = dt.version()
+    src = (
+        load_table(spark, sf_dir, "nation")
+        .where("n_nationkey % 5 = 1")
+        .selectExpr("n_nationkey AS key", "concat(n_name, '*') AS name")
+        .unionByName(
+            load_table(spark, sf_dir, "region").selectExpr(
+                "r_regionkey + 2000 AS key", "lower(r_name) AS name"
+            )
+        )
+    )
+    m = (
+        dt.merge(src, "t.key = s.key", source_alias="s", target_alias="t")
+        .when_matched_update({"name": "s.name"})
+        .when_not_matched_insert_all()  # uid unassigned -> GENERATED
+        .execute()
+    )
+    dt = DeltaTable(path, spark=spark)
+    # one commit did everything: inserts, updates, watermark Metadata
+    assert dt.version() == v_before + 1, (dt.version(), v_before)
+    rows = dt.to_df().collect()
+    uids = [r["uid"] for r in rows]
+    assert len(set(uids)) == len(uids), "generated ids must be unique"
+    hwm1 = int(
+        (dt.schema()["uid"].metadata or {})["delta.identity.highWaterMark"]
+    )
+    assert hwm1 == max(uids), (hwm1, max(uids))
+    assert m["num_target_rows_inserted"] == sum(1 for r in rows if r["uid"] > hwm0)
+
+    inserted = F.col("uid") > F.lit(hwm0)
+    return (
+        dt.to_df()
+        .select(
+            "key",
+            "name",
+            F.when(inserted, F.lit(-1))
+            .otherwise(F.col("uid"))
+            .cast("long")
+            .alias("uid_vis"),
+            F.when(
+                inserted,
+                ((F.col("uid") - 100) % 7 == 0) & (F.col("uid") > hwm0),
+            )
+            .otherwise(F.lit(True))
+            .alias("fresh_ok"),
+        )
+    )

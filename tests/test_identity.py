@@ -129,13 +129,15 @@ def test_update_and_merge_guards(spark, tmp_path):
     dt = DeltaTable(path, spark=spark)
     with pytest.raises(DeltaError, match="identity column"):
         dt.update({"uid": "1"}, predicate="v = 0")
-    src = spark.range(2).selectExpr("id AS v")
+    # ALWAYS: explicit assignment in an insert clause is still rejected
+    src_with_uid = spark.range(2).selectExpr("id + 10 AS v", "id + 9000 AS uid")
     with pytest.raises(DeltaError, match="GENERATED ALWAYS"):
         (
-            dt.merge(src, "t.v = s.v", source_alias="s", target_alias="t")
+            dt.merge(src_with_uid, "t.v = s.v", source_alias="s", target_alias="t")
             .when_not_matched_insert_all()
             .execute()
         )
+    src = spark.range(2).selectExpr("id AS v")
     # matched-update of non-identity columns stays allowed
     dt.merge(src, "t.v = s.v", source_alias="s", target_alias="t").when_matched_update(
         {"v": "s.v + 100"}
@@ -150,19 +152,89 @@ def test_update_and_merge_guards(spark, tmp_path):
     write_deltalake(bydef, spark.range(2).selectExpr("id AS v"), mode="append")
     dtb = DeltaTable(bydef, spark=spark)
     src2 = spark.range(2).selectExpr("id + 10 AS v")
-    with pytest.raises(DeltaError, match="explicitly"):
-        (
-            dtb.merge(src2, "t.v = s.v", source_alias="s", target_alias="t")
-            .when_not_matched_insert({"v": "s.v"})
-            .execute()
-        )
+    # r12 (delta-spark parity): an unassigned identity column GENERATES
+    # on merge-insert instead of rejecting
     (
         dtb.merge(src2, "t.v = s.v", source_alias="s", target_alias="t")
-        .when_not_matched_insert({"v": "s.v", "uid": "s.v + 5000"})
+        .when_not_matched_insert({"v": "s.v"})
         .execute()
     )
     dtb = DeltaTable(bydef, spark=spark)
     assert dtb.to_df().count() == 4
+    assert len({r["uid"] for r in dtb.to_df().collect()}) == 4
+    (
+        dtb.merge(
+            spark.range(2).selectExpr("id + 20 AS v"),
+            "t.v = s.v", source_alias="s", target_alias="t",
+        )
+        .when_not_matched_insert({"v": "s.v", "uid": "s.v + 5000"})
+        .execute()
+    )
+    dtb = DeltaTable(bydef, spark=spark)
+    assert dtb.to_df().count() == 6
+    # watermark synced over everything that landed (explicit + generated)
+    assert _hwm(dtb) == max(r["uid"] for r in dtb.to_df().collect())
+
+
+def test_merge_insert_generates_identity(spark, tmp_path):
+    """r12 (VERDICT r11 #2, delta-spark parity): merge-insert generates
+    unassigned identity columns for BOTH ALWAYS and BY DEFAULT — values
+    are progression members strictly beyond the pre-merge watermark,
+    unique, and the watermark advances in the SAME commit."""
+    path = str(tmp_path / "mig")
+    DeltaTable.create(path, _schema(start=100, step=7), spark=spark)
+    write_deltalake(path, spark.range(3).selectExpr("id AS v"), mode="append")
+    dt = DeltaTable(path, spark=spark)
+    hwm0 = _hwm(dt)
+    v_before = {r["v"]: r["uid"] for r in dt.to_df().collect()}
+
+    src = spark.range(6).selectExpr("id AS v")  # 0-2 match, 3-5 insert
+    m = (
+        dt.merge(src, "t.v = s.v", source_alias="s", target_alias="t")
+        .when_matched_update({"v": "s.v + 50"})
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    assert m["num_target_rows_inserted"] == 3
+    dt = DeltaTable(path, spark=spark)
+    rows = {r["v"]: r["uid"] for r in dt.to_df().collect()}
+    # matched rows kept their ids through the rewrite
+    assert {rows[v + 50] for v in (0, 1, 2)} == set(v_before.values())
+    gen = [rows[v] for v in (3, 4, 5)]
+    assert len(set(gen)) == 3
+    assert all(u > hwm0 and (u - 100) % 7 == 0 for u in gen)
+    # watermark advanced in the same commit (no follow-up commit)
+    assert _hwm(dt) == max(gen)
+    assert dt.version() == 2  # create + append + merge
+
+    # generation continues beyond the merge's watermark on later appends
+    write_deltalake(path, spark.range(2).selectExpr("id + 90 AS v"), mode="append")
+    dt = DeltaTable(path, spark=spark)
+    more = [r["uid"] for r in dt.to_df(predicate="v >= 90").collect()]
+    assert all(u > max(gen) for u in more)
+
+    # multi-clause: one clause explicit (BY DEFAULT), one generated
+    bydef = str(tmp_path / "migbd")
+    DeltaTable.create(bydef, _schema(start=1, step=1, allow=True), spark=spark)
+    write_deltalake(bydef, spark.range(2).selectExpr("id AS v"), mode="append")
+    dtb = DeltaTable(bydef, spark=spark)
+    hwmb = _hwm(dtb)
+    srcb = spark.range(4).selectExpr("id + 10 AS v")
+    (
+        dtb.merge(srcb, "t.v = s.v", source_alias="s", target_alias="t")
+        .when_not_matched_insert(
+            {"v": "s.v", "uid": "s.v + 7000"}, predicate="s.v % 2 = 0"
+        )
+        .when_not_matched_insert({"v": "s.v"})
+        .execute()
+    )
+    dtb = DeltaTable(bydef, spark=spark)
+    got = {r["v"]: r["uid"] for r in dtb.to_df().collect()}
+    assert got[10] == 7010 and got[12] == 7012  # explicit clause
+    assert got[11] > hwmb and got[13] > hwmb  # generated clause
+    assert len(set(got.values())) == 6
+    # watermark synced over everything that landed in the one commit
+    assert _hwm(dtb) == max(got.values())
 
 
 def test_concurrent_identity_writers_conflict_loudly(spark, tmp_path):
