@@ -118,8 +118,9 @@ _FIRST_WITNESS_NEEDED: tuple[str, ...] = (
     # on the r11 final tree).
     #
     # r12 intake: the identity merge-insert leg extends the EXISTING
-    # delta_identity_op oracle (already in the pinned delta_* prefix),
-    # so no new first-witness entries this round.
+    # delta_identity_op oracle, and delta_liquid_cluster_op registers
+    # inside the pinned delta_* prefix (position ~6) — both get their
+    # first driver witness automatically, so no pins needed here.
 )
 
 

@@ -25,6 +25,7 @@ class TableFeatures(Enum):
     IcebergCompatV1 = "IcebergCompatV1"
     VariantType = "VariantType"
     VariantTypePreview = "VariantTypePreview"
+    ClusteredTable = "ClusteredTable"
 
 
 # Delta protocol feature-name strings (PROTOCOL.md "Table Features")
@@ -44,6 +45,7 @@ _PROTOCOL_NAMES: dict[TableFeatures, str] = {
     TableFeatures.IcebergCompatV1: "icebergCompatV1",
     TableFeatures.VariantType: "variantType",
     TableFeatures.VariantTypePreview: "variantType-preview",
+    TableFeatures.ClusteredTable: "clusteredTable",
 }
 
 

@@ -108,6 +108,10 @@ class Add:
     # commit version = default_row_commit_version
     base_row_id: int | None = None
     default_row_commit_version: int | None = None
+    # clustered tables (PROTOCOL.md "Clustered Table"; kernel
+    # fields.rs:107): "liquid" on files written by a clustering
+    # OPTIMIZE, absent on plain appends
+    clustering_provider: str | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -127,6 +131,8 @@ class Add:
             d["baseRowId"] = self.base_row_id
         if self.default_row_commit_version is not None:
             d["defaultRowCommitVersion"] = self.default_row_commit_version
+        if self.clustering_provider is not None:
+            d["clusteringProvider"] = self.clustering_provider
         return {"add": d}
 
     @classmethod
@@ -142,6 +148,7 @@ class Add:
             deletion_vector=d.get("deletionVector"),
             base_row_id=d.get("baseRowId"),
             default_row_commit_version=d.get("defaultRowCommitVersion"),
+            clustering_provider=d.get("clusteringProvider"),
         )
 
     def stats_dict(self) -> dict[str, Any] | None:

@@ -186,6 +186,7 @@ _CP_SCHEMA = pa.schema(
                     pa.field("deletionVector", _DV_STRUCT),
                     pa.field("baseRowId", pa.int64()),
                     pa.field("defaultRowCommitVersion", pa.int64()),
+                    pa.field("clusteringProvider", pa.string()),
                 ]
             ),
         ),
@@ -399,6 +400,7 @@ def write_checkpoint(
                     "deletionVector": add.deletion_vector,
                     "baseRowId": add.base_row_id,
                     "defaultRowCommitVersion": add.default_row_commit_version,
+                    "clusteringProvider": add.clustering_provider,
                 }
             }
         )
@@ -552,10 +554,11 @@ def _actions_from_arrow(table) -> list[Action]:
         if col == "add":
             sizes, mtimes = f("size"), f("modificationTime")
             pvs, stats, tags = f("partitionValues"), f("stats"), f("tags")
-            dvs, brids, drcvs = (
+            dvs, brids, drcvs, cprov = (
                 f("deletionVector"),
                 f("baseRowId"),
                 f("defaultRowCommitVersion"),
+                f("clusteringProvider"),
             )
             for i, p in enumerate(paths):
                 if p is None:
@@ -572,6 +575,7 @@ def _actions_from_arrow(table) -> list[Action]:
                         deletion_vector=_dv_dict(dvs[i]),
                         base_row_id=brids[i],
                         default_row_commit_version=drcvs[i],
+                        clustering_provider=cprov[i],
                     )
                 )
         else:
@@ -658,6 +662,7 @@ def _actions_from_parquet_rows(rows: list[dict]) -> list[Action]:
                     deletion_vector=_dv_dict(a.get("deletionVector")),
                     base_row_id=a.get("baseRowId"),
                     default_row_commit_version=a.get("defaultRowCommitVersion"),
+                    clustering_provider=a.get("clusteringProvider"),
                 )
             )
         elif row.get("domainMetadata") and row["domainMetadata"].get("domain"):

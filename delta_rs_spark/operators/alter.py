@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from delta_rs_spark.log import commit as commit_mod
 from delta_rs_spark.log import snapshot as snap_mod
-from delta_rs_spark.log.actions import CommitInfo, Metadata
+from delta_rs_spark.log.actions import CommitInfo, Metadata, Protocol
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
 
 CONSTRAINT_PREFIX = "delta.constraints."
@@ -317,5 +317,49 @@ class TableAlterer:
             CommitInfo("REMOVE DOMAIN METADATA", {"domain": domain}),
             snapshot.version,
             TransactionInfo(blind_append=True, written_domains={domain}),
+        )
+        self.dt.refresh()
+
+    def set_clustering_columns(self, columns: list[str]) -> None:
+        """ALTER TABLE ... CLUSTER BY (delta-spark liquid clustering):
+        replace the delta.clustering domain with ``columns`` and upgrade
+        the protocol with clusteredTable+domainMetadata if needed. The
+        existing data keeps its old layout — run
+        ``optimize.cluster(full=True)`` to recluster everything under
+        the new spec (delta-spark semantics: CLUSTER BY changes affect
+        future OPTIMIZE runs, not existing files)."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from delta_rs_spark.plans import clustering as _cl
+
+        snapshot = snap_mod.load_snapshot(self.dt.table_uri)
+        schema = T.StructType.fromJson(_json.loads(snapshot.schema_string))
+        _cl.validate_cluster_by(columns, schema, snapshot.partition_columns)
+        actions: list = []
+        proto = snapshot.protocol
+        have = set(proto.writer_features or [])
+        need = {_cl.FEATURE, "domainMetadata"} - have
+        if need or proto.min_writer_version < 7:
+            actions.append(
+                Protocol(
+                    min_reader_version=proto.min_reader_version,
+                    min_writer_version=max(proto.min_writer_version, 7),
+                    reader_features=proto.reader_features,
+                    writer_features=sorted(have | {_cl.FEATURE, "domainMetadata"}),
+                )
+            )
+        actions.append(_cl.domain_action(columns, schema))
+        commit_mod.commit(
+            self.dt.table_uri,
+            actions,
+            CommitInfo("CLUSTER BY", {"clusterBy": columns}),
+            snapshot.version,
+            TransactionInfo(
+                blind_append=False,
+                read_whole_table=True,
+                written_domains={_cl.DOMAIN},
+            ),
         )
         self.dt.refresh()

@@ -307,6 +307,7 @@ class TableOptimizer:
         curve: str = "morton",
         incremental: bool = False,
         min_cube_size: int = 0,
+        _provider: str | None = None,
     ) -> dict[str, Any]:
         """``incremental=True`` clusters ONLY files not yet written by a
         clustering run with the same (curve, columns) spec — the 100 TB
@@ -487,6 +488,10 @@ class TableOptimizer:
                 "optimizeSpec": spec,
                 "zcubeBytes": str(cube_bytes),
             }
+            if _provider:
+                # clustered tables (PROTOCOL.md "Clustered Table"):
+                # clustering OPTIMIZE outputs carry the provider
+                a.clustering_provider = _provider
         ts = now_ms()
         removes = [
             Remove(
@@ -510,10 +515,56 @@ class TableOptimizer:
             },
             operation_metrics=metrics,
         )
-        txn = TransactionInfo(blind_append=False, read_files={r.path for r in removes})
+        from delta_rs_spark.plans import row_tracking as _rt2
+
+        txn = TransactionInfo(
+            blind_append=False,
+            read_files={r.path for r in removes},
+            table_config=snapshot.configuration,
+            rt_watermark=_rt2.cached_watermark(snapshot),
+        )
         commit_mod.commit(table_path, list(new_adds) + removes, op, snapshot.version, txn)
         self.dt.refresh()
         return metrics
+
+    def cluster(
+        self,
+        partition_filters: list | None = None,
+        target_size: int | None = None,
+        incremental: bool = True,
+        min_cube_size: int = 0,
+        full: bool = False,
+    ) -> dict[str, Any]:
+        """OPTIMIZE on a CLUSTERED table (delta-spark liquid clustering):
+        Hilbert-cluster by the columns persisted in the table's
+        delta.clustering domain. INCREMENTAL by default — exactly
+        delta-spark's semantics (OPTIMIZE on a clustered table clusters
+        only un-clustered data; ``full=True`` is OPTIMIZE FULL, the
+        everything-rewrite used after CLUSTER BY changes). Outputs carry
+        ``clusteringProvider="liquid"`` on their add actions.
+
+        The reference accepts the clusteredTable feature
+        (kernel/models/actions.rs:799) and parses the clustering domain
+        (protocol/mod.rs:717) but has no maintenance implementation —
+        this, like clone and identity, is delta-spark parity."""
+        from delta_rs_spark.plans import clustering as _cl
+
+        snapshot = snap_mod.load_snapshot(self.dt.table_uri)
+        cols = _cl.clustering_columns(snapshot)
+        if not cols:
+            raise DeltaError(
+                "optimize.cluster() requires a clustered table (CREATE "
+                "with cluster_by=[...] or ALTER ... CLUSTER BY)"
+            )
+        return self.z_order(
+            cols,
+            partition_filters=partition_filters,
+            target_size=target_size,
+            curve="hilbert",
+            incremental=incremental and not full,
+            min_cube_size=min_cube_size,
+            _provider=_cl.PROVIDER,
+        )
 
 
 def hilbert_index(arrs: list, bits: int):

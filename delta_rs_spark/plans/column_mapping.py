@@ -67,6 +67,10 @@ SUPPORTED_WRITER_FEATURES = {
     # high watermark; UPDATE/MERGE assignment rejected (plans/identity.py)
     "identityColumns",
     "inCommitTimestamp",  # commit path stamps monotonic ICTs when enabled
+    # r12: CLUSTER BY persists the delta.clustering domain, OPTIMIZE
+    # cluster()/full+incremental Hilbert-clusters by it and stamps
+    # clusteringProvider="liquid" on its outputs (plans/clustering.py)
+    "clusteredTable",
     # Spark 4 writes variant natively (parquet VARIANT logical type);
     # footer stats fall back to writer._spark_stats_fallback because
     # pyarrow 16 cannot parse that footer

@@ -402,6 +402,61 @@ def delta_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_liquid_cluster_op",
+    f"""
+    SELECT {_LI_COLS} FROM lineitem WHERE l_orderkey < 2500
+    """,
+)
+def delta_liquid_cluster_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered table (delta-spark liquid clustering, r12; the
+    reference accepts the clusteredTable feature —
+    kernel/models/actions.rs:799 — and parses the clustering domain —
+    protocol/mod.rs:717 — but never maintains it): CREATE ... CLUSTER BY
+    persists the delta.clustering domain + protocol features,
+    optimize.cluster() Hilbert-clusters INCREMENTALLY by the persisted
+    spec (stable cubes physically untouched, only arrivals rewrite) and
+    stamps clusteringProvider="liquid" on its outputs. In-gate asserts
+    pin the protocol/domain/provider/file-level contract; the oracle
+    pins that two clustering runs later the table still reads exactly
+    as base UNION arrivals."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.plans import clustering as _cl
+
+    path = _scratch("liquid_cluster_op", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        [F.col(c.strip()) for c in _LI_COLS.split(",")]
+    )
+    DeltaTable.create(
+        path, li.schema, cluster_by=["l_orderkey", "l_quantity"], spark=spark
+    )
+    write_deltalake(
+        path, li.filter("l_orderkey < 1500").repartition(3), mode="append"
+    )
+    dt = DeltaTable(path, spark=spark)
+    assert dt.clustering_columns() == ["l_orderkey", "l_quantity"]
+    assert "clusteredTable" in (dt.protocol().writer_features or [])
+    m1 = dt.optimize.cluster()
+    assert m1["numFilesSkippedAlreadyClustered"] == 0
+    dt.refresh()
+    cube1 = set(dt.files())
+    assert {
+        a.clustering_provider for a in dt._snapshot.files.values()
+    } == {_cl.PROVIDER}
+    write_deltalake(
+        path,
+        li.filter("l_orderkey >= 1500 AND l_orderkey < 2500").repartition(2),
+        mode="append",
+    )
+    dt.refresh()
+    m2 = dt.optimize.cluster()
+    assert m2["numFilesSkippedAlreadyClustered"] == len(cube1)
+    assert m2["numFilesRemoved"] == 2, m2
+    dt.refresh()
+    assert cube1 <= set(dt.files()), "stable cube must not be rewritten"
+    return dt.to_df(columns=[c.strip() for c in _LI_COLS.split(",")])
+
+
+@query(
     "delta_replace_where_op",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderstatus

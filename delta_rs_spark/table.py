@@ -313,11 +313,19 @@ class DeltaTable:
         description: str | None = None,
         configuration: dict[str, str] | None = None,
         spark: SparkSession | None = None,
+        cluster_by: list[str] | str | None = None,
     ) -> "DeltaTable":
         """CREATE [OR REPLACE] TABLE (reference: operations/create.rs;
         python/deltalake/table.py:221-330). ``schema`` may be a Spark
         StructType or the deltalake-style mirror Schema (the reference's
-        input type)."""
+        input type).
+
+        ``cluster_by`` makes a CLUSTERED table (delta-spark liquid
+        clustering; the reference accepts the feature,
+        kernel/models/actions.rs:799, but never maintains it): the
+        columns persist as a ``delta.clustering`` domain and
+        ``dt.optimize.cluster()`` Hilbert-clusters by them. Mutually
+        exclusive with ``partition_by``."""
         from delta_rs_spark.log import commit as commit_mod
         from delta_rs_spark.log.actions import Remove, now_ms
         from delta_rs_spark.log.commit import TransactionInfo
@@ -360,6 +368,22 @@ class DeltaTable:
 
         configuration = _rt_create(configuration)
         proto = required_protocol(schema.json(), configuration)
+        if isinstance(cluster_by, str):
+            cluster_by = [cluster_by]
+        if cluster_by:
+            from delta_rs_spark.plans import clustering as _cl
+
+            _cl.validate_cluster_by(cluster_by, schema, partition_by)
+            # clusteredTable + the domainMetadata its spec lives in
+            feats = set(proto.writer_features or [])
+            feats.update({_cl.FEATURE, "domainMetadata"})
+            proto = Protocol(
+                min_reader_version=proto.min_reader_version,
+                min_writer_version=7,
+                reader_features=proto.reader_features,
+                writer_features=sorted(feats),
+            )
+            actions.append(_cl.domain_action(cluster_by, schema))
         actions.insert(0, proto)
         actions.insert(
             1,
@@ -373,7 +397,11 @@ class DeltaTable:
         )
         op = CommitInfo(
             operation="CREATE OR REPLACE TABLE" if exists else "CREATE TABLE",
-            operation_parameters={"mode": mode, "partitionBy": partition_by or []},
+            operation_parameters={
+                "mode": mode,
+                "partitionBy": partition_by or [],
+                **({"clusterBy": cluster_by} if cluster_by else {}),
+            },
         )
         commit_mod.commit(
             path, actions, op, read_version, TransactionInfo(blind_append=False, read_whole_table=True)
@@ -403,6 +431,13 @@ class DeltaTable:
 
     def partition_columns(self) -> list[str]:
         return self._snapshot.partition_columns
+
+    def clustering_columns(self) -> list[str] | None:
+        """LOGICAL clustering columns of a CLUSTERED table (delta-spark
+        liquid clustering; delta.clustering domain), else None."""
+        from delta_rs_spark.plans import clustering as _cl
+
+        return _cl.clustering_columns(self._snapshot)
 
     def _physical_of(self) -> dict[str, str] | None:
         from delta_rs_spark.plans import column_mapping as cmap
