@@ -173,7 +173,13 @@ def kmv_distinct(sketch: DataFrame, group_col: str = "source", k: int = 64) -> D
     )
 
 
-def kmv_overlap(sketch: DataFrame, group_col: str = "source", k: int = 64) -> DataFrame:
+def kmv_overlap(
+    sketch: DataFrame,
+    group_col: str = "source",
+    k: int = 64,
+    prune_pairs: bool = False,
+    min_shared: int = 1,
+) -> DataFrame:
     """Pairwise overlap estimates from sketches only (corpus never
     touched): one row per unordered pair ``src_a < src_b`` with
     ``est_a, est_b, est_union, est_jaccard, est_intersection`` (4dp).
@@ -181,13 +187,36 @@ def kmv_overlap(sketch: DataFrame, group_col: str = "source", k: int = 64) -> Da
     Cost is sketch-bounded: the per-pair union sample is built by
     fanning each group's k rows out to its G-1 pairs — G²·k rows total,
     then a bottom-k per pair. No corpus data moves.
+
+    ``prune_pairs=True`` is the G ≫ 10³ path: candidate pairs come from
+    a self-join of the sketches on the hash value (G·k rows keyed by
+    h), so the pair count is bounded by ACTUAL sketch collisions
+    instead of G². With ``min_shared=1`` this is EXACT relative to the
+    full estimator's nonzero rows: the matched count in the union
+    sample can only come from hashes present in BOTH sketches, so a
+    pair sharing no sketch hash estimates jaccard = intersection = 0
+    and is exactly the row pruning drops. ``min_shared > 1`` trades
+    that guarantee for a stronger prune (a pair needs min_shared
+    sketch collisions to be estimated at all).
     """
     e = sketch.select(F.col(group_col).alias("_src"), "h", "sketch_size")
     srcs = e.select(F.col("_src"), F.col("sketch_size")).distinct()
-    pairs = (
-        srcs.select(F.col("_src").alias("src_a"))
-        .join(srcs.select(F.col("_src").alias("src_b")), F.col("src_a") < F.col("src_b"))
-    )
+    if prune_pairs:
+        la = sketch.select(F.col(group_col).alias("src_a"), "h")
+        rb = sketch.select(F.col(group_col).alias("src_b"), "h")
+        pairs = (
+            la.join(rb, "h")
+            .where(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count("*").alias("_shared"))
+            .where(F.col("_shared") >= int(min_shared))
+            .select("src_a", "src_b")
+        )
+    else:
+        pairs = (
+            srcs.select(F.col("_src").alias("src_a"))
+            .join(srcs.select(F.col("_src").alias("src_b")), F.col("src_a") < F.col("src_b"))
+        )
     fan_a = pairs.join(
         e.select(F.col("_src").alias("src_a"), "h"), "src_a"
     ).select("src_a", "src_b", "h", F.lit(1).alias("fa"), F.lit(0).alias("fb"))

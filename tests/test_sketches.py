@@ -132,3 +132,45 @@ def test_xx_and_md5_modes_share_pipeline(spark):
         assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
         hs = [h for _, h in rows]
         assert hs == sorted(hs)
+
+
+def test_prune_pairs_exact_for_nonzero_rows(spark):
+    """r12 (G >> 10^3 residual): prune_pairs=True generates candidate
+    pairs from a sketch self-join on h instead of G^2. With
+    min_shared=1 it is EXACT relative to the full estimator — the union
+    sample's matched count can only come from hashes in BOTH sketches,
+    so every dropped pair estimated jaccard = 0 in the full run."""
+    # 6 sources: 0/1/2 share docs, 3/4/5 are pairwise disjoint islands
+    rows = []
+    for s in range(6):
+        ids = list(range(s * 1000, s * 1000 + 30))
+        if s < 3:
+            ids += list(range(10))  # shared slice among 0,1,2
+        for d in ids:
+            rows.append((f"src{s}", " ".join(f"w{d}x{j}" for j in range(8))))
+    df = spark.createDataFrame(rows, "source string, text string")
+    k = 64
+    sk = K.kmv_sketch(df, "source", "text", k=k, hash_fn="md5")
+
+    full = {(r["src_a"], r["src_b"]): r for r in K.kmv_overlap(sk, "source", k).collect()}
+    pruned = {
+        (r["src_a"], r["src_b"]): r
+        for r in K.kmv_overlap(sk, "source", k, prune_pairs=True).collect()
+    }
+    assert len(full) == 15  # all C(6,2) pairs
+    # every nonzero full row survives the prune, values identical
+    nonzero = {p for p, r in full.items() if r["est_jaccard"] > 0}
+    assert nonzero == {("src0", "src1"), ("src0", "src2"), ("src1", "src2")}
+    assert nonzero <= set(pruned)
+    for p in pruned:
+        fr, pr = full[p], pruned[p]
+        assert (fr["est_union"], fr["est_jaccard"], fr["est_intersection"]) == (
+            pr["est_union"], pr["est_jaccard"], pr["est_intersection"]
+        )
+    # every full-zero pair the prune DID drop really estimated zero
+    for p in set(full) - set(pruned):
+        assert full[p]["est_jaccard"] == 0.0
+
+    # min_shared tightens candidacy monotonically
+    tight = K.kmv_overlap(sk, "source", k, prune_pairs=True, min_shared=5).collect()
+    assert {(r["src_a"], r["src_b"]) for r in tight} <= set(pruned)
