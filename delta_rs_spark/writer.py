@@ -514,6 +514,7 @@ def write_deltalake(
     post_commithook_properties=None,
     storage_options: dict[str, str] | None = None,
     preserve_layout: bool = False,
+    cluster_by: list[str] | str | None = None,
 ) -> None:
     """Write a DataFrame (Spark/pandas/arrow) to a Delta table.
 
@@ -610,7 +611,26 @@ def write_deltalake(
             name=name,
             description=description,
         )
-        actions.append(required_protocol(schema.json(), configuration))
+        proto = required_protocol(schema.json(), configuration)
+        if isinstance(cluster_by, str):
+            cluster_by = [cluster_by]
+        if cluster_by:
+            # create-by-write of a CLUSTERED table (delta-spark liquid
+            # clustering): persist the spec + features like create()
+            from delta_rs_spark.log.actions import Protocol as _Protocol
+            from delta_rs_spark.plans import clustering as _cl
+
+            _cl.validate_cluster_by(cluster_by, schema, partition_by)
+            feats = set(proto.writer_features or [])
+            feats.update({_cl.FEATURE, "domainMetadata"})
+            proto = _Protocol(
+                min_reader_version=proto.min_reader_version,
+                min_writer_version=7,
+                reader_features=proto.reader_features,
+                writer_features=sorted(feats),
+            )
+            actions.append(_cl.domain_action(cluster_by, schema))
+        actions.append(proto)
         actions.append(metadata)
         read_version = -1
         table_schema = schema
@@ -632,6 +652,16 @@ def write_deltalake(
             raise DeltaError(
                 f"partition_by {partition_by} != table partitioning {part_cols}"
             )
+        if cluster_by:
+            from delta_rs_spark.plans import clustering as _cl
+
+            existing_cl = _cl.clustering_columns(snapshot)
+            want = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+            if want != (existing_cl or []):
+                raise DeltaError(
+                    f"cluster_by {want} != table clustering {existing_cl} "
+                    "(use alter.set_clustering_columns to re-spec)"
+                )
         # configuration on an EXISTING table: create-time keys are
         # normally frozen (the reference applies `configuration` at
         # create only), but an explicit overwrite may MERGE app-level

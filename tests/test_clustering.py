@@ -198,3 +198,27 @@ def test_cluster_under_column_mapping(spark, tmp_path):
     assert {
         a.clustering_provider for a in dt._snapshot.files.values()
     } == {"liquid"}
+
+
+def test_create_by_write_cluster_by(spark, tmp_path):
+    """write_deltalake(cluster_by=...) creates a clustered table on the
+    defining write; later writes must match or omit the spec."""
+    path = str(tmp_path / "wcb")
+    write_deltalake(path, _df(spark, 1000), cluster_by=["a"],
+                    max_records_per_file=250)
+    dt = DeltaTable(path, spark=spark)
+    assert dt.clustering_columns() == ["a"]
+    assert "clusteredTable" in (dt.protocol().writer_features or [])
+    m = dt.optimize.cluster()
+    assert m["numFilesAdded"] >= 1
+
+    # matching spec on append is fine; a different one is rejected
+    write_deltalake(path, _df(spark, 10), mode="append", cluster_by=["a"])
+    with pytest.raises(DeltaError, match="table clustering"):
+        write_deltalake(path, _df(spark, 10), mode="append", cluster_by=["b"])
+    # partitioned + clustered rejected on create-by-write too
+    with pytest.raises(DeltaError, match="mutually exclusive"):
+        write_deltalake(
+            str(tmp_path / "bad"), _df(spark, 10),
+            partition_by=["s"], cluster_by=["a"],
+        )
