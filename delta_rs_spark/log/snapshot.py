@@ -367,49 +367,29 @@ def write_checkpoint(
                 }
             }
         )
-    file_rows: list[dict[str, Any]] = []
-    for rm in snapshot.tombstones:
-        file_rows.append(
-            {
-                "remove": {
-                    "path": rm.path,
-                    "deletionTimestamp": rm.deletion_timestamp,
-                    "dataChange": rm.data_change,
-                    "extendedFileMetadata": rm.partition_values is not None,
-                    "partitionValues": (
-                        list(rm.partition_values.items())
-                        if rm.partition_values is not None
-                        else None
-                    ),
-                    "size": rm.size,
-                    "deletionVector": rm.deletion_vector,
-                }
-            }
-        )
-    for add in snapshot.files.values():
-        file_rows.append(
-            {
-                "add": {
-                    "path": add.path,
-                    "partitionValues": list((add.partition_values or {}).items()),
-                    "size": add.size,
-                    "modificationTime": add.modification_time,
-                    "dataChange": False,
-                    "stats": add.stats,
-                    "tags": list(add.tags.items()) if add.tags else None,
-                    "deletionVector": add.deletion_vector,
-                    "baseRowId": add.base_row_id,
-                    "defaultRowCommitVersion": add.default_row_commit_version,
-                    "clusteringProvider": add.clustering_provider,
-                }
-            }
-        )
+    # file actions are built COLUMNAR (flat per-field arrays, removes
+    # before adds) — at millions of adds the per-row nested-dict path
+    # (from_pylist) was ~90% of checkpoint write time
+    file_table = _file_actions_arrow(snapshot)
+    n_files = file_table.num_rows
     if not v2:
-        table = pa.Table.from_pylist(rows + file_rows, schema=_CP_SCHEMA)
+        top = pa.Table.from_pylist(rows, schema=_CP_SCHEMA)
+        full_file = pa.table(
+            {
+                f.name: (
+                    file_table.column(f.name)
+                    if f.name in ("add", "remove")
+                    else pa.nulls(n_files, type=f.type)
+                )
+                for f in _CP_SCHEMA
+            },
+            schema=_CP_SCHEMA,
+        )
+        table = pa.concat_tables([top, full_file])
         path = checkpoint_file(table_path, snapshot.version)
         pq.write_table(table, path)
         with open(os.path.join(log_dir(table_path), "_last_checkpoint"), "w") as f:
-            json.dump({"version": snapshot.version, "size": len(rows) + len(file_rows)}, f)
+            json.dump({"version": snapshot.version, "size": len(rows) + n_files}, f)
         return path
 
     from delta_rs_spark.log.commit import DeltaError
@@ -426,24 +406,34 @@ def write_checkpoint(
     sidecar_dir = os.path.join(log_dir(table_path), "_sidecars")
     os.makedirs(sidecar_dir, exist_ok=True)
     chunk = max(1, int(sidecar_target_actions))
-    n_actions = len(rows) + len(file_rows)
-    for i in range(0, len(file_rows), chunk):
+    n_actions = len(rows) + n_files
+
+    # each sidecar is a ZERO-COPY slice of the columnar file table,
+    # written by a thread pool (parquet encode releases the GIL);
+    # pointer order stays slice order so removes still precede adds
+    def _write_sidecar(i: int) -> dict:
         sc_name = f"{uuid.uuid4()}.parquet"
         sc_path = os.path.join(sidecar_dir, sc_name)
-        pq.write_table(
-            pa.Table.from_pylist(file_rows[i : i + chunk], schema=_SIDECAR_FILE_SCHEMA),
-            sc_path,
-        )
+        pq.write_table(file_table.slice(i, chunk), sc_path)
         st = os.stat(sc_path)
-        rows.append(
-            {
-                "sidecar": {
-                    "path": sc_name,
-                    "sizeInBytes": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                }
+        return {
+            "sidecar": {
+                "path": sc_name,
+                "sizeInBytes": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
             }
-        )
+        }
+
+    starts = list(range(0, n_files, chunk))
+    if len(starts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(16, (os.cpu_count() or 4), len(starts))
+        ) as ex:
+            rows.extend(ex.map(_write_sidecar, starts))
+    else:
+        rows.extend(_write_sidecar(i) for i in starts)
     rows.insert(0, {"checkpointMetadata": {"version": snapshot.version, "tags": []}})
     table = pa.Table.from_pylist(rows, schema=_CP_SCHEMA_V2)
     path = os.path.join(
@@ -457,6 +447,93 @@ def write_checkpoint(
         # when the checkpoint self-describes as V2
         json.dump({"version": snapshot.version, "size": n_actions}, f)
     return path
+
+
+def _file_actions_arrow(snapshot: "Snapshot"):
+    """The snapshot's file actions as a columnar (add, remove) table —
+    removes FIRST (a DV-churned path appears as both a tombstone and a
+    live add; the path-keyed replay needs the add to win), schema
+    ``_SIDECAR_FILE_SCHEMA``. Built from flat per-field arrays: the
+    per-row nested-dict path (Table.from_pylist) was ~90% of checkpoint
+    write time at 100k+ adds."""
+    rm_type = _SIDECAR_FILE_SCHEMA.field("remove").type
+    add_type = _SIDECAR_FILE_SCHEMA.field("add").type
+    removes = snapshot.tombstones
+    adds = list(snapshot.files.values())
+
+    def _dv_struct(objs: list) -> pa.StructArray:
+        mask = pa.array([o is None for o in objs], type=pa.bool_())
+        return pa.StructArray.from_arrays(
+            [
+                pa.array([(o or {}).get(f.name) for o in objs], type=f.type)
+                for f in _DV_STRUCT
+            ],
+            fields=list(_DV_STRUCT),
+            mask=mask,
+        )
+
+    def _struct(typ, columns: dict, n: int) -> pa.StructArray:
+        return pa.StructArray.from_arrays(
+            [
+                columns[f.name]
+                if isinstance(columns.get(f.name), pa.Array)
+                else pa.array(columns.get(f.name, [None] * n), type=f.type)
+                for f in typ
+            ],
+            fields=list(typ),
+        )
+
+    n_r, n_a = len(removes), len(adds)
+    rm_struct = _struct(
+        rm_type,
+        {
+            "path": [r.path for r in removes],
+            "deletionTimestamp": [r.deletion_timestamp for r in removes],
+            "dataChange": [r.data_change for r in removes],
+            "extendedFileMetadata": [
+                r.partition_values is not None for r in removes
+            ],
+            "partitionValues": [
+                list(r.partition_values.items())
+                if r.partition_values is not None
+                else None
+                for r in removes
+            ],
+            "size": [r.size for r in removes],
+            "deletionVector": _dv_struct([r.deletion_vector for r in removes]),
+        },
+        n_r,
+    )
+    add_struct = _struct(
+        add_type,
+        {
+            "path": [a.path for a in adds],
+            "partitionValues": [
+                list((a.partition_values or {}).items()) for a in adds
+            ],
+            "size": [a.size for a in adds],
+            "modificationTime": [a.modification_time for a in adds],
+            "dataChange": [False] * n_a,
+            "stats": [a.stats for a in adds],
+            "tags": [list(a.tags.items()) if a.tags else None for a in adds],
+            "deletionVector": _dv_struct([a.deletion_vector for a in adds]),
+            "baseRowId": [a.base_row_id for a in adds],
+            "defaultRowCommitVersion": [
+                a.default_row_commit_version for a in adds
+            ],
+            "clusteringProvider": [a.clustering_provider for a in adds],
+        },
+        n_a,
+    )
+    rm_part = pa.table(
+        {"add": pa.nulls(n_r, type=add_type), "remove": rm_struct},
+        schema=_SIDECAR_FILE_SCHEMA,
+    )
+    add_part = pa.table(
+        {"add": add_struct, "remove": pa.nulls(n_a, type=rm_type)},
+        schema=_SIDECAR_FILE_SCHEMA,
+    )
+    return pa.concat_tables([rm_part, add_part]).combine_chunks()
 
 
 def _dv_dict(raw: dict | None) -> dict[str, Any] | None:
