@@ -44,6 +44,10 @@ _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 # UUID-named V2 checkpoint (PROTOCOL.md "V2 spec checkpoints":
 # n.checkpoint.u.parquet where u is a UUID)
 _CHECKPOINT_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{8,})\.parquet$")
+# the V2 spec also allows a JSON top-level checkpoint (delta-spark
+# writes these with delta.checkpointPolicy=v2 — reference corpus
+# checkpoint-v2-table); sidecars stay parquet either way
+_CHECKPOINT_V2_JSON_RE = re.compile(r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{8,})\.json$")
 _COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 
 
@@ -69,10 +73,11 @@ def find_checkpoint_file(table_path: str, version: int) -> str:
         return classic
     prefix = f"{version:020d}.checkpoint."
     d = log_dir(table_path)
-    candidates = sorted(
-        f
-        for f in os.listdir(d)
-        if f.startswith(prefix) and _CHECKPOINT_V2_RE.match(f)
+    names = [f for f in os.listdir(d) if f.startswith(prefix)]
+    # prefer parquet V2 checkpoints (columnar read) over JSON ones;
+    # any complete checkpoint for a version is equivalent per the spec
+    candidates = sorted(f for f in names if _CHECKPOINT_V2_RE.match(f)) or sorted(
+        f for f in names if _CHECKPOINT_V2_JSON_RE.match(f)
     )
     if not candidates:
         raise FileNotFoundError(classic)
@@ -87,6 +92,7 @@ def is_delta_table(table_path: str) -> bool:
         _COMMIT_RE.match(f)
         or _CHECKPOINT_RE.match(f)
         or _CHECKPOINT_V2_RE.match(f)
+        or _CHECKPOINT_V2_JSON_RE.match(f)
         or _COMPACTED_RE.match(f)
         for f in os.listdir(d)
     )
@@ -108,7 +114,7 @@ def list_log(table_path: str) -> tuple[list[int], list[int]]:
         if m:
             checkpoints.append(int(m.group(1)))
             continue
-        m = _CHECKPOINT_V2_RE.match(f)
+        m = _CHECKPOINT_V2_RE.match(f) or _CHECKPOINT_V2_JSON_RE.match(f)
         if m:
             checkpoints.append(int(m.group(1)))
     # a version may carry both a classic and a UUID-named checkpoint
@@ -551,9 +557,21 @@ def read_checkpoint(
     write side ships is actually consumed in parallel; the reference's
     kernel replays checkpoints the same way,
     crates/core/src/kernel/snapshot/stream.rs) and their add/remove
-    payload extracted columnar, never as per-row nested dicts."""
-    table = pq.read_table(find_checkpoint_file(table_path, version))
-    actions = _actions_from_arrow(table)
+    payload extracted columnar, never as per-row nested dicts. JSON
+    top-level V2 checkpoints (delta-spark's checkpointPolicy=v2 output)
+    parse line-wise; their sidecars are parquet and expand the same."""
+    cp = find_checkpoint_file(table_path, version)
+    if cp.endswith(".json"):
+        actions = []
+        with open(cp, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    a = parse_action(line)
+                    if a is not None:
+                        actions.append(a)
+    else:
+        actions = _actions_from_arrow(pq.read_table(cp))
     sidecars = [a for a in actions if isinstance(a, Sidecar)]
     if not expand_sidecars or not sidecars:
         return actions

@@ -65,14 +65,28 @@ def encode_abs_add_path(abs_path: str) -> str:
 def resolve_add_path(table_path: str, add_path: str) -> str:
     """Add.path -> raw filesystem path. Relative paths join the table
     root unchanged (partition dirs are PHYSICALLY written in their
-    encoded spelling, so stored == on-disk). Absolute ``file:`` URIs
-    strip the scheme and percent-DECODE (the clone spelling — the
-    scheme is the decode flag, so a literal ``%XX`` in a raw legacy
-    path is never mis-decoded). Bare absolute paths pass through
-    (``os.path.join`` ignores the root for them)."""
+    encoded spelling, so stored == on-disk for THIS engine's tables).
+    Absolute ``file:`` URIs strip the scheme and percent-DECODE (the
+    clone spelling — the scheme is the decode flag, so a literal
+    ``%XX`` in a raw legacy path is never mis-decoded). Bare absolute
+    paths pass through (``os.path.join`` ignores the root for them).
+
+    Spec-compliant FOREIGN writers URL-encode the relative path itself
+    (PROTOCOL.md: add.path is a URL-encoded relative path), so an
+    on-disk dir ``x=B%20B`` is logged as ``x=B%2520B`` (reference
+    corpus delta-0.8.0-special-partition). For those, fall back to the
+    decoded spelling — but ONLY when the raw join does not exist and
+    the decoded one does, so legacy raw-%XX paths from this engine
+    keep resolving byte-for-byte. The two extra stat calls happen only
+    for %-carrying paths whose raw spelling is absent."""
     if add_path.startswith("file:"):
         return urllib.parse.unquote(_FILE_SCHEME_RE.sub("/", add_path))
-    return os.path.join(table_path, add_path)
+    p = os.path.join(table_path, add_path)
+    if "%" in add_path and not os.path.exists(p):
+        q = os.path.join(table_path, urllib.parse.unquote(add_path))
+        if os.path.exists(q):
+            return q
+    return p
 
 
 def _rel_candidates(

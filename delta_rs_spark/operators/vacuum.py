@@ -230,9 +230,17 @@ def cleanup_metadata(table_path: str, retention_hours: int | None = None) -> int
     # shared; foreign shared sidecars survive because their referencing
     # checkpoint does).
     log = snap_mod.log_dir(table_path)
+
+    def _is_cp(f: str):
+        return (
+            snap_mod._CHECKPOINT_RE.match(f)
+            or snap_mod._CHECKPOINT_V2_RE.match(f)
+            or snap_mod._CHECKPOINT_V2_JSON_RE.match(f)
+        )
+
     removed_cp = False
     for f in list(os.listdir(log)):
-        m = snap_mod._CHECKPOINT_RE.match(f) or snap_mod._CHECKPOINT_V2_RE.match(f)
+        m = _is_cp(f)
         if not m or int(m.group(1)) >= last_cp:
             continue
         p = os.path.join(log, f)
@@ -242,20 +250,34 @@ def cleanup_metadata(table_path: str, retention_hours: int | None = None) -> int
             n += 1
     sidecar_dir = os.path.join(log, "_sidecars")
     if removed_cp and os.path.isdir(sidecar_dir):
+        import json as _json
+
         import pyarrow.parquet as pq
 
         referenced: set[str] = set()
         for f in os.listdir(log):
-            if snap_mod._CHECKPOINT_RE.match(f) or snap_mod._CHECKPOINT_V2_RE.match(f):
-                pf = pq.ParquetFile(os.path.join(log, f))
-                if "sidecar" not in pf.schema_arrow.names:
-                    continue  # classic checkpoint: no sidecar column
-                # column-pruned read: only the sidecar struct, never the
-                # (possibly huge) add/remove payload
-                for row in pf.read(columns=["sidecar"]).to_pylist():
-                    sc = row.get("sidecar")
-                    if sc and sc.get("path"):
-                        referenced.add(os.path.basename(sc["path"]))
+            if not _is_cp(f):
+                continue
+            p = os.path.join(log, f)
+            if f.endswith(".json"):  # JSON V2 top-level checkpoint
+                with open(p, encoding="utf-8") as fh:
+                    for line in fh:
+                        try:
+                            sc = _json.loads(line).get("sidecar")
+                        except ValueError:
+                            continue
+                        if sc and sc.get("path"):
+                            referenced.add(os.path.basename(sc["path"]))
+                continue
+            pf = pq.ParquetFile(p)
+            if "sidecar" not in pf.schema_arrow.names:
+                continue  # classic checkpoint: no sidecar column
+            # column-pruned read: only the sidecar struct, never the
+            # (possibly huge) add/remove payload
+            for row in pf.read(columns=["sidecar"]).to_pylist():
+                sc = row.get("sidecar")
+                if sc and sc.get("path"):
+                    referenced.add(os.path.basename(sc["path"]))
         for f in list(os.listdir(sidecar_dir)):
             p = os.path.join(sidecar_dir, f)
             if f not in referenced and os.path.getmtime(p) <= cutoff:

@@ -74,25 +74,49 @@ def domain_action(cluster_by: list[str], schema: T.StructType):
 
 
 def clustering_columns(snapshot) -> list[str] | None:
-    """LOGICAL clustering column names from the snapshot's
-    delta.clustering domain, or None when the table is not clustered.
-    Physical-name paths are translated back through the schema; only
+    """LOGICAL clustering column names of a clustered table, or None.
+
+    Reads every spelling real engines produce, newest first:
+
+    * ``delta.clustering`` domain, ``{"clusteringColumns": [[...]]}``
+      (delta-spark GA convention; what this engine writes);
+    * ``delta.liquid`` domain, ``clusteringColumns:
+      [{"physicalName": [...]}]`` (the preview convention the reference
+      parses in protocol/mod.rs:717);
+    * ``delta.liquid.clusteringColumns`` TABLE PROPERTY (the earliest
+      preview — reference corpus table_with_liquid_clustering).
+
+    Physical-name paths translate back through the schema; only
     top-level columns are supported (nested clustering paths raise)."""
-    dm = snapshot.domain_metadata.get(DOMAIN)
-    if dm is None:
-        return None
     from delta_rs_spark.log.commit import DeltaError
     from delta_rs_spark.plans import column_mapping as cmap
 
-    try:
-        paths = json.loads(dm.configuration).get("clusteringColumns") or []
-    except (ValueError, TypeError):
-        return None
+    paths: list | None = None
+    for domain in (DOMAIN, "delta.liquid"):
+        dm = snapshot.domain_metadata.get(domain)
+        if dm is None:
+            continue
+        try:
+            paths = json.loads(dm.configuration).get("clusteringColumns") or []
+        except (ValueError, TypeError):
+            paths = None
+        if paths is not None:
+            break
+    if paths is None:
+        prop = (snapshot.configuration or {}).get("delta.liquid.clusteringColumns")
+        if not prop:
+            return None
+        paths = [c.strip() for c in prop.split(",") if c.strip()]
     schema = T.StructType.fromJson(json.loads(snapshot.schema_string))
     logical = {cmap._physical_name(f): f.name for f in schema.fields}
     out: list[str] = []
     for p in paths:
-        parts = p if isinstance(p, list) else [p]
+        if isinstance(p, dict):  # delta.liquid preview: {"physicalName": [...]}
+            parts = p.get("physicalName") or []
+        elif isinstance(p, list):
+            parts = p
+        else:
+            parts = [p]
         if len(parts) != 1:
             raise DeltaError(
                 f"nested clustering column path {parts} is not supported"

@@ -69,8 +69,12 @@ SUPPORTED_WRITER_FEATURES = {
     "inCommitTimestamp",  # commit path stamps monotonic ICTs when enabled
     # r12: CLUSTER BY persists the delta.clustering domain, OPTIMIZE
     # cluster()/full+incremental Hilbert-clusters by it and stamps
-    # clusteringProvider="liquid" on its outputs (plans/clustering.py)
+    # clusteringProvider="liquid" on its outputs (plans/clustering.py);
+    # "liquid" is the preview-era spelling of the same feature (reference
+    # corpus table_with_liquid_clustering) — clustering_columns() reads
+    # its property/domain conventions, so the obligations are met
     "clusteredTable",
+    "liquid",
     # Spark 4 writes variant natively (parquet VARIANT logical type);
     # footer stats fall back to writer._spark_stats_fallback because
     # pyarrow 16 cannot parse that footer

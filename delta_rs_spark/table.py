@@ -134,35 +134,65 @@ def read_snapshot_df(
         for c in extra_physical_cols or []:
             df = df.withColumn(c, F.lit(None).cast("long"))
     else:
-        def read_group(paths: list[str]):
+        part_phys = [
+            (phys_of or {}).get(pc, pc) for pc in snapshot.partition_columns
+        ]
+
+        def read_group(group_adds: list[Add]):
             """One reader per Hive base: a shallow clone's absolute add
             paths live under the SOURCE root, so partitioned scans
             cannot serve clone-local and cloned files with a single
             basePath — group by the directory above the k=v segments
-            (table-local files group to table_path itself)."""
+            (table-local files group to table_path itself).
+
+            Foreign layouts (delta-spark under column mapping writes
+            random-prefix dirs, NO k=v segments) carry partition values
+            ONLY on the add action — those group by their
+            partitionValues tuple and the values are injected as typed
+            literals (the physical files do not contain the column)."""
+            from delta_rs_spark.operators.util import resolve_add_path
+
             reader = spark.read.schema(read_schema)
             if not snapshot.partition_columns:
-                return [reader.parquet(*paths)]
-            groups: dict[str, list[str]] = {}
-            for p in paths:
+                return [reader.parquet(*[resolve_add_path(table_path, a.path) for a in group_adds])]
+            groups: dict[tuple, list[str]] = {}
+            for a in group_adds:
+                p = resolve_add_path(table_path, a.path)
                 d = os.path.dirname(p)
+                hive = False
                 while "=" in os.path.basename(d):
+                    hive = True
                     d = os.path.dirname(d)
-                groups.setdefault(d, []).append(p)
-            return [
-                spark.read.schema(read_schema)
-                .option("basePath", base)
-                .parquet(*ps)
-                for base, ps in groups.items()
-            ]
+                # non-Hive layout: partition values ride the add action —
+                # key the group by them so each gets its own literals
+                pv_key = (
+                    None
+                    if hive
+                    else tuple(sorted((a.partition_values or {}).items()))
+                )
+                groups.setdefault((d, pv_key), []).append(p)
+            out = []
+            for (base, pv_key), ps in groups.items():
+                g = (
+                    spark.read.schema(read_schema)
+                    .option("basePath", base)
+                    .parquet(*ps)
+                )
+                if pv_key is not None:
+                    pv = dict(pv_key)
+                    for pc in part_phys:
+                        g = g.withColumn(
+                            pc,
+                            F.lit(pv.get(pc)).cast(read_schema[pc].dataType),
+                        )
+                out.append(g)
+            return out
 
         from delta_rs_spark.operators.util import resolve_add_path
 
         parts = []
         if plain:
-            for p_df in read_group(
-                [resolve_add_path(table_path, a.path) for a in plain]
-            ):
+            for p_df in read_group(plain):
                 if file_path_col:
                     # bound BEFORE any select/union — hidden metadata
                     # columns do not survive those
@@ -192,9 +222,7 @@ def read_snapshot_df(
                 g.withColumn(
                     "__fp", _normalize_file_path(F.col("_metadata.file_path"))
                 ).withColumn("__ri", F.col("_metadata.row_index"))
-                for g in read_group(
-                    [resolve_add_path(table_path, a.path) for a in dv_adds]
-                )
+                for g in read_group(dv_adds)
             ]
             dv_df = dv_parts[0]
             for extra in dv_parts[1:]:
