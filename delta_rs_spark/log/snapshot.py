@@ -872,8 +872,17 @@ def _validate_log(
       contiguous — metadata cleanup only ever removes a PREFIX below a
       checkpoint, so a hole above one means a lost commit;
     * without any checkpoint, commits must start at 0 and be contiguous;
-    * a readable _last_checkpoint must point at an existing checkpoint
-      and agree with its action count ("size").
+    * a readable _last_checkpoint must point at an existing checkpoint.
+
+    The _last_checkpoint ``size`` field is a HINT, never validated:
+    real engines write it loosely — in the reference's own corpus,
+    latest_not_checkpointed declares 1 vs 4 actual actions,
+    table_failed_last_checkpoint_update 6 vs 4 (a stale failed update
+    the reader must tolerate by design), and checkpoint_with_partitions
+    wrote the BYTE size (15330) into it. The err-log corpus tables that
+    carry size mismatches (table_d/e/f) are all rejected for their
+    catalogOwned reader feature, not the size field — kernel parity
+    holds without the cross-check.
     """
     from delta_rs_spark.log.commit import DeltaError
 
@@ -904,19 +913,6 @@ def _validate_log(
                 f"_last_checkpoint points at version {lc_v} but no such "
                 "checkpoint file exists"
             )
-        declared = lc.get("size")
-        if declared is not None:
-            actions = read_checkpoint(table_path, lc_v)
-            # v2 checkpoints keep file actions in sidecars — the local
-            # row count is legitimately partial there
-            has_sidecars = any(
-                isinstance(a, (CheckpointMetadata, Sidecar)) for a in actions
-            )
-            if not has_sidecars and len(actions) != int(declared):
-                raise DeltaError(
-                    f"checkpoint {lc_v} is corrupt: _last_checkpoint "
-                    f"declares {declared} actions, file has {len(actions)}"
-                )
 
 
 def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:

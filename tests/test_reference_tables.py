@@ -187,3 +187,89 @@ def test_cdf_table_reads_and_follows_changes(spark):
     cdf = dt.load_cdf(starting_version=1)
     kinds = {r["_change_type"] for r in cdf.collect()}
     assert kinds & {"update_preimage", "update_postimage", "delete", "insert"}
+
+
+def test_empty_create_only_table(spark):
+    """simple_commit: a CREATE-only commit (no adds) — an EMPTY table
+    must load with its schema and read zero rows."""
+    dt = DeltaTable(os.path.join(DATA, "simple_commit"), spark=spark)
+    assert dt.count() == 0
+    assert len(dt.schema().fields) > 0
+    assert dt.to_df().count() == 0
+
+
+@pytest.mark.parametrize(
+    "table",
+    [
+        "partition-type-primitives",
+        "COVID-19_NYT",
+        "http_requests",
+        "delta-stats-optional",
+        "table_with_null_stats_in_notnull_struct",
+    ],
+)
+def test_more_foreign_tables_match_raw_replay(spark, table):
+    """Batch 2: stats-optional tables (adds without stats — skipping
+    must degrade, never refuse), real-world datasets, primitive-typed
+    partition values."""
+    dt = DeltaTable(os.path.join(DATA, table), spark=spark)
+    _, meta, _ = _raw_replay(table)
+    cols = [
+        f.name
+        for f in T.StructType.fromJson(json.loads(meta["schemaString"])).fields
+    ]
+    got = _rows(dt.to_df().select(cols))
+    want = _rows(_expected_df(spark, table).select(cols))
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize(
+    "table",
+    [
+        "simple_table_with_checkpoint",
+        "with_checkpoint_no_last_checkpoint",
+        "latest_not_checkpointed",
+        "python-0.25.5-checkpoint",
+        "delta-checkpoint-stats-optional",
+        "delta-1.2.1-only-struct-stats",
+        "table_failed_last_checkpoint_update",
+    ],
+)
+def test_foreign_checkpoint_replay_matches_commit_replay(spark, table):
+    """FOREIGN parquet checkpoints (delta-spark and old delta-rs): the
+    engine replays state THROUGH the checkpoint (+tail commits); the
+    raw replay here walks the full commit history with plain json. The
+    live file sets must agree exactly. Covers: no _last_checkpoint,
+    checkpoint newer than _last_checkpoint, stale/failed
+    _last_checkpoint update, struct-only stats (stats_parsed, no json
+    stats column), stats-optional adds."""
+    path = os.path.join(DATA, table)
+    snap = snap_mod.load_snapshot(path)
+    adds, _, _ = _raw_replay(table)
+    want = {(a["path"], tuple(sorted((a.get("partitionValues") or {}).items())))
+            for a in adds}
+    got = {(p, tuple(sorted((a.partition_values or {}).items())))
+           for p, a in snap.files.items()}
+    assert got == want and len(got) > 0
+    # the table also READS through whatever stats the checkpoint carried
+    dt = DeltaTable(path, spark=spark)
+    assert dt.count() >= 0
+
+
+def test_checkpoint_only_history_table_reads(spark):
+    """checkpoint_with_partitions: commit 0 cleaned away — state must
+    replay from the foreign checkpoint alone, partition values intact."""
+    dt = DeltaTable(os.path.join(DATA, "checkpoint_with_partitions"), spark=spark)
+    assert len(dt._snapshot.files) > 0
+    for a in dt._snapshot.files.values():
+        assert a.partition_values, "checkpoint must carry partitionValues"
+
+
+def test_unknown_reader_feature_refused(spark):
+    """simple_table_features demands reader feature 'blahabl' — reading
+    a table whose reader features we don't understand would be a silent
+    misread; the engine must refuse loudly (kernel does the same)."""
+    from delta_rs_spark.log.commit import DeltaError
+
+    with pytest.raises(DeltaError):
+        DeltaTable(os.path.join(DATA, "simple_table_features"), spark=spark)
