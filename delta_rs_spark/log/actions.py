@@ -79,8 +79,15 @@ class Metadata:
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> Metadata:
+        # DLT pipelines write an initial metaData with NO schemaString
+        # (schema arrives with the next commit's metaData). The reference
+        # tolerates this (delta-rs issue #1302; fixture
+        # crates/test/tests/data/delta-live-table) — replay keeps the
+        # LAST metadata, so an empty placeholder schema is never the
+        # effective one on a readable table.
         return cls(
-            schema_string=d["schemaString"],
+            schema_string=d.get("schemaString")
+            or '{"type":"struct","fields":[]}',
             partition_columns=d.get("partitionColumns") or [],
             configuration=d.get("configuration") or {},
             id=d.get("id") or str(uuid.uuid4()),

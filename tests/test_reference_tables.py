@@ -59,7 +59,16 @@ def _expected_df(spark, table: str):
     decoded from the add's partitionValues (independent of the engine's
     scan path)."""
     adds, meta, part_cols = _raw_replay(table)
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    schema_json = json.loads(meta["schemaString"])
+    schema = T.StructType.fromJson(schema_json)
+    # under column mapping, add.partitionValues keys and parquet column
+    # names use PHYSICAL names (PROTOCOL.md "Column Mapping")
+    phys = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in schema_json["fields"]
+    }
     parts = []
     from urllib.parse import unquote
 
@@ -73,8 +82,11 @@ def _expected_df(spark, table: str):
             df = spark.createDataFrame(pq.read_table(local).to_pandas())
         else:
             df = spark.read.parquet(local)
+        for logical, physical in phys.items():
+            if logical not in part_cols and physical != logical:
+                df = df.withColumnRenamed(physical, logical)
         for pc in part_cols:
-            raw = (a.get("partitionValues") or {}).get(pc)
+            raw = (a.get("partitionValues") or {}).get(phys[pc])
             df = df.withColumn(pc, F.lit(raw).cast(schema[pc].dataType))
         parts.append(df.select([f.name for f in schema.fields]))
     out = parts[0]
@@ -273,3 +285,83 @@ def test_unknown_reader_feature_refused(spark):
 
     with pytest.raises(DeltaError):
         DeltaTable(os.path.join(DATA, "simple_table_features"), spark=spark)
+
+
+@pytest.mark.parametrize(
+    "table",
+    [
+        "delta-0.8.0-date",
+        "table_with_partitioning_mapping",
+        "simple_table_with_cdc",
+        "golden/data-reader-array-primitives",
+    ],
+)
+def test_batch3_foreign_tables_match_raw_replay(spark, table):
+    """Batch 3: DATE partition values, column-mapped PARTITIONED layout,
+    CDC-writing table, golden array-typed reader table."""
+    dt = DeltaTable(os.path.join(DATA, table), spark=spark)
+    _, meta, _ = _raw_replay(table)
+    cols = [
+        f.name
+        for f in T.StructType.fromJson(json.loads(meta["schemaString"])).fields
+    ]
+    got = _rows(dt.to_df().select(cols))
+    want = _rows(_expected_df(spark, table).select(cols))
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize(
+    "table", ["issue-2152", "concurrent_workers", "delta-live-table"]
+)
+def test_batch3_empty_created_tables(spark, table):
+    """CREATE-only tables (zero add actions) must load and scan as an
+    empty DataFrame with the declared schema — the reference's own
+    regression fixtures for issues 2152 / concurrent worker creation,
+    plus the DLT fixture whose v0 metaData has NO schemaString (issue
+    #1302, read_delta_log_test.rs read_delta_table_from_dlt; the v1
+    metaData carries the real schema and replay keeps the last one)."""
+    dt = DeltaTable(os.path.join(DATA, table), spark=spark)
+    _, meta, _ = _raw_replay(table)
+    want_cols = [
+        f.name
+        for f in T.StructType.fromJson(json.loads(meta["schemaString"])).fields
+    ]
+    df = dt.to_df()
+    assert df.columns == want_cols
+    assert df.count() == 0
+    assert len(dt._snapshot.files) == 0
+
+
+@pytest.mark.parametrize("table", ["issue_1374", "table_with_deletion_logs"])
+def test_batch3_checkpointed_tables_load_and_read(spark, table):
+    """Deep delete logs: the checkpoint + tail replay must produce a
+    readable snapshot whose live files all exist on disk (vacuum removed
+    only tombstoned ones)."""
+    from delta_rs_spark.operators.util import resolve_add_path
+
+    path = os.path.join(DATA, table)
+    dt = DeltaTable(path, spark=spark)
+    assert len(dt._snapshot.files) > 0
+    for a in dt._snapshot.files.values():
+        assert os.path.exists(resolve_add_path(path, a.path)), a.path
+
+
+def test_batch3_vacuumed_log_history(spark):
+    """checkpoints_vacuumed is a LOG-ONLY fixture (data files deleted,
+    commits 0-4 cleaned up): the snapshot must still replay from the v5
+    checkpoint + tail to version 12, and history must serve both the
+    in-log range and clamp gracefully below it (reference
+    crates/core/src/lib.rs test_read_vacuumed_log{,_history})."""
+    dt = DeltaTable(os.path.join(DATA, "checkpoints_vacuumed"), spark=spark)
+    assert dt.version() == 12
+    hist5 = dt.history(5)
+    assert len(hist5) == 5
+    full = dt.history()
+    # commits 0-4 were metadata-cleaned: only 5..12 remain readable
+    assert {h["version"] for h in full} == set(range(5, 13))
+
+
+def test_empty_foreign_table(spark):
+    """delta-0.8-empty: a real empty table (adds then deleted)."""
+    dt = DeltaTable(os.path.join(DATA, "delta-0.8-empty"), spark=spark)
+    assert dt.count() == 0 and dt.to_df().count() == 0
