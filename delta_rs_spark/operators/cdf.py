@@ -32,12 +32,31 @@ from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL
 from delta_rs_spark.operators.util import resolve_add_path
 
 
-def _ts_to_version(table_path: str, ts: str, default: int) -> int:
+def _parse_ts_ms(ts: str) -> int:
     try:
         parsed = dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
     except ValueError as e:
         raise DeltaError(f"bad timestamp {ts!r}") from e
-    return snap_mod.version_at_timestamp(table_path, int(parsed.timestamp() * 1000))
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=dt.timezone.utc)
+    return int(parsed.timestamp() * 1000)
+
+
+def _commit_ts_ms(table_path: str, version: int, ci_map=None) -> int:
+    """Commit timestamp: commitInfo.timestamp when present, else the
+    commit file's mtime (same fallback the per-version loop uses)."""
+    ci = (ci_map or {}).get(version)
+    if ci is not None and ci.timestamp:
+        return int(ci.timestamp)
+    try:
+        for a in snap_mod.read_commit_actions(table_path, version):
+            from delta_rs_spark.log.actions import CommitInfo
+
+            if isinstance(a, CommitInfo) and a.timestamp:
+                return int(a.timestamp)
+    except FileNotFoundError:
+        pass
+    return int(os.path.getmtime(snap_mod.commit_file(table_path, version)) * 1000)
 
 
 def load_cdf(
@@ -56,15 +75,36 @@ def load_cdf(
     latest = snap_mod.latest_version(table_path)
     if latest is None:
         raise DeltaError(f"not a Delta table: {table_path}")
-    if starting_timestamp:
-        starting_version = _ts_to_version(table_path, starting_timestamp, 0)
-    if ending_timestamp:
-        ending_version = _ts_to_version(table_path, ending_timestamp, latest)
-    if ending_version is None:
-        ending_version = latest
+    # timestamp bounds are a PER-COMMIT inclusive filter on the commit's
+    # own timestamp (reference load_cdf.rs:270-287 skips versions whose
+    # commitInfo ts falls outside [starting, ending]) — NOT an
+    # at-or-before version mapping like time travel: a starting_timestamp
+    # strictly between two commits must EXCLUDE the earlier one.
+    start_ts_ms = _parse_ts_ms(starting_timestamp) if starting_timestamp else None
+    end_ts_ms = _parse_ts_ms(ending_timestamp) if ending_timestamp else None
+    if start_ts_ms is not None and start_ts_ms > _commit_ts_ms(table_path, latest):
+        # reference: ChangeDataTimestampGreaterThanCommit (load_cdf.rs:244-252)
+        if allow_out_of_range:
+            ending_version = starting_version - 1  # empty feed below
+        else:
+            raise DeltaError(
+                f"starting_timestamp {starting_timestamp} is greater than "
+                f"the latest commit timestamp"
+            )
     if starting_version > latest and not allow_out_of_range:
         raise DeltaError(f"starting_version {starting_version} > latest {latest}")
+    if ending_version is None:
+        ending_version = latest
     ending_version = min(ending_version, latest)
+    if ending_version < starting_version and not (
+        allow_out_of_range or starting_version > latest
+    ):
+        # reference: ChangeDataInvalidVersionRange (load_cdf.rs:208-213);
+        # an out-of-range START already passed the allow gate above
+        raise DeltaError(
+            f"invalid CDF version range: start {starting_version} > "
+            f"end {ending_version}"
+        )
 
     # incremental log replay: load the base snapshot ONCE, then apply each
     # commit's actions forward — O(log + range x files) instead of a full
@@ -138,6 +178,14 @@ def load_cdf(
         ts_ms = (ci.timestamp if ci else None) or int(
             os.path.getmtime(snap_mod.commit_file(table_path, v)) * 1000
         )
+        if (start_ts_ms is not None and ts_ms < start_ts_ms) or (
+            end_ts_ms is not None and ts_ms > end_ts_ms
+        ):
+            # inclusive per-commit bound (reference load_cdf.rs:270-287;
+            # its datetime fixture test keeps the commit whose ts equals
+            # the bound exactly) — snap already advanced, so later
+            # versions still replay against the right base
+            continue
         ts_col = F.timestamp_millis(F.lit(ts_ms))
 
         raw_cdc = [a for a in actions if isinstance(a, AddCDCFile)]

@@ -365,3 +365,189 @@ def test_empty_foreign_table(spark):
     """delta-0.8-empty: a real empty table (adds then deleted)."""
     dt = DeltaTable(os.path.join(DATA, "delta-0.8-empty"), spark=spark)
     assert dt.count() == 0 and dt.to_df().count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: variant tables, the reference's pinned CDF expectations,
+# remaining plain corpus tables
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "table",
+    ["COVID-19_NYT", "delta-0.2.0", "table-without-dv-small",
+     "cdf-table-non-partitioned"],
+)
+def test_batch4_foreign_tables_match_raw_replay(spark, table):
+    """Plain reads of the remaining corpus tables: a multi-file public
+    dataset, the OLDEST writer era (delta 0.2.0, pre-stats adds +
+    checkpoint), the DV-less twin of table-with-dv-small, and the CDF
+    fixture's final state."""
+    dt = DeltaTable(os.path.join(DATA, table), spark=spark)
+    _, meta, _ = _raw_replay(table)
+    cols = [
+        f.name
+        for f in T.StructType.fromJson(json.loads(meta["schemaString"])).fields
+    ]
+    got = _rows(dt.to_df().select(cols))
+    want = _rows(_expected_df(spark, table).select(cols))
+    assert got == want and len(got) > 0
+
+
+def test_batch4_log_only_checkpointed_fixture(spark):
+    """'checkpoints' (13 commits + mid-log checkpoints, NO data files on
+    disk): the engine's live-file SET after checkpoint+tail replay must
+    equal the pure-JSON raw replay's — checkpoint content and tail
+    application agree exactly."""
+    dt = DeltaTable(os.path.join(DATA, "checkpoints"), spark=spark)
+    adds, _, _ = _raw_replay("checkpoints")
+    assert set(dt._snapshot.files) == {a["path"] for a in adds}
+    assert dt.version() == 12
+
+
+def test_batch4_variant_preview_table_reads(spark):
+    """spark-variant-checkpoint (reader feature variantType-preview,
+    checkpoint at v2): Spark 4 reads the variant columns natively.
+    Reference pins version 2 / minReader 3 / the preview feature / one
+    top-level variant field (crates/core/tests/variant.rs:50-80); data
+    check here goes further: v's '$.key' equals id on every row."""
+    dt = DeltaTable(os.path.join(DATA, "spark-variant-checkpoint"), spark=spark)
+    assert dt.version() == 2
+    assert dt.protocol().min_reader_version == 3
+    assert "variantType-preview" in (dt.protocol().reader_features or [])
+    df = dt.to_df()
+    assert dict(df.dtypes)["v"] == "variant"
+    assert dict(df.dtypes)["array_of_variants"] == "array<variant>"
+    n = df.count()
+    adds, _, _ = _raw_replay("spark-variant-checkpoint")
+    assert n == sum(json.loads(a["stats"])["numRecords"] for a in adds)
+    mism = df.where(
+        F.try_variant_get("v", "$.key", "long") != F.col("id")
+    ).count()
+    assert mism == 0
+
+
+def test_batch4_variant_stable_feature_log_only(spark):
+    """spark-variant-stable-feature-checkpoint is LOG-ONLY (no data
+    files): reference pins version 1, minReader 3, the STABLE
+    variantType feature, v: variant, struct_of_variants: struct
+    (variant.rs:82-110)."""
+    dt = DeltaTable(
+        os.path.join(DATA, "spark-variant-stable-feature-checkpoint"),
+        spark=spark,
+    )
+    assert dt.version() == 1
+    assert dt.protocol().min_reader_version == 3
+    assert "variantType" in (dt.protocol().reader_features or [])
+    sch = dt.schema()
+    assert isinstance(sch["v"].dataType, T.VariantType)
+    assert isinstance(sch["struct_of_variants"].dataType, T.StructType)
+
+
+def test_batch4_variant_shredded_refused(spark):
+    """The shredded-variant preview table must be REFUSED: its
+    variantShredding-preview reader feature is not implemented, and a
+    plain variant read would silently misdecode shredded values — the
+    reference's table_provider errors the same way (variant.rs:112-121
+    expects 'VariantShreddingPreview')."""
+    from delta_rs_spark.log.commit import DeltaError
+
+    with pytest.raises(DeltaError, match="variantShredding"):
+        DeltaTable(
+            os.path.join(DATA, "spark-shredded-variant-preview-delta"),
+            spark=spark,
+        )
+
+
+_CDF_TS = {
+    0: "2024-04-14 15:58:26.249000",
+    1: "2024-04-14 15:58:29.393000",
+    2: "2024-04-14 15:58:31.257000",
+    3: "2024-04-14 15:58:32.495000",
+    4: "2024-04-14 15:58:33.444000",
+}
+
+# (id, name, birthday, long_field, _change_type, _commit_version) — the
+# full 26-row batch the reference pins for starting_version=0
+# (load_cdf.rs test_load_local_non_partitioned)
+_CDF_EXPECTED = [
+    (1, "Steve", "2024-04-14", 1, "insert", 0),
+    (2, "Bob", "2024-04-15", 1, "insert", 0),
+    (3, "Dave", "2024-04-15", 2, "insert", 0),
+    (4, "Kate", "2024-04-15", 3, "insert", 0),
+    (5, "Emily", "2024-04-16", 4, "insert", 0),
+    (6, "Carl", "2024-04-16", 5, "insert", 0),
+    (7, "Dennis", "2024-04-16", 6, "insert", 0),
+    (8, "Claire", "2024-04-17", 7, "insert", 0),
+    (9, "Ada", "2024-04-17", 8, "insert", 0),
+    (10, "Borb", "2024-04-17", 99999999999999999, "insert", 0),
+    (2, "Bob", "2024-04-15", 1, "update_preimage", 1),
+    (2, "Bob", "2024-04-14", 1, "update_postimage", 1),
+    (3, "Dave", "2024-04-15", 2, "update_preimage", 1),
+    (3, "Dave", "2024-04-14", 2, "update_postimage", 1),
+    (4, "Kate", "2024-04-15", 3, "update_preimage", 1),
+    (4, "Kate", "2024-04-14", 3, "update_postimage", 1),
+    (5, "Emily", "2024-04-16", 4, "update_preimage", 2),
+    (5, "Emily", "2024-04-14", 4, "update_postimage", 2),
+    (6, "Carl", "2024-04-16", 5, "update_preimage", 2),
+    (6, "Carl", "2024-04-14", 5, "update_postimage", 2),
+    (7, "Dennis", "2024-04-16", 6, "update_preimage", 2),
+    (7, "Dennis", "2024-04-14", 6, "update_postimage", 2),
+    (7, "Dennis", "2024-04-14", 6, "delete", 3),
+    (1, "Alex", "2024-04-14", 1, "insert", 4),
+    (2, "Alan", "2024-04-15", 1, "insert", 4),
+]
+
+
+def test_batch4_cdf_matches_reference_pin(spark):
+    """load_cdf(starting_version=0) over cdf-table-non-partitioned must
+    reproduce the reference's pinned 26-row change feed byte-for-byte —
+    including constant columns and per-commit timestamps
+    (load_cdf.rs:1200-1248)."""
+    dt = DeltaTable(os.path.join(DATA, "cdf-table-non-partitioned"), spark=spark)
+    rows = dt.load_cdf(starting_version=0).collect()
+    got = sorted(
+        (
+            r.id, r.name, str(r.birthday), r.long_field, r.boolean_field,
+            float(r.double_field), r.smallint_field, r._change_type,
+            r._commit_version, str(r._commit_timestamp),
+        )
+        for r in rows
+    )
+    want = sorted(
+        (i, n, b, lf, True, 3.14, 1, ct, cv, _CDF_TS[cv])
+        for (i, n, b, lf, ct, cv) in _CDF_EXPECTED
+    )
+    assert got == want
+
+
+def test_batch4_cdf_range_semantics(spark):
+    """Bounds parity with load_cdf.rs:1250-1345: start>end errors
+    (ChangeDataInvalidVersionRange); start>latest errors
+    (InvalidVersion) but yields an EMPTY feed with allow_out_of_range;
+    a starting_timestamp beyond the last commit errors
+    (ChangeDataTimestampGreaterThanCommit) / empties with the flag; an
+    ending_timestamp EQUAL to a commit's own ts keeps that commit
+    (inclusive bound, test_load_local_datetime)."""
+    from delta_rs_spark.log.commit import DeltaError
+
+    dt = DeltaTable(os.path.join(DATA, "cdf-table-non-partitioned"), spark=spark)
+    with pytest.raises(DeltaError, match="range"):
+        dt.load_cdf(starting_version=4, ending_version=1)
+    with pytest.raises(DeltaError, match="starting_version"):
+        dt.load_cdf(starting_version=5)
+    assert dt.load_cdf(starting_version=5, allow_out_of_range=True).count() == 0
+    with pytest.raises(DeltaError, match="greater than"):
+        dt.load_cdf(starting_timestamp="2033-12-22T17:10:21.675")
+    assert (
+        dt.load_cdf(
+            starting_timestamp="2033-12-22T17:10:21.675", allow_out_of_range=True
+        ).count()
+        == 0
+    )
+    # inclusive ending bound: v0..v1 only (v1's ts is the bound itself)
+    upto_v1 = dt.load_cdf(ending_timestamp="2024-04-14T15:58:29.393")
+    assert set(r._commit_version for r in upto_v1.collect()) == {0, 1}
+    # starting ts strictly between v0 and v1 excludes v0 entirely
+    from_mid = dt.load_cdf(starting_timestamp="2024-04-14T15:58:27.000")
+    assert set(r._commit_version for r in from_mid.collect()) == {1, 2, 3, 4}
