@@ -159,6 +159,13 @@ class Add:
         )
 
     def stats_dict(self) -> dict[str, Any] | None:
+        """Parsed stats — parsed fresh per call, deliberately UNCACHED:
+        a memo on the Add would retain a parsed dict (~2-3x the JSON
+        string it already holds) for every file the planner touches,
+        which at millions of adds is GBs of driver memory. Hot paths
+        that evaluate several conjuncts per file (data skipping) parse
+        once per file per query instead (plans/skipping.py prune_files
+        passes the parsed dict down)."""
         if not self.stats:
             return None
         try:

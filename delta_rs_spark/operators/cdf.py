@@ -206,12 +206,44 @@ def load_cdf(
 
             mapped = cmap.mapping_mode(snap.configuration) != "none"
             read_schema = cmap.physical_schema(schema) if mapped else schema
+            phys_of = cmap.logical_to_physical(schema) if mapped else {}
+            # change-data parquet files NEVER contain the partition
+            # columns physically (delta-spark and this engine both write
+            # them partition-dir style); the values ride the AddCDCFile
+            # action's partitionValues — group by that tuple and inject
+            # typed literals, exactly like read_snapshot_df's non-Hive
+            # groups. Reading with a schema that includes the partition
+            # column would silently yield NULLs (the pre-r12 bug the
+            # reference's cdf-table corpus exposed).
+            part_phys = [
+                phys_of.get(pc, pc) for pc in snap.partition_columns or []
+            ]
             cdc_schema = T.StructType(
-                list(read_schema.fields)
+                [f for f in read_schema.fields if f.name not in part_phys]
                 + [T.StructField(CHANGE_TYPE_COL, T.StringType(), True)]
             )
-            paths = [resolve_add_path(table_path, c.path) for c in cdc]
-            df = spark.read.schema(cdc_schema).parquet(*paths)
+            groups: dict[tuple, list[str]] = {}
+            for c in cdc:
+                key = tuple(sorted((c.partition_values or {}).items()))
+                groups.setdefault(key, []).append(
+                    resolve_add_path(table_path, c.path)
+                )
+            gdfs = []
+            for pv_key, paths in groups.items():
+                g = spark.read.schema(cdc_schema).parquet(*paths)
+                pv = dict(pv_key)
+                for pc in part_phys:
+                    g = g.withColumn(
+                        pc, F.lit(pv.get(pc)).cast(read_schema[pc].dataType)
+                    )
+                gdfs.append(
+                    g.select(
+                        [f.name for f in read_schema.fields] + [CHANGE_TYPE_COL]
+                    )
+                )
+            df = gdfs[0]
+            for g in gdfs[1:]:
+                df = df.unionByName(g)
             if mapped:
                 df = cmap.rename_to_logical(
                     df, schema, extra_cols=[CHANGE_TYPE_COL]

@@ -299,7 +299,11 @@ class _Conjunct:
         partition_columns: list[str],
         col_types: dict[str, str] | None = None,
         physical_of: dict[str, str] | None = None,
+        st: dict | None = None,
     ) -> bool:
+        """``st``: pre-parsed stats dict, so a caller evaluating several
+        stats conjuncts against one file parses its JSON once (see
+        prune_files) — when absent, parsed here."""
         # column-mapped tables key partitionValues/stats by PHYSICAL name
         key = (physical_of or {}).get(self.col, self.col)
         if self.col in partition_columns:
@@ -328,7 +332,8 @@ class _Conjunct:
                 return False  # unparseable-as-typed never matches
             lo = hi = v
         else:
-            st = add.stats_dict()
+            if st is None:
+                st = add.stats_dict()
             if not st:
                 return True
             if self.op == "isnull":
@@ -472,11 +477,29 @@ def prune_files(
     conjuncts = parse_conjuncts(predicate)
     if not conjuncts:
         return list(adds)
-    return [
-        a
-        for a in adds
-        if all(c.keep(a, partition_columns, col_types, physical_of) for c in conjuncts)
-    ]
+    # Two-phase evaluation, sized for millions of adds: partition
+    # conjuncts prune from the in-memory partitionValues dict alone
+    # (no stats parse for files they exclude), then each surviving
+    # file's stats JSON is parsed ONCE and shared across all stats
+    # conjuncts — the per-conjunct re-parse was the dominant
+    # driver-side planning cost (~0.8 s per parse pass over 200k adds).
+    # Nothing is retained: a memo on Add would hold parsed dicts for
+    # every touched file, GBs at checkpoint scale.
+    part_cs = [c for c in conjuncts if c.col in partition_columns]
+    stat_cs = [c for c in conjuncts if c.col not in partition_columns]
+    out = []
+    for a in adds:
+        if not all(c.keep(a, partition_columns, col_types, physical_of) for c in part_cs):
+            continue
+        if stat_cs:
+            st = a.stats_dict() or {}
+            if not all(
+                c.keep(a, partition_columns, col_types, physical_of, st=st)
+                for c in stat_cs
+            ):
+                continue
+        out.append(a)
+    return out
 
 
 def partition_only_predicate(

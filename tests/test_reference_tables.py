@@ -551,3 +551,119 @@ def test_batch4_cdf_range_semantics(spark):
     # starting ts strictly between v0 and v1 excludes v0 entirely
     from_mid = dt.load_cdf(starting_timestamp="2024-04-14T15:58:27.000")
     assert set(r._commit_version for r in from_mid.collect()) == {1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: CDF partition-predicate parity over the reference's cdf-table
+# (load_cdf.rs cdf_partition_predicate_* — the partition column moves
+# across versions, so pruning must respect per-version partitionValues
+# while the residual predicate filters rows)
+# ---------------------------------------------------------------------------
+
+
+def _cdf_rows(spark, predicate):
+    dt = DeltaTable(os.path.join(DATA, "cdf-table"), spark=spark)
+    rows = dt.load_cdf(starting_version=0, predicate=predicate).collect()
+    return sorted((r.id, r.name, str(r.birthday), r._change_type) for r in rows)
+
+
+def test_batch5_cdf_predicate_cdc_partition(spark):
+    """birthday=2023-12-23 keeps the v0 inserts and the v1 update
+    preimages of ids 2/3/4 (load_cdf.rs:801-833)."""
+    got = _cdf_rows(spark, "birthday = '2023-12-23'")
+    want = sorted(
+        (i, n, "2023-12-23", ct)
+        for (i, n) in [(2, "Bob"), (3, "Dave"), (4, "Kate")]
+        for ct in ("insert", "update_preimage")
+    )
+    assert got == want
+
+
+def test_batch5_cdf_predicate_remove_fallback_partition(spark):
+    """birthday=2023-12-29 exercises the Remove-action fallback: v3
+    deletes id 7 via a bare Remove — pruning must keep that file so the
+    delete row survives (load_cdf.rs:841-873)."""
+    got = _cdf_rows(spark, "birthday = '2023-12-29'")
+    want = sorted(
+        [
+            (5, "Emily", "2023-12-29", "update_postimage"),
+            (6, "Carl", "2023-12-29", "update_postimage"),
+            (7, "Dennis", "2023-12-29", "delete"),
+            (7, "Dennis", "2023-12-29", "update_postimage"),
+        ]
+    )
+    assert got == want
+
+
+def test_batch5_cdf_predicate_matching_partition_rows(spark):
+    """birthday=2023-12-25: exactly the three v0 inserts
+    (load_cdf.rs:680-709)."""
+    got = _cdf_rows(spark, "birthday = '2023-12-25'")
+    want = sorted(
+        [
+            (8, "Claire", "2023-12-25", "insert"),
+            (9, "Ada", "2023-12-25", "insert"),
+            (10, "Borb", "2023-12-25", "insert"),
+        ]
+    )
+    assert got == want
+
+
+def test_batch5_cdf_predicate_is_null_returns_nothing(spark):
+    """IS NULL on the fully-populated partition column returns no rows
+    (load_cdf.rs:877-900)."""
+    assert _cdf_rows(spark, "birthday IS NULL") == []
+
+
+def test_batch5_cdf_predicate_in_list(spark):
+    """IN over partition values keeps exactly the listed partitions'
+    change rows (load_cdf.rs:902-941): the v0 insert of id 1 plus the
+    v1 postimages (moved INTO 2023-12-22) and the 12-25 inserts."""
+    got = _cdf_rows(spark, "birthday IN ('2023-12-22', '2023-12-25')")
+    want = sorted(
+        [
+            (1, "Steve", "2023-12-22", "insert"),
+            (2, "Bob", "2023-12-22", "update_postimage"),
+            (3, "Dave", "2023-12-22", "update_postimage"),
+            (4, "Kate", "2023-12-22", "update_postimage"),
+            (8, "Claire", "2023-12-25", "insert"),
+            (9, "Ada", "2023-12-25", "insert"),
+            (10, "Borb", "2023-12-25", "insert"),
+        ]
+    )
+    assert got == want
+
+
+def test_batch5_cdf_mixed_predicate(spark):
+    """A mixed partition+data predicate prunes on the partition part
+    only; the data conjunct filters rows (load_cdf.rs:1020-1060)."""
+    got = _cdf_rows(spark, "birthday = '2023-12-24' AND id > 5")
+    want = sorted(
+        (i, n, "2023-12-24", ct)
+        for (i, n) in [(6, "Carl"), (7, "Dennis")]
+        for ct in ("insert", "update_preimage")
+    )
+    assert got == want
+
+
+def test_batch5_cdf_non_partition_predicate_rows(spark):
+    """id > 5 must not drop change rows from any partition — file-level
+    stats can't prune CDF files, correctness comes from the row filter
+    (load_cdf.rs:1062-1105)."""
+    got = _cdf_rows(spark, "id > 5")
+    # every change row of ids 6..10 across all five versions
+    want = sorted(
+        [
+            (6, "Carl", "2023-12-24", "insert"),
+            (7, "Dennis", "2023-12-24", "insert"),
+            (8, "Claire", "2023-12-25", "insert"),
+            (9, "Ada", "2023-12-25", "insert"),
+            (10, "Borb", "2023-12-25", "insert"),
+            (6, "Carl", "2023-12-24", "update_preimage"),
+            (6, "Carl", "2023-12-29", "update_postimage"),
+            (7, "Dennis", "2023-12-24", "update_preimage"),
+            (7, "Dennis", "2023-12-29", "update_postimage"),
+            (7, "Dennis", "2023-12-29", "delete"),
+        ]
+    )
+    assert got == want
