@@ -186,6 +186,8 @@ _DELTA_ROTATED = (
     "delta_row_tracking_op",  # ROW TRACKING (new r11 operator plane): rides delete+update+optimize, all of whose category witnesses stay pinned; never-green -> tail front -> witnessed this round
     "delta_optimize_preserves_data",  # OPTIMIZE plane: delta_zorder_preserves_data stays pinned (same rationale that already rotates zorder_incremental); compact additionally runs in-gate via delta_row_tracking_op and the autoCompact hook tests
     "delta_identity_op",  # IDENTITY (new r11 operator plane): rides the WRITE plane whose witnesses (write_roundtrip, replace_where) stay pinned; never-green -> tail front -> witnessed this round
+    # r12 session 2:
+    "delta_cdf_partitioned_op",  # CDF plane variant (partition-scoped CDF, pins the r12 NULL-partition-column fix): delta_incremental_agg_op stays pinned; never-green -> tail front -> witnessed this round
 )
 
 

@@ -518,6 +518,55 @@ def delta_cdf_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_cdf_partitioned_op",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total, o_orderstatus,
+           'insert' AS _change_type, 0 AS _commit_version
+    FROM orders WHERE o_orderkey < 4000 AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total, o_orderstatus,
+           'update_preimage' AS _change_type, 1 AS _commit_version
+    FROM orders WHERE o_orderkey < 1000 AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, ROUND(o_totalprice + 1, 2) AS total, o_orderstatus,
+           'update_postimage' AS _change_type, 1 AS _commit_version
+    FROM orders WHERE o_orderkey < 1000 AND o_orderstatus = 'F'
+    """,
+)
+def delta_cdf_partitioned_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped CDF over a PARTITIONED table: the change-data
+    parquet files do not physically contain the partition column (its
+    value rides the AddCDCFile action), so the read must inject it per
+    partitionValues group — the r12 wrong-answer fix this gate pins
+    (reference: load_cdf.rs cdf_partition_predicate_* over cdf-table).
+    The partition predicate both prunes change files and filters rows;
+    a regression to NULL partition columns empties the update rows."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    path = _scratch("cdf_partitioned_op", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_deltalake(
+        path,
+        orders.filter("o_orderkey < 4000"),
+        partition_by=["o_orderstatus"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dt = DeltaTable(path, spark=spark)
+    dt.update({"o_totalprice": "o_totalprice + 1"}, predicate="o_orderkey < 1000")
+    return dt.load_cdf(
+        starting_version=0, predicate="o_orderstatus = 'F'"
+    ).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        "o_orderstatus",
+        "_change_type",
+        F.col("_commit_version").cast("int").alias("_commit_version"),
+    )
+
+
+@query(
     "delta_restore_op",
     """
     SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
