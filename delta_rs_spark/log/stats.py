@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import base64
 import datetime as dt
+import decimal
 import json
 import math
 import os
@@ -36,7 +37,35 @@ def _scalar(v: Any) -> Any:
         return v.isoformat()
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
         return None
+    if isinstance(v, decimal.Decimal):
+        # the reference stores decimal stats as f64
+        # (writer/stats.rs StatsScalar::Decimal)
+        return float(v)
     return v
+
+
+def _decimal_min_max(st) -> tuple[Any, Any] | None:
+    """Decode decimal min/max from RAW physical stats. pyarrow's
+    Statistics.min/max raise ArrowNotImplementedError for INT32/INT64
+    -backed decimals (Spark's layout for precision <= 18); the raw
+    values are the unscaled integers (or big-endian two's-complement
+    bytes for FIXED_LEN_BYTE_ARRAY), so scale them ourselves."""
+    lt = st.logical_type
+    if lt is None or lt.type != "DECIMAL":
+        return None
+    try:
+        scale = json.loads(lt.to_json())["scale"]
+    except (ValueError, KeyError, TypeError):
+        return None
+
+    def _dec(raw: Any) -> decimal.Decimal | None:
+        if raw is None:
+            return None
+        if isinstance(raw, bytes):
+            raw = int.from_bytes(raw, "big", signed=True)
+        return decimal.Decimal(raw).scaleb(-scale)
+
+    return _dec(st.min_raw), _dec(st.max_raw)
 
 
 def collect_file_stats(
@@ -85,7 +114,14 @@ def collect_file_stats(
             if st is None or not st.has_min_max:
                 have_stats[ci] = False
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except (NotImplementedError, pa.ArrowNotImplementedError):
+                dec = _decimal_min_max(st)
+                if dec is None:
+                    have_stats[ci] = False
+                    continue
+                mn, mx = dec
             if name not in mins or (mn is not None and mins[name] is not None and mn < mins[name]):
                 mins[name] = mn
             if name not in maxs or (mx is not None and maxs[name] is not None and mx > maxs[name]):

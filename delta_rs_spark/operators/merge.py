@@ -127,9 +127,24 @@ class TableMerger:
     merge_schema: bool = False  # schema evolution (reference: merge/mod.rs:1047-1080)
     commit_properties: Any = None  # CommitProperties (reference table.py merge args)
     post_commithook_properties: Any = None
+    # error_on_type_mismatch=False (reference merge arg): assignment
+    # results that cannot cast to the target type become NULL for
+    # NULLABLE columns instead of erroring (safe cast — reference
+    # python/tests/test_merge.py test_merge_safe_cast_*); non-nullable
+    # targets still fail loudly (strict ANSI cast here, the reference's
+    # 'Invalid data found' check there).
+    safe_cast: bool = False
     matched: list[_Clause] = field(default_factory=list)
     not_matched: list[_Clause] = field(default_factory=list)
     not_matched_by_source: list[_Clause] = field(default_factory=list)
+
+    def _out_cast(self, expr, target_field):
+        """Assignment result -> target column type. Safe mode + nullable
+        target: failed casts become NULL (try_cast); everything else is
+        the strict ANSI cast that errors on malformed values."""
+        if self.safe_cast and target_field.nullable:
+            return expr.try_cast(target_field.dataType)
+        return expr.cast(target_field.dataType)
 
     # -- clause builders --------------------------------------------------
     def when_matched_update(self, updates: dict[str, str], predicate: str | None = None):
@@ -884,8 +899,13 @@ class TableMerger:
                     if cl.kind == "update":
                         upd = cl.updates or {}
                         if c in upd:
+                            # cast INSIDE the branch: when/otherwise
+                            # coerces mismatched branch types with an
+                            # implicit strict cast, which would bypass
+                            # the safe (try_cast) mode
                             col_expr = F.when(
-                                F.col(_ACTION) == code_i, F.expr(upd[c])
+                                F.col(_ACTION) == code_i,
+                                self._out_cast(F.expr(upd[c]), schema[c]),
                             ).otherwise(col_expr)
                 proj.append(col_expr.cast(schema[c].dataType).alias(c))
             out_flt = F.col(_ACTION) != DELETE
@@ -947,7 +967,9 @@ class TableMerger:
                     remaining = remaining.limit(0)
                 upd = cl.updates or {}
                 proj = [
-                    (F.expr(upd[c]) if c in upd else F.lit(None)).cast(schema[c].dataType).alias(c)
+                    self._out_cast(
+                        F.expr(upd[c]) if c in upd else F.lit(None), schema[c]
+                    ).alias(c)
                     for c in cols
                 ]
                 piece = sel.select(*proj)

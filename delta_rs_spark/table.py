@@ -864,7 +864,7 @@ class DeltaTable:
         source_alias: str | None = None,
         target_alias: str | None = None,
         merge_schema: bool = False,
-        error_on_type_mismatch: bool = True,  # accepted for signature parity
+        error_on_type_mismatch: bool = True,
         writer_properties=None,  # parquet writer options for rewrite files
         streamed_exec: bool = True,  # Spark plans are always lazy/streamed
         max_spill_size: int | None = None,  # Spark manages spill itself
@@ -883,6 +883,7 @@ class DeltaTable:
             merge_schema,
             commit_properties,
             post_commithook_properties,
+            safe_cast=not error_on_type_mismatch,
         )
 
     @property

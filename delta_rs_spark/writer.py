@@ -47,6 +47,58 @@ class SchemaMismatchError(DeltaError):
     pass
 
 
+def _signed_arrow_type(t):
+    """Delta has no unsigned types: map uintN -> intN at the SAME width
+    (the reference's arrow ingest does exactly this, and its safe cast
+    errors on overflow — python/tests/test_casting.py pins uint8 value
+    200 refusing to become an Int8). Recurses into nested types."""
+    import pyarrow as pa
+
+    if pa.types.is_uint8(t):
+        return pa.int8()
+    if pa.types.is_uint16(t):
+        return pa.int16()
+    if pa.types.is_uint32(t):
+        return pa.int32()
+    if pa.types.is_uint64(t):
+        return pa.int64()
+    if pa.types.is_list(t):
+        return pa.list_(_signed_arrow_type(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_signed_arrow_type(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_signed_arrow_type(t.key_type), _signed_arrow_type(t.item_type))
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [pa.field(f.name, _signed_arrow_type(f.type), f.nullable) for f in t]
+        )
+    return t
+
+
+def _ingest_arrow(table, spark: SparkSession) -> DataFrame:
+    """Arrow table -> Spark, preserving integer widths (int8 -> ByteType
+    etc. — the to_pandas round-trip used to widen everything to LONG).
+    Unsigned columns are overflow-checked into same-width signed."""
+    import pyarrow as pa
+
+    signed = pa.schema(
+        [
+            pa.field(f.name, _signed_arrow_type(f.type), f.nullable)
+            for f in table.schema
+        ]
+    )
+    if signed != table.schema:
+        try:
+            table = table.cast(signed)  # safe: raises on overflow
+        except pa.lib.ArrowInvalid as e:
+            raise DeltaError(f"Cast error: {e}") from e
+    try:
+        return spark.createDataFrame(table)
+    except Exception:
+        # older Spark without direct-arrow createDataFrame
+        return spark.createDataFrame(table.to_pandas())
+
+
 def _to_spark_df(data: Any, spark: SparkSession | None) -> DataFrame:
     if isinstance(data, DataFrame):
         return data
@@ -63,10 +115,12 @@ def _to_spark_df(data: Any, spark: SparkSession | None) -> DataFrame:
     try:
         import pyarrow as pa
 
-        if isinstance(data, (pa.Table, pa.RecordBatch)):
-            return spark.createDataFrame(data.to_pandas())
+        if isinstance(data, pa.RecordBatch):
+            data = pa.Table.from_batches([data])
         if isinstance(data, pa.RecordBatchReader):
-            return spark.createDataFrame(data.read_all().to_pandas())
+            data = data.read_all()
+        if isinstance(data, pa.Table):
+            return _ingest_arrow(data, spark)
     except ImportError:
         pass
     return spark.createDataFrame(data)

@@ -37,6 +37,52 @@ def test_write_from_pandas_and_arrow(spark, tmp_path):
     assert t.count() == 5
 
 
+def test_arrow_unsigned_safe_cast(spark, tmp_path):
+    """Delta has no unsigned types: uint8 input narrows to BYTE at the
+    same width (reference python/tests/test_casting.py test_safe_cast),
+    and integer widths are preserved through ingest (int8 stays BYTE,
+    not widened to LONG by a pandas round-trip)."""
+    import pyspark.sql.types as T
+
+    p = str(tmp_path / "uint_safe")
+    write_deltalake(p, pa.table({"foo": pa.array([1, 2, 3, 4], pa.uint8())}),
+                    spark=spark)
+    t = DeltaTable(p, spark=spark)
+    assert isinstance(t.schema()["foo"].dataType, T.ByteType)
+    assert sorted(r.foo for r in t.to_df().collect()) == [1, 2, 3, 4]
+
+    p2 = str(tmp_path / "widths")
+    write_deltalake(
+        p2,
+        pa.table({
+            "b": pa.array([1], pa.int8()),
+            "s": pa.array([1], pa.uint16()),
+            "i": pa.array([1], pa.uint32()),
+            "nested": pa.array([[1, 2]], pa.list_(pa.uint8())),
+        }),
+        spark=spark,
+    )
+    sch = DeltaTable(p2, spark=spark).schema()
+    assert isinstance(sch["b"].dataType, T.ByteType)
+    assert isinstance(sch["s"].dataType, T.ShortType)
+    assert isinstance(sch["i"].dataType, T.IntegerType)
+    assert isinstance(sch["nested"].dataType.elementType, T.ByteType)
+
+
+def test_arrow_unsigned_unsafe_cast_rejected(spark, tmp_path):
+    """uint8 value 200 does not fit Int8 — the write must FAIL with a
+    cast error, not silently widen or wrap (reference
+    python/tests/test_casting.py test_unsafe_cast)."""
+    from delta_rs_spark.log.commit import DeltaError
+
+    with pytest.raises(DeltaError, match="Cast error"):
+        write_deltalake(
+            str(tmp_path / "uint_unsafe"),
+            pa.table({"foo": pa.array([1, 2, 3, 200], pa.uint8())}),
+            spark=spark,
+        )
+
+
 def test_to_pyarrow_table(spark, tmp_table, sample_df):
     write_deltalake(tmp_table, sample_df)
     tbl = DeltaTable(tmp_table).to_pyarrow_table(columns=["id", "price"])

@@ -814,3 +814,115 @@ def test_merge_interval_union_prunes_multimodal_source(spark, tmp_path):
     assert out.filter("v = -1").count() == 200
     assert out.filter("v = -2").count() == 200
     assert out.filter("k = 50000").first()["v"] == 100_000
+
+
+# -- merge safe-cast semantics (reference python/tests/test_merge.py
+#    test_merge_safe_cast_*; error_on_type_mismatch=False) ---------------
+
+
+def _cast_tbl(spark, tmp_path, name, rows, schema):
+    import os
+
+    p = os.path.join(str(tmp_path), name)
+    write_deltalake(p, spark.createDataFrame(rows, schema))
+    return p, DeltaTable(p, spark=spark)
+
+
+def test_merge_safe_cast_uncastable_becomes_null(spark, tmp_path):
+    """error_on_type_mismatch=False: an uncastable assignment result
+    becomes NULL for a NULLABLE target column — on the matched-update
+    leg AND the not-matched-insert leg."""
+    _, t = _cast_tbl(spark, tmp_path, "t1", [(1, 10)], "id long, value long")
+    src = spark.createDataFrame([(1, "abc"), (2, "def")], "id long, value string")
+    (
+        t.merge(src, "target.id = source.id", source_alias="source",
+                target_alias="target", error_on_type_mismatch=False)
+        .when_matched_update({"value": "source.value"})
+        .when_not_matched_insert({"id": "source.id", "value": "source.value"})
+        .execute()
+    )
+    assert sorted((r.id, r.value) for r in t.to_df().collect()) == [
+        (1, None), (2, None)
+    ]
+
+
+def test_merge_safe_cast_numeric_overflow_becomes_null(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    sch = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("value", T.IntegerType(), True),
+    ])
+    import os
+
+    p = os.path.join(str(tmp_path), "t2")
+    write_deltalake(p, spark.createDataFrame([(1, 10)], sch))
+    t = DeltaTable(p, spark=spark)
+    src = spark.createDataFrame(
+        [(1, 2**31), (2, -(2**31) - 1)], "id long, value long"
+    )
+    (
+        t.merge(src, "target.id = source.id", source_alias="source",
+                target_alias="target", error_on_type_mismatch=False)
+        .when_matched_update({"value": "source.value"})
+        .when_not_matched_insert({"id": "source.id", "value": "source.value"})
+        .execute()
+    )
+    assert sorted((r.id, r.value) for r in t.to_df().collect()) == [
+        (1, None), (2, None)
+    ]
+
+
+def test_merge_safe_cast_not_matched_by_source_update(spark, tmp_path):
+    _, t = _cast_tbl(
+        spark, tmp_path, "t3", [(1, 10), (2, 20)], "id long, value long"
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    (
+        t.merge(src, "target.id = source.id", source_alias="source",
+                target_alias="target", error_on_type_mismatch=False)
+        .when_not_matched_by_source_update({"value": "'abc'"})
+        .execute()
+    )
+    assert sorted((r.id, r.value) for r in t.to_df().collect()) == [
+        (1, 10), (2, None)
+    ]
+
+
+def test_merge_safe_cast_non_nullable_target_still_fails(spark, tmp_path):
+    """Safe mode never silently NULLs a NON-nullable column: the cast
+    stays strict and the merge errors (reference expects 'Invalid data
+    found'; here the strict ANSI cast raises)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    sch = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("value", T.LongType(), False),
+    ])
+    p = os.path.join(str(tmp_path), "t4")
+    write_deltalake(p, spark.createDataFrame([(1, 10)], sch))
+    t = DeltaTable(p, spark=spark)
+    src = spark.createDataFrame([(1, "abc")], "id long, value string")
+    with pytest.raises(Exception):
+        (
+            t.merge(src, "target.id = source.id", source_alias="source",
+                    target_alias="target", error_on_type_mismatch=False)
+            .when_matched_update({"value": "source.value"})
+            .execute()
+        )
+
+
+def test_merge_type_mismatch_errors_by_default(spark, tmp_path):
+    """Default error_on_type_mismatch=True: malformed assignment values
+    raise instead of writing NULLs (reference test_unsafe semantics)."""
+    _, t = _cast_tbl(spark, tmp_path, "t5", [(1, 10)], "id long, value long")
+    src = spark.createDataFrame([(1, "abc")], "id long, value string")
+    with pytest.raises(Exception):
+        (
+            t.merge(src, "target.id = source.id", source_alias="source",
+                    target_alias="target")
+            .when_matched_update({"value": "source.value"})
+            .execute()
+        )

@@ -207,10 +207,12 @@ def test_partition_value_encoding_roundtrip(spark, tmp_path):
     must round-trip through the directory encoding, and partition
     pruning must still hit the encoded directories."""
     vals = ["plain", "a b", "a/b", "a=b", "a%b", "a#b?c", "ümlaut", "日本", "a\tb"]
+    # plus the reference's full printable-and-beyond range: chr(32..254)
+    vals += ["a" + chr(i) for i in range(32, 255)]
     rows = [(i, v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "id long, strings string")
     table = str(tmp_path / "enc")
-    write_deltalake(table, df, partition_by=["strings"])
+    write_deltalake(table, df.coalesce(8), partition_by=["strings"])
     t = DeltaTable(table)
     got = {r.strings for r in t.to_df().collect()}
     assert got == set(vals)
@@ -308,3 +310,58 @@ def test_overwrite_merges_app_config_atomically_guards_delta_keys(
     # append never rewrites config (create-time semantics preserved)
     write_deltalake(p, df, mode="append", configuration={"app.k": "9"})
     assert DeltaTable(p).metadata().configuration["app.k"] == "2"
+
+
+def test_decimal_write_and_stats(spark, tmp_path):
+    """DECIMAL columns write with real min/max stats. Spark lays out
+    precision<=18 decimals as INT64-backed parquet decimals, whose
+    pyarrow Statistics.min/max raise ArrowNotImplementedError — the
+    collector must decode the raw unscaled ints itself (the reference
+    stores decimal stats as f64, writer/stats.rs StatsScalar::Decimal).
+    Skipping on the decimal column must work off those stats."""
+    import decimal
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(1, decimal.Decimal("1.25")), (2, decimal.Decimal("987654321.50"))],
+        "id long, price decimal(12,2)",
+    ).withColumn("big", F.col("price").cast("decimal(38,6)"))
+    p = str(tmp_path / "dec")
+    write_deltalake(p, df.repartition(2, "id"))
+    t = DeltaTable(p)
+    got = sorted((r.id, str(r.price)) for r in t.to_df().collect())
+    assert got == [(1, "1.25"), (2, "987654321.50")]
+    sts = [
+        _json.loads(a.stats) for a in t._snapshot.files.values() if a.stats
+    ]
+    assert sts and all("price" in s["minValues"] and "big" in s["minValues"]
+                       for s in sts)
+    lo = min(s["minValues"]["price"] for s in sts)
+    hi = max(s["maxValues"]["price"] for s in sts)
+    assert lo == 1.25 and hi == 987654321.5
+    # stats-based skipping prunes the non-matching file
+    from delta_rs_spark.plans.skipping import prune_files
+
+    kept = prune_files(
+        list(t._snapshot.files.values()), "price > 1000", [],
+        {"price": "decimal(12,2)", "big": "decimal(38,6)", "id": "long"},
+    )
+    assert len(kept) < len(t._snapshot.files)
+
+
+def test_decimal_arrow_ingest(spark, tmp_path):
+    """pyarrow decimal128 input keeps its declared precision/scale."""
+    import decimal
+
+    import pyarrow as pa
+    import pyspark.sql.types as T
+
+    p = str(tmp_path / "dec_arrow")
+    write_deltalake(
+        p,
+        pa.table({"c": pa.array([decimal.Decimal("1.25")], pa.decimal128(10, 2))}),
+        spark=spark,
+    )
+    t = DeltaTable(p, spark=spark)
+    assert t.schema()["c"].dataType == T.DecimalType(10, 2)
+    assert str(t.to_df().collect()[0].c) == "1.25"
