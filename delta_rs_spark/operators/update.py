@@ -57,6 +57,21 @@ def _recompute_generated_cols(df, schema, updates, schema_cols, upd_flag):
     )
 
 
+def _nullable_fields(snapshot):
+    from pyspark.sql import types as _T
+
+    sch = _T.StructType.fromJson(json.loads(snapshot.schema_string))
+    return {f.name: f for f in sch.fields}
+
+
+def _assignment_cast(expr, field, dtype, safe: bool):
+    """Assignment result -> target type. Safe mode + nullable target:
+    try_cast (failed casts become NULL); otherwise strict ANSI cast."""
+    if safe and (field is None or field.nullable):
+        return expr.try_cast(dtype)
+    return expr.cast(dtype)
+
+
 def update(
     spark: SparkSession,
     table_path: str,
@@ -64,13 +79,22 @@ def update(
     predicate: str | None = None,
     commit_properties=None,
     post_commithook_properties=None,
+    safe_cast: bool = False,
 ) -> dict[str, Any]:
+    """``safe_cast`` (error_on_type_mismatch=False in the reference's
+    update signature): assignment results that cannot cast to the
+    target type become NULL for NULLABLE columns instead of erroring;
+    non-nullable columns keep the strict cast."""
     from delta_rs_spark.table import read_snapshot_df
     from delta_rs_spark.writer import write_files
 
     if not updates:
         raise DeltaError("update requires at least one column assignment")
     snapshot = snap_mod.load_snapshot(table_path)
+    _tbl_fields = _nullable_fields(snapshot)
+
+    def _ucast(expr, c, dtype):
+        return _assignment_cast(expr, _tbl_fields.get(c), dtype, safe_cast)
     from delta_rs_spark.plans.column_mapping import ensure_writable
 
     ensure_writable(snapshot)
@@ -133,6 +157,7 @@ def update(
             metrics,
             commit_properties,
             post_commithook_properties,
+            safe_cast=safe_cast,
         )
 
     cand_df = read_snapshot_df(
@@ -181,7 +206,15 @@ def update(
     upd_flag = F.col("__delta_rs_upd")
     updated_df = marked.select(
         *[
-            F.when(upd_flag, F.expr(updates[c])).otherwise(F.col(c)).cast(touched_df.schema[c].dataType).alias(c)
+            # cast INSIDE the branch: when/otherwise strict-coerces
+            # mismatched branch types, which would bypass safe_cast
+            F.when(
+                upd_flag,
+                _ucast(F.expr(updates[c]), c, touched_df.schema[c].dataType),
+            )
+            .otherwise(F.col(c))
+            .cast(touched_df.schema[c].dataType)
+            .alias(c)
             if c in updates
             else F.col(c)
             for c in schema_cols
@@ -219,7 +252,9 @@ def update(
             _recompute_generated_cols(
                 touched_df.filter(cond).select(
                     *[
-                        F.expr(updates[c]).cast(touched_df.schema[c].dataType).alias(c)
+                        _ucast(
+                            F.expr(updates[c]), c, touched_df.schema[c].dataType
+                        ).alias(c)
                         if c in updates
                         else F.col(c)
                         for c in schema_cols
@@ -279,6 +314,7 @@ def _dv_update(
     metrics: dict[str, Any],
     commit_properties,
     post_commithook_properties,
+    safe_cast: bool = False,
 ) -> dict[str, Any]:
     """UPDATE via deletion vectors: matched rows are DV-marked dead in
     their files and re-written WITH the new values into fresh files —
@@ -356,12 +392,17 @@ def _dv_update(
     by_rel = group_rows_by_file(rows, table_path, candidates)
     removes, dv_adds, n_updated = dv_mark_rows(table_path, by_rel, candidates, ts)
 
+    _tbl_fields = _nullable_fields(snapshot)
+
+    def _ucast(expr, c, dtype):
+        return _assignment_cast(expr, _tbl_fields.get(c), dtype, safe_cast)
+
     base = matched_df.drop("__delta_rs_fp", "__delta_rs_ri")
     schema_cols = [f.name for f in base.schema.fields]
     new_rows = _recompute_generated_cols(
         base.select(
             *[
-                F.expr(updates[c]).cast(base.schema[c].dataType).alias(c)
+                _ucast(F.expr(updates[c]), c, base.schema[c].dataType).alias(c)
                 if c in updates
                 else F.col(c)
                 for c in schema_cols

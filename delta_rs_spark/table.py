@@ -804,6 +804,8 @@ class DeltaTable:
         updates: dict[str, str] | None = None,
         new_values: dict[str, Any] | None = None,
         predicate: str | None = None,
+        writer_properties=None,  # parquet writer options, parity-accepted
+        error_on_type_mismatch: bool = True,
         commit_properties=None,
         post_commithook_properties=None,
     ) -> dict[str, Any]:
@@ -853,6 +855,7 @@ class DeltaTable:
             predicate,
             commit_properties=commit_properties,
             post_commithook_properties=post_commithook_properties,
+            safe_cast=not error_on_type_mismatch,
         )
         self._snapshot = load_snapshot(self.table_uri)
         return metrics

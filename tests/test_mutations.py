@@ -926,3 +926,34 @@ def test_merge_type_mismatch_errors_by_default(spark, tmp_path):
             .when_matched_update({"value": "source.value"})
             .execute()
         )
+
+
+def test_update_wrong_types_cast_errors(spark, tmp_path):
+    """Default UPDATE with an uncastable assignment errors (reference
+    python/tests/test_update.py test_update_wrong_types_cast)."""
+    import os
+
+    p = os.path.join(str(tmp_path), "u1")
+    write_deltalake(p, spark.createDataFrame([(1, True)], "id long, deleted boolean"))
+    t = DeltaTable(p, spark=spark)
+    with pytest.raises(Exception):
+        t.update(updates={"deleted": "'hello_world'"})
+
+
+def test_update_safe_cast_nullable_becomes_null(spark, tmp_path):
+    """error_on_type_mismatch=False on UPDATE: uncastable results
+    become NULL for nullable targets — rewrite tier AND the DV tier."""
+    import os
+
+    for name, conf in [
+        ("plain", None),
+        ("dv", {"delta.enableDeletionVectors": "true"}),
+    ]:
+        p = os.path.join(str(tmp_path), name)
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+        write_deltalake(p, df, configuration=conf)
+        t = DeltaTable(p, spark=spark)
+        t.update(updates={"v": "'abc'"}, predicate="id = 2",
+                 error_on_type_mismatch=False)
+        got = sorted((r.id, r.v) for r in t.to_df().collect())
+        assert got == [(1, 10), (2, None)], (name, got)
