@@ -365,3 +365,52 @@ def test_decimal_arrow_ingest(spark, tmp_path):
     t = DeltaTable(p, spark=spark)
     assert t.schema()["c"].dataType == T.DecimalType(10, 2)
     assert str(t.to_df().collect()[0].c) == "1.25"
+
+
+def test_update_incremental_applies_tail_only(spark, tmp_table, sample_df, monkeypatch):
+    """update_incremental applies ONLY the new tail commits to the
+    in-memory snapshot (reference table.py update_incremental) — proven
+    by poisoning the full-reload path after the handle is built: a
+    refresh() would raise, the incremental path must not."""
+    from delta_rs_spark.log import snapshot as snap_mod
+    from delta_rs_spark import table as table_mod
+
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    assert t.version() == 0
+    write_deltalake(tmp_table, sample_df, mode="append")
+    write_deltalake(tmp_table, sample_df, mode="append")
+
+    def _boom(*a, **k):
+        raise AssertionError("full reload used where incremental expected")
+
+    monkeypatch.setattr(table_mod, "load_snapshot", _boom)
+    monkeypatch.setattr(snap_mod, "load_snapshot", _boom)
+    t.update_incremental()
+    assert t.version() == 2
+    assert t.count() == 15
+    assert set(t._snapshot.commit_timestamps) == {0, 1, 2}
+    # no-op when already at latest
+    t.update_incremental()
+    assert t.version() == 2
+
+
+def test_update_incremental_protocol_gate(spark, tmp_table, sample_df):
+    """A tail commit that upgrades the table to an unsupported READER
+    feature must refuse on update_incremental, like open/refresh do."""
+    import json as _json
+    import os as _os
+
+    from delta_rs_spark.log.commit import DeltaError
+
+    write_deltalake(tmp_table, sample_df)
+    t = DeltaTable(tmp_table)
+    log = _os.path.join(tmp_table, "_delta_log")
+    with open(_os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}}) + "\n")
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["someFutureFeature"],
+            "writerFeatures": ["someFutureFeature"]}}) + "\n")
+    with pytest.raises(DeltaError):
+        t.update_incremental()
