@@ -56,7 +56,15 @@ def _commit_ts_ms(table_path: str, version: int, ci_map=None) -> int:
                 return int(a.timestamp)
     except FileNotFoundError:
         pass
-    return int(os.path.getmtime(snap_mod.commit_file(table_path, version)) * 1000)
+    try:
+        return int(
+            os.path.getmtime(snap_mod.commit_file(table_path, version)) * 1000
+        )
+    except OSError:
+        # checkpoint-only latest version (expired commit JSONs): no
+        # commit timestamp to compare against — treat as unbounded so
+        # the per-version filter below decides
+        return 2**62
 
 
 def load_cdf(
