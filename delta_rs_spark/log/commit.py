@@ -403,10 +403,10 @@ def commit(
         if version < 0:
             return None
         try:
-            for a in snap_mod.read_commit_actions(table_path, version):
-                if isinstance(a, CommitInfo):
-                    v = a.extra.get("inCommitTimestamp") or a.timestamp
-                    return int(v) if v else None
+            a = snap_mod.read_commit_info(table_path, version)
+            if a is not None:
+                v = a.extra.get("inCommitTimestamp") or a.timestamp
+                return int(v) if v else None
         except Exception:
             return None
         return None

@@ -160,6 +160,46 @@ def read_commit_actions(table_path: str, version: int) -> list[Action]:
     return actions
 
 
+def read_commit_meta_actions(table_path: str, version: int) -> list[Action]:
+    """Only the commit's CommitInfo + Metadata actions — a cheap
+    substring prefilter skips the (possibly 10^5) add/remove lines
+    without any JSON parse. For timestamp lookups (version_at_timestamp
+    needs Metadata for the ICT enablement keys) on big-table logs."""
+    from delta_rs_spark.log.actions import CommitInfo, Metadata
+
+    path = commit_file(table_path, version)
+    out: list[Action] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if '"commitInfo"' not in line and '"metaData"' not in line:
+                continue
+            a = parse_action(line.strip())
+            if isinstance(a, (CommitInfo, Metadata)):
+                out.append(a)
+    return out
+
+
+def read_commit_info(table_path: str, version: int):
+    """Just the commit's CommitInfo, without materializing its file
+    actions — a big-table commit carries tens of thousands of add lines
+    and history()/timestamp lookups only need the one commitInfo line
+    (writers, including this engine and delta-spark, emit it first, so
+    the typical cost is parsing a single line). Returns None when the
+    commit has no commitInfo. Raises FileNotFoundError like
+    read_commit_actions."""
+    from delta_rs_spark.log.actions import CommitInfo
+
+    path = commit_file(table_path, version)
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if '"commitInfo"' not in line:
+                continue  # cheap substring scan before any JSON parse
+            a = parse_action(line.strip())
+            if isinstance(a, CommitInfo):
+                return a
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint parquet (protocol-shaped: one action per row, one struct
 # column per action kind; partitionValues as map<string,string>, stats as
@@ -999,7 +1039,8 @@ def version_at_timestamp(table_path: str, ts_ms: int) -> int:
     seen: list[tuple[int, int]] = []  # (version, commit timestamp)
     for v in commits:
         try:
-            actions = read_commit_actions(table_path, v)
+            # commitInfo + metaData lines only — never the add actions
+            actions = read_commit_meta_actions(table_path, v)
         except FileNotFoundError:
             actions = []
         for a in actions:

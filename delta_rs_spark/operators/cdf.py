@@ -49,11 +49,9 @@ def _commit_ts_ms(table_path: str, version: int, ci_map=None) -> int:
     if ci is not None and ci.timestamp:
         return int(ci.timestamp)
     try:
-        for a in snap_mod.read_commit_actions(table_path, version):
-            from delta_rs_spark.log.actions import CommitInfo
-
-            if isinstance(a, CommitInfo) and a.timestamp:
-                return int(a.timestamp)
+        ci = snap_mod.read_commit_info(table_path, version)
+        if ci is not None and ci.timestamp:
+            return int(ci.timestamp)
     except FileNotFoundError:
         pass
     try:

@@ -523,10 +523,11 @@ class DeltaTable:
             if limit is not None and len(out) >= limit:
                 break
             try:
-                actions = snap_mod.read_commit_actions(self.table_uri, v)
+                # commitInfo line only — never materializes the commit's
+                # (possibly 10^5-line) add actions
+                ci = snap_mod.read_commit_info(self.table_uri, v)
             except FileNotFoundError:
                 continue
-            ci = next((a for a in actions if isinstance(a, CommitInfo)), None)
             if ci is None:
                 out.append({"version": v})
                 continue

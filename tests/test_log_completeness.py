@@ -658,3 +658,42 @@ def test_cleanup_reclaims_superseded_checkpoints_and_sidecars(spark, tmp_path):
     dt2 = DeltaTable(table, spark=spark)
     assert dt2.to_df().count() == 11
     assert snap_mod.load_snapshot(table).version == dt.version()
+
+
+def test_read_commit_info_skips_lookalike_lines(tmp_path):
+    """read_commit_info / read_commit_meta_actions prefilter lines by
+    substring before parsing — an add whose stats string CONTAINS the
+    literal '"commitInfo"' or '"metaData"' must not be misread, and the
+    real commitInfo is still found even when it is not the first line."""
+    import json as _json
+    import os as _os
+
+    from delta_rs_spark.log import snapshot as snap_mod
+    from delta_rs_spark.log.actions import CommitInfo, Metadata
+
+    t = str(tmp_path / "t")
+    log = _os.path.join(t, "_delta_log")
+    _os.makedirs(log)
+    schema = _json.dumps({"type": "struct", "fields": []})
+    tricky_stats = _json.dumps(
+        {"numRecords": 1, "minValues": {"s": '{"commitInfo": {"metaData": 1}}'}}
+    )
+    lines = [
+        _json.dumps({"add": {"path": "a.parquet", "partitionValues": {},
+                             "size": 1, "modificationTime": 1,
+                             "dataChange": True, "stats": tricky_stats}}),
+        _json.dumps({"metaData": {"id": "m", "format": {"provider": "parquet",
+                     "options": {}}, "schemaString": schema,
+                     "partitionColumns": [], "configuration": {},
+                     "createdTime": 1}}),
+        _json.dumps({"commitInfo": {"timestamp": 777, "operation": "WRITE"}}),
+    ]
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    ci = snap_mod.read_commit_info(t, 0)
+    assert isinstance(ci, CommitInfo) and ci.timestamp == 777
+    metas = snap_mod.read_commit_meta_actions(t, 0)
+    assert {type(a) for a in metas} == {CommitInfo, Metadata}
+    with pytest.raises(FileNotFoundError):
+        snap_mod.read_commit_info(t, 5)
