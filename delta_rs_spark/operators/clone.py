@@ -96,10 +96,10 @@ def clone_table(
     if version is not None and not isinstance(version, int):
         # timestamp clone: ISO string / datetime, the same resolution
         # as DeltaTable.load_as_version
-        import datetime as _dt
-
         if isinstance(version, str):
-            version = _dt.datetime.fromisoformat(version.replace("Z", "+00:00"))
+            from delta_rs_spark.operators.util import parse_rfc3339
+
+            version = parse_rfc3339(version)
         version = snap_mod.version_at_timestamp(
             src, int(version.timestamp() * 1000)
         )

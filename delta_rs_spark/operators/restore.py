@@ -32,7 +32,9 @@ def restore(
 ) -> dict[str, Any]:
     current = snap_mod.load_snapshot(table_path)
     if isinstance(target, str):
-        target = dt.datetime.fromisoformat(target.replace("Z", "+00:00"))
+        from delta_rs_spark.operators.util import parse_rfc3339
+
+        target = parse_rfc3339(target)
     if isinstance(target, dt.datetime):
         version = snap_mod.version_at_timestamp(table_path, int(target.timestamp() * 1000))
     else:

@@ -134,3 +134,24 @@ def match_touched_files(
                 f"scanned file {r['fp']} not found among snapshot adds under {table_path}"
             )
     return out
+
+
+def parse_rfc3339(s: str):
+    """Datetime STRING -> tz-aware datetime, reference parity: naive
+    strings are rejected (delta-rs parses RFC3339, and a string that
+    silently means 'driver-local time' travels to a different version
+    per machine). 'Z' is accepted as +00:00."""
+    import datetime as _dt
+
+    from delta_rs_spark.log.commit import DeltaError
+
+    try:
+        parsed = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError as e:
+        raise DeltaError(f"Failed to parse datetime string: {s!r}") from e
+    if parsed.tzinfo is None:
+        raise DeltaError(
+            f"Failed to parse datetime string: {s!r} "
+            "(timezone offset required, e.g. ...T00:47:31+00:00)"
+        )
+    return parsed

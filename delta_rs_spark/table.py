@@ -612,7 +612,12 @@ class DeltaTable:
             self._snapshot = load_snapshot(self.table_uri, version)
             return
         if isinstance(version, str):
-            version = dt.datetime.fromisoformat(version.replace("Z", "+00:00"))
+            # reference parity (table_read.py
+            # test_load_as_version_datetime_bad_format): a datetime
+            # STRING must be RFC3339 with an explicit offset
+            from delta_rs_spark.operators.util import parse_rfc3339
+
+            version = parse_rfc3339(version)
         if isinstance(version, dt.datetime):
             ts_ms = int(version.timestamp() * 1000)
             v = snap_mod.version_at_timestamp(self.table_uri, ts_ms)

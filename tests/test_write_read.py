@@ -414,3 +414,22 @@ def test_update_incremental_protocol_gate(spark, tmp_table, sample_df):
             "writerFeatures": ["someFutureFeature"]}}) + "\n")
     with pytest.raises(DeltaError):
         t.update_incremental()
+
+
+def test_load_as_version_datetime_string_formats(spark, tmp_table, sample_df):
+    """String time travel requires an RFC3339 offset (reference
+    test_load_as_version_datetime_bad_format pins the rejection of
+    naive strings); tz-aware strings and datetimes travel correctly."""
+    write_deltalake(tmp_table, sample_df)
+    t0 = DeltaTable(tmp_table)
+    ts0 = t0._snapshot.commit_timestamps[0]
+    write_deltalake(tmp_table, sample_df, mode="append")
+
+    t = DeltaTable(tmp_table)
+    iso = dt.datetime.fromtimestamp(ts0 / 1000, dt.timezone.utc).isoformat()
+    t.load_as_version(iso)
+    assert t.version() == 0
+
+    for bad in ["2020-05-01T00:47:31", "2020-05-01 00:47:31", "not-a-date"]:
+        with pytest.raises(DeltaError, match="Failed to parse datetime string"):
+            DeltaTable(tmp_table).load_as_version(bad)
