@@ -580,7 +580,10 @@ class DeltaTable:
                 for k, v in (st.get("nullCount") or {}).items():
                     row[f"null_count.{k}"] = v
             else:
-                row["partition_values"] = dict(a.partition_values or {})
+                # reference column name is 'partition' (state.rs
+                # add-actions schema; test_add_actions_table reads
+                # actions_df["partition"].field(...))
+                row["partition"] = dict(a.partition_values or {})
                 row["min"] = {k: str(v) for k, v in (st.get("minValues") or {}).items()}
                 row["max"] = {k: str(v) for k, v in (st.get("maxValues") or {}).items()}
                 row["null_count"] = dict(st.get("nullCount") or {})

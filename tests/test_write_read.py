@@ -433,3 +433,27 @@ def test_load_as_version_datetime_string_formats(spark, tmp_table, sample_df):
     for bad in ["2020-05-01T00:47:31", "2020-05-01 00:47:31", "not-a-date"]:
         with pytest.raises(DeltaError, match="Failed to parse datetime string"):
             DeltaTable(tmp_table).load_as_version(bad)
+
+
+def test_get_add_actions_reference_pins(spark):
+    """get_add_actions over the reference's own delta-0.8.0-partitioned
+    fixture reproduces the pinned values (test_table_read.py
+    test_add_actions_table): 6 files, exact sizes, the 1615555646000
+    modification time, and partition values via 'partition.<col>'
+    (flatten) / the 'partition' struct (non-flatten)."""
+    import pyarrow as pa
+
+    path = "/root/reference/crates/test/tests/data/delta-0.8.0-partitioned"
+    if not __import__("os").path.isdir(path):
+        pytest.skip("reference corpus not present")
+    t = DeltaTable(path)
+    flat = pa.table(t.get_add_actions(flatten=True)).sort_by("path")
+    assert flat.num_rows == 6
+    assert flat["size_bytes"].to_pylist() == [414, 414, 414, 407, 414, 414]
+    assert flat["modification_time"].to_pylist() == [1615555646000] * 6
+    assert flat["partition.year"].to_pylist() == ["2020"] * 3 + ["2021"] * 3
+    assert flat["partition.month"].to_pylist() == ["1", "2", "2", "12", "12", "4"]
+    assert flat["partition.day"].to_pylist() == ["1", "3", "5", "20", "4", "5"]
+    nested = pa.table(t.get_add_actions(flatten=False)).sort_by("path")
+    years = nested["partition"].combine_chunks().field("year").to_pylist()
+    assert years == ["2020"] * 3 + ["2021"] * 3
