@@ -30,6 +30,85 @@ from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_file
 PartitionFilter = tuple[str, str, Any]  # DNF tuples like the reference (table.py:74-78)
 
 
+_DNF_OPS = {"=", "!=", ">", ">=", "<", "<=", "in", "not in"}
+
+
+def _eval_partition_filters(
+    adds: list,
+    filters,
+    partition_columns: list[str],
+    schema: "T.StructType",
+    physical_of: dict[str, str] | None,
+) -> list:
+    """Evaluate reference-style DNF partition-filter tuples EXACTLY
+    against add.partitionValues. files()/partitions() must not route
+    through the scan's SQL pruner: that path keeps files it cannot
+    decide (correct for scans, where the predicate re-runs on rows),
+    which here silently returned unfiltered file lists for any form the
+    SQL parser refuses (NOT IN was the reference-pinned case).
+    Validation mirrors the reference's errors (PartitionFilter::try_from,
+    pinned in test_table_read.py test_get_files_partitioned_table)."""
+    from delta_rs_spark.plans.skipping import _NULL_PARTITION, _coerce
+
+    if filters and isinstance(filters[0], tuple):
+        filters = [filters]
+    for conj in filters:
+        for f in conj:
+            bad = DeltaError(f"Invalid partition filter found: {f!r}.")
+            if not (isinstance(f, tuple) and len(f) == 3):
+                raise bad
+            col, op, val = f
+            if op not in _DNF_OPS:
+                raise bad
+            if (op in ("in", "not in")) != isinstance(val, (list, tuple, set)):
+                raise bad
+            if col not in {s.name for s in schema.fields}:
+                raise DeltaError(
+                    "Data does not match the schema or partitions of the "
+                    f"table: Field '{col}' is not a root table field."
+                )
+            if col not in partition_columns:
+                raise DeltaError(f"Field '{col}' is not a partition column.")
+
+    def _val(a, col):
+        key = (physical_of or {}).get(col, col)
+        raw = (a.partition_values or {}).get(key)
+        return None if raw == _NULL_PARTITION else raw
+
+    def _cmp(raw, op, lit) -> bool:
+        if raw is None:
+            return False  # NULL never satisfies a comparison
+        v = _coerce(raw, lit)
+        if v is None:
+            return False
+        if op == "=":
+            return v == lit
+        if op == "!=":
+            return v != lit
+        if op == ">":
+            return v > lit
+        if op == ">=":
+            return v >= lit
+        if op == "<":
+            return v < lit
+        return v <= lit
+
+    def _one(a, f) -> bool:
+        col, op, val = f
+        raw = _val(a, col)
+        if op == "in":
+            return any(_cmp(raw, "=", x) for x in val)
+        if op == "not in":
+            return raw is not None and not any(_cmp(raw, "=", x) for x in val)
+        return _cmp(raw, op, val)
+
+    return [
+        a
+        for a in adds
+        if any(all(_one(a, f) for f in conj) for conj in filters)
+    ]
+
+
 def _dnf_to_sql(filters: list[PartitionFilter] | list[list[PartitionFilter]] | None) -> str | None:
     """Convert reference-style DNF partition-filter tuples to a SQL predicate."""
     if not filters:
@@ -476,14 +555,13 @@ class DeltaTable:
 
     def files(self, partition_filters: list[PartitionFilter] | None = None) -> list[str]:
         self._require_files()
-        pred = _dnf_to_sql(partition_filters)
         adds = list(self._snapshot.files.values())
-        if pred:
-            adds = prune_files(
+        if partition_filters:
+            adds = _eval_partition_filters(
                 adds,
-                pred,
+                partition_filters,
                 self._snapshot.partition_columns,
-                col_types_from_schema_json(json.loads(self._snapshot.schema_string)),
+                T.StructType.fromJson(json.loads(self._snapshot.schema_string)),
                 self._physical_of(),
             )
         return [a.path for a in adds]
@@ -500,14 +578,13 @@ class DeltaTable:
         self, partition_filters: list[PartitionFilter] | None = None
     ) -> list[dict[str, str | None]]:
         seen: list[dict[str, str | None]] = []
-        pred = _dnf_to_sql(partition_filters)
         adds = list(self._snapshot.files.values())
-        if pred:
-            adds = prune_files(
+        if partition_filters:
+            adds = _eval_partition_filters(
                 adds,
-                pred,
+                partition_filters,
                 self._snapshot.partition_columns,
-                col_types_from_schema_json(json.loads(self._snapshot.schema_string)),
+                T.StructType.fromJson(json.loads(self._snapshot.schema_string)),
                 self._physical_of(),
             )
         for a in adds:

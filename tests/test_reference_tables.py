@@ -667,3 +667,39 @@ def test_batch5_cdf_non_partition_predicate_rows(spark):
         ]
     )
     assert got == want
+
+
+def test_batch6_get_files_partition_filters(spark):
+    """files()/file_uris() DNF partition filters over the reference's
+    delta-0.8.0-partitioned fixture reproduce its pinned file sets and
+    validation errors (test_table_read.py
+    test_get_files_partitioned_table). NOT IN was silently ignored
+    before r12 session 2 — files() now evaluates DNF tuples exactly
+    instead of routing through the scan pruner's conservative keeps."""
+    from delta_rs_spark.log.commit import DeltaError
+
+    dt = DeltaTable(os.path.join(DATA, "delta-0.8.0-partitioned"))
+    day = lambda p: p.split("day=")[1].split("/")[0]
+
+    assert [day(p) for p in dt.files([("day", "=", "3")])] == ["3"]
+    assert [day(p) for p in dt.files([("day", "=", 3)])] == ["3"]
+    assert sorted(day(p) for p in dt.files([("day", "!=", "3")])) == [
+        "1", "20", "4", "5", "5"
+    ]
+    assert sorted(day(p) for p in dt.files([("day", "in", ["3", "20"])])) == [
+        "20", "3"
+    ]
+    assert sorted(
+        day(p) for p in dt.files([("day", "not in", ["3", "20"])])
+    ) == ["1", "4", "5", "5"]
+    two = dt.files([("day", "not in", ["3", "20"]), ("year", "=", "2021")])
+    assert sorted(day(p) for p in two) == ["4", "5"]
+
+    with pytest.raises(DeltaError, match="Invalid partition filter"):
+        dt.file_uris([("x", "=>", "3")])
+    with pytest.raises(DeltaError, match="Invalid partition filter"):
+        dt.file_uris([("x", "=", ["3", "20"])])
+    with pytest.raises(DeltaError, match="not a root table field"):
+        dt.file_uris([("unknown", "=", "3")])
+    with pytest.raises(DeltaError, match="not a partition column"):
+        dt.file_uris([("value", "=", "3")])
