@@ -17,6 +17,7 @@ kernel/transaction/conflict_checker.rs:27-90 conflict classes):
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from dataclasses import dataclass, field
@@ -295,6 +296,22 @@ def commit(
             um = extra.pop("userMetadata", None)
             if um is not None:
                 operation.user_metadata = str(um)
+            op_params = extra.pop("operationParameters", None)
+            if op_params:
+                # merge UNDER the operation's own parameters so commitInfo
+                # carries ONE operationParameters object with no duplicate
+                # keys — generated parameters win, custom values are
+                # stringified like every operationParameters value
+                # (reference test_operation_parameters_merge_without_
+                # duplicate_json_keys: customBoolean -> "true",
+                # customParameter -> '{"from":"metadata"}')
+                for k, v in op_params.items():
+                    if k not in operation.operation_parameters:
+                        operation.operation_parameters[k] = (
+                            v
+                            if isinstance(v, str)
+                            else json.dumps(v, separators=(",", ":"))
+                        )
             operation.extra.update(extra)
         for entry in commit_properties.app_transactions or []:
             # (app_id, version) tuple or a Transaction-shaped object

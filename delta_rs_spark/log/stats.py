@@ -91,17 +91,34 @@ def collect_file_stats(
         # just OSError — convert_to_deltalake tolerates these as
         # stats=None the same way
         return None
+    ncols = md.num_columns
     if stats_columns is not None or num_indexed_cols < 0:
-        ncols = md.num_columns
+        admit = [True] * ncols
     else:
-        ncols = min(md.num_columns, num_indexed_cols)
+        # the delta.dataSkippingNumIndexedCols budget is consumed by
+        # distinct TOP-LEVEL fields, not parquet leaves (reference
+        # writer/stats.rs:168-195 and its #3172 regression test): one
+        # nested column with many leaves takes ONE slot, so later
+        # top-level columns are not starved of stats
+        admit = []
+        admitted_tops: set[str] = set()
+        for ci in range(ncols):
+            top = md.schema.column(ci).path.split(".")[0]
+            if top not in admitted_tops:
+                if len(admitted_tops) >= num_indexed_cols:
+                    admit.append(False)
+                    continue
+                admitted_tops.add(top)
+            admit.append(True)
     selected = set(stats_columns) if stats_columns is not None else None
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
-    have_stats = [True] * ncols
+    have_stats = list(admit)
     for rg in range(md.num_row_groups):
         for ci in range(ncols):
+            if not admit[ci]:
+                continue
             col = md.row_group(rg).column(ci)
             name = col.path_in_schema
             if "." in name:  # nested leaves: skip (top-level cols only)

@@ -116,12 +116,37 @@ def load_cdf(
     # commit's actions forward — O(log + range x files) instead of a full
     # snapshot reconstruction per version (reference: load_cdf.rs streams
     # the log the same way)
+    snap = None
     if starting_version > 0:
-        # clamp: an allowed out-of-range start skips the loop entirely and
-        # returns the empty change feed below
-        snap = snap_mod.load_snapshot(table_path, min(starting_version - 1, latest))
-    else:
+        try:
+            # clamp: an allowed out-of-range start skips the loop entirely
+            # and returns the empty change feed below
+            snap = snap_mod.load_snapshot(
+                table_path, min(starting_version - 1, latest)
+            )
+        except FileNotFoundError:
+            pass  # log cleaned below the checkpoint floor — seeded below
+    elif os.path.exists(snap_mod.commit_file(table_path, 0)):
         snap = snap_mod.Snapshot(table_path=table_path)
+    if snap is None:
+        # metadata-cleaned log (reference checkpoint-cdf-table fixture):
+        # commits below the checkpoint floor are gone and the table's
+        # metaData/protocol live ONLY in the checkpoint, so an empty
+        # in-memory base would leave snap.metadata None and silently
+        # yield an EMPTY feed. Seed state from the earliest
+        # reconstructible snapshot (the checkpoint floor) — matching the
+        # reference, which reads the feed's schema from the SNAPSHOT
+        # because cleaned commits cannot carry it (load_cdf.rs:464-468).
+        # The floor version's own commit (if in range) re-applies its
+        # actions idempotently; its remove-fallback pre-images degrade to
+        # pseudo-adds synthesized from the remove actions themselves,
+        # exactly how the reference reads removed files (the remove
+        # carries path + partitionValues under extendedFileMetadata).
+        _, _cps = snap_mod.list_log(table_path)
+        if _cps:
+            snap = snap_mod.load_snapshot(table_path, min(_cps))
+        else:
+            snap = snap_mod.Snapshot(table_path=table_path)
 
     # file-level pruning (reference load_cdf.rs:64-68, :357-359 —
     # "used ONLY to prune files by their partition values"): the
@@ -342,7 +367,26 @@ def load_cdf(
             if removes and pre_metadata is not None:
                 pre_snap = snap_mod.Snapshot(table_path=table_path)
                 pre_snap.metadata = pre_metadata
-                rm_adds = [pre_files[r.path] for r in removes if r.path in pre_files]
+                rm_adds = []
+                for r in removes:
+                    if r.path in pre_files:
+                        rm_adds.append(pre_files[r.path])
+                    elif r.partition_values is not None or not snap.partition_columns:
+                        # cleaned-log floor: the pre-image Add is gone from
+                        # the reconstructible base, but the remove action
+                        # itself carries path + partitionValues
+                        # (extendedFileMetadata) — synthesize a pseudo-add,
+                        # like the reference which reads removed files
+                        # straight off the remove action (load_cdf.rs
+                        # remove_files specs)
+                        rm_adds.append(
+                            Add(
+                                path=r.path,
+                                size=r.size or 0,
+                                modification_time=r.deletion_timestamp or 0,
+                                partition_values=dict(r.partition_values or {}),
+                            )
+                        )
                 if rm_adds:
                     deleted = read_snapshot_df(spark, pre_snap, table_path, files=rm_adds)
                     pieces.append(deleted.withColumn(CHANGE_TYPE_COL, F.lit("delete")))

@@ -29,6 +29,8 @@ def restore(
     target: int | str | dt.datetime,
     ignore_missing_files: bool = False,
     protocol_downgrade_allowed: bool = False,
+    commit_properties=None,
+    post_commithook_properties=None,
 ) -> dict[str, Any]:
     current = snap_mod.load_snapshot(table_path)
     if isinstance(target, str):
@@ -137,5 +139,7 @@ def restore(
             table_config=current.configuration,
             rt_watermark=_rt_cached_watermark(current),
         ),
+        commit_properties=commit_properties,
+        post_commit=post_commithook_properties,
     )
     return metrics

@@ -196,9 +196,23 @@ def vacuum(
     return sorted(candidates)
 
 
-def cleanup_metadata(table_path: str, retention_hours: int | None = None) -> int:
-    """Delete expired commit JSONs below the last checkpoint
-    (reference: delta.logRetentionDuration, 30d default)."""
+def cleanup_metadata(
+    table_path: str,
+    retention_hours: int | None = None,
+    keep_version: int | None = None,
+) -> int:
+    """Delete expired log files up to a SAFE checkpoint boundary
+    (reference protocol/checkpoints.rs cleanup_expired_logs_for).
+
+    ``keep_version`` is the version the caller's snapshot is loaded at
+    (the reference passes snapshot.version()): nothing at or above it is
+    ever deleted, it is first lowered to the oldest version still inside
+    the retention window (no holes in the window), and cleanup then
+    requires a checkpoint at-or-below it to serve as the replay floor —
+    if none exists the call deletes NOTHING (reference issue #3692: a
+    cleanup not aligned to a checkpoint strands every remaining
+    version). Only files strictly below that safe checkpoint AND older
+    than the cutoff are removed."""
     snapshot = snap_mod.load_snapshot(table_path)
     raw = snapshot.configuration.get("delta.logRetentionDuration", "interval 30 days")
     if retention_hours is None:
@@ -212,7 +226,27 @@ def cleanup_metadata(table_path: str, retention_hours: int | None = None) -> int
     commits, checkpoints = snap_mod.list_log(table_path)
     if not checkpoints:
         return 0
-    last_cp = max(checkpoints)
+    if keep_version is None:
+        keep_version = max(commits + checkpoints)
+    # retention-window floor: every version with ANY log file still
+    # inside the window stays, and so does everything after it
+    _log = snap_mod.log_dir(table_path)
+    in_window = []
+    for f in os.listdir(_log):
+        m = (
+            snap_mod._COMMIT_RE.match(f)
+            or snap_mod._CHECKPOINT_RE.match(f)
+            or snap_mod._CHECKPOINT_V2_RE.match(f)
+            or snap_mod._CHECKPOINT_V2_JSON_RE.match(f)
+        )
+        if m and os.path.getmtime(os.path.join(_log, f)) >= cutoff:
+            in_window.append(int(m.group(1)))
+    if in_window:
+        keep_version = min(keep_version, min(in_window))
+    safe_cps = [v for v in checkpoints if v <= keep_version]
+    if not safe_cps:
+        return 0
+    last_cp = max(safe_cps)
     n = 0
     for v in commits:
         if v >= last_cp:

@@ -148,12 +148,52 @@ class CommitProperties:
     app_transactions: list[tuple[str, int] | Transaction] | None = None
 
     def __post_init__(self) -> None:
-        if self.custom_metadata:
+        if self.custom_metadata is not None:
+            # reserved-key validation parity with the reference
+            # (test_commit_properties.py): generated keys can never be
+            # overridden; typed reserved keys must carry the right JSON
+            # shape; everything must be JSON-serializable (no NaN/Inf)
+            if not isinstance(self.custom_metadata, dict):
+                raise ValueError(
+                    "custom_metadata must be a mapping of string keys"
+                )
+            if any(not isinstance(k, str) for k in self.custom_metadata):
+                raise ValueError("custom_metadata keys must be strings")
             bad = _GENERATED_COMMIT_KEYS & set(self.custom_metadata)
             if bad:
                 raise ValueError(
                     f"custom_metadata may not set generated keys: {sorted(bad)}"
                 )
-            for k, v in self.custom_metadata.items():
-                if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
-                    raise ValueError(f"custom_metadata[{k!r}]: NaN/Infinity rejected")
+            op = self.custom_metadata.get("operationParameters")
+            if op is not None and not isinstance(op, dict):
+                raise ValueError(
+                    "custom_metadata operationParameters must be a JSON object"
+                )
+            rv = self.custom_metadata.get("readVersion")
+            if rv is not None and (
+                not isinstance(rv, int) or isinstance(rv, bool) or rv < 0
+            ):
+                raise ValueError(
+                    "custom_metadata readVersion must be a non-negative integer"
+                )
+            il = self.custom_metadata.get("isolationLevel")
+            if il is not None and il not in (
+                "Serializable",
+                "WriteSerializable",
+                "SnapshotIsolation",
+            ):
+                raise ValueError(
+                    f"custom_metadata isolationLevel {il!r} is not a valid "
+                    "isolation level"
+                )
+            un = self.custom_metadata.get("userName")
+            if un is not None and not isinstance(un, str):
+                raise ValueError("custom_metadata userName must be a string")
+            import json as _json
+
+            try:
+                _json.dumps(self.custom_metadata, allow_nan=False)
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    f"custom_metadata must be JSON-serializable: {e}"
+                ) from e

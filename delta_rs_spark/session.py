@@ -59,6 +59,13 @@ def get_spark(
         # files.maxPartitionBytes default 128m is right for the 100 TB target;
         # local test data is small so open-cost keeps task counts sane.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Spark's default INT96 timestamps carry NO parquet min/max
+        # statistics, so every timestamp predicate would scan all files —
+        # write INT64 micros like the reference (writer/stats.rs reads
+        # Int96 stats as unavailable; reference parquet output is
+        # TIMESTAMP(MICROS)); at 100 TB, timestamp range scans are the
+        # single most common pruning axis
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if extra_conf:
         for k, v in extra_conf.items():

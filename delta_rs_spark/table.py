@@ -616,6 +616,7 @@ class DeltaTable:
                 "operationMetrics": ci.operation_metrics,
                 "readVersion": ci.read_version,
                 "engineInfo": ci.engine_info,
+                "clientVersion": ci.client_version,
                 **ci.extra,
             }
             if ci.user_metadata is not None:
@@ -1052,11 +1053,18 @@ class DeltaTable:
         target: int | str | dt.datetime,
         ignore_missing_files: bool = False,
         protocol_downgrade_allowed: bool = False,
+        commit_properties=None,
+        post_commithook_properties=None,
     ) -> dict[str, Any]:
         from delta_rs_spark.operators.restore import restore as _restore
 
         metrics = _restore(
-            self.table_uri, target, ignore_missing_files, protocol_downgrade_allowed
+            self.table_uri,
+            target,
+            ignore_missing_files,
+            protocol_downgrade_allowed,
+            commit_properties=commit_properties,
+            post_commithook_properties=post_commithook_properties,
         )
         self._snapshot = load_snapshot(self.table_uri)
         return metrics
@@ -1204,7 +1212,13 @@ class DeltaTable:
     def cleanup_metadata(self, retention_hours: int | None = None) -> int:
         from delta_rs_spark.operators.vacuum import cleanup_metadata as _cleanup
 
-        return _cleanup(self.table_uri, retention_hours)
+        # the loaded snapshot's version is the keep floor (reference
+        # cleanup_metadata passes snapshot.version()): a table opened at
+        # an old version can never clean that version out from under
+        # itself
+        return _cleanup(
+            self.table_uri, retention_hours, keep_version=self.version()
+        )
 
     def refresh(self) -> None:
         self._snapshot = load_snapshot(self.table_uri)

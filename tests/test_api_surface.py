@@ -610,3 +610,159 @@ def test_file_uri_spellings_normalize_and_authority_rejected(spark, tmp_path):
         DeltaTable("s3:/bucket/tbl")
     # a slashless colon name is a legal posix filename, not a URI
     assert local_table_path("a:b") == "a:b"
+
+
+def test_commit_properties_json_values_round_trip(spark, tmp_path):
+    """custom_metadata carries arbitrary JSON VALUES (not just strings)
+    verbatim into commitInfo and back out of history() (reference
+    test_commit_properties.py test_custom_metadata_json_values_round_
+    trip); clientVersion can be overridden and is preserved."""
+    import json
+
+    from delta_rs_spark import CommitProperties, DeltaTable, write_deltalake
+
+    t = str(tmp_path / "cpjson")
+    df = spark.range(1).selectExpr("cast(id as string) AS id", "id + 10 AS price")
+    write_deltalake(
+        t,
+        df,
+        commit_properties=CommitProperties(
+            custom_metadata={
+                "intValue": 7,
+                "nested": {"flag": True, "items": [1, None, {"name": "value"}]},
+                "boolValue": False,
+                "nullValue": None,
+                "clientVersion": "test-client.1.2.3",
+            }
+        ),
+    )
+    h = DeltaTable(t).history(1)[0]
+    assert h["intValue"] == 7
+    assert h["nested"] == {"flag": True, "items": [1, None, {"name": "value"}]}
+    assert h["boolValue"] is False
+    assert h["nullValue"] is None
+    assert h["clientVersion"] == "test-client.1.2.3"
+    raw = [
+        json.loads(line)
+        for line in open(os.path.join(t, "_delta_log", "00000000000000000000.json"))
+    ]
+    ci = next(d["commitInfo"] for d in raw if "commitInfo" in d)
+    assert ci["intValue"] == 7
+    assert ci["clientVersion"] == "test-client.1.2.3"
+
+
+def test_commit_properties_operation_parameters_merge(spark, tmp_path):
+    """A custom operationParameters OBJECT merges UNDER the operation's
+    own parameters — generated keys win, custom values are stringified,
+    and the raw commitInfo JSON carries no duplicate keys (reference
+    test_operation_parameters_merge_without_duplicate_json_keys)."""
+    import json
+
+    from delta_rs_spark import CommitProperties, DeltaTable, write_deltalake
+
+    def _reject_dups(pairs):
+        out = {}
+        for k, v in pairs:
+            assert k not in out, f"duplicate JSON key: {k}"
+            out[k] = v
+        return out
+
+    t = str(tmp_path / "cpmerge")
+    df = spark.range(1).selectExpr("cast(id as string) AS id", "id + 10 AS price")
+    write_deltalake(
+        t,
+        df,
+        mode="overwrite",
+        partition_by=["id"],
+        commit_properties=CommitProperties(
+            custom_metadata={
+                "operationParameters": {
+                    "mode": "custom-mode",
+                    "partitionBy": "custom-partitioning",
+                    "customParameter": {"from": "metadata"},
+                    "customBoolean": True,
+                    "customNumber": 7,
+                }
+            }
+        ),
+    )
+    h = DeltaTable(t).history(1)[0]
+    op = h["operationParameters"]
+    assert op["mode"] != "custom-mode"  # the operation's own value wins
+    assert op["partitionBy"] == '["id"]'
+    assert op["customParameter"] == '{"from":"metadata"}'
+    assert op["customBoolean"] == "true"
+    assert op["customNumber"] == "7"
+    raw_lines = open(
+        os.path.join(t, "_delta_log", "00000000000000000000.json")
+    ).read().splitlines()
+    for line in raw_lines:  # duplicate-key scan over the raw JSON
+        json.loads(line, object_pairs_hook=_reject_dups)
+
+
+def test_commit_properties_reserved_key_validation(spark, tmp_path):
+    """Reserved commitInfo keys are validated by type (reference
+    test_invalid_reserved_custom_metadata_values_raise /
+    test_invalid_custom_metadata_json_values_raise), while userName/
+    userId/readVersion with VALID shapes pass through to history."""
+    import math
+
+    from delta_rs_spark import CommitProperties, DeltaTable, write_deltalake
+
+    cases = [
+        ({"operationParameters": "not-an-object"}, "operationParameters"),
+        ({"readVersion": -1}, "readVersion"),
+        ({"readVersion": 1.0}, "readVersion"),
+        ({"readVersion": "1"}, "readVersion"),
+        ({"readVersion": True}, "readVersion"),
+        ({"isolationLevel": "NotAnIsolationLevel"}, "isolationLevel"),
+        ({"userName": 123}, "userName"),
+        ({"timestamp": 123}, "timestamp"),
+        ({"operation": "WRITE"}, "operation"),
+        ({"engineInfo": "custom-engine"}, "engineInfo"),
+    ]
+    for md, match in cases:
+        with pytest.raises(ValueError, match=match):
+            CommitProperties(custom_metadata=md)
+    with pytest.raises(ValueError, match="mapping"):
+        CommitProperties(custom_metadata=[("key", "value")])
+    with pytest.raises(ValueError, match="keys must be strings"):
+        CommitProperties(custom_metadata={1: "value"})
+    with pytest.raises(ValueError, match="JSON"):
+        CommitProperties(custom_metadata={"score": math.nan})
+    with pytest.raises(ValueError, match="JSON"):
+        CommitProperties(custom_metadata={"payload": object()})
+    # valid reserved user fields flow through
+    t = str(tmp_path / "cpreserved")
+    df = spark.range(1).selectExpr("cast(id as string) AS id", "id + 10 AS price")
+    write_deltalake(
+        t,
+        df,
+        commit_properties=CommitProperties(
+            custom_metadata={"userName": "Jane Doe", "userId": "jane"}
+        ),
+    )
+    h = DeltaTable(t).history(1)[0]
+    assert h["userName"] == "Jane Doe"
+    assert h["userId"] == "jane"
+
+
+def test_history_versions_stable_from_filenames(spark, tmp_path):
+    """history() derives each entry's version from the commit FILENAME,
+    so a writer landing mid-call can never shift every version (the
+    reference's issue #4488, pinned by its
+    test_history_versions_are_stable_under_concurrent_write)."""
+    from delta_rs_spark import CommitProperties, DeltaTable, write_deltalake
+
+    t = str(tmp_path / "hstable")
+    df = spark.range(2).selectExpr("cast(id as string) AS id", "id AS price")
+    for _ in range(3):
+        write_deltalake(t, df, mode="overwrite")
+    dt = DeltaTable(t)
+    h = dt.history()
+    assert [e["version"] for e in h] == [2, 1, 0]
+    # entries keep their versions even after a commit lands afterwards
+    write_deltalake(t, df, mode="overwrite")
+    assert [e["version"] for e in dt.history()][1:] == [2, 1, 0]
+    for e in h:
+        assert e["operation"] in ("WRITE", "CREATE TABLE AS SELECT", "CREATE OR REPLACE TABLE AS SELECT")

@@ -422,3 +422,65 @@ def test_vacuum_lite_log_driven(spark, tmp_path):
     for rel in gone:
         assert not os.path.exists(os.path.join(path, rel))
     assert DeltaTable(path, spark=spark).to_df().count() == 10
+
+
+def test_cleanup_keeps_loaded_version_reachable(spark, tmp_path, sample_df):
+    """cleanup_metadata on a table OPENED AT AN OLD VERSION must not
+    clean that version out from under itself: the keep floor is the
+    loaded snapshot's version, and without a checkpoint at-or-below it
+    the call deletes NOTHING (reference test_cleanup.py
+    test_failed_cleanup + protocol/checkpoints.rs safe-checkpoint rule,
+    issue #3692)."""
+    path = str(tmp_path / "t")
+    cfg = {"delta.logRetentionDuration": "interval 0 day"}
+    for i in range(10):
+        df = spark.createDataFrame(
+            [(str(i), i, i, False)], "id string, price long, sold int, deleted boolean"
+        )
+        write_deltalake(path, df, mode="overwrite", configuration=cfg)
+    # checkpoint ONLY the final version
+    DeltaTable(path).create_checkpoint()
+
+    t5 = DeltaTable(path)
+    t5.load_as_version(5)
+    assert t5.cleanup_metadata() == 0  # no checkpoint <= 5: total no-op
+    t5b = DeltaTable(path)
+    t5b.load_as_version(5)
+    assert [r.price for r in t5b.to_df().collect()] == [5]
+
+    # loaded at latest, the same call cleans below the checkpoint
+    n = DeltaTable(path).cleanup_metadata()
+    assert n > 0
+    assert DeltaTable(path).to_df().count() == 1
+
+
+def test_restore_commit_and_posthook_properties(spark, tmp_table, sample_df):
+    """restore() forwards CommitProperties (custom userName in the
+    RESTORE commit) and PostCommitHookProperties (checkpoint hook off)
+    — reference test_restore.py test_restore_with_version /
+    test_restore_with_post_commithook_properties; a timestamp earlier
+    than every commit clamps to the earliest version."""
+    import glob
+
+    from delta_rs_spark import CommitProperties, PostCommitHookProperties
+
+    for _ in range(3):
+        write_deltalake(tmp_table, sample_df, mode="append")
+    t = DeltaTable(tmp_table)
+    old_version = t.version()
+    t.restore(
+        1,
+        commit_properties=CommitProperties(custom_metadata={"userName": "John Doe"}),
+        post_commithook_properties=PostCommitHookProperties(
+            create_checkpoint=False, cleanup_expired_logs=False
+        ),
+    )
+    last = t.history(1)[0]
+    assert last["operation"] == "RESTORE"
+    assert last["userName"] == "John Doe"
+    assert t.version() == old_version + 1
+    assert glob.glob(os.path.join(tmp_table, "_delta_log", "*.checkpoint.parquet")) == []
+    # a pre-history timestamp restores to the EARLIEST version
+    t.restore("2020-05-01T00:47:31-07:00")
+    assert t.history(1)[0]["operation"] == "RESTORE"
+    assert t.count() == 5

@@ -703,3 +703,113 @@ def test_batch6_get_files_partition_filters(spark):
         dt.file_uris([("unknown", "=", "3")])
     with pytest.raises(DeltaError, match="not a partition column"):
         dt.file_uris([("value", "=", "3")])
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: the last two corpus tables — the golden reader fixture and
+# the metadata-cleaned CDF table (checkpoints_tombstones is an empty
+# runtime-generated placeholder; DAT data requires a download)
+
+
+def test_batch7_golden_array_primitives(spark):
+    """The reference's golden reader fixture (test_utils/mod.rs:120
+    TestTables::Golden, read.rs read_golden): version 0, protocol
+    (1, 2), arrays of every primitive element type — int/long/byte/
+    short/boolean/float/double/string/binary/decimal(1,0) — read with
+    the exact element types and values."""
+    dt = DeltaTable(
+        os.path.join(DATA, "golden/data-reader-array-primitives"), spark=spark
+    )
+    assert dt.version() == 0
+    p = dt.protocol()
+    assert (p.min_reader_version, p.min_writer_version) == (1, 2)
+    df = dt.to_df()
+    want_elems = {
+        "as_array_int": T.IntegerType(),
+        "as_array_long": T.LongType(),
+        "as_array_byte": T.ByteType(),
+        "as_array_short": T.ShortType(),
+        "as_array_boolean": T.BooleanType(),
+        "as_array_float": T.FloatType(),
+        "as_array_double": T.DoubleType(),
+        "as_array_string": T.StringType(),
+        "as_array_binary": T.BinaryType(),
+        "as_array_big_decimal": T.DecimalType(1, 0),
+    }
+    got = {f.name: f.dataType.elementType for f in df.schema.fields}
+    assert got == want_elems
+    rows = sorted(df.collect(), key=lambda r: r.as_array_int)
+    assert len(rows) == 10
+    for i, r in enumerate(rows):
+        assert r.as_array_int == [i]
+        assert r.as_array_long == [i]
+        assert r.as_array_string == [str(i)]
+        assert r.as_array_boolean == [i % 2 == 0]
+        assert float(r.as_array_float[0]) == float(i)
+        assert int(r.as_array_big_decimal[0]) == i
+
+
+# the reference's pinned 13-row feed for the metadata-cleaned table
+# (load_cdf.rs test_load_vacuumed_table): versions 0-2 are cleaned,
+# the checkpoint at v3 is the only metadata carrier, and v3's delete
+# ships as a cdc file
+_B7_CDF_EXPECTED = [
+    (7, "Dennis", "2023-12-29", "delete", 3, "2024-01-06 16:44:59.570000"),
+    (11, "Ossama", "2024-12-30", "insert", 4, "2025-01-06 16:33:18.167000"),
+    (12, "Nick", "2023-12-29", "insert", 4, "2025-01-06 16:33:18.167000"),
+    (13, "Ryan", "2023-12-22", "insert", 4, "2025-01-06 16:33:18.167000"),
+    (14, "Zach", "2023-12-25", "insert", 4, "2025-01-06 16:33:18.167000"),
+    (11, "Ossama", "2024-12-30", "update_preimage", 5, "2025-01-06 16:38:19.623000"),
+    (12, "Ossama", "2024-12-30", "update_postimage", 5, "2025-01-06 16:38:19.623000"),
+    (12, "Nick", "2023-12-29", "update_preimage", 5, "2025-01-06 16:38:19.623000"),
+    (13, "Nick", "2023-12-29", "update_postimage", 5, "2025-01-06 16:38:19.623000"),
+    (13, "Ryan", "2023-12-22", "update_preimage", 5, "2025-01-06 16:38:19.623000"),
+    (14, "Ryan", "2023-12-22", "update_postimage", 5, "2025-01-06 16:38:19.623000"),
+    (14, "Zach", "2023-12-25", "update_preimage", 5, "2025-01-06 16:38:19.623000"),
+    (15, "Zach", "2023-12-25", "update_postimage", 5, "2025-01-06 16:38:19.623000"),
+]
+
+
+def _b7_rows(cdf_df):
+    return sorted(
+        (r.id, r.name, str(r.birthday), r._change_type, r._commit_version,
+         str(r._commit_timestamp))
+        for r in cdf_df.collect()
+    )
+
+
+def test_batch7_vacuumed_cdf_starting_timestamp(spark):
+    """load_cdf with a starting_timestamp BELOW the checkpoint floor's
+    commit on a metadata-cleaned table must serve the reference's
+    pinned 13 rows (load_cdf.rs:1383-1420 test_load_vacuumed_table) —
+    before r12 session 3 this returned an EMPTY feed because the empty
+    in-memory base never saw a metaData action (it lives only in the
+    checkpoint)."""
+    dt = DeltaTable(os.path.join(DATA, "checkpoint-cdf-table"), spark=spark)
+    got = _b7_rows(dt.load_cdf(starting_timestamp="2024-01-06T15:44:59.570+00:00"))
+    assert got == sorted(_B7_CDF_EXPECTED)
+
+
+def test_batch7_vacuumed_cdf_starting_version_at_floor(spark):
+    """load_cdf(starting_version=3) on the same table crashed before
+    r12 session 3: the base-snapshot load at version 2 replayed commit
+    JSONs that metadata cleanup deleted. The checkpoint floor now
+    seeds the base; the floor version's own actions re-apply
+    idempotently and its cdc file still ships the delete."""
+    dt = DeltaTable(os.path.join(DATA, "checkpoint-cdf-table"), spark=spark)
+    got = _b7_rows(dt.load_cdf(starting_version=3))
+    assert got == sorted(_B7_CDF_EXPECTED)
+    # range bounds still compose with the floor: v4..v4 only
+    only_v4 = dt.load_cdf(starting_version=4, ending_version=4)
+    assert _b7_rows(only_v4) == sorted(
+        r for r in _B7_CDF_EXPECTED if r[4] == 4
+    )
+
+
+def test_batch7_vacuumed_cdf_ending_timestamp_at_floor(spark):
+    """An ending_timestamp equal to the floor commit's own ts keeps
+    exactly the floor version (inclusive bound) even though every
+    earlier commit is cleaned."""
+    dt = DeltaTable(os.path.join(DATA, "checkpoint-cdf-table"), spark=spark)
+    upto = dt.load_cdf(ending_timestamp="2024-01-06T16:44:59.570+00:00")
+    assert _b7_rows(upto) == sorted(r for r in _B7_CDF_EXPECTED if r[4] == 3)

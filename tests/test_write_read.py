@@ -457,3 +457,162 @@ def test_get_add_actions_reference_pins(spark):
     nested = pa.table(t.get_add_actions(flatten=False)).sort_by("path")
     years = nested["partition"].combine_chunks().field("year").to_pylist()
     assert years == ["2020"] * 3 + ["2021"] * 3
+
+
+def test_stats_budget_counts_top_level_fields(spark, tmp_path):
+    """The dataSkippingNumIndexedCols budget is consumed by distinct
+    TOP-LEVEL fields, not parquet leaves (reference writer/stats.rs
+    #3172 regression + python test_stats.py test_struct_stats_3172):
+    a single nested column with 31 leaves takes ONE slot, so year/
+    month/day after it still get min/max stats under the default-32
+    budget."""
+    import json as _json
+
+    inner = T.StructType(
+        [
+            T.StructField(str(i), T.StringType() if i > 5 else T.LongType())
+            for i in range(2, 33)
+        ]
+    )
+    sch = T.StructType(
+        [
+            T.StructField("1", T.StringType()),
+            T.StructField("nested", T.ArrayType(inner)),
+            T.StructField("year", T.LongType()),
+            T.StructField("month", T.LongType()),
+            T.StructField("day", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame([("foo", [], 2024, 12, 1)], sch)
+    table = str(tmp_path / "t3172")
+    write_deltalake(table, df)
+    dt_ = DeltaTable(table)
+    add = next(iter(dt_._snapshot.files.values()))
+    st = _json.loads(add.stats) if isinstance(add.stats, str) else add.stats_dict()
+    assert {"1", "year", "month", "day"} <= set(st["minValues"])
+    # the add-actions view surfaces the same keys (the reference test's
+    # public-API assertion)
+    aa = dt_.get_add_actions()
+    assert "year" in aa["min"][0].as_py()
+    # a tight budget still admits top-level fields one slot each:
+    # budget 3 = "1" + nested + year (nested's 31 leaves don't starve it)
+    t2 = str(tmp_path / "t3172b")
+    write_deltalake(
+        t2, df, configuration={"delta.dataSkippingNumIndexedCols": "3"}
+    )
+    add2 = next(iter(DeltaTable(t2)._snapshot.files.values()))
+    st2 = _json.loads(add2.stats) if isinstance(add2.stats, str) else add2.stats_dict()
+    assert set(st2["minValues"]) == {"1", "year"}  # nested has no scalar stats
+
+
+def test_stats_columns_scan_filters_on_unindexed_columns(spark, tmp_path):
+    """Filters on columns EXCLUDED from stats must keep every file
+    conservatively — never prune on absent stats (reference
+    test_stats.py test_stats_usage_3201, incl. the mid-history
+    checkpoint)."""
+    import datetime as dtm
+
+    table = str(tmp_path / "t3201")
+    cfg = {"delta.dataSkippingStatsColumns": "ref_date"}
+    df1 = spark.createDataFrame(
+        [
+            (dtm.datetime(2020, 1, 2), dtm.datetime(2020, 1, 2), 1),
+            (dtm.datetime(2020, 1, 3), dtm.datetime(2020, 1, 3), 2),
+        ],
+        "date timestamp, ref_date timestamp, values long",
+    )
+    write_deltalake(table, df1, configuration=cfg)
+    dt_ = DeltaTable(table)
+    dt_.create_checkpoint()
+    df2 = spark.createDataFrame(
+        [
+            (dtm.datetime(2020, 1, 1), dtm.datetime(2020, 1, 1), 3),
+            (dtm.datetime(2020, 1, 2), dtm.datetime(2020, 1, 2), 4),
+        ],
+        "date timestamp, ref_date timestamp, values long",
+    )
+    write_deltalake(table, df2, mode="append", configuration=cfg)
+    dt_ = DeltaTable(table)
+    for pred in (
+        "date >= timestamp'2020-01-01'",      # NOT in stats columns
+        "ref_date >= timestamp'2020-01-01'",  # in stats columns
+        "values >= 0",                        # NOT in stats columns
+    ):
+        assert dt_.to_df(predicate=pred).count() == 4, pred
+
+
+def test_millisecond_truncated_timestamp_stats_read(spark, tmp_path):
+    """Reading with a timestamp predicate over files whose stats a
+    foreign writer truncated to milliseconds must not lose rows: a max
+    truncated DOWN would wrongly prune a >-bound file, so the stats
+    evaluator has to stay conservative at ms granularity (reference
+    test_stats.py test_microsecond_truncation_parquet_stats)."""
+    import datetime as dtm
+    import json as _json
+
+    table = str(tmp_path / "tms")
+    b1 = spark.createDataFrame(
+        [(1, dtm.datetime(2023, 3, 29, 23, 59, 59, 807126))],
+        "p long, dt timestamp",
+    )
+    write_deltalake(table, b1, partition_by=["p"])
+    b2 = spark.createDataFrame(
+        [(1, dtm.datetime(2023, 3, 30, 0, 0, 0, 902))], "p long, dt timestamp"
+    )
+    write_deltalake(table, b2, mode="append", partition_by=["p"])
+    dt_ = DeltaTable(table)
+    want = ["2023-03-29 23:59:59.807126"]
+    got = [
+        str(r.dt)
+        for r in dt_.to_df(
+            predicate="dt <= timestamp'2023-03-30 00:00:00'"
+        ).collect()
+    ]
+    assert got == want
+    # simulate the foreign ms-truncated stats the reference test guards
+    # against: a compliant writer truncates min DOWN and rounds max UP
+    # to milliseconds (reference stats.rs: "for max values we need to
+    # round upwards") — re-read must keep every file whose true rows
+    # match even though the stats lost microsecond precision
+    from delta_rs_spark.log import snapshot as snap_mod
+
+    def _ms_floor(v: str) -> str:
+        if "." not in v:
+            return v
+        base, frac = v.split(".")
+        return f"{base}.{frac[:3].ljust(3, '0')}"
+
+    def _ms_ceil(v: str) -> str:
+        if "." not in v or v.split(".")[1].ljust(6, "0")[3:] == "000":
+            return _ms_floor(v)
+        t = dtm.datetime.fromisoformat(v.replace("Z", "+00:00").replace("T", " "))
+        t = t.replace(microsecond=(t.microsecond // 1000) * 1000)
+        t += dtm.timedelta(milliseconds=1)
+        return t.strftime("%Y-%m-%dT%H:%M:%S.") + f"{t.microsecond // 1000:03d}"
+
+    snap = snap_mod.load_snapshot(table)
+    for add in snap.files.values():
+        st = _json.loads(add.stats)
+        st["minValues"]["dt"] = _ms_floor(st["minValues"]["dt"])
+        st["maxValues"]["dt"] = _ms_ceil(st["maxValues"]["dt"])
+        add.stats = _json.dumps(st)
+    from delta_rs_spark.table import read_snapshot_df
+    from delta_rs_spark.plans.skipping import prune_files
+
+    kept = prune_files(
+        list(snap.files.values()),
+        "dt >= timestamp'2023-03-29 23:59:59.807126'",
+        snap.partition_columns,
+        {"dt": "timestamp", "p": "long"},
+    )
+    got2 = [
+        str(r.dt)
+        for r in read_snapshot_df(
+            spark, snap, table, files=kept
+        ).collect()
+        if str(r.dt) >= "2023-03-29 23:59:59.807126"
+    ]
+    assert sorted(got2) == [
+        "2023-03-29 23:59:59.807126",
+        "2023-03-30 00:00:00.000902",
+    ]
