@@ -82,19 +82,28 @@ def bm25_topk(
     ).distinct()
 
     if postings is None:
-        postings = build_postings(corpus, text_col, id_col)
+        # the postings frame feeds two consumers (document frequency +
+        # scoring) and the scalar pass below; pin it so the corpus is
+        # tokenized and shuffled ONCE per call, not once per consumer
+        # (r12; hybrid callers already pass a pinned frame in)
+        postings = build_postings(corpus, text_col, id_col).localCheckpoint(
+            eager=True
+        )
 
     # Corpus scalars: N docs, average doc length. Two numbers to the
     # driver (same contract as tfidf_top_terms' n_docs); avgdl is the
     # IEEE division of two exact integers, reproduced verbatim in SQL.
-    n_docs, sum_dl = corpus.select(
-        F.count(F.lit(1)), F.sum(F.size(tokens(text_col)))
-    ).first()
-    if not n_docs:  # empty corpus: sum_dl is NULL and avgdl undefined
+    # N comes from a metadata-cheap count; the token total is read off
+    # the pinned postings (sum of tf == sum of per-doc lengths — docs
+    # with zero tokens contribute 0 either way) instead of re-tokenizing
+    # the corpus (r12: this was a second full corpus pass per ranker).
+    n_docs = corpus.count()
+    if not n_docs:  # empty corpus: avgdl undefined
         id_t = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
             [], f"query_id long, rank int, doc_id {id_t}, score double"
         )
+    sum_dl = postings.agg(F.sum("tf")).first()[0] or 0
     avgdl = float(sum_dl) / float(n_docs)
 
     # Document frequency per term, restricted to query terms (broadcast
@@ -220,8 +229,15 @@ def ql_topk(
     ).distinct()
 
     if postings is None:
-        postings = build_postings(corpus, text_col, id_col)
-    total = corpus.select(F.sum(F.size(tokens(text_col)))).first()[0]
+        # same pinning rationale as bm25_topk (r12): two consumers (ctf
+        # + scoring) and the scalar below — tokenize the corpus once
+        postings = build_postings(corpus, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+    # corpus token total == sum of tf over the pinned postings (r12:
+    # replaces a second full corpus tokenize pass); identical integer
+    # sum, order-independent
+    total = postings.agg(F.sum("tf")).first()[0]
     if not total:  # empty corpus (or all-empty docs): no candidates
         id_t = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(

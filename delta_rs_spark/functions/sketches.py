@@ -96,8 +96,11 @@ def kmv_sketch(
     )
 
     # Group-cardinality frame: one count per source. Broadcast-joined
-    # back so the corpus-sized side never reshuffles.
-    counts = dist.groupBy(group_col).agg(F.count("*").alias("_n_distinct"))
+    # back so the corpus-sized side never reshuffles. PERSISTED (G rows,
+    # r12): without it every consumer of the threshold — the prune join,
+    # the verification anchor, and each reference in a downstream
+    # estimator plan — re-runs the corpus-sized distinct underneath it.
+    counts = dist.groupBy(group_col).agg(F.count("*").alias("_n_distinct")).persist()
     thr = counts.withColumn(
         "_thr",
         F.least(
@@ -115,12 +118,23 @@ def kmv_sketch(
         .where(F.col("rank") <= k)
         .withColumn("sketch_size", F.least(F.lit(k), F.col("_n_distinct")))
         .select(group_col, "rank", "h", "sketch_size")
+        # G·k rows — persisting it makes the verification below AND the
+        # downstream estimators (kmv_distinct / kmv_overlap reference
+        # the sketch 4-5x in one plan) read the tiny cached frame
+        # instead of re-running the corpus pass per reference (r12:
+        # llm_kmv_sketch/llm_source_overlap_kmv ran the shingle-distinct
+        # shuffle up to 5x per query)
+        .persist()
     )
 
     # Prune verification: every group must keep min(k, n_distinct)
     # survivors. A shortfall (probability exp(-Θ(k))) reroutes ONLY the
     # short groups through the unpruned exact sort — output identical.
-    kept = pruned.groupBy(group_col).agg(F.count("*").alias("_kept"))
+    # The kept-count is derived from the persisted sketch (rows per
+    # group == min(kept, k), and the shortfall test only compares below
+    # min(k, n_distinct), where the two coincide) so verification costs
+    # one tiny job, not another corpus pass.
+    kept = sketch.groupBy(group_col).agg(F.count("*").alias("_kept"))
     short = (
         counts.join(kept, group_col, "left")  # anchor on ALL groups — a
         # group whose every hash exceeds the threshold is absent from

@@ -773,10 +773,18 @@ def source_divergence(
     )
     st = term_rows.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_st"))
     corpus = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
-    vocab = corpus.orderBy(F.col("n_t").desc(), F.col("term").asc()).limit(vocab_size)
+    # vocab_size rows — persisted because three consumers (the scalar
+    # total below, the in-vocab filter, the smoothing grid) would each
+    # re-run the corpus-sized explode+count underneath it otherwise
+    # (r12: the plan carried 14 scans of the docs table)
+    vocab = (
+        corpus.orderBy(F.col("n_t").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .persist()
+    )
     tot_corpus = float(
         vocab.agg(F.sum("n_t")).first()[0]
-    )  # one scalar (vocab-sized agg)
+    )  # one scalar (vocab-sized agg); also materializes the persist
     v = float(vocab_size)
 
     # per-source in-vocab token totals (needed for p_source smoothing).
@@ -788,7 +796,10 @@ def source_divergence(
     docs = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    sv = st.join(F.broadcast(vocab.select("term")), "term")
+    # <= |sources| x vocab_size rows — persisted: referenced by both the
+    # per-source totals and the smoothing grid, each reference otherwise
+    # re-running the corpus pass under ``st``
+    sv = st.join(F.broadcast(vocab.select("term")), "term").persist()
     stot = (
         docs.select("source")
         .join(sv.groupBy("source").agg(F.sum("n_st").alias("n_s")), "source", "left")

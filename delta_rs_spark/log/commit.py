@@ -456,10 +456,21 @@ def commit(
         target = snap_mod.commit_file(table_path, attempt_version)
         try:
             store.put_if_absent(target, "\n".join(lines) + "\n")
+            # effective table config AFTER this commit: a Metadata action
+            # in the commit wins, else the transaction's read-snapshot
+            # config. Hooks use it to decide cheaply whether they fire at
+            # all — the common all-disabled case then costs zero log
+            # replays per commit instead of up to three.
+            post_cfg = None
+            for a in actions:
+                if isinstance(a, Metadata):
+                    post_cfg = a.configuration or {}
+            if post_cfg is None and txn_info is not None:
+                post_cfg = txn_info.table_config
             if create_checkpoint:
-                _maybe_checkpoint(table_path, attempt_version)
-            _maybe_cleanup_logs(table_path, cleanup_logs)
-            _maybe_autocompact(table_path, operation, txn_info)
+                _maybe_checkpoint(table_path, attempt_version, post_cfg)
+            _maybe_cleanup_logs(table_path, cleanup_logs, post_cfg)
+            _maybe_autocompact(table_path, operation, txn_info, post_cfg)
             return attempt_version
         except FileExistsError:
             # replay winning commit(s), check conflicts, then retry on top
@@ -483,13 +494,21 @@ def commit(
     raise CommitFailedError(f"exceeded {max_retries} commit retries at {table_path}")
 
 
-def _maybe_cleanup_logs(table_path: str, override: bool | None) -> None:
+def _maybe_cleanup_logs(
+    table_path: str, override: bool | None, cfg: dict[str, str] | None = None
+) -> None:
     """Post-commit hook: delete expired log files when
     PostCommitHookProperties.cleanup_expired_logs is True, or when it is
     None and the table sets delta.enableExpiredLogCleanup (reference
-    transaction.py:33-38 — config decides unless overridden)."""
+    transaction.py:33-38 — config decides unless overridden). ``cfg``
+    is the committing transaction's effective table config; when known,
+    the disabled case decides without any log replay."""
     try:
         enabled = override
+        if enabled is None and cfg is not None:
+            enabled = (
+                cfg.get("delta.enableExpiredLogCleanup", "false").lower() == "true"
+            )
         if enabled is None:
             snapshot = snap_mod.load_snapshot(table_path)
             enabled = (
@@ -505,10 +524,21 @@ def _maybe_cleanup_logs(table_path: str, override: bool | None) -> None:
         pass
 
 
-def _maybe_checkpoint(table_path: str, version: int) -> None:
+def _maybe_checkpoint(
+    table_path: str, version: int, cfg: dict[str, str] | None = None
+) -> None:
     """Post-commit hook: parquet checkpoint every delta.checkpointInterval
-    commits (reference: protocol/checkpoints.rs + transaction post-commit)."""
+    commits (reference: protocol/checkpoints.rs + transaction post-commit).
+    ``cfg`` is the committing transaction's effective table config; when
+    known, the off-interval case (every commit but one in
+    ``checkpointInterval``) decides without replaying the log."""
     try:
+        if cfg is not None:
+            pre_interval = int(
+                cfg.get("delta.checkpointInterval", CHECKPOINT_INTERVAL_DEFAULT)
+            )
+            if not (pre_interval > 0 and version > 0 and version % pre_interval == 0):
+                return
         snapshot = snap_mod.load_snapshot(table_path, version)
         interval = int(
             snapshot.configuration.get("delta.checkpointInterval", CHECKPOINT_INTERVAL_DEFAULT)
@@ -532,7 +562,10 @@ AUTOCOMPACT_MIN_FILES = 16
 
 
 def _maybe_autocompact(
-    table_path: str, operation: CommitInfo, txn_info: "TransactionInfo | None" = None
+    table_path: str,
+    operation: CommitInfo,
+    txn_info: "TransactionInfo | None" = None,
+    cfg: dict[str, str] | None = None,
 ) -> None:
     """Post-commit hook: delta.autoOptimize.autoCompact=true compacts
     small files right after the write that crossed the threshold — the
@@ -544,9 +577,12 @@ def _maybe_autocompact(
         "VACUUM"
     ):
         return
-    # cheap pre-check from the transaction's own config snapshot: the
-    # default (disabled) path must not pay a full log replay per commit
-    pre_cfg = txn_info.table_config if txn_info is not None else None
+    # cheap pre-check from the commit's effective config (falling back to
+    # the transaction's read-snapshot config): the default (disabled)
+    # path must not pay a full log replay per commit
+    pre_cfg = cfg if cfg is not None else (
+        txn_info.table_config if txn_info is not None else None
+    )
     if (
         pre_cfg is not None
         and pre_cfg.get("delta.autoOptimize.autoCompact", "").lower() != "true"

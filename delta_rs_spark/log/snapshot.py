@@ -955,6 +955,95 @@ def _validate_log(
             )
 
 
+# ---------------------------------------------------------------------------
+# Snapshot cache (r12 optimization): process-local memo of replayed
+# snapshots. A Delta log is immutable once written — a commit file's
+# content at a given (path, version) never changes — so a replayed
+# snapshot can be reused for the process's lifetime, and a snapshot at
+# version N+k derives from the cached one at N by applying only the k
+# tail commits (the same incremental rule DeltaTable.update_incremental
+# already implements, and the reference's snapshot machinery applies on
+# refresh). Without this, every operator in a commit SEQUENCE (write ->
+# delete -> update -> merge, the index-maintenance shape) plus every
+# post-commit hook re-replayed the whole log per step: O(versions^2)
+# replay work per sequence, and at 100 TB (millions of add actions per
+# checkpoint) an O(files) re-parse per hook invocation.
+#
+# Safety:
+# * entries are validated by the stat identity (inode, mtime_ns, size)
+#   of the newest log file the replay consumed — a table that is
+#   rmtree'd and recreated at the same path (scratch fixtures) writes a
+#   fresh commit file and misses the cache;
+# * the cache stores a pristine instance and hands out shallow
+#   per-container copies, so callers that advance or annotate their
+#   snapshot (update_incremental, CDF's per-version replay) never
+#   mutate the cached state; Action objects are treated as immutable
+#   engine-wide (mutators like alter.py copy before writing);
+# * cross-process writers only ever ADD log files, which changes the
+#   resolved target version, never a cached version's content.
+_SNAP_CACHE_MAX = int(os.environ.get("SPARK_GRAFT_SNAPSHOT_CACHE", "16"))
+_snap_cache: dict[tuple[str, int], tuple[tuple, "Snapshot"]] = {}
+
+
+def _copy_snapshot(snap: "Snapshot", table_path: str | None = None) -> "Snapshot":
+    return Snapshot(
+        table_path=table_path if table_path is not None else snap.table_path,
+        version=snap.version,
+        protocol=snap.protocol,
+        metadata=snap.metadata,
+        files=dict(snap.files),
+        tombstones=list(snap.tombstones),
+        txns=dict(snap.txns),
+        cdc_files={k: list(v) for k, v in snap.cdc_files.items()},
+        commit_infos=dict(snap.commit_infos),
+        commit_timestamps=dict(snap.commit_timestamps),
+        domain_metadata=dict(snap.domain_metadata),
+    )
+
+
+def _anchor_fingerprint(
+    table_path: str,
+    version: int,
+    commit_set: set[int],
+    checkpoints: list[int],
+    compacted: dict[int, int],
+) -> tuple | None:
+    """Stat identity of the newest log file a replay to ``version``
+    consumes; None when no single anchor file exists (bypass cache)."""
+    if version in commit_set:
+        p = commit_file(table_path, version)
+    elif version in checkpoints:
+        try:
+            p = find_checkpoint_file(table_path, version)
+        except FileNotFoundError:
+            return None
+    else:
+        ends = [(s, e) for s, e in compacted.items() if e == version]
+        if not ends:
+            return None
+        p = compacted_file(table_path, *max(ends))
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    return (p, st.st_ino, st.st_mtime_ns, st.st_size)
+
+
+def _cache_put(key: tuple[str, int], fp: tuple, snap: "Snapshot") -> None:
+    if len(_snap_cache) >= _SNAP_CACHE_MAX:
+        # evict the oldest-version entries first (they are the least
+        # likely to seed an incremental load); ties broken arbitrarily
+        for old in sorted(_snap_cache, key=lambda k: k[1])[
+            : max(1, _SNAP_CACHE_MAX // 4)
+        ]:
+            _snap_cache.pop(old, None)
+    _snap_cache[key] = (fp, snap)
+
+
+def clear_snapshot_cache() -> None:
+    _snap_cache.clear()
+
+
 def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
     commits, checkpoints = list_log(table_path)
     compacted_ranges = list_compacted(table_path)
@@ -967,6 +1056,47 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
     target = max_v if version is None else version
     if version is not None and version > max_v:
         raise ValueError(f"version {version} > latest {max_v}")
+
+    key_path = os.path.abspath(table_path)
+    commit_set_for_cache = set(commits)
+    fp = _anchor_fingerprint(
+        key_path, target, commit_set_for_cache, checkpoints, compacted_ranges
+    )
+    if fp is not None:
+        hit = _snap_cache.get((key_path, target))
+        if hit is not None and hit[0] == fp:
+            return _copy_snapshot(hit[1], table_path)
+        # incremental: newest cached version below target whose tail to
+        # target is all plain commits still present (and still valid)
+        for (p, v0), (fp0, base) in sorted(
+            _snap_cache.items(), key=lambda kv: -kv[0][1]
+        ):
+            if p != key_path or v0 >= target:
+                continue
+            if any(v not in commit_set_for_cache for v in range(v0 + 1, target + 1)):
+                break  # a gap (checkpoint/compaction tail) -> full replay
+            cur0 = _anchor_fingerprint(
+                key_path, v0, commit_set_for_cache, checkpoints, compacted_ranges
+            )
+            if cur0 != fp0:
+                break  # recreated table or cleaned log -> full replay
+            snap = _copy_snapshot(base)
+            try:
+                for v in range(v0 + 1, target + 1):
+                    for a in read_commit_actions(key_path, v):
+                        snap.apply(a, v)
+                    snap.version = v
+                    ci = snap.commit_infos.get(v)
+                    ts = ci.timestamp if ci else None
+                    if not ts:
+                        ts = int(
+                            os.path.getmtime(commit_file(key_path, v)) * 1000
+                        )
+                    snap.commit_timestamps[v] = ts
+            except FileNotFoundError:
+                break  # cleaned up mid-read -> full replay
+            _cache_put((key_path, target), fp, snap)
+            return _copy_snapshot(snap, table_path)
 
     snap = Snapshot(table_path=table_path)
     start = 0
@@ -1018,6 +1148,9 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
         v += 1
     if snap.version < target:
         snap.version = target
+    if fp is not None:
+        _cache_put((key_path, target), fp, snap)
+        return _copy_snapshot(snap, table_path)
     return snap
 
 

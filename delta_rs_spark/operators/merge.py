@@ -842,27 +842,40 @@ class TableMerger:
             acted = joined.withColumn(_ACTION, action).withColumn(_CLS, cls).persist()
 
             if self.matched:
-                ambiguous = (
-                    acted.filter(F.col(_CLS) >= _CLS_NOOP)
-                    .groupBy(_TID)
-                    .agg(
-                        F.sum((F.col(_CLS) == _CLS_ACTION).cast("int")).alias("__na"),
-                        F.sum(
-                            (F.col(_CLS) == _CLS_UNCOND_DELETE).cast("int")
-                        ).alias("__nu"),
-                    )
-                    .filter(
-                        (F.col("__na") > 1)
-                        | ((F.col("__na") > 0) & (F.col("__nu") > 0))
-                    )
-                    .limit(1)
-                    .count()
+                # ONE job computes duplicate-match validation AND the
+                # per-action winner counts (r12: these were two separate
+                # passes over the persisted frame). Per target row:
+                # winner = the max-(_CLS, _ACTION) pair — deterministic,
+                # because rows tying on _CLS always carry the same
+                # action (NOOP rows are all COPY, unconditional-delete
+                # rows all DELETE, and two distinct ACTION codes on one
+                # row is exactly the ambiguity error below).
+                per_tid = acted.groupBy(_TID).agg(
+                    F.max(F.struct(F.col(_CLS), F.col(_ACTION))).alias("__w"),
+                    F.sum((F.col(_CLS) == _CLS_ACTION).cast("int")).alias("__na"),
+                    F.sum(
+                        (F.col(_CLS) == _CLS_UNCOND_DELETE).cast("int")
+                    ).alias("__nu"),
                 )
-                if ambiguous:
+                summary = (
+                    per_tid.groupBy(F.col(f"__w.{_ACTION}").alias(_ACTION))
+                    .agg(
+                        F.count(F.lit(1)).alias("count"),
+                        F.max(
+                            (
+                                (F.col("__na") > 1)
+                                | ((F.col("__na") > 0) & (F.col("__nu") > 0))
+                            ).cast("int")
+                        ).alias("__bad"),
+                    )
+                    .collect()
+                )
+                if any(r["__bad"] for r in summary):
                     raise MergeError(
                         "MERGE matched a target row with multiple source rows "
                         "that satisfy duplicate relevant WHEN MATCHED clauses"
                     )
+                counts = {r[_ACTION]: r["count"] for r in summary}
                 # winner per target row: the acting pair if any, else one
                 # no-op pair (all no-op/unconditional-delete winners
                 # produce identical output rows, so the tie is immaterial)
@@ -872,6 +885,8 @@ class TableMerger:
                     .filter(F.col("__rn") == 1)
                     .drop("__rn")
                 )
+            else:
+                counts = None
 
             if dv_mode:
                 # rows the merge acts on die in place; collect their
@@ -882,7 +897,11 @@ class TableMerger:
                     .agg(F.collect_list("__delta_rs_ri").alias("ris"))
                     .collect()
                 )
-            counts = {r[_ACTION]: r["count"] for r in acted.groupBy(_ACTION).count().collect()}
+            if counts is None:
+                counts = {
+                    r[_ACTION]: r["count"]
+                    for r in acted.groupBy(_ACTION).count().collect()
+                }
             n_deleted = sum(
                 v for k, v in counts.items() if k == DELETE
             )

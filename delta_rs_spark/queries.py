@@ -1309,19 +1309,28 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # r12: pre-aggregate to one row per (order, supplier) FIRST — every
+    # downstream quantity (per-order distinct-supplier counts, the
+    # late-pair filter, the final countDistinct(orderkey)) is a function
+    # of that grouped frame, so lineitem is scanned and shuffled ONCE
+    # instead of feeding two plan branches (guide §2.4: two operations
+    # keyed the same way share one exchange). Identical result: the
+    # original's per-row `late` filter + countDistinct over line items
+    # collapses to max(late) per (order, supplier) pair.
+    g = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = g.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("late"), F.lit(1))).alias("n_late_supp"),
     )
     supp = _t(spark, sf_dir, "supplier")
     return (
-        li.join(per_order, "l_orderkey")
+        g.join(per_order, "l_orderkey")
         .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
     )
 
