@@ -102,6 +102,11 @@ def plan_predicate_removal(
         )
     else:
         touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
+    if cdf_enabled(snapshot):
+        # the CDF branch re-reads the touched files for the deleted
+        # rows on top of the survivor rewrite — pin them once (r12;
+        # bounded by the touched-file set, the rewrite's own envelope)
+        touched_df = touched_df.persist()
     keep_df = touched_df.filter(~F.expr(predicate).eqNullSafe(F.lit(True)))
     new_adds = write_files(keep_df, table_path, part_cols)
 
@@ -111,6 +116,7 @@ def plan_predicate_removal(
         )
         cdc_actions = write_change_data(deleted_df, table_path)
         new_adds = new_adds + cdc_actions  # type: ignore[operator]
+        touched_df.unpersist(False)  # rewrite + change data both written
 
     removes = [
         Remove(a.path, ts, True, a.partition_values, a.size, deletion_vector=a.deletion_vector) for a in touched_adds

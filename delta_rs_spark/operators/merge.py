@@ -397,6 +397,9 @@ class TableMerger:
         # prune stage in execute()) reuses this invocation's min/max
         # aggregates instead of re-running them as a fresh job
         self._stats_bounds: dict[str, tuple[str, bool, Any, Any, int]] = {}
+        # source row count, stashed when an aggregation here makes a
+        # complete pass anyway (metrics-only; None = caller counts)
+        self._n_source: int | None = None
         if not pairs:
             # static-only filter (reference filter.rs: "return our filter
             # with static only predicates")
@@ -419,20 +422,19 @@ class TableMerger:
                 F.col(sc).alias(f"p{i}")
                 for i, (_tc, sc, _ns) in enumerate(part_pairs)
             ]
-            aggs = []
+            aggs = [F.count(F.lit(1)).alias("__cnt")]
             for i, (_tc, sc, ns) in enumerate(stats_pairs):
                 aggs.append(F.min(sc).alias(f"mn{i}"))
                 aggs.append(F.max(sc).alias(f"mx{i}"))
                 aggs.append(
                     F.sum(F.col(sc).isNull().cast("long")).alias(f"nn{i}")
                 )
-            grouped = (
-                source_df.groupBy(*keys).agg(*aggs)
-                if aggs
-                else source_df.select(*keys).distinct()
-            )
+            grouped = source_df.groupBy(*keys).agg(*aggs)
             rows = grouped.limit(cap + 1).collect()
             if rows and len(rows) <= cap:
+                # the group set is complete, so the per-group counts sum
+                # to the source row count — no separate count job
+                self._n_source = sum(int(r["__cnt"]) for r in rows)
                 conj = list(static)
                 for i, (tc, _sc, ns) in enumerate(part_pairs):
                     raw = {r[f"p{i}"] for r in rows}
@@ -463,12 +465,13 @@ class TableMerger:
                     if b:
                         conj.append(b)
                 return " AND ".join(conj) if conj else None
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__cnt")]
         for i, (_tc, sc, ns) in enumerate(pairs):
             aggs.append(F.min(sc).alias(f"mn{i}"))
             aggs.append(F.max(sc).alias(f"mx{i}"))
             aggs.append(F.sum(F.col(sc).isNull().cast("long")).alias(f"nn{i}"))
         row = source_df.agg(*aggs).collect()[0]
+        self._n_source = int(row["__cnt"])
         conj = list(static)
         for i, (tc, sc, ns) in enumerate(pairs):
             mn, mx = row[f"mn{i}"], row[f"mx{i}"]
@@ -611,7 +614,10 @@ class TableMerger:
         source_df = _to_spark_df(self.source, spark)
         src_cols = set(source_df.columns)
         source_df = source_df.persist()
-        num_source_rows = source_df.count()
+        # num_source_rows (metrics-only) rides the early-filter
+        # aggregation when that runs a complete pass (r12: was its own
+        # job); the fallback count at the end reads the cached blocks
+        num_source_rows: int | None = None
 
         schema_changed = False
         if self.merge_schema:
@@ -670,6 +676,7 @@ class TableMerger:
         from delta_rs_spark.plans.column_mapping import snapshot_physical_of
 
         early = self._strip_target_only_predicate(source_df, part_cols)
+        num_source_rows = self._n_source
         candidates = (
             prune_files(all_adds, early, part_cols, col_types, snapshot_physical_of(snapshot))
             if early
@@ -1140,6 +1147,10 @@ class TableMerger:
             ]
             actions.extend(removes)
 
+        if num_source_rows is None:
+            # early filter never made a complete source pass; the frame
+            # is cached by now, so this is a cheap cached count
+            num_source_rows = source_df.count()
         metrics = {
             "num_source_rows": num_source_rows,
             "num_target_rows_inserted": int(n_inserted),

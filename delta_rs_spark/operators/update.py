@@ -197,6 +197,11 @@ def update(
         touched_df = rt.read_with_materialized(spark, snapshot, table_path, touched_adds)
     else:
         touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
+    if cdf_enabled(snapshot):
+        # the CDF branch reads the touched files twice more (pre/post
+        # images) on top of the rewrite — pin them once (r12; bounded
+        # by the touched-file set, the same envelope the rewrite holds)
+        touched_df = touched_df.persist()
     schema_cols = [f.name for f in touched_df.schema.fields]
     # CASE-guard every updated column (reference: update.rs:357-358).
     # cond is pinned to the PRE-update row via a marker column so the
@@ -268,6 +273,7 @@ def update(
             .withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
         )
         actions.extend(write_change_data(pre.unionByName(post), table_path))
+        touched_df.unpersist(False)  # rewrite + pre/post images all done
 
     removes = [Remove(a.path, ts, True, a.partition_values, a.size, deletion_vector=a.deletion_vector) for a in touched_adds]
     actions.extend(removes)

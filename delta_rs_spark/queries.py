@@ -1247,14 +1247,21 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    # r12: per-(part, supplier) totals via ONE lineitem pass; the
+    # per-part total is a window over the aggregated (small) frame
+    # instead of a second aggregation sub-plan joined back — the
+    # self-join shape scanned lineitem twice. sum() over the same
+    # groups is order-independent here only at the aggregated level:
+    # total_qty = sum of the SAME computed supp_qty values either way.
     demand = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
-    tot = demand.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
     dominant = (
-        demand.join(tot, "l_partkey")
+        demand.withColumn(
+            "total_qty", F.sum("supp_qty").over(W.partitionBy("l_partkey"))
+        )
         .filter(F.col("supp_qty") > 0.5 * F.col("total_qty"))
         .select("l_suppkey")
     )
