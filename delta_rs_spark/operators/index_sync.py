@@ -194,14 +194,14 @@ def sync_fingerprint_index(
         fingerprint(text_col).alias("fp"),
         F.col(_CT).alias("__act"),
     )
-    if resolved == "diff":
-        # MERGE scans its source several times (metrics, touched-file
-        # discovery, apply); the diff plan is snapshot reads + two aggs
-        # + a full-outer join, so re-running it per scan multiplies the
-        # whole reconstruction. Persist the change-batch-sized result
-        # (O(churn), the same bound the merge itself carries) and
-        # release it after the apply.
-        finals = finals.persist()
+    # MERGE scans its source several times (early filter, touched-file
+    # discovery, apply, insert path); re-running this frame per scan
+    # multiplies the whole change derivation — the diff leg's snapshot
+    # reads + two aggs + full-outer join, and (r12) equally the CDF
+    # leg's range read + final-state window + per-row fingerprint md5.
+    # Persist the change-batch-sized result (O(churn), the same bound
+    # the merge itself carries) and release it after the apply.
+    finals = finals.persist()
     try:
         m = (
             idx.merge(
@@ -224,8 +224,7 @@ def sync_fingerprint_index(
         # unpersist even when the merge raises: an OCC conflict here is
         # retryable and must not leak the cached frame (r11 ADVICE on
         # the incremental-agg twin of this pattern)
-        if resolved == "diff":
-            finals.unpersist(False)
+        finals.unpersist(False)
     return {
         "initialized": False,
         "applied_through": latest,
@@ -350,10 +349,15 @@ def sync_band_index(
             F.lit("delete").alias("__act"),
         )
     )
+    # persist the BANDED source frame (r12, both legs — the ivf sync's
+    # rationale): every MERGE scan would otherwise re-run the MinHash
+    # signature computation (num_perm md5 lanes per doc) on top of the
+    # change derivation. O(churn x bands)-sized, released in finally.
+    src_frame = upserts.unionByName(dels).persist()
     try:
         m = (
             idx.merge(
-                upserts.unionByName(dels),
+                src_frame,
                 "t.id <=> s.id AND t.band <=> s.band",
                 source_alias="s",
                 target_alias="t",
@@ -370,6 +374,7 @@ def sync_band_index(
             .execute()
         )
     finally:
+        src_frame.unpersist(False)
         if resolved == "diff":
             finals.unpersist(False)
     return {

@@ -1327,14 +1327,16 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("late")
     )
-    per_order = g.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.count(F.when(F.col("late"), F.lit(1))).alias("n_late_supp"),
+    # per-order supplier counts as a WINDOW over the grouped frame, not
+    # a second aggregation joined back — g then feeds one linear chain
+    # (no self-join, single lineitem scan)
+    wo = W.partitionBy("l_orderkey")
+    g = g.withColumn("n_supp", F.count(F.lit(1)).over(wo)).withColumn(
+        "n_late_supp", F.count(F.when(F.col("late"), F.lit(1))).over(wo)
     )
     supp = _t(spark, sf_dir, "supplier")
     return (
-        g.join(per_order, "l_orderkey")
-        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        g.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
