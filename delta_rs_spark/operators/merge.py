@@ -977,6 +977,7 @@ class TableMerger:
         # ---- job A: insert path -----------------------------------------
         n_inserted = 0
         insert_df = None
+        insert_persisted = False
         if self.not_matched:
             cand_df = read_snapshot_df(spark, snapshot, table_path, files=candidates)
             unmatched_src = source_df.alias(s).join(
@@ -1052,8 +1053,15 @@ class TableMerger:
                 insert_df = insert_df.withColumn(
                     _mat_id, F.lit(None).cast("long")
                 ).withColumn(_mat_ver, F.lit(None).cast("long"))
-            insert_df = insert_df.persist()
-            n_inserted = insert_df.count()
+            if cdf_enabled(snapshot):
+                # the CDF branch evaluates the insert frame a second
+                # time — persist pins it (and any generated identity
+                # values) across the two write jobs; without CDF the
+                # frame is consumed exactly once inside the write job,
+                # so neither a persist nor the r11 count job is needed
+                # (n_inserted derives from the written files' stats)
+                insert_df = insert_df.persist()
+                insert_persisted = True
             out_parts.append(insert_df)
             if cdf_enabled(snapshot):
                 self._cdf_parts.append(
@@ -1151,6 +1159,18 @@ class TableMerger:
             # early filter never made a complete source pass; the frame
             # is cached by now, so this is a cheap cached count
             num_source_rows = source_df.count()
+        if insert_df is not None:
+            # r12: the dedicated insert-count job is gone — the written
+            # files' footer stats already hold the total output row
+            # count, and the rewrite path's exact per-action counts say
+            # how many of those rows it contributed (in DV mode COPY
+            # rows stay in place and n_copied is already zeroed above)
+            if all(a.num_records() is not None for a in new_adds):
+                n_inserted = sum(a.num_records() for a in new_adds) - (
+                    int(n_copied) + int(n_updated) + int(n_nmbs_updated)
+                )
+            else:  # footer stats unavailable — fall back to counting
+                n_inserted = insert_df.count()
         metrics = {
             "num_source_rows": num_source_rows,
             "num_target_rows_inserted": int(n_inserted),
@@ -1220,7 +1240,7 @@ class TableMerger:
         source_df.unpersist()
         if acted is not None:
             acted.unpersist()
-        if insert_df is not None:
+        if insert_persisted:
             insert_df.unpersist()
         self.dt.refresh()
         return metrics
