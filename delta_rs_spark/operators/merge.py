@@ -979,7 +979,21 @@ class TableMerger:
         insert_df = None
         insert_persisted = False
         if self.not_matched:
-            cand_df = read_snapshot_df(spark, snapshot, table_path, files=candidates)
+            # r12: the anti-join only needs files that can CONTAIN a
+            # match, and every match pair lives in a touched file by
+            # definition (a file with >=1 inner-join row is touched) —
+            # so when the matched-clause discovery has computed that
+            # set, scan it instead of every candidate. With
+            # not-matched-by-source clauses rewrite_adds is the whole
+            # table, and with no matched clauses no discovery ran —
+            # both fall back to the candidate set (itself a provable
+            # superset of the matchable files via the early filter).
+            anti_files = (
+                rewrite_adds
+                if self.matched and not self.not_matched_by_source
+                else candidates
+            )
+            cand_df = read_snapshot_df(spark, snapshot, table_path, files=anti_files)
             unmatched_src = source_df.alias(s).join(
                 cand_df.alias(t), F.expr(self.predicate), "left_anti"
             )

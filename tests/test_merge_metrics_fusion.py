@@ -81,3 +81,67 @@ def test_duplicate_match_validation_still_raises(spark, target):
     )
     with pytest.raises(MergeError):
         _merge(spark, target, dup)
+
+
+def test_insert_anti_join_scans_only_touched_files(spark, tmp_path, monkeypatch):
+    """r12: with matched clauses (and no not-matched-by-source), the
+    insert path's anti-join reads only the TOUCHED files — every match
+    pair lives in a touched file by definition — while insert-only and
+    nmbs merges keep the candidate fallback. Instrument read_snapshot_df
+    to record the file set each caller passes."""
+    import delta_rs_spark.table as table_mod
+
+    path = str(tmp_path / "scan")
+    # 4 single-file commits -> 4 files with disjoint id ranges
+    for lo in (0, 100, 200, 300):
+        write_deltalake(
+            path,
+            spark.range(lo, lo + 100).selectExpr("id", "id AS v").coalesce(1),
+            mode="append" if lo else "error",
+        )
+    dt = DeltaTable(path, spark=spark)
+    assert len(dt.files()) == 4
+
+    calls = []
+    real = table_mod.read_snapshot_df
+
+    def spy(spark_, snapshot, table_path, **kw):
+        calls.append(kw.get("files"))
+        return real(spark_, snapshot, table_path, **kw)
+
+    # merge.execute() imports read_snapshot_df from the table module at
+    # call time, so patching the table module intercepts every scan
+    monkeypatch.setattr(table_mod, "read_snapshot_df", spy)
+
+    src = spark.createDataFrame(
+        [(150, 1), (900, 9)], "id long, v long"
+    )  # one match (file 2), one insert
+    m = (
+        dt.merge(src, "t.id = s.id", source_alias="s", target_alias="t")
+        .when_matched_update({"v": "s.v"})
+        .when_not_matched_insert({"id": "s.id", "v": "s.v"})
+        .execute()
+    )
+    assert m["num_target_rows_updated"] == 1
+    assert m["num_target_rows_inserted"] == 1
+    assert m["num_target_files_removed"] == 1
+    # calls: [discovery candidates, rewrite touched, insert anti-join]
+    assert len(calls) == 3
+    assert len(calls[2]) == 1, "insert anti-join must scan only touched files"
+    assert calls[2][0].path == calls[1][0].path
+
+    # insert-only merge: no discovery -> anti-join scans the candidates
+    calls.clear()
+    m2 = (
+        DeltaTable(path, spark=spark)
+        .merge(
+            spark.createDataFrame([(150, 5), (950, 5)], "id long, v long"),
+            "t.id = s.id",
+            source_alias="s",
+            target_alias="t",
+        )
+        .when_not_matched_insert({"id": "s.id", "v": "s.v"})
+        .execute()
+    )
+    assert m2["num_target_rows_inserted"] == 1  # 150 matches, must not insert
+    assert len(calls) == 1 and len(calls[0]) >= 1  # candidates, not []
