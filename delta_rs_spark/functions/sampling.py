@@ -326,15 +326,30 @@ def importance_resampling(
         target.cast("boolean").alias("is_tgt"),
         F.explode(tokens(text_col)).alias("term"),
     )
-    counts = term_rows.groupBy("term").agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("n_tgt"),
+    # ONE tokenize+explode pass: the (doc, term, tf, is_tgt) postings
+    # frame (is_tgt is doc-constant, so max() over the group is exact)
+    # is pinned and serves BOTH the vocabulary counts and the per-doc
+    # scoring join — previously each re-ran the corpus explode (the
+    # BM25 postings-pinning precedent; postings-sized, never text-sized)
+    doc_terms = (
+        term_rows.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("is_tgt").alias("is_tgt"))
+        .localCheckpoint(eager=True)
     )
+    # identical totals: n_raw = Σ tf over docs; n_tgt = Σ tf over
+    # target docs (NULL is_tgt counted 0, as when(is_tgt,1) did)
+    counts = doc_terms.groupBy("term").agg(
+        F.sum("tf").alias("n_raw"),
+        F.sum(F.when(F.col("is_tgt"), F.col("tf")).otherwise(0)).alias("n_tgt"),
+    )
+    # vocab_size rows, referenced by the scalar totals AND the broadcast
+    # lambda join — persisted so the top-k sort runs once
     vocab = counts.orderBy(
         F.col("n_raw").desc(), F.col("term").asc()
-    ).limit(vocab_size)
+    ).limit(vocab_size).persist()
 
-    # Smoothing totals: three scalars to the driver (vocab-sized agg).
+    # Smoothing totals: three scalars to the driver (vocab-sized agg;
+    # also materializes the persist).
     tot = vocab.select(
         F.sum("n_raw").alias("raw"), F.sum("n_tgt").alias("tgt")
     ).first()
@@ -360,9 +375,6 @@ def importance_resampling(
         / F.lit(1e6)
     ).alias("lam")
 
-    doc_terms = term_rows.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
     per_doc = (
         doc_terms.join(F.broadcast(vocab.select("term", lam_q)), "term")
         .groupBy("doc_id")

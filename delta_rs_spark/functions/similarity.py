@@ -1103,11 +1103,15 @@ def embedding_outliers(
             {"cluster": cl.astype("int32"), "dist": d[np.arange(len(cl)), cl]}
         )
 
+    # pin the (id, cluster, dist) assignment: the per-cluster threshold
+    # agg AND the join-back both read it — without the checkpoint each
+    # re-runs the distance pandas UDF over every vector (guide §4: pay
+    # the Python boundary once). Narrow: id + int + double per vector.
     scored = df.withColumn("__cd", _assign_dist(F.col(vec_col))).select(
         id_col,
         F.col("__cd.cluster").alias("cluster"),
         F.col("__cd.dist").alias("dist"),
-    )
+    ).localCheckpoint(eager=True)
     thresholds = scored.groupBy("cluster").agg(
         F.percentile_approx("dist", quantile).alias("__thr")
     )

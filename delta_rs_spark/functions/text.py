@@ -152,7 +152,15 @@ def tfidf_top_terms(
     term_rows = df.select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
     )
-    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # pin the postings: the document-frequency table and the ranked
+    # join both read `tf` — without the checkpoint each re-runs the
+    # corpus tokenize+explode (the BM25 postings precedent;
+    # postings-sized, never text-sized)
+    tf = (
+        term_rows.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     n_docs = df.count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
@@ -402,7 +410,13 @@ def containment_scores(
     corpus-side shuffle beyond the fingerprint window (one, on doc id).
     """
     fps_c = winnowing_fingerprints(corpus, text_col, id_col, k, window, hash_fn)
-    fps_b = winnowing_fingerprints(benchmark, text_col, id_col, k, window, hash_fn)
+    # the benchmark fingerprint set is read twice (per-doc sizes + the
+    # broadcast join) and the benchmark side is often a FILTER of the
+    # corpus table — pin it so the second reference never re-scans the
+    # corpus text (tiny by definition: eval suites, not corpora)
+    fps_b = winnowing_fingerprints(
+        benchmark, text_col, id_col, k, window, hash_fn
+    ).localCheckpoint(eager=True)
     sizes_b = fps_b.groupBy("id").agg(F.count(F.lit(1)).alias("__bn"))
     bench = fps_b.withColumnRenamed("id", "bench_id").join(
         sizes_b.withColumnRenamed("id", "bench_id"), "bench_id"
@@ -939,12 +953,42 @@ def corpus_profile(
     )
 
 
+def quality_feature_frame(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """The quality classifier's feature projection, computed ONCE:
+    (id_cols..., y, x1, x2, x3) — 3 doubles + label + ids per document
+    vs the kilobytes of text they summarize. Training iterates and
+    scoring re-reads the SAME features; materializing this narrow frame
+    (caller persists) turns k+1 regex-heavy corpus text passes into one
+    (guide §8: decide on a lightweight proxy, touch the heavy bytes
+    once). Values are bit-identical to the inline expressions
+    train/score build themselves."""
+    c = F.col(text_col)
+    n_tok = token_count(c).cast("double")
+    n_char = char_count(c).cast("double")
+    sw = stopword_count(c).cast("double")
+    pn = punct_count(c).cast("double")
+    cols = [F.col(c_) for c_ in (id_cols or ["doc_id"])]
+    return df.select(
+        *cols,
+        F.when(label, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)).alias("x1"),
+        F.least(sw / F.greatest(n_tok, F.lit(1.0)) * F.lit(4.0), F.lit(1.0)).alias("x2"),
+        F.least(pn / F.greatest(n_char, F.lit(1.0)) * F.lit(10.0), F.lit(1.0)).alias("x3"),
+    )
+
+
 def train_quality_classifier(
     df: DataFrame,
     label: Column,
     text_col: str = "text",
     n_iter: int = 2,
     lr: float = 0.5,
+    features: DataFrame | None = None,
 ) -> list[float]:
     """Distributed logistic regression over the text-quality features
     (bias, length score, stopword score, punctuation density) — the
@@ -962,20 +1006,21 @@ def train_quality_classifier(
       (the q9 integer-cents pattern);
     - weight updates happen driver-side on the k+1 integer sums — the
       model, not the data, crosses the driver boundary (one narrow agg
-      per iteration; the feature frame computes fresh per pass, no
-      cache pinned across iterations).
+      per iteration).
+
+    ``features``: a pre-built ``quality_feature_frame`` (must carry y,
+    x1, x2, x3; typically persisted by the caller and shared with
+    scoring) — each GD iteration then aggregates the narrow cached
+    frame instead of re-running the regex feature extraction over the
+    corpus text. Identical arithmetic either way.
 
     Returns [w0 (bias), w_len, w_stop, w_punct]."""
-    c = F.col(text_col)
-    n_tok = token_count(c).cast("double")
-    n_char = char_count(c).cast("double")
-    sw = stopword_count(c).cast("double")
-    pn = punct_count(c).cast("double")
-    feats = df.select(
-        F.when(label, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
-        F.least(n_tok / F.lit(64.0), F.lit(1.0)).alias("x1"),
-        F.least(sw / F.greatest(n_tok, F.lit(1.0)) * F.lit(4.0), F.lit(1.0)).alias("x2"),
-        F.least(pn / F.greatest(n_char, F.lit(1.0)) * F.lit(10.0), F.lit(1.0)).alias("x3"),
+    feats = (
+        features.select("y", "x1", "x2", "x3")
+        if features is not None
+        else quality_feature_frame(df, label, text_col, id_cols=[]).select(
+            "y", "x1", "x2", "x3"
+        )
     )
     w = [0.0, 0.0, 0.0, 0.0]
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
@@ -1005,19 +1050,30 @@ def score_quality_classifier(
     weights: list[float],
     text_col: str = "text",
     id_cols: list[str] | None = None,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents with a trained quality classifier: (id_cols...,
     score, is_quality) where score = sigmoid(w.x) rounded to 6dp and
     is_quality fences at 0.5 on the ROUNDED score (so the boolean is as
-    replayable as the score). One codegen map pass, no shuffle."""
-    c = F.col(text_col)
-    n_tok = token_count(c).cast("double")
-    n_char = char_count(c).cast("double")
-    sw = stopword_count(c).cast("double")
-    pn = punct_count(c).cast("double")
-    x1 = F.least(n_tok / F.lit(64.0), F.lit(1.0))
-    x2 = F.least(sw / F.greatest(n_tok, F.lit(1.0)) * F.lit(4.0), F.lit(1.0))
-    x3 = F.least(pn / F.greatest(n_char, F.lit(1.0)) * F.lit(10.0), F.lit(1.0))
+    replayable as the score). One codegen map pass, no shuffle.
+
+    ``features``: a pre-built ``quality_feature_frame`` (shared with
+    training) — ``id_cols`` then names the feature-frame columns to
+    carry through (e.g. ["doc_id", "y"]), and the text column is never
+    re-read. Identical arithmetic either way."""
+    if features is not None:
+        x1, x2, x3 = F.col("x1"), F.col("x2"), F.col("x3")
+        src = features
+    else:
+        c = F.col(text_col)
+        n_tok = token_count(c).cast("double")
+        n_char = char_count(c).cast("double")
+        sw = stopword_count(c).cast("double")
+        pn = punct_count(c).cast("double")
+        x1 = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+        x2 = F.least(sw / F.greatest(n_tok, F.lit(1.0)) * F.lit(4.0), F.lit(1.0))
+        x3 = F.least(pn / F.greatest(n_char, F.lit(1.0)) * F.lit(10.0), F.lit(1.0))
+        src = df
     z = (
         F.lit(weights[0])
         + F.lit(weights[1]) * x1
@@ -1026,7 +1082,7 @@ def score_quality_classifier(
     )
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     cols = [F.col(c_) for c_ in (id_cols or ["doc_id"])]
-    return df.select(
+    return src.select(
         *cols, score.alias("score"), (score >= F.lit(0.5)).alias("is_quality")
     )
 
@@ -1341,36 +1397,46 @@ def ngram_diversity(
     bigram_diversity); ratios on the 1e-6 integer micro-grid, NULL when
     the denominator is zero.
 
-    Scale shape: unigram and bigram streams are tagged and unioned so
-    ONE (source, kind, gram) groupBy with map-side combine carries both
-    (grams collapse to distinct before anything corpus-sized shuffles
-    twice); the second aggregation is |sources| x 2-sized. No driver
-    state at all."""
+    Scale shape: both gram streams come off ONE tokenize pass (tagged
+    structs concatenated per row, exploded once) feeding ONE
+    (source, kind, gram) groupBy with map-side combine (grams collapse
+    to distinct before anything corpus-sized shuffles twice); the
+    second aggregation is |sources| x 2-sized. No driver state at
+    all."""
     toks = tokens(text_col)
-    uni = df.select(
-        F.col(source_col).alias("source"),
-        F.lit("u").alias("kind"),
-        F.explode(toks).alias("gram"),
+    bi_arr = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks), F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        # zip_with pads the shorter side with NULL; concat_ws
+        # drops nulls, so the padded tail equals its w1 alone —
+        # strip it by requiring a separator
+        lambda g: g.contains(" "),
     )
-    bi = df.select(
-        F.col(source_col).alias("source"),
-        F.lit("b").alias("kind"),
-        F.explode(
-            F.filter(
-                F.zip_with(
-                    toks,
-                    F.slice(toks, 2, F.greatest(F.size(toks), F.lit(1))),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                ),
-                # zip_with pads the shorter side with NULL; concat_ws
-                # drops nulls, so the padded tail equals its w1 alone —
-                # strip it by requiring a separator
-                lambda g: g.contains(" "),
-            )
-        ).alias("gram"),
+    # both gram kinds off ONE tokenize in ONE projection (subexpression
+    # elimination shares `toks`), instead of two corpus text passes
+    # unioned — same tagged rows, half the scan+tokenize work
+    tagged = F.concat(
+        F.transform(
+            toks,
+            lambda t: F.struct(F.lit("u").alias("kind"), t.alias("gram")),
+        ),
+        F.transform(
+            bi_arr,
+            lambda g: F.struct(F.lit("b").alias("kind"), g.alias("gram")),
+        ),
     )
     counts = (
-        uni.unionByName(bi)
+        df.select(
+            F.col(source_col).alias("source"), F.explode(tagged).alias("__t")
+        )
+        .select(
+            "source",
+            F.col("__t.kind").alias("kind"),
+            F.col("__t.gram").alias("gram"),
+        )
         .groupBy("source", "kind", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("source", "kind")

@@ -40,11 +40,17 @@ def resample_gap_fill(
         F.date_trunc(bucket, F.col(ts_col)).alias("__bucket"),
         F.round(F.col(value_col) * F.lit(100.0)).cast("long").alias("__cents"),
     )
+    # the spine's per-key [min, max] derives from the ALREADY-bucketed
+    # aggregate (identical extrema — agg's buckets are exactly b's) and
+    # the fill join reads it again; pin it (series-grained: |keys| x
+    # |buckets| narrow rows, never event-scaled) so the events table is
+    # scanned ONCE. Column pruning makes the two consumers' partial
+    # aggs differ, so exchange reuse alone cannot deduplicate the scan.
     agg = b.groupBy(by, "__bucket").agg(
         F.sum("__cents").alias("__c"), F.count(F.lit(1)).alias("n_events")
-    )
+    ).localCheckpoint(eager=True)
     spine = (
-        b.groupBy(by)
+        agg.groupBy(by)
         .agg(F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi"))
         .select(
             by,
@@ -110,6 +116,10 @@ def trailing_zscore_anomalies(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     if fill_gaps:
+        # spine + fill join both read counts — pin the series-grained
+        # frame so the raw event table is scanned once (see
+        # resample_gap_fill; column pruning defeats exchange reuse here)
+        counts = counts.localCheckpoint(eager=True)
         spine = (
             counts.groupBy(by)
             .agg(F.min("bucket_ts").alias("__mn"), F.max("bucket_ts").alias("__mx"))

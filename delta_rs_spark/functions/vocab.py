@@ -67,7 +67,12 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
-def _word_table(df: DataFrame, text_col: str) -> DataFrame:
+def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-frequency table (w, freq) — the standard BPE
+    preprocessing collapse. Learner and vocabulary reporter both start
+    from it; a caller running both should build it ONCE, persist it
+    (vocabulary-sized, never corpus-sized), and pass it via their
+    ``words`` parameter so the corpus tokenize+explode runs once."""
     return (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -75,12 +80,25 @@ def _word_table(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+_word_table = word_table
+
+
 def bpe_learn(
-    df: DataFrame, text_col: str = "text", n_merges: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    words: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
-    [(left, right, pair_count), ...] in merge order."""
-    words = _word_table(df, text_col).withColumn("syms", _chars(F.col("w"))).persist()
+    [(left, right, pair_count), ...] in merge order. ``words``: a
+    pre-built (persisted) ``word_table`` to share with ``bpe_vocab``;
+    when given, the per-round symbol split re-derives from the cached
+    vocabulary rows (vocabulary-sized regex, identical values)."""
+    base = words if words is not None else _word_table(df, text_col)
+    words_owned = words is None
+    words = base.withColumn("syms", _chars(F.col("w")))
+    if words_owned:
+        words = words.persist()
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         cur = F.col("syms")
@@ -99,7 +117,8 @@ def bpe_learn(
         pair, n = top[0]["pair"], int(top[0]["n"])
         left, right = pair.split(" ", 1)
         merges.append((left, right, n))
-    words.unpersist()
+    if words_owned:
+        words.unpersist()
     return merges
 
 
@@ -133,13 +152,19 @@ def bpe_segment(
 
 
 def bpe_vocab(
-    df: DataFrame, merges: list[tuple[str, str, int]], text_col: str = "text"
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide symbol frequencies after applying a merge table:
     (symbol, n) — the learned subword vocabulary with counts. Computed
     over the word-frequency table (vocabulary-sized work, corpus-sized
-    counts)."""
-    words = _word_table(df, text_col)
+    counts). ``words``: a pre-built ``word_table`` (typically the one
+    the learner already paid a corpus pass for) to avoid re-tokenizing
+    the corpus."""
+    if words is None:
+        words = _word_table(df, text_col)
     syms = _chars(F.col("w"))
     for left, right, _n in merges:
         syms = _apply_merge(syms, left, right)

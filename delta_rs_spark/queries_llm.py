@@ -1680,8 +1680,11 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression chain — making this the text-plane sibling of the
     llm_kmeans_clusters iterative-algorithm check."""
     docs = _docs(spark, sf_dir)
-    w = X.train_quality_classifier(docs, F.col("lang") == "en")
-    return X.score_quality_classifier(docs, w)
+    # one regex feature pass instead of three (2 GD iterations + score):
+    # the persisted frame is 3 doubles + label + id per doc
+    feats = X.quality_feature_frame(docs, F.col("lang") == "en").persist()
+    w = X.train_quality_classifier(docs, F.col("lang") == "en", features=feats)
+    return X.score_quality_classifier(docs, w, features=feats)
 
 
 @query(
@@ -1990,11 +1993,14 @@ def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically tie-broken argmax, and the non-overlapping merge
     via the candidate-run parity rewrite. Output = the final subword
     vocabulary with corpus frequencies."""
-    from delta_rs_spark.functions.vocab import bpe_learn, bpe_vocab
+    from delta_rs_spark.functions.vocab import bpe_learn, bpe_vocab, word_table
 
     docs = _docs(spark, sf_dir)
-    merges = bpe_learn(docs, n_merges=3)
-    return bpe_vocab(docs, merges)
+    # ONE corpus tokenize pass: learner and vocabulary reporter share
+    # the persisted (vocabulary-sized) word-frequency table
+    words = word_table(docs).persist()
+    merges = bpe_learn(docs, n_merges=3, words=words)
+    return bpe_vocab(docs, merges, words=words)
 
 
 @query(
@@ -2735,14 +2741,14 @@ def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT grid scores, single-row output. The oracle replays the
     classifier (both GD iterations) AND the AUC arithmetic."""
     docs = _docs(spark, sf_dir)
-    w = X.train_quality_classifier(docs, F.col("lang") == "en")
-    scored = X.score_quality_classifier(docs, w).join(
-        docs.select(
-            "doc_id",
-            (F.col("lang") == "en").cast("long").alias("y"),
-        ),
-        "doc_id",
-    )
+    # one regex feature pass instead of four (2 GD iterations + score +
+    # label re-join): the persisted narrow frame carries y alongside the
+    # features, so the label never re-reads the docs table either
+    feats = X.quality_feature_frame(docs, F.col("lang") == "en").persist()
+    w = X.train_quality_classifier(docs, F.col("lang") == "en", features=feats)
+    scored = X.score_quality_classifier(
+        docs, w, features=feats, id_cols=["doc_id", "y"]
+    ).withColumn("y", F.col("y").cast("long"))
     return X.classifier_auc(scored, score_col="score", label_col="y")
 
 

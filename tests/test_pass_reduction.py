@@ -1,0 +1,145 @@
+"""r12 optimization: single-corpus-pass restructures keep their values.
+
+Each optimization here replaced "re-evaluate a corpus-sized subtree per
+consumer" with "compute the narrow derived frame once and share it"
+(guide §2.4/§8). These tests pin (a) that the shared-frame paths return
+EXACTLY what the inline paths return, and (b) the pass-count plan shape
+that motivated the change.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from delta_rs_spark.sources.tpch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def n_parquet_scans(p: str) -> int:
+    return p.count("Scan parquet")
+
+
+def test_quality_classifier_shared_features_match_inline(spark):
+    from delta_rs_spark.functions import text as X
+
+    docs = load_table(spark, SF, "documents")
+    label = F.col("lang") == "en"
+
+    w_inline = X.train_quality_classifier(docs, label)
+    feats = X.quality_feature_frame(docs, label).persist()
+    try:
+        w_shared = X.train_quality_classifier(docs, label, features=feats)
+        assert w_shared == w_inline
+
+        inline_rows = sorted(
+            (r.doc_id, r.score, r.is_quality)
+            for r in X.score_quality_classifier(docs, w_inline).collect()
+        )
+        shared_rows = sorted(
+            (r.doc_id, r.score, r.is_quality)
+            for r in X.score_quality_classifier(
+                docs, w_shared, features=feats
+            ).collect()
+        )
+        assert shared_rows == inline_rows
+
+        # id_cols selects feature-frame columns: y rides through for AUC
+        with_y = X.score_quality_classifier(
+            docs, w_shared, features=feats, id_cols=["doc_id", "y"]
+        )
+        assert set(with_y.columns) == {"doc_id", "y", "score", "is_quality"}
+        ys = {r.doc_id: r.y for r in with_y.collect()}
+        langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+        assert all(
+            ys[d] == (1.0 if langs[d] == "en" else 0.0) for d in ys
+        )
+    finally:
+        feats.unpersist()
+
+
+def test_bpe_shared_word_table_matches_default(spark):
+    from delta_rs_spark.functions.vocab import bpe_learn, bpe_vocab, word_table
+
+    docs = load_table(spark, SF, "documents")
+    m_default = bpe_learn(docs, n_merges=2)
+    v_default = sorted(
+        (r.symbol, r.n) for r in bpe_vocab(docs, m_default).collect()
+    )
+
+    words = word_table(docs).persist()
+    try:
+        m_shared = bpe_learn(docs, n_merges=2, words=words)
+        assert m_shared == m_default
+        v_shared = sorted(
+            (r.symbol, r.n)
+            for r in bpe_vocab(docs, m_shared, words=words).collect()
+        )
+        assert v_shared == v_default
+    finally:
+        words.unpersist()
+
+
+def test_importance_resampling_single_corpus_scan(spark):
+    """The postings checkpoint serves both the vocabulary counts and the
+    scoring join; the only remaining parquet scan in the final plan is
+    the narrow doc_id spine."""
+    from delta_rs_spark.functions.sampling import importance_resampling
+
+    docs = load_table(spark, SF, "documents")
+    df = importance_resampling(docs, F.col("source") == "src0")
+    p = plan_of(df, "simple")
+    assert n_parquet_scans(p) == 1  # was 3 pre-r12 (vocab ×2 + postings)
+    # the lambda table still rides a broadcast
+    assert "BroadcastHashJoin" in p
+
+
+def test_tfidf_final_plan_reads_checkpoint_not_corpus(spark):
+    from delta_rs_spark.functions.text import tfidf_top_terms
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(tfidf_top_terms(docs, k=3), "simple")
+    # postings are pinned: no tokenize+explode subtree survives in the
+    # final plan (both tf references read the checkpoint RDD)
+    assert n_parquet_scans(p) == 0
+    assert "Scan ExistingRDD" in p
+
+
+def test_ngram_diversity_single_tokenize_pass(spark):
+    from delta_rs_spark.functions.text import ngram_diversity
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(ngram_diversity(docs), "simple")
+    # both gram kinds ride ONE corpus projection; the n_docs side is a
+    # second, text-free scan of the source column only
+    assert n_parquet_scans(p) <= 2
+    assert p.count("Generate explode") == 1
+
+
+def test_gap_fill_spine_reuses_bucket_aggregate(spark):
+    from delta_rs_spark.functions.timeseries import resample_gap_fill
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(resample_gap_fill(ev, bucket="hour", by="user_id"), "simple")
+    # the spine's min/max derives from the PINNED bucketed aggregate —
+    # the events table never appears in the final plan (checkpoint RDD
+    # serves both the spine and the fill join)
+    assert n_parquet_scans(p) == 0
+    assert "Scan ExistingRDD" in p
+
+
+def test_trailing_zscore_gap_spine_reads_checkpoint(spark):
+    from delta_rs_spark.functions.timeseries import trailing_zscore_anomalies
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(trailing_zscore_anomalies(ev, fill_gaps=True), "simple")
+    assert n_parquet_scans(p) == 0
+    assert "Scan ExistingRDD" in p
