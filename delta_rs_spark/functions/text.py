@@ -492,11 +492,16 @@ def source_mix(df: DataFrame, text_col: str = "text", source_col: str = "source"
     reduces the corpus to |sources| rows; the share is a second,
     |sources|-sized aggregation — corpus size only enters the first
     pass."""
+    # LAZY-pinned: the share denominator and the final join both read
+    # per_source; without the pin column pruning re-runs the corpus
+    # tokenize+count under the denominator branch (|sources| rows, so
+    # the pin is free — exchange reuse can't fire across the pruned
+    # branches)
     per_source = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(text_col)).alias("n_tokens"),
         F.sum(char_count(text_col)).alias("n_chars"),
-    )
+    ).localCheckpoint(eager=False)
     # share denominator as a broadcast 1-row cross join, not an
     # unpartitioned window (same result; no single-partition exchange of
     # the per-source table, and no WindowExec warning noise)
@@ -713,7 +718,14 @@ def classifier_auc(
         # bound every score is re-centered to its equal-width bin,
         # otherwise the when() resolves to the identity. Both the stats
         # agg and the conditional re-bin read the already-reduced
-        # distinct-score table (grid- or bound-sized), not the corpus.
+        # distinct-score table (grid- or bound-sized), not the corpus —
+        # but each would re-RUN the corpus-to-grid reduction (column
+        # pruning defeats exchange reuse between the two branches), so
+        # pin the grid-bounded table and scan the corpus once. LAZY
+        # checkpoint: both branches share one RDD (computed once at
+        # first materialization) and no driver job runs at
+        # construction — the documented compositional contract holds.
+        g = g.localCheckpoint(eager=False)
         stats = g.agg(
             F.count(F.lit(1)).alias("__nd"),
             F.min("s").alias("__lo"),

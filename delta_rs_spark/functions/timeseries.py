@@ -232,6 +232,13 @@ def value_percentiles(
         # AQE can skew-split a hot-key join but never a hot-key window,
         # and the pre-coarsened distinct-cent domain is exactly the
         # unbounded quantity this guard exists to tame.
+        # Pin the (group, cent, cnt) table first: the stats agg and the
+        # coarsening join both read it, and column pruning makes their
+        # partial aggs differ (no exchange reuse) — without the pin the
+        # raw event table is scanned twice. Grid-bounded, never
+        # event-scaled (the operator's own scale contract). LAZY so the
+        # docstring's "no driver job runs either way" stays true.
+        g = g.localCheckpoint(eager=False)
         stats = g.groupBy(F.col(by).alias("__k")).agg(
             F.count(F.lit(1)).alias("__nd"),
             F.min("c").alias("__lo"),

@@ -143,3 +143,42 @@ def test_trailing_zscore_gap_spine_reads_checkpoint(spark):
     p = plan_of(trailing_zscore_anomalies(ev, fill_gaps=True), "simple")
     assert n_parquet_scans(p) == 0
     assert "Scan ExistingRDD" in p
+
+
+def test_value_percentiles_grid_guard_single_corpus_pass(spark):
+    """The distinct-cent guard's stats agg and coarsening join share a
+    LAZY checkpoint of the (group, cent, cnt) table — the raw event
+    table appears in neither branch of the final plan."""
+    from delta_rs_spark.functions.timeseries import value_percentiles
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(value_percentiles(ev), "simple")
+    assert n_parquet_scans(p) == 0
+    assert p.count("Scan ExistingRDD") == 2  # one RDD, two references
+
+
+def test_source_mix_single_corpus_reduction(spark):
+    from delta_rs_spark.functions.text import source_mix
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(source_mix(docs), "simple")
+    # the share denominator and the final join share the lazily-pinned
+    # per-source reduction — the corpus tokenize runs once
+    assert n_parquet_scans(p) == 0
+    assert p.count("Scan ExistingRDD") == 2
+
+
+def test_classifier_auc_grid_guard_single_reduction(spark):
+    from delta_rs_spark.functions import text as X
+
+    docs = load_table(spark, SF, "documents")
+    feats = X.quality_feature_frame(docs, F.col("lang") == "en")
+    w = X.train_quality_classifier(docs, F.col("lang") == "en")
+    scored = X.score_quality_classifier(
+        docs, w, features=feats, id_cols=["doc_id", "y"]
+    )
+    p = plan_of(X.classifier_auc(scored, label_col="y"), "simple")
+    # the corpus-to-grid reduction is pinned: both guard branches read
+    # the checkpoint RDD, never re-running the score aggregation
+    assert p.count("Scan ExistingRDD") == 2
+    assert n_parquet_scans(p) == 0
