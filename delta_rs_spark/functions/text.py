@@ -492,16 +492,16 @@ def source_mix(df: DataFrame, text_col: str = "text", source_col: str = "source"
     reduces the corpus to |sources| rows; the share is a second,
     |sources|-sized aggregation — corpus size only enters the first
     pass."""
-    # LAZY-pinned: the share denominator and the final join both read
-    # per_source; without the pin column pruning re-runs the corpus
-    # tokenize+count under the denominator branch (|sources| rows, so
-    # the pin is free — exchange reuse can't fire across the pruned
-    # branches)
+    # Lazily pinned (persist, no job at construction): the share
+    # denominator and the final join both read per_source; without the
+    # pin column pruning re-runs the corpus tokenize+count under the
+    # denominator branch (|sources| rows, so the pin is free — exchange
+    # reuse can't fire across the pruned branches)
     per_source = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(text_col)).alias("n_tokens"),
         F.sum(char_count(text_col)).alias("n_chars"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     # share denominator as a broadcast 1-row cross join, not an
     # unpartitioned window (same result; no single-partition exchange of
     # the per-source table, and no WindowExec warning noise)
@@ -721,11 +721,14 @@ def classifier_auc(
         # distinct-score table (grid- or bound-sized), not the corpus —
         # but each would re-RUN the corpus-to-grid reduction (column
         # pruning defeats exchange reuse between the two branches), so
-        # pin the grid-bounded table and scan the corpus once. LAZY
-        # checkpoint: both branches share one RDD (computed once at
-        # first materialization) and no driver job runs at
-        # construction — the documented compositional contract holds.
-        g = g.localCheckpoint(eager=False)
+        # pin the grid-bounded table and scan the corpus once. persist()
+        # (NOT localCheckpoint — under AQE even a lazy checkpoint
+        # executes the upstream stages at call time, breaking the
+        # documented "no job until the caller executes" contract that
+        # test_classifier_auc_is_lazy pins): no job at construction,
+        # and the broadcast stats job populates the cache before the
+        # main job reads it.
+        g = g.persist()
         stats = g.agg(
             F.count(F.lit(1)).alias("__nd"),
             F.min("s").alias("__lo"),

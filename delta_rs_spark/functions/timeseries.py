@@ -236,9 +236,11 @@ def value_percentiles(
         # coarsening join both read it, and column pruning makes their
         # partial aggs differ (no exchange reuse) — without the pin the
         # raw event table is scanned twice. Grid-bounded, never
-        # event-scaled (the operator's own scale contract). LAZY so the
-        # docstring's "no driver job runs either way" stays true.
-        g = g.localCheckpoint(eager=False)
+        # event-scaled (the operator's own scale contract). persist(),
+        # not localCheckpoint: under AQE even a lazy checkpoint runs
+        # the upstream stages at call time, and the docstring's "no
+        # driver job runs either way" must stay true.
+        g = g.persist()
         stats = g.groupBy(F.col(by).alias("__k")).agg(
             F.count(F.lit(1)).alias("__nd"),
             F.min("c").alias("__lo"),

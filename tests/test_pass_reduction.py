@@ -147,14 +147,18 @@ def test_trailing_zscore_gap_spine_reads_checkpoint(spark):
 
 def test_value_percentiles_grid_guard_single_corpus_pass(spark):
     """The distinct-cent guard's stats agg and coarsening join share a
-    LAZY checkpoint of the (group, cent, cnt) table — the raw event
-    table appears in neither branch of the final plan."""
+    lazily persisted (group, cent, cnt) table — both branches read the
+    cache, and construction runs no job (the docstring's compositional
+    contract, enforced for classifier_auc by test_review_fixes)."""
     from delta_rs_spark.functions.timeseries import value_percentiles
 
     ev = load_table(spark, SF, "events")
-    p = plan_of(value_percentiles(ev), "simple")
-    assert n_parquet_scans(p) == 0
-    assert p.count("Scan ExistingRDD") == 2  # one RDD, two references
+    df = value_percentiles(ev)
+    p = plan_of(df, "simple")
+    # one cache, two references (the cache subtree itself prints its
+    # parquet scan in the plan text, so scan-count is not asserted —
+    # the executed plan reads the cache)
+    assert p.count("InMemoryTableScan") >= 2
 
 
 def test_source_mix_single_corpus_reduction(spark):
@@ -163,9 +167,10 @@ def test_source_mix_single_corpus_reduction(spark):
     docs = load_table(spark, SF, "documents")
     p = plan_of(source_mix(docs), "simple")
     # the share denominator and the final join share the lazily-pinned
-    # per-source reduction — the corpus tokenize runs once
-    assert n_parquet_scans(p) == 0
-    assert p.count("Scan ExistingRDD") == 2
+    # per-source reduction — the corpus tokenize runs once (>= because
+    # a session-level cache of the docs scan can add nested
+    # InMemoryTableScan nodes inside the printed cache subtree)
+    assert p.count("InMemoryTableScan") >= 2
 
 
 def test_classifier_auc_grid_guard_single_reduction(spark):
@@ -179,6 +184,6 @@ def test_classifier_auc_grid_guard_single_reduction(spark):
     )
     p = plan_of(X.classifier_auc(scored, label_col="y"), "simple")
     # the corpus-to-grid reduction is pinned: both guard branches read
-    # the checkpoint RDD, never re-running the score aggregation
-    assert p.count("Scan ExistingRDD") == 2
-    assert n_parquet_scans(p) == 0
+    # the cache, never re-running the score aggregation (>= : nested
+    # session-cache nodes may print inside the cache subtree)
+    assert p.count("InMemoryTableScan") >= 2
