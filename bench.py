@@ -264,6 +264,7 @@ def main() -> None:
         "n_samples": n_samples,
         "n_reduced_samples": n_floor_samples,
         "calibration": calibration,
+        "cpus": n_cores,
         "sf": sf_val,
     }
     if contended:
@@ -291,7 +292,24 @@ def main() -> None:
             if (m := re.search(r"BENCH_r(\d+)\.json$", p))
         ]
         rnd = max(rounds, default=0) + 1
-        with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as f:
+        arch = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
+        # the driver benches the SAME round twice (main run + a reduced
+        # core-count scaling run): never let the second overwrite the
+        # first — a run at a different cpu count archives under a
+        # _c{cpus} suffix (r12's 8-core run clobbered the r13 slot)
+        if os.path.exists(arch):
+            try:
+                with open(arch) as f:
+                    prev_cpus = json.load(f).get("cpus")
+            except (OSError, ValueError):
+                prev_cpus = None
+            # the main (highest-core) run owns the unsuffixed slot;
+            # reduced-core scaling runs archive alongside it
+            if prev_cpus is not None and n_cores < prev_cpus:
+                arch = os.path.join(
+                    here, f"BENCH_DETAIL_r{rnd:02d}_c{n_cores}.json"
+                )
+        with open(arch, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"WARN: could not archive bench detail: {e}", file=sys.stderr)
@@ -301,6 +319,20 @@ def main() -> None:
     sys.stderr.flush()
     print()
     print(json.dumps(detail), flush=True)
+    # Second-to-last line: the per-query MIN vector alone, compact
+    # separators, 2dp — ~3 KB for 138 queries, so a tail window of a
+    # few KB captures it whole (the full detail line above is 3-4x
+    # bigger and r12's PERF lost its head; VERDICT r12 #1). The driver
+    # can parse per-query comparisons from this line without needing
+    # the committed BENCH_DETAIL files.
+    qline = {
+        "metric": "headline_suite_queries",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "cpus": n_cores,
+        "sf": sf_val,
+    }
+    print()
+    print(json.dumps(qline, separators=(",", ":")), flush=True)
     # FINAL line: compact, <200 bytes, survives any tail window >=200 chars.
     summary = {
         "metric": "headline_suite_total",

@@ -316,6 +316,13 @@ def importance_resampling(
     center — production would histogram the 6dp weights and derive the
     fence from counts; gate scale keeps the exact oracle-checkable
     window.
+
+    Cache lifetime: the call runs the postings build eagerly
+    (localCheckpoint + a vocab-sized totals job) and the returned plan
+    reads the checkpointed postings and a persist()-pinned
+    ``vocab_size``-row lambda table; long-lived sessions composing many
+    queries should call ``session.drop_cached_intermediates`` once
+    results are consumed.
     """
     from pyspark.sql import Window as W
 

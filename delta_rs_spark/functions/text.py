@@ -491,7 +491,12 @@ def source_mix(df: DataFrame, text_col: str = "text", source_col: str = "source"
     Scale shape: one groupBy(source) with map-side partial aggregation
     reduces the corpus to |sources| rows; the share is a second,
     |sources|-sized aggregation — corpus size only enters the first
-    pass."""
+    pass.
+
+    Cache lifetime: the returned plan reads a lazily persist()-pinned
+    |sources|-row frame; the pin lives until released — long-lived
+    sessions composing many queries should call
+    ``session.drop_cached_intermediates`` once results are consumed."""
     # Lazily pinned (persist, no job at construction): the share
     # denominator and the final join both read per_source; without the
     # pin column pruning re-runs the corpus tokenize+count under the
@@ -704,7 +709,12 @@ def classifier_auc(
     distinct-score table, never the corpus. Pass
     ``max_distinct_scores=None`` to skip the check entirely when the
     producer guarantees a snapped grid. Degenerate labels (P=0 or N=0)
-    yield NULL auc rather than a misleading number."""
+    yield NULL auc rather than a misleading number.
+
+    Cache lifetime: with the guard enabled the returned plan reads a
+    lazily persist()-pinned grid-bounded frame (both guard branches
+    share it); long-lived sessions composing many queries should call
+    ``session.drop_cached_intermediates`` once results are consumed."""
     g = (
         scored.groupBy(F.col(score_col).alias("s"))
         .agg(
@@ -987,7 +997,10 @@ def quality_feature_frame(
     n_char = char_count(c).cast("double")
     sw = stopword_count(c).cast("double")
     pn = punct_count(c).cast("double")
-    cols = [F.col(c_) for c_ in (id_cols or ["doc_id"])]
+    # None means "default to doc_id"; an explicit [] means "no id
+    # columns" (the inline train path passes [] for frames that may
+    # lack doc_id entirely — `or` would conflate the two)
+    cols = [F.col(c_) for c_ in (["doc_id"] if id_cols is None else id_cols)]
     return df.select(
         *cols,
         F.when(label, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
@@ -1027,16 +1040,23 @@ def train_quality_classifier(
     x1, x2, x3; typically persisted by the caller and shared with
     scoring) — each GD iteration then aggregates the narrow cached
     frame instead of re-running the regex feature extraction over the
-    corpus text. Identical arithmetic either way.
+    corpus text. Identical arithmetic either way. When ``features`` is
+    given, ``df``, ``label`` and ``text_col`` are UNUSED — the frame's
+    own y column is the label; required columns are validated up front.
 
     Returns [w0 (bias), w_len, w_stop, w_punct]."""
-    feats = (
-        features.select("y", "x1", "x2", "x3")
-        if features is not None
-        else quality_feature_frame(df, label, text_col, id_cols=[]).select(
+    if features is not None:
+        missing = {"y", "x1", "x2", "x3"} - set(features.columns)
+        if missing:
+            raise ValueError(
+                f"features frame is missing column(s) {sorted(missing)}; "
+                "pass a quality_feature_frame(...) result"
+            )
+        feats = features.select("y", "x1", "x2", "x3")
+    else:
+        feats = quality_feature_frame(df, label, text_col, id_cols=[]).select(
             "y", "x1", "x2", "x3"
         )
-    )
     w = [0.0, 0.0, 0.0, 0.0]
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
     for _ in range(n_iter):
@@ -1074,9 +1094,16 @@ def score_quality_classifier(
 
     ``features``: a pre-built ``quality_feature_frame`` (shared with
     training) — ``id_cols`` then names the feature-frame columns to
-    carry through (e.g. ["doc_id", "y"]), and the text column is never
-    re-read. Identical arithmetic either way."""
+    carry through (e.g. ["doc_id", "y"]), and ``df``/``text_col`` are
+    UNUSED (the text column is never re-read). Identical arithmetic
+    either way."""
     if features is not None:
+        missing = {"x1", "x2", "x3"} - set(features.columns)
+        if missing:
+            raise ValueError(
+                f"features frame is missing column(s) {sorted(missing)}; "
+                "pass a quality_feature_frame(...) result"
+            )
         x1, x2, x3 = F.col("x1"), F.col("x2"), F.col("x3")
         src = features
     else:
@@ -1096,7 +1123,7 @@ def score_quality_classifier(
         + F.lit(weights[3]) * x3
     )
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    cols = [F.col(c_) for c_ in (id_cols or ["doc_id"])]
+    cols = [F.col(c_) for c_ in (["doc_id"] if id_cols is None else id_cols)]
     return src.select(
         *cols, score.alias("score"), (score >= F.lit(0.5)).alias("is_quality")
     )

@@ -33,6 +33,14 @@ def resample_gap_fill(
     Returns (by, bucket_ts epoch-seconds, n_events, filled_cents) —
     ``n_events`` is 0 on gap rows, ``filled_cents`` is the forward
     -filled running value (never NULL after a key's first bucket).
+
+    NOTE: this function runs the bucket aggregation EAGERLY at call
+    time (localCheckpoint) and returns a checkpoint-backed frame: the
+    input is snapshotted as of construction (a later change to the
+    source table is not reflected), and the checkpoint blocks live on
+    executors without lineage — an executor loss fails downstream jobs
+    instead of recomputing. The trade buys a single scan of the events
+    table shared by the spine and the fill join.
     """
     step = F.expr(f"INTERVAL 1 {bucket}")
     b = df.select(
@@ -105,7 +113,15 @@ def trailing_zscore_anomalies(
     resample_gap_fill — never event-scaled); then one window pass keyed
     by group — the window input is the bucketed series, not the raw
     events, so the sort is tiny regardless of event volume. Skewed
-    groups are a non-issue at series granularity."""
+    groups are a non-issue at series granularity.
+
+    NOTE: with ``fill_gaps=True`` the bucket aggregation runs EAGERLY
+    at call time (localCheckpoint) and the result is checkpoint-backed:
+    the input is snapshotted as of construction, and the blocks live on
+    executors without lineage (an executor loss fails downstream jobs
+    instead of recomputing) — the trade for a single events scan.
+    ``fill_gaps=False`` stays a pure plan builder (no job at call
+    time)."""
     sec = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))).cast("long")
     bucket = (F.floor(sec / F.lit(bucket_seconds)) * F.lit(bucket_seconds)).cast(
         "long"
@@ -209,7 +225,12 @@ def value_percentiles(
     as (p_num*n + p_den-1) div p_den from p's decimal repr, so a
     double ceil can never round a boundary differently from a
     decimal-exact SQL oracle. (p_num * n must fit int64: fine for
-    6-decimal percentiles up to ~9e12 rows per group.)"""
+    6-decimal percentiles up to ~9e12 rows per group.)
+
+    Cache lifetime: with the guard enabled the returned plan reads a
+    lazily persist()-pinned grid-bounded frame (both guard branches
+    share it); long-lived sessions composing many queries should call
+    ``session.drop_cached_intermediates`` once results are consumed."""
     from decimal import Decimal
     from fractions import Fraction
 

@@ -30,7 +30,13 @@ from delta_rs_spark.log.commit import TransactionInfo
 from delta_rs_spark.plans.row_tracking import (
     cached_watermark as _rt_cached_watermark,
 )
-from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
+from delta_rs_spark.operators.cdc import (
+    CHANGE_TYPE_COL,
+    can_fuse_cdc_write,
+    cdf_enabled,
+    write_change_data,
+    write_data_and_change_files,
+)
 from delta_rs_spark.operators.util import _rel_candidates, match_touched_files
 from delta_rs_spark.plans.skipping import (
     col_types_from_schema_json,
@@ -102,21 +108,38 @@ def plan_predicate_removal(
         )
     else:
         touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
-    if cdf_enabled(snapshot):
-        # the CDF branch re-reads the touched files for the deleted
-        # rows on top of the survivor rewrite — pin them once (r12;
-        # bounded by the touched-file set, the rewrite's own envelope)
+    if cdf_enabled(snapshot) and can_fuse_cdc_write(snapshot):
+        # r13 (VERDICT r12 #2): ONE write job emits the survivor files
+        # AND the change-data files from a single scan of the touched
+        # files — matched rows are tagged "delete" (routed to
+        # _change_data/ only), survivors keep a NULL tag (data files
+        # only). No persist, no second job, one read pass.
+        tagged = touched_df.withColumn(
+            CHANGE_TYPE_COL,
+            F.when(F.expr(predicate), F.lit("delete")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        data_adds, cdc_actions = write_data_and_change_files(
+            tagged, table_path, part_cols, snapshot
+        )
+        new_adds = data_adds + cdc_actions  # type: ignore[operator]
+    elif cdf_enabled(snapshot):
+        # fallback (variant columns / write rules): pin the touched
+        # files across the two writes (r12; bounded by the touched-file
+        # set, the rewrite's own envelope)
         touched_df = touched_df.persist()
-    keep_df = touched_df.filter(~F.expr(predicate).eqNullSafe(F.lit(True)))
-    new_adds = write_files(keep_df, table_path, part_cols)
-
-    if cdf_enabled(snapshot):
+        keep_df = touched_df.filter(~F.expr(predicate).eqNullSafe(F.lit(True)))
+        new_adds = write_files(keep_df, table_path, part_cols)
         deleted_df = touched_df.filter(F.expr(predicate)).withColumn(
             CHANGE_TYPE_COL, F.lit("delete")
         )
         cdc_actions = write_change_data(deleted_df, table_path)
         new_adds = new_adds + cdc_actions  # type: ignore[operator]
         touched_df.unpersist(False)  # rewrite + change data both written
+    else:
+        keep_df = touched_df.filter(~F.expr(predicate).eqNullSafe(F.lit(True)))
+        new_adds = write_files(keep_df, table_path, part_cols)
 
     removes = [
         Remove(a.path, ts, True, a.partition_values, a.size, deletion_vector=a.deletion_vector) for a in touched_adds

@@ -36,7 +36,13 @@ from delta_rs_spark.log import commit as commit_mod
 from delta_rs_spark.log import snapshot as snap_mod
 from delta_rs_spark.log.actions import Add, CommitInfo, Remove, now_ms
 from delta_rs_spark.log.commit import DeltaError, TransactionInfo
-from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
+from delta_rs_spark.operators.cdc import (
+    CHANGE_TYPE_COL,
+    can_fuse_cdc_write,
+    cdf_enabled,
+    write_change_data,
+    write_data_and_change_files,
+)
 from delta_rs_spark.operators.util import match_touched_files
 from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
 
@@ -738,6 +744,9 @@ class TableMerger:
         )
 
         dv_mode = dv_write_enabled(snapshot)
+        # r13: fused data+CDC write — one job, one pass, no insert
+        # persist (falls back for variant columns / write rules)
+        fuse_cdc = cdf_enabled(snapshot) and can_fuse_cdc_write(snapshot)
         out_parts: list[DataFrame] = []
         metrics_rows: dict[int, int] = {}
         n_updated = n_deleted = n_copied = n_nmbs_updated = 0
@@ -953,7 +962,21 @@ class TableMerger:
             )
             rewritten = _recompute_generated(
                 rewritten, schema, cols, coded_clauses
-            ).drop(_ACTION)
+            )
+            if fuse_cdc:
+                # r13 (VERDICT r12 #2): tag the rewrite rows for the
+                # fused single-job writer — updated rows are
+                # update_postimage (routed to data files AND
+                # _change_data/), everything else NULL (data only)
+                rewritten = rewritten.withColumn(
+                    CHANGE_TYPE_COL,
+                    F.when(
+                        F.col(_ACTION).isin(*upd_codes), F.lit("update_postimage")
+                    ).otherwise(F.lit(None).cast("string"))
+                    if upd_codes
+                    else F.lit(None).cast("string"),
+                )
+            rewritten = rewritten.drop(_ACTION)
             out_parts.append(rewritten)
 
             if cdf_enabled(snapshot):
@@ -965,10 +988,24 @@ class TableMerger:
                 pre = acted.filter(upd_filter).select(*t_proj).withColumn(
                     CHANGE_TYPE_COL, F.lit("update_preimage")
                 )
-                post = acted.filter(upd_filter).select(*proj).withColumn(
-                    CHANGE_TYPE_COL, F.lit("update_postimage")
-                )
-                self._cdf_parts = [deleted_cdf, pre, post]
+                if fuse_cdc:
+                    # postimage rows ride the tagged rewrite (one
+                    # evaluation serves both sinks); delete/preimage
+                    # rows join the same fused frame — align hidden
+                    # row-tracking columns for the union (the writer
+                    # drops them from change files anyway)
+                    if rt_on:
+                        for _h in (_mat_id, _mat_ver):
+                            deleted_cdf = deleted_cdf.withColumn(
+                                _h, F.lit(None).cast("long")
+                            )
+                            pre = pre.withColumn(_h, F.lit(None).cast("long"))
+                    self._cdf_parts = [deleted_cdf, pre]
+                else:
+                    post = acted.filter(upd_filter).select(*proj).withColumn(
+                        CHANGE_TYPE_COL, F.lit("update_postimage")
+                    )
+                    self._cdf_parts = [deleted_cdf, pre, post]
             else:
                 self._cdf_parts = []
         else:
@@ -1067,22 +1104,33 @@ class TableMerger:
                 insert_df = insert_df.withColumn(
                     _mat_id, F.lit(None).cast("long")
                 ).withColumn(_mat_ver, F.lit(None).cast("long"))
-            if cdf_enabled(snapshot):
-                # the CDF branch evaluates the insert frame a second
-                # time — persist pins it (and any generated identity
-                # values) across the two write jobs; without CDF the
-                # frame is consumed exactly once inside the write job,
-                # so neither a persist nor the r11 count job is needed
-                # (n_inserted derives from the written files' stats)
+            if fuse_cdc:
+                # r13: the fused writer routes "insert"-tagged rows to
+                # BOTH sinks from one evaluation — no persist, no
+                # second job (identity generation stays deterministic:
+                # the frame is evaluated exactly once)
+                insert_df = insert_df.withColumn(
+                    CHANGE_TYPE_COL, F.lit("insert")
+                )
+                out_parts.append(insert_df)
+            elif cdf_enabled(snapshot):
+                # fallback: the CDF branch evaluates the insert frame a
+                # second time — persist pins it (and any generated
+                # identity values) across the two write jobs; without
+                # CDF the frame is consumed exactly once inside the
+                # write job, so neither a persist nor the r11 count job
+                # is needed (n_inserted derives from the written files'
+                # stats)
                 insert_df = insert_df.persist()
                 insert_persisted = True
-            out_parts.append(insert_df)
-            if cdf_enabled(snapshot):
+                out_parts.append(insert_df)
                 self._cdf_parts.append(
                     insert_df.drop(_mat_id, _mat_ver).withColumn(
                         CHANGE_TYPE_COL, F.lit("insert")
                     )
                 )
+            else:
+                out_parts.append(insert_df)
 
         # ---- write + commit ---------------------------------------------
         actions: list = []
@@ -1102,17 +1150,29 @@ class TableMerger:
                 )
             )
         new_adds: list[Add] = []
+        fused_cdc_actions: list = []
         if out_parts:
             result = out_parts[0]
             for p_df in out_parts[1:]:
                 result = result.unionByName(p_df)
-            from delta_rs_spark.writer import enforce_write_rules
+            if fuse_cdc:
+                # ONE job writes data + change files from one pass over
+                # the (cached) acted frame and the insert frame; the
+                # delete/preimage branches union in as CDC-only rows
+                for p_df in self._cdf_parts:
+                    result = result.unionByName(p_df)
+                self._cdf_parts = []
+                new_adds, fused_cdc_actions = write_data_and_change_files(
+                    result, table_path, part_cols, snapshot
+                )
+            else:
+                from delta_rs_spark.writer import enforce_write_rules
 
-            result = enforce_write_rules(result, snapshot)
-            try:
-                new_adds = write_files(result, table_path, part_cols)
-            finally:
-                result.unpersist()
+                result = enforce_write_rules(result, snapshot)
+                try:
+                    new_adds = write_files(result, table_path, part_cols)
+                finally:
+                    result.unpersist()
             actions.extend(new_adds)
         if id_plan and new_adds:
             # advance each written identity column's high watermark in
@@ -1146,6 +1206,8 @@ class TableMerger:
                             created_time=meta.created_time,
                         )
                     )
+        if fused_cdc_actions:
+            actions.extend(fused_cdc_actions)
         if self._cdf_parts:
             cdf_all = self._cdf_parts[0]
             for p_df in self._cdf_parts[1:]:

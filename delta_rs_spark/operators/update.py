@@ -24,7 +24,13 @@ from delta_rs_spark.log.commit import DeltaError, TransactionInfo
 from delta_rs_spark.plans.row_tracking import (
     cached_watermark as _rt_cached_watermark,
 )
-from delta_rs_spark.operators.cdc import CHANGE_TYPE_COL, cdf_enabled, write_change_data
+from delta_rs_spark.operators.cdc import (
+    CHANGE_TYPE_COL,
+    can_fuse_cdc_write,
+    cdf_enabled,
+    write_change_data,
+    write_data_and_change_files,
+)
 from delta_rs_spark.operators.util import match_touched_files
 from delta_rs_spark.plans.skipping import col_types_from_schema_json, prune_files
 
@@ -197,10 +203,12 @@ def update(
         touched_df = rt.read_with_materialized(spark, snapshot, table_path, touched_adds)
     else:
         touched_df = read_snapshot_df(spark, snapshot, table_path, files=touched_adds)
-    if cdf_enabled(snapshot):
-        # the CDF branch reads the touched files twice more (pre/post
-        # images) on top of the rewrite — pin them once (r12; bounded
-        # by the touched-file set, the same envelope the rewrite holds)
+    fused = cdf_enabled(snapshot) and can_fuse_cdc_write(snapshot)
+    if cdf_enabled(snapshot) and not fused:
+        # fallback (variant columns / write rules): the CDF branch
+        # reads the touched files twice more (pre/post images) on top
+        # of the rewrite — pin them once (r12; bounded by the
+        # touched-file set, the same envelope the rewrite holds)
         touched_df = touched_df.persist()
     schema_cols = [f.name for f in touched_df.schema.fields]
     # CASE-guard every updated column (reference: update.rs:357-358).
@@ -209,6 +217,26 @@ def update(
     # still knows which rows the predicate selected.
     marked = touched_df.withColumn("__delta_rs_upd", cond)
     upd_flag = F.col("__delta_rs_upd")
+    if fused:
+        # r13 (VERDICT r12 #2): ONE scan, ONE write job. Each matched
+        # row explodes into an update_postimage row (new values, routed
+        # to data + _change_data/) and an update_preimage row (old
+        # values, _change_data/ only); unmatched rows carry a NULL tag
+        # (data only). The value projection below keys off the tag, so
+        # preimage rows keep the pre-update values. No persist, no
+        # second write job, one read pass of the touched files.
+        marked = marked.select(
+            "*",
+            F.explode(
+                F.when(
+                    upd_flag,
+                    F.array(
+                        F.lit("update_postimage"), F.lit("update_preimage")
+                    ),
+                ).otherwise(F.array(F.lit(None).cast("string")))
+            ).alias(CHANGE_TYPE_COL),
+        )
+        upd_flag = F.col(CHANGE_TYPE_COL).eqNullSafe(F.lit("update_postimage"))
     updated_df = marked.select(
         *[
             # cast INSIDE the branch: when/otherwise strict-coerces
@@ -225,6 +253,7 @@ def update(
             for c in schema_cols
         ],
         "__delta_rs_upd",
+        *([CHANGE_TYPE_COL] if fused else []),
     )
     updated_df = _recompute_generated_cols(
         updated_df, touched_df.schema, updates, schema_cols, upd_flag
@@ -236,13 +265,18 @@ def update(
             F.when(upd_flag, F.lit(None).cast("long")).otherwise(F.col(_mat_ver)),
         )
     updated_df = updated_df.drop("__delta_rs_upd")
-    from delta_rs_spark.writer import enforce_write_rules
+    if fused:
+        new_adds, cdc_actions = write_data_and_change_files(
+            updated_df, table_path, part_cols, snapshot
+        )
+    else:
+        from delta_rs_spark.writer import enforce_write_rules
 
-    updated_df = enforce_write_rules(updated_df, snapshot)
-    try:
-        new_adds = write_files(updated_df, table_path, part_cols)
-    finally:
-        updated_df.unpersist()
+        updated_df = enforce_write_rules(updated_df, snapshot)
+        try:
+            new_adds = write_files(updated_df, table_path, part_cols)
+        finally:
+            updated_df.unpersist()
     # live rows only: DV'd files contribute physical rows minus cardinality
     n_total = sum(
         (a.num_records() or 0)
@@ -251,7 +285,9 @@ def update(
     )
 
     actions: list = list(new_adds)
-    if cdf_enabled(snapshot):
+    if fused:
+        actions.extend(cdc_actions)
+    elif cdf_enabled(snapshot):
         pre = touched_df.filter(cond).withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
         post = (
             _recompute_generated_cols(

@@ -353,19 +353,17 @@ def llm_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     global _STATEFUL_GATE_SEQ
     _STATEFUL_GATE_SEQ += 1
-    sink = f"stateful_dedup_gate_{_os.getpid()}_{_STATEFUL_GATE_SEQ}"
-    ckpt = f"{root}/ckpt{_STATEFUL_GATE_SEQ}"
-    _shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        dedup_stream(src, key_col="fingerprint")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return _drain_memory_sink(spark, sink).select("fingerprint", "doc_id")
+    # r13: pinned state partitions like the other stateful gates (ran
+    # at the session's 32 before — 4x the state-store commit files per
+    # micro-batch; applyInPandasWithState groups by key, so the
+    # partition count never changes which rows win)
+    return _run_gate_stream(
+        spark,
+        dedup_stream(src, key_col="fingerprint"),
+        "stateful_dedup_gate",
+        root,
+        _STATEFUL_GATE_SEQ,
+    ).select("fingerprint", "doc_id")
 
 
 def _drain_memory_sink(spark: SparkSession, sink: str) -> DataFrame:
@@ -546,20 +544,17 @@ def q_events_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     global _LATE_GATE_SEQ
     _LATE_GATE_SEQ += 1
-    sink = f"late_watermark_gate_{_os.getpid()}_{_LATE_GATE_SEQ}"
-    ckpt = f"{root}/ckpt{_LATE_GATE_SEQ}"
-    _shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        tumbling_cents(src, watermark="30 minutes")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    # r13: route through _run_gate_stream so the state partition count
+    # is pinned like every other stateful gate (this one ran at the
+    # session's 32 — 4x the state-store commit files per micro-batch
+    # for identical results; the count is semantics-independent)
+    return _run_gate_stream(
+        spark,
+        tumbling_cents(src, watermark="30 minutes"),
+        "late_watermark_gate",
+        root,
+        _LATE_GATE_SEQ,
     )
-    q.awaitTermination()
-    return _drain_memory_sink(spark, sink)
 
 
 _SESSION_GATE_SEQ = 0

@@ -73,3 +73,26 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def drop_cached_intermediates(spark: SparkSession) -> int:
+    """Release every cached/checkpointed RDD the engine has pinned.
+
+    Several library functions (classifier_auc, value_percentiles,
+    source_mix, importance_resampling, the retrieval postings, the
+    dedup signature frames, ...) pin a BOUNDED derived frame — a grid,
+    vocabulary, postings or signature table, never corpus text — into
+    the plan they return, because two plan branches read it and column
+    pruning defeats exchange reuse. The pin is lazy (no job at call
+    time) and lives until the blocks are dropped; mutation operators
+    release their own pins in ``finally``, but a long-lived session
+    composing many analytic queries accumulates the plan-participating
+    ones. Call this between queries once their results are consumed
+    (bench.py does exactly this before each timed sample). Returns the
+    number of RDDs released."""
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    n = 0
+    while it.hasNext():
+        it.next().getValue().unpersist(False)
+        n += 1
+    return n
