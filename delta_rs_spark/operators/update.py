@@ -455,21 +455,37 @@ def _dv_update(
         schema_cols,
         F.lit(True),
     )
-    from delta_rs_spark.writer import enforce_write_rules
+    if cdf_enabled(snapshot) and can_fuse_cdc_write(snapshot):
+        # r13: ONE write job emits the updated-row files AND the
+        # pre/post change files — both branches read the checkpointed
+        # matched frame, postimage rows route to data + _change_data/,
+        # preimage rows to _change_data/ only
+        tagged = new_rows.withColumn(
+            CHANGE_TYPE_COL, F.lit("update_postimage")
+        ).unionByName(
+            base.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+        )
+        new_adds, cdc_actions = write_data_and_change_files(
+            tagged, table_path, snapshot.partition_columns, snapshot
+        )
+        actions = list(removes) + list(dv_adds) + list(new_adds)
+        actions.extend(cdc_actions)
+    else:
+        from delta_rs_spark.writer import enforce_write_rules
 
-    new_rows = enforce_write_rules(new_rows, snapshot)
-    try:
-        new_adds = write_files(new_rows, table_path, snapshot.partition_columns)
+        new_rows = enforce_write_rules(new_rows, snapshot)
+        try:
+            new_adds = write_files(new_rows, table_path, snapshot.partition_columns)
 
-        actions: list = list(removes) + list(dv_adds) + list(new_adds)
-        if cdf_enabled(snapshot):
-            # postimage reads the same (possibly cached) frame the write
-            # committed, so CDF rows match the table rows exactly
-            pre = base.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
-            post = new_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
-            actions.extend(write_change_data(pre.unionByName(post), table_path))
-    finally:
-        new_rows.unpersist()
+            actions = list(removes) + list(dv_adds) + list(new_adds)
+            if cdf_enabled(snapshot):
+                # postimage reads the same (possibly cached) frame the
+                # write committed, so CDF rows match the table rows
+                pre = base.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+                post = new_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+                actions.extend(write_change_data(pre.unionByName(post), table_path))
+        finally:
+            new_rows.unpersist()
 
     metrics.update(
         {

@@ -138,6 +138,30 @@ def test_write_rules_fall_back_to_two_write_path(spark, tmp_table):
     assert {r["id"] for r in got if r["_change_type"] == "delete"} == {8, 9}
 
 
+def test_fused_dv_update_pre_post_images(spark, tmp_table):
+    """DV-mode UPDATE with CDF: one fused job writes the updated-row
+    files and the pre/post change files; values and CDF rows match the
+    legacy two-write semantics."""
+    write_deltalake(
+        tmp_table,
+        spark.range(0, 50).selectExpr("id", "cast(id as double) AS v"),
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    t = DeltaTable(tmp_table)
+    m = t.update({"v": "v * 10"}, predicate="id < 5")
+    assert m["num_updated_rows"] == 5
+    got = {r["id"]: r["v"] for r in t.to_spark().collect()}
+    assert got[3] == 30.0 and got[10] == 10.0 and len(got) == 50
+    cdf = t.load_cdf(starting_version=1, ending_version=1).collect()
+    pre = {r["id"]: r["v"] for r in cdf if r["_change_type"] == "update_preimage"}
+    post = {r["id"]: r["v"] for r in cdf if r["_change_type"] == "update_postimage"}
+    assert pre == {i: float(i) for i in range(5)}
+    assert post == {i: i * 10.0 for i in range(5)}
+
+
 def test_drop_cached_intermediates_releases_plan_pins(spark):
     from delta_rs_spark.functions.text import source_mix
     from delta_rs_spark.session import drop_cached_intermediates
