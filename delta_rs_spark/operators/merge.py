@@ -856,6 +856,7 @@ class TableMerger:
                 action = F.when(cond, F.lit(c)).otherwise(action)
                 cls = F.when(cond, F.lit(cls_v)).otherwise(cls)
             acted = joined.withColumn(_ACTION, action).withColumn(_CLS, cls).persist()
+            live = acted
 
             if self.matched:
                 # ONE job computes duplicate-match validation AND the
@@ -896,8 +897,8 @@ class TableMerger:
                 # no-op pair (all no-op/unconditional-delete winners
                 # produce identical output rows, so the tie is immaterial)
                 win = W.partitionBy(_TID).orderBy(F.desc(_CLS))
-                acted = (
-                    acted.withColumn("__rn", F.row_number().over(win))
+                live = (
+                    live.withColumn("__rn", F.row_number().over(win))
                     .filter(F.col("__rn") == 1)
                     .drop("__rn")
                 )
@@ -908,7 +909,7 @@ class TableMerger:
                 # rows the merge acts on die in place; collect their
                 # physical addresses for DV marking (O(rows acted on))
                 acted_pairs = (
-                    acted.filter(F.col(_ACTION) != COPY)
+                    live.filter(F.col(_ACTION) != COPY)
                     .groupBy(F.col("__delta_rs_fp").alias("fp"))
                     .agg(F.collect_list("__delta_rs_ri").alias("ris"))
                     .collect()
@@ -916,7 +917,7 @@ class TableMerger:
             if counts is None:
                 counts = {
                     r[_ACTION]: r["count"]
-                    for r in acted.groupBy(_ACTION).count().collect()
+                    for r in live.groupBy(_ACTION).count().collect()
                 }
             n_deleted = sum(
                 v for k, v in counts.items() if k == DELETE
@@ -957,7 +958,7 @@ class TableMerger:
                     .otherwise(F.col(f"{t}.`{_mat_ver}`"))
                     .alias(_mat_ver),
                 ]
-            rewritten = acted.filter(out_flt).select(
+            rewritten = live.filter(out_flt).select(
                 *proj, *proj_rt, F.col(_ACTION)
             )
             rewritten = _recompute_generated(
@@ -981,11 +982,11 @@ class TableMerger:
 
             if cdf_enabled(snapshot):
                 t_proj = [F.col(f"{t}.`{c}`").alias(c) for c in cols]
-                deleted_cdf = acted.filter(F.col(_ACTION) == DELETE).select(*t_proj).withColumn(
+                deleted_cdf = live.filter(F.col(_ACTION) == DELETE).select(*t_proj).withColumn(
                     CHANGE_TYPE_COL, F.lit("delete")
                 )
                 upd_filter = F.col(_ACTION).isin(*upd_codes) if upd_codes else F.lit(False)
-                pre = acted.filter(upd_filter).select(*t_proj).withColumn(
+                pre = live.filter(upd_filter).select(*t_proj).withColumn(
                     CHANGE_TYPE_COL, F.lit("update_preimage")
                 )
                 if fuse_cdc:
@@ -1002,7 +1003,7 @@ class TableMerger:
                             pre = pre.withColumn(_h, F.lit(None).cast("long"))
                     self._cdf_parts = [deleted_cdf, pre]
                 else:
-                    post = acted.filter(upd_filter).select(*proj).withColumn(
+                    post = live.filter(upd_filter).select(*proj).withColumn(
                         CHANGE_TYPE_COL, F.lit("update_postimage")
                     )
                     self._cdf_parts = [deleted_cdf, pre, post]
@@ -1016,23 +1017,27 @@ class TableMerger:
         insert_df = None
         insert_persisted = False
         if self.not_matched:
-            # r12: the anti-join only needs files that can CONTAIN a
-            # match, and every match pair lives in a touched file by
-            # definition (a file with >=1 inner-join row is touched) —
-            # so when the matched-clause discovery has computed that
-            # set, scan it instead of every candidate. With
-            # not-matched-by-source clauses rewrite_adds is the whole
-            # table, and with no matched clauses no discovery ran —
-            # both fall back to the candidate set (itself a provable
-            # superset of the matchable files via the early filter).
-            anti_files = (
-                rewrite_adds
-                if self.matched and not self.not_matched_by_source
-                else candidates
-            )
-            cand_df = read_snapshot_df(spark, snapshot, table_path, files=anti_files)
+            # r13 (VERDICT r12 #3, share the apply scan): when the
+            # rewrite pass ran, the persisted `acted` frame already
+            # holds every target row the anti-join could match against
+            # — rewrite_adds covers the touched files (every match pair
+            # lives in a touched file by definition, r12 #10b) and in
+            # the nmbs case the whole table; rows outside `candidates`
+            # satisfy the predicate for no source row (the early filter
+            # proves it), so anti-joining against acted's target rows
+            # is exactly equivalent to re-scanning the files — minus
+            # the scan. Only insert-only merges (no rewrite pass) still
+            # read the candidate files.
+            if acted is not None:
+                anti_tgt = acted.select(
+                    *[F.col(f"{t}.`{c}`").alias(c) for c in cols]
+                )
+            else:
+                anti_tgt = read_snapshot_df(
+                    spark, snapshot, table_path, files=candidates
+                )
             unmatched_src = source_df.alias(s).join(
-                cand_df.alias(t), F.expr(self.predicate), "left_anti"
+                anti_tgt.alias(t), F.expr(self.predicate), "left_anti"
             )
             remaining = unmatched_src
             pieces = []

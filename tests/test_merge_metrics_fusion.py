@@ -125,10 +125,10 @@ def test_insert_anti_join_scans_only_touched_files(spark, tmp_path, monkeypatch)
     assert m["num_target_rows_updated"] == 1
     assert m["num_target_rows_inserted"] == 1
     assert m["num_target_files_removed"] == 1
-    # calls: [discovery candidates, rewrite touched, insert anti-join]
-    assert len(calls) == 3
-    assert len(calls[2]) == 1, "insert anti-join must scan only touched files"
-    assert calls[2][0].path == calls[1][0].path
+    # r13: the insert anti-join reads the persisted rewrite-join frame,
+    # not the files — calls: [discovery candidates, rewrite touched]
+    assert len(calls) == 2, "insert anti-join must not re-scan files"
+    assert len(calls[1]) == 1, "rewrite must scan only touched files"
 
     # insert-only merge: no discovery -> anti-join scans the candidates
     calls.clear()
