@@ -363,6 +363,12 @@ def llm_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stateful_dedup_gate",
         root,
         _STATEFUL_GATE_SEQ,
+        # r13 A/B: unlike the JVM state-store gates (where fewer
+        # partitions -> fewer per-batch commit files wins), this gate
+        # is applyInPandasWithState — each state partition is a
+        # concurrent Python worker, and 4 measured ~0.8s SLOWER than 8
+        # in both A/B legs. Python-boundary parallelism dominates here.
+        state_partitions=8,
     ).select("fingerprint", "doc_id")
 
 
@@ -715,16 +721,19 @@ def q_events_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"session_watermark_gate_{_os.getpid()}_{_SESSION_GATE_SEQ}"
     ckpt = f"{root}/ckpt{_SESSION_GATE_SEQ}"
     _shutil.rmtree(ckpt, ignore_errors=True)
-    # 8 state partitions, not the session default 32: the partition
+    # Few state partitions, not the session default 32: the partition
     # count is frozen into the checkpoint at stream start, and 32
     # state-store instances x 3 micro-batches of commit/snapshot files
     # is pure floor for a subset-sized input (semantics are partition-
-    # count independent). Restored in finally — the conf is read at
-    # stream START, so the narrow window cannot leak into a concurrent
-    # batch query's plan in this single-threaded gate.
+    # count independent; see _gate_state_partitions). Restored in
+    # finally — the conf is read at stream START, so the narrow window
+    # cannot leak into a concurrent batch query's plan in this
+    # single-threaded gate.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_gate_state_partitions())
+        )
         q = (
             session_cents(src, gap="30 minutes", watermark="30 minutes")
             .writeStream.format("memory")
@@ -787,16 +796,39 @@ def _stage_batch_files(df, root: str, arr_col: str, cols: list[str]) -> str:
     return stream_dir
 
 
+def _gate_state_partitions() -> int:
+    """State partition count for the stream gates. Pinned small for
+    subset-sized gate inputs — the count is frozen into the checkpoint
+    at stream start and N state stores x M micro-batches of
+    commit/snapshot files is pure floor (semantics are partition-count
+    independent). Scale-dependent: a production deployment with large
+    keyed state raises it via SPARK_GRAFT_STREAM_STATE_PARTITIONS; the
+    local default (4) is the measured r13 A/B winner at gate-scale
+    state (8 -> 4 shaved the per-batch state-store commit fan-out with
+    identical results; 2 was not reliably better and halves state
+    parallelism, so 4 stays)."""
+    import os as _os
+
+    try:
+        return max(
+            1, int(_os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4"))
+        )
+    except ValueError:
+        return 4
+
+
 def _run_gate_stream(spark, out_df, sink_prefix: str, root: str, seq: int,
-                     state_partitions: int = 8):
+                     state_partitions: int | None = None):
     """Drive a gate's streaming plan to completion (availableNow, memory
     sink, fresh checkpoint) and return the drained result. The state
-    partition count is pinned small for subset-sized gate inputs — the
-    count is frozen into the checkpoint at stream start and 32 state
-    stores x N micro-batches of commit files is pure floor (semantics
-    are partition-count independent); restored in finally."""
+    partition count comes from _gate_state_partitions() (pinned small
+    for subset-sized gate inputs; env-tunable for scale); restored in
+    finally."""
     import os as _os
     import shutil as _shutil
+
+    if state_partitions is None:
+        state_partitions = _gate_state_partitions()
 
     sink = f"{sink_prefix}_{_os.getpid()}_{seq}"
     ckpt = f"{root}/ckpt{seq}"
