@@ -409,8 +409,54 @@ def _dv_update(
             .drop("__rt_fp", "__rt_base", "__rt_ver")
         )
     # the matched set feeds three consumers (row indexes, new rows, CDF);
-    # checkpoint so the scan+filter runs once
-    matched_df = df.filter(cond).localCheckpoint(eager=True)
+    # persist so the scan+filter runs once — the collect below
+    # materializes it, and persist (unlike localCheckpoint) is released
+    # by DataFrame.unpersist in the finally (r13 unpersist contract:
+    # operators own their pins; a localCheckpoint pin survives
+    # DataFrame.unpersist because it never enters the CacheManager).
+    # Recompute-on-eviction is safe: the frame is deterministic
+    # (file path + row index from a pinned file set).
+    matched_df = df.filter(cond).persist()
+    try:
+        return _dv_update_commit(
+            spark,
+            table_path,
+            snapshot,
+            candidates,
+            matched_df,
+            updates,
+            predicate,
+            cond,
+            metrics,
+            safe_cast,
+            commit_properties,
+            post_commithook_properties,
+            ts,
+        )
+    finally:
+        matched_df.unpersist(False)
+
+
+def _dv_update_commit(
+    spark,
+    table_path,
+    snapshot,
+    candidates,
+    matched_df,
+    updates,
+    predicate,
+    cond,
+    metrics,
+    safe_cast,
+    commit_properties,
+    post_commithook_properties,
+    ts,
+) -> dict[str, Any]:
+    from delta_rs_spark.operators.delete import (
+        dv_mark_rows,
+        group_rows_by_file,
+    )
+
     rows = (
         matched_df.groupBy(F.col("__delta_rs_fp").alias("fp"))
         .agg(F.collect_list("__delta_rs_ri").alias("ris"))
@@ -471,7 +517,7 @@ def _dv_update(
         actions = list(removes) + list(dv_adds) + list(new_adds)
         actions.extend(cdc_actions)
     else:
-        from delta_rs_spark.writer import enforce_write_rules
+        from delta_rs_spark.writer import enforce_write_rules, write_files
 
         new_rows = enforce_write_rules(new_rows, snapshot)
         try:

@@ -88,18 +88,26 @@ def process_corpus_batch(
     # The survivor frame is consumed 2-3x below (corpus append, fp index
     # append, optional band index append) — pin the batch-sized result so
     # the probe + gate pipeline runs once per batch, not once per sink.
-    kept = kept.localCheckpoint(eager=True)
-    # exactly-once: the txn (app_id, batch_id) makes replays no-ops
-    write_deltalake(
-        corpus_path,
-        kept,
-        mode="append",
-        txn_app_id=app_id,
-        txn_version=batch_id,
-    )
-    update_fingerprint_index(spark, index_path, kept, text_col, id_col)
-    if band_index_path is not None:
-        update_band_index(spark, band_index_path, kept, text_col, id_col)
+    # persist, not localCheckpoint: the pin is released right here after
+    # the sinks consume it (r13 unpersist contract — a long-lived ingest
+    # stream must not accumulate one pinned batch per micro-batch), and
+    # DataFrame.unpersist cannot release a localCheckpoint. Recompute on
+    # eviction is deterministic (probe joins over fixed inputs).
+    kept = kept.persist()
+    try:
+        # exactly-once: the txn (app_id, batch_id) makes replays no-ops
+        write_deltalake(
+            corpus_path,
+            kept,
+            mode="append",
+            txn_app_id=app_id,
+            txn_version=batch_id,
+        )
+        update_fingerprint_index(spark, index_path, kept, text_col, id_col)
+        if band_index_path is not None:
+            update_band_index(spark, band_index_path, kept, text_col, id_col)
+    finally:
+        kept.unpersist(False)
 
 
 def start_corpus_ingest(
