@@ -55,7 +55,7 @@ def process_corpus_batch(
         update_band_index,
         update_fingerprint_index,
     )
-    from delta_rs_spark.functions.text import corpus_filter_report
+    from delta_rs_spark.functions.text import lang_id, quality_score, token_count
     from delta_rs_spark.writer import write_deltalake
 
     spark = batch_df.sparkSession
@@ -71,20 +71,24 @@ def process_corpus_batch(
             fresh[id_col] == F.col("__nd_id"),
             "left_anti",
         )
-    report = corpus_filter_report(
-        fresh,
-        text_col,
-        id_col,
-        lang=lang,
-        min_quality=min_quality,
-        min_tokens=min_tokens,
+    # The gate is corpus_filter_report's reason == 'kept', applied as a
+    # DIRECT filter on `fresh` (r13): the report's canonical-election
+    # window is a no-op here — dedup_against_fingerprint_index already
+    # kept exactly one (min-id) row per fingerprint, so 'duplicate' can
+    # never fire — and the remaining reasons are per-row predicates.
+    # The old shape (report -> broadcast kept_ids -> semi join) ran the
+    # probe+gate pipeline TWICE per batch (once inside the broadcast
+    # job, once in the outer frame) plus a window shuffle; this runs it
+    # once. eqNullSafe keeps the report's first-failing-WHEN NULL
+    # semantics exactly: a NULL signal fails no gate, as in the report.
+    n_tok = token_count(text_col)
+    fails = (
+        (lang_id(text_col) != lang).eqNullSafe(True)
+        | (quality_score(text_col) < min_quality).eqNullSafe(True)
+        | (n_tok < min_tokens).eqNullSafe(True)
+        | (n_tok > 100_000).eqNullSafe(True)  # report's max_tokens default
     )
-    kept_ids = report.filter(F.col("reason") == "kept").select("doc_id")
-    kept = fresh.join(
-        F.broadcast(kept_ids),
-        fresh[id_col] == kept_ids["doc_id"],
-        "left_semi",
-    )
+    kept = fresh.filter(~fails)
     # The survivor frame is consumed 2-3x below (corpus append, fp index
     # append, optional band index append) — pin the batch-sized result so
     # the probe + gate pipeline runs once per batch, not once per sink.
