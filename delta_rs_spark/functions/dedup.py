@@ -659,7 +659,12 @@ def update_fingerprint_index(spark, index_path: str, new_df: DataFrame,
     rows = new_df.select(
         F.col(id_col).alias("id"), fingerprint(text_col).alias("fp")
     )
-    write_deltalake(index_path, rows, mode="append")
+    # rebalance: ingest batches arrive persisted with the probe
+    # window's partitioning (one tiny file per cache partition per
+    # append — the index the NEXT batch probes); size-adaptive output
+    # keeps the index file count O(batches), not O(batches x shuffle
+    # partitions) (guide §6)
+    write_deltalake(index_path, rows.hint("rebalance"), mode="append")
 
 
 def _band_buckets(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:

@@ -116,6 +116,18 @@ def write_data_and_change_files(
 
     work = df
     pv_names: list[str] = []
+    if not part_cols:
+        # Size-adaptive output partitioning (guide §6, r13): mutation
+        # frames are usually PERSISTED upstream (the merge's acted
+        # frame, the sync gates' change batches), and a cached plan's
+        # partitioning is the one thing AQE cannot re-coalesce — a
+        # 1-file MERGE was emitting 32+1 tiny files (one per cache
+        # partition). REBALANCE re-splits by the advisory partition
+        # size: tiny rewrites collapse to one file, 100 TB rewrites
+        # split to advisory-sized files. Round-robin rebalance sorts
+        # before repartitioning (SPARK-23207), so task retries stay
+        # deterministic.
+        work = work.hint("rebalance")
     if part_cols:
         # co-locate each partition's rows into few tasks (same map-side
         # file-count control as write_files) and carry the DIRECTORY

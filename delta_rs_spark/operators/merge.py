@@ -1175,7 +1175,14 @@ class TableMerger:
 
                 result = enforce_write_rules(result, snapshot)
                 try:
-                    new_adds = write_files(result, table_path, part_cols)
+                    # unpartitioned rewrites inherit the persisted acted
+                    # frame's cache partitioning (32 tiny files per
+                    # merge at local shuffle counts; cached plans defeat
+                    # AQE coalescing) — rebalance to size-adaptive
+                    # output files (guide §6; partitioned writes get the
+                    # same control from write_files' repartition)
+                    out_df = result if part_cols else result.hint("rebalance")
+                    new_adds = write_files(out_df, table_path, part_cols)
                 finally:
                     result.unpersist()
             actions.extend(new_adds)

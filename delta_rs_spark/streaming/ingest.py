@@ -99,10 +99,15 @@ def process_corpus_batch(
     # eviction is deterministic (probe joins over fixed inputs).
     kept = kept.persist()
     try:
-        # exactly-once: the txn (app_id, batch_id) makes replays no-ops
+        # exactly-once: the txn (app_id, batch_id) makes replays no-ops.
+        # rebalance: the pinned survivor frame keeps the probe window's
+        # shuffle partitioning (32 tiny files per micro-batch append,
+        # which every later batch's index probe re-lists); AQE re-splits
+        # to advisory-size output files — one file per small batch,
+        # properly-sized files at production batch sizes (guide §6)
         write_deltalake(
             corpus_path,
-            kept,
+            kept.hint("rebalance"),
             mode="append",
             txn_app_id=app_id,
             txn_version=batch_id,

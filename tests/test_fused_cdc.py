@@ -176,3 +176,53 @@ def test_drop_cached_intermediates_releases_plan_pins(spark):
     n = drop_cached_intermediates(spark)
     assert n > 0
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_rebalanced_writes_bound_output_file_count(spark, tmp_table, tmp_path):
+    """r13 size-adaptive output partitioning: a mutation whose source is
+    a PERSISTED many-partition frame must not emit one tiny file per
+    cache partition (the merge used to replace 1 removed file with 33
+    adds). Covers the fused CDF write, the plain merge write, and the
+    ingest-style append."""
+    df = spark.range(0, 2000).selectExpr("id AS k", "cast(id % 7 as double) AS v")
+    write_deltalake(
+        tmp_table, df, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    src = (
+        spark.range(1000, 3000)
+        .selectExpr("id AS k", "cast(-1 as double) AS v")
+        .repartition(32)
+        .persist()
+    )
+    src.count()
+    try:
+        m = (
+            DeltaTable(tmp_table)
+            .merge(src, "t.k = s.k", source_alias="s", target_alias="t")
+            .when_matched_update({"v": "s.v"})
+            .when_not_matched_insert({"k": "s.k", "v": "s.v"})
+            .execute()
+        )
+    finally:
+        src.unpersist()
+    assert m["num_target_rows_updated"] == 1000
+    assert m["num_target_files_added"] <= 4  # was 33 pre-rebalance
+    assert len(_cdc_files(tmp_table)) <= 4
+
+    # non-CDF branch (write_files path)
+    t2 = str(tmp_path / "plain")
+    write_deltalake(t2, df)
+    src2 = spark.range(0, 500).selectExpr(
+        "id AS k", "cast(-2 as double) AS v"
+    ).repartition(32).persist()
+    src2.count()
+    try:
+        m2 = (
+            DeltaTable(t2)
+            .merge(src2, "t.k = s.k", source_alias="s", target_alias="t")
+            .when_matched_update({"v": "s.v"})
+            .execute()
+        )
+    finally:
+        src2.unpersist()
+    assert m2["num_target_files_added"] <= 4
