@@ -1261,10 +1261,22 @@ def train_hashed_classifier(
     spy = sp.join(ydoc, "id").persist()
     bias, w = 0.0, [0.0] * n_buckets
     for _ in range(n_iter):
-        zq = F.sum(_hashed_logit_q(bias, w)).over(W.partitionBy("id"))
-        z = zq.cast("double") / F.lit(1e9)
-        p = F.round((F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6)) / F.lit(1e6)
-        d = p - F.col("y")
+        if bias == 0.0 and not any(w):
+            # all-zero model (every first iteration): the quantized
+            # per-row logit is round(0 * x) = 0, so the id-window sum is
+            # 0 exactly and p = round(sigmoid(0) * 1e6) / 1e6 = 0.5 —
+            # the same constant the oracle's iteration-1 replay uses.
+            # Computing d directly skips the window's id-keyed shuffle
+            # over the whole feature frame (r13, guide §2.4).
+            d = F.lit(0.5) - F.col("y")
+        else:
+            zq = F.sum(_hashed_logit_q(bias, w)).over(W.partitionBy("id"))
+            z = zq.cast("double") / F.lit(1e9)
+            p = (
+                F.round((F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6))
+                / F.lit(1e6)
+            )
+            d = p - F.col("y")
         grows = (
             spy.select(
                 "bucket",
